@@ -1,0 +1,296 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-planned for 100 TB (SURVEY.md §7.2 step 5):
+
+- **exact**: fingerprint (md5 of normalized text) → groupBy. One
+  shuffle on the fingerprint; map-side partial aggregation for free.
+- **n-gram Jaccard**: inverted-index self-join on shingles (pairs only
+  materialize for documents sharing a shingle), never an O(n²) cross
+  join. An optional document-frequency cap drops ubiquitous shingles —
+  the standard guard against quadratic blow-up on hot shingles.
+- **MinHash + LSH**: 64 permutations, banded into 16×4; candidate
+  pairs come from band-bucket joins, then exact-Jaccard verification.
+  The hash family is md5-based so external engines can replicate the
+  signatures exactly (see ``hash32``).
+- **SimHash**: 60-bit signatures from token-frequency-weighted bit
+  votes; Hamming-≤k pairs via banded prefix buckets + bit_count(xor).
+
+Every hash here derives from md5 so the DuckDB oracles in
+``__spark_entry__.py`` reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.functions.text import (
+    fingerprint,
+    hash32,
+    hash64,
+    word_shingles,
+)
+
+# --- MinHash parameters (shared with the SQL oracle generator) -------
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS  # 4 rows per band
+MINHASH_P = 4294967311  # prime > 2^32; a*h+b stays under 2^63
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 2**31) for _ in range(MINHASH_PERMS)]
+MINHASH_B = [_rng.randrange(0, 2**31) for _ in range(MINHASH_PERMS)]
+
+# --- SimHash parameters ----------------------------------------------
+SIMHASH_BITS = 60  # 15 md5 hex chars; fits signed int64
+SIMHASH_BANDS = 4  # 4 bands × 15 bits for candidate bucketing
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    ``(fp, n_dups, keeper_id)`` with keeper = min id. ``n_dups >= 2``
+    rows are the actual duplicate sets; the full output (one row per
+    distinct text) doubles as the dedup survivor list."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one document (min id) per normalized-text fingerprint.
+
+    Window-free formulation: groupBy(fp).min(id) then a semi join back,
+    which AQE turns into a broadcast when the survivor set is small.
+    """
+    keepers = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Inverted index: one row per (shingle, doc) — the distributed
+    representation every near-dup family starts from."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    k: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair of documents
+    sharing at least one ``k``-shingle; emits pairs with
+    ``jaccard >= threshold``.
+
+    Plan shape: explode shingles → self-join on the shingle (inverted
+    index) → count shared shingles per pair → join per-doc set sizes →
+    |∩| / (|A|+|B|−|∩|). Pairs with no shared shingle never exist, so
+    cost follows real overlap, not n². ``df_cap`` (document frequency
+    cap) drops shingles appearing in more than ``df_cap`` docs — at
+    100 TB this bounds the worst-case join fan-out; leave None only
+    when the corpus is known to lack hot shingles.
+    """
+    postings = shingle_postings(df, id_col, text_col, k)
+    if df_cap is not None:
+        rare = (
+            postings.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("s")
+        )
+        postings = postings.join(rare, "s", "left_semi")
+    sizes = postings.groupBy("doc").agg(F.count("*").alias("n"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """64-permutation MinHash signatures: ``(doc, mh0..mh63)``.
+
+    ``mh_i = min over shingles of (a_i * hash32(shingle) + b_i) mod P``.
+    One explode + one groupBy — map-side partial mins keep the shuffle
+    tiny (64 longs per doc regardless of document size).
+    """
+    postings = shingle_postings(df, id_col, text_col, k).withColumn(
+        "h", hash32(F.col("s"))
+    )
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P)
+        .alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return postings.groupBy("doc").agg(*aggs)
+
+
+def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair. Bands are unioned into (band, key) buckets and
+    self-joined — shuffle keyed by the bucket, so only same-bucket
+    docs ever meet."""
+    bands = None
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        piece = signatures.select(
+            F.col("doc"),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *cols).alias("bkey"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: candidates from banding, then
+    exact-Jaccard verification of candidates only. Output:
+    ``(doc_a, doc_b, jaccard)`` with ``jaccard >= threshold``.
+
+    At 100 TB the candidate join replaces the all-pairs problem with
+    per-bucket micro-joins; verification touches only candidates.
+    """
+    cands = minhash_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
+    exact = jaccard_pairs(df, id_col, text_col, threshold=0.0, k=k)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document: ``(doc, simhash)``.
+
+    Token-frequency-weighted bit votes: for bit j, sum cnt over tokens
+    with bit j set minus cnt over tokens with it clear; bit j of the
+    signature is 1 iff the vote is positive. Two aggregations, both
+    with map-side combine.
+    """
+    from flink_orc_sink_spark.functions.text import tokens as tok_expr
+
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tok_expr(text_col)).alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", hash64(F.col("t")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = tf.groupBy("doc").agg(*votes)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return voted.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banding by 15-bit chunks (pigeonhole: distance ≤ 3 over 4 bands
+    guarantees one identical band), so candidates come from bucket
+    joins, then ``bit_count(xor) <= k`` verifies. Output:
+    ``(doc_a, doc_b, hamming)``.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        piece = sigs.select(
+            "doc",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,143 @@
+"""Relational operators Spark has no single call for.
+
+Each is a composition of shuffles/windows chosen for 100 TB behavior:
+- as-of join: ONE shuffle by key + in-partition sort (the union/window
+  trick), instead of an O(n·m) theta join.
+- top-k per group: window + filter — map-side partial top-k via AQE;
+  no global sort.
+- sessionize: ``session_window`` (built-in) for the common case; a
+  gaps-and-islands window formulation that any SQL engine can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_cols`` (include explicit
+    tie-breaker columns to keep results deterministic).
+
+    One shuffle on ``group_cols``; rows never leave their partition
+    after that, so it scales with the number of groups, not rows.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_time <= left_time`` (direction='backward') on the same key.
+
+    Implementation is the union + window ``last(ignorenulls)`` trick:
+    tag both sides, union them, sort within key by (time, side) and
+    carry the last seen right-side values forward. Cost: ONE shuffle
+    by key + an in-partition sort — the same shape as a sort-merge
+    join, with no cross-product blow-up. This is the scalable form of
+    the theta-join ``right_time <= left_time`` (SURVEY.md §2.4 row 1).
+
+    Returns the left rows plus ``right_value_cols`` (null when no
+    right row precedes).
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip sort order; not needed yet")
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_value_cols],
+        *[F.col(c) for c in lcols],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    # Right rows sort before left rows at equal timestamps (__side 0<1),
+    # so an exactly-equal right timestamp IS visible to the left row —
+    # standard as-of "<=" semantics.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    fact: DataFrame,
+    buckets: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join fact rows to range buckets on ``lo <= value < hi``.
+
+    The bucket side is broadcast (it is small by construction), so the
+    non-equi condition never becomes a shuffled nested-loop join — the
+    only plan that survives 100 TB on the fact side.
+    """
+    return fact.join(
+        F.broadcast(buckets),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "inner",
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_minutes: int = 10,
+) -> DataFrame:
+    """Assign gaps-and-islands session IDs per key: a new session
+    starts when the time since the previous row is >= the gap.
+
+    Window formulation (lag + cumulative sum) rather than
+    ``F.session_window`` so (a) the session id is exposed as a plain
+    column usable by later joins, and (b) the semantics are plain SQL
+    any engine can verify. One shuffle by key.
+    """
+    # Order by (time, any unique col) is the caller's job if timestamps
+    # can tie; integer microseconds keep the gap comparison exact (and
+    # identical to DuckDB's epoch_us) — no float drift.
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    t_us = F.unix_micros(F.col(time_col))
+    prev = F.lag(t_us).over(w)
+    is_new = (prev.isNull() | ((t_us - prev) >= gap_us)).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq", F.sum(is_new).over(wsum))

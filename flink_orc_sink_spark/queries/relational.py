@@ -1,0 +1,1025 @@
+"""Relational operator queries (SURVEY.md §2.4) with DuckDB oracles.
+
+Numeric-determinism conventions (shared with every oracle):
+
+- Money/price sums go through ``DECIMAL(18,4)`` so addition is exact
+  and associative — identical across engines and shuffle orders.
+- Averages and other float outputs are rounded (4–6 dp) and cast to
+  DOUBLE on both sides.
+- Integer sums are cast to BIGINT on both sides (DuckDB would widen
+  to HUGEINT).
+- Every LIMIT carries a full deterministic ORDER BY (explicit
+  tie-breaker keys).
+- Computed columns share the same alias in Spark and SQL — the driver
+  compares by sorted column name.
+
+Scale notes are attached per query; the shared rules: dimension joins
+broadcast, aggregations rely on map-side partial agg, windows always
+partition (never a global unpartitioned sort in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.operators.relational import range_join, topk_per_group
+from flink_orc_sink_spark.sources.catalog import table
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+def money(expr: Column) -> Column:
+    """ROUND(expr, 2) cast to DOUBLE — the money-output convention."""
+    return F.round(expr, 2).cast("double")
+
+
+def dbl(expr: Column, scale: int = 4) -> Column:
+    return F.round(expr, scale).cast("double")
+
+
+REVENUE = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+
+# --- TPC-H-style analytical queries ----------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7.1): scan → filter → hash-agg → sort.
+
+    Catalyst pushes the shipdate filter into the parquet scan and the
+    ORC-style columnar batch keeps only 7 of 11 columns; partial
+    aggregation reduces each partition to ≤6 rows before the shuffle,
+    so the exchange is O(groups), not O(rows) — the shape that holds
+    at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(REVENUE)).alias("sum_disc_price"),
+            money(
+                F.sum(REVENUE * (F.lit(1) + _dec("l_tax")))
+            ).alias("sum_charge"),
+            dbl(F.avg("l_quantity")).alias("avg_qty"),
+            dbl(F.avg("l_extendedprice")).alias("avg_price"),
+            dbl(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM({REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+  CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, filtered both sides, top 10 by
+    revenue. The customer filter lands before the join (Catalyst
+    pushdown); AQE picks broadcast for the filtered customer side."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(REVENUE)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join with a region filter — the join-reordering /
+    broadcast showcase. region, nation, supplier, customer are all
+    dimension-sized: every hop off the lineitem spine stays broadcast,
+    so the only big shuffle is the final small group-by."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money(F.sum(REVENUE)).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-aggregate; every predicate reaches the parquet
+    reader (PushedFilters), zero shuffle beyond the single-row final."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(_dec("l_extendedprice") * _dec("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue on returned items — join + agg +
+    deterministic top-k."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(F.sum(REVENUE)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+  CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- join modes -------------------------------------------------------
+
+def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join, row-level output (filtered to stay small)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            money(F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_mktsegment,
+  COUNT(o_orderkey) AS n_orders,
+  CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0), 2) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts —
+    nations present on either side survive with nulls on the other."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+JOIN_FULL_SQL = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       c.n_customers AS n_customers, s.n_suppliers AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+def join_semi_with_open_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers holding at least one open ('O') order.
+    Semi joins never duplicate the left side — at scale that halves
+    the shuffle vs join+distinct."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny × tiny only — a cross join of big
+    inputs is a design error, not a tuning problem)."""
+    a = table(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    b = table(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
+
+
+JOIN_CROSS_SQL = """
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+"""
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join through two broadcast dimensions: customer count and
+    balance by region name. Both dims ship to every executor once;
+    the fact side never shuffles for the join."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(_dec("c_acctbal"))).alias("sum_acctbal"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+PRICE_TIERS = [
+    ("T1_under_50k", 0, 50_000),
+    ("T2_50k_150k", 50_000, 150_000),
+    ("T3_150k_300k", 150_000, 300_000),
+    ("T4_300k_plus", 300_000, 10_000_000),
+]
+
+
+def join_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: orders against a broadcast tier table on
+    ``lo <= price < hi``. Broadcast keeps the non-equi condition off
+    the shuffle path (SURVEY.md §2.4 theta joins)."""
+    o = table(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(PRICE_TIERS, "tier string, lo int, hi int")
+    return (
+        range_join(o, buckets, "o_totalprice")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(_dec("o_totalprice"))).alias("tier_value"),
+        )
+    )
+
+
+_tiers_values = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in PRICE_TIERS)
+JOIN_RANGE_SQL = f"""
+SELECT tier, COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS tier_value
+FROM orders
+JOIN (VALUES {_tiers_values}) AS buckets(tier, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+"""
+
+
+# --- aggregation variants --------------------------------------------
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting per group (expand-based under the hood;
+    for 100 TB dashboards prefer approx_count_distinct — kept exact
+    here because the oracle must match)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        dbl(F.avg("c_acctbal")).alias("avg_bal"),
+        money(F.min(_dec("c_acctbal"))).alias("min_bal"),
+        money(F.max(_dec("c_acctbal"))).alias("max_bal"),
+    )
+
+
+AGG_COUNT_DISTINCT_SQL = """
+SELECT c_mktsegment,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  COUNT(*) AS n_customers,
+  CAST(ROUND(AVG(c_acctbal), 4) AS DOUBLE) AS avg_bal,
+  CAST(ROUND(MIN(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_bal,
+  CAST(ROUND(MAX(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): per-pair, per-flag subtotal,
+    grand total in one pass (Expand feeds one shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(mktsegment, nationkey): all 4 grouping combinations."""
+    c = table(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        money(F.sum(_dec("c_acctbal"))).alias("sum_bal"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — ((status), (priority), ()) — via Spark
+    SQL (same Expand-based plan as rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- window functions -------------------------------------------------
+
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the per-group top-k operator
+    (one shuffle on the group key, no global sort)."""
+    o = table(spark, sf_dir, "orders")
+    return topk_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank over part price within brand."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+  RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS price_rank,
+  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS price_dense_rank
+FROM part
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer over order history (ROWS frame)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        money(F.sum(_dec("o_totalprice")).over(w)).alias("running_spend"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each customer's order sequence."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.lit(0) + F.col("o_totalprice")).alias("price"),
+        money(F.lit(0) + prev).alias("prev_price"),
+        money(F.lit(0) + F.lead("o_totalprice").over(w)).alias("next_price"),
+        money(F.col("o_totalprice") - prev).alias("delta_prev"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price,
+  CAST(ROUND(LAG(o_totalprice) OVER w, 2) AS DOUBLE) AS prev_price,
+  CAST(ROUND(LEAD(o_totalprice) OVER w, 2) AS DOUBLE) AS next_price,
+  CAST(ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2) AS DOUBLE) AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over customer balances."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        dbl(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        dbl(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT c_custkey, c_acctbal,
+  NTILE(4) OVER w AS bal_quartile,
+  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS bal_pct_rank,
+  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS bal_cume_dist
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per status, sum of order values within 1000 below
+    each order's price (value-based frame, tie-stable by definition)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 0)
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        money(F.sum(_dec("o_totalprice")).over(w)).alias("near_below_sum"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice
+    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS near_below_sum
+FROM orders
+"""
+
+
+# --- sorts / limits / set ops ----------------------------------------
+
+def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-15 line items by price. Spark plans ORDER BY+LIMIT as
+    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+        )
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(15)
+    )
+
+
+SORT_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 15
+"""
+
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations having both customers and suppliers."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with customers but no suppliers."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s.distinct()).distinct()
+
+
+SET_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two differently-shaped inputs into one tagged
+    relation, then a count by origin + nation."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey", "kind")
+        .agg(F.count("*").alias("n_parties"))
+    )
+
+
+SET_UNION_SQL = """
+SELECT nationkey, kind, COUNT(*) AS n_parties FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+) GROUP BY nationkey, kind
+"""
+
+
+# --- scalar functions --------------------------------------------------
+
+def string_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage on part names (SURVEY.md §2.4 scalar row)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+  UPPER(p_name) AS name_upper,
+  LOWER(p_brand) AS brand_lower,
+  LENGTH(p_name) AS name_len,
+  SUBSTR(p_name, 1, 8) AS name_prefix,
+  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+  REPLACE(p_type, ' ', '_') AS type_snake,
+  STRPOS(p_name, 'a') AS first_a,
+  LPAD(p_brand, 12, '*') AS brand_padded,
+  REVERSE(p_brand) AS brand_rev,
+  TRIM(p_name) AS name_trim
+FROM part
+"""
+
+
+def date_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage on order dates."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+  CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+  CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+  CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+  CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+  DATE_TRUNC('month', o_orderdate) AS month_start,
+  o_orderdate + INTERVAL 30 DAY AS due_date,
+  CAST(DATEDIFF('day', o_orderdate, DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+  LAST_DAY(o_orderdate) AS month_end
+FROM orders
+"""
+
+
+def math_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function coverage on a deterministic lineitem subset."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 50 == 0) & (F.col("l_linenumber") == 1)
+    )
+    return li.select(
+        "l_orderkey",
+        dbl(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        dbl(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        dbl(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        dbl(F.pow(F.col("l_quantity"), 2), 2).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        dbl(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+        dbl(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
+    )
+
+
+MATH_FUNCS_SQL = """
+SELECT l_orderkey,
+  CAST(ROUND(ABS(l_discount - 0.05), 6) AS DOUBLE) AS disc_dev,
+  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(ROUND(SQRT(l_quantity), 6) AS DOUBLE) AS qty_sqrt,
+  CAST(ROUND(LN(l_extendedprice), 6) AS DOUBLE) AS price_ln,
+  CAST(ROUND(POW(l_quantity, 2), 2) AS DOUBLE) AS qty_sq,
+  l_orderkey % 7 AS key_mod7,
+  CAST(ROUND(GREATEST(l_discount, l_tax), 4) AS DOUBLE) AS max_rate,
+  CAST(ROUND(LEAST(l_discount, l_tax), 4) AS DOUBLE) AS min_rate
+FROM lineitem
+WHERE l_orderkey % 50 = 0 AND l_linenumber = 1
+"""
+
+
+def case_when_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    o = table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 200_000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.withColumn("price_tier", tier)
+        .groupBy("price_tier", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dbl(F.avg("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+CASE_WHEN_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_tier,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(AVG(o_totalprice), 4) AS DOUBLE) AS avg_price
+FROM orders GROUP BY price_tier, o_orderstatus
+"""
+
+
+def in_subquery_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery semantics as a left-semi join (what Catalyst rewrites
+    IN to anyway): orders from BUILDING-segment customers."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+IN_SUBQUERY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance.
+    The single-row aggregate is cross-joined (broadcast — it is one
+    row), never collected to the driver."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("global_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("global_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+"""
+
+
+def distinct_flag_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (hash-agg without measures)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: NULLIF/COALESCE/null-skipping aggregates."""
+    c = table(spark, sf_dir, "customer")
+    bal_pos = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    seg2 = F.coalesce(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+    )
+    return (
+        c.select(seg2.alias("seg2"), bal_pos.alias("bal_pos"))
+        .groupBy("seg2")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("bal_pos").alias("n_positive"),
+            money(F.coalesce(F.sum(_dec("bal_pos")), F.lit(0))).alias(
+                "sum_positive"
+            ),
+        )
+    )
+
+
+NULL_HANDLING_SQL = """
+SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+  COUNT(*) AS n_total,
+  COUNT(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS n_positive,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN c_acctbal >= 0 THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 0), 2) AS DOUBLE) AS sum_positive
+FROM customer
+GROUP BY seg2
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "join_inner_enrich": join_inner_enrich,
+    "join_left_outer_agg": join_left_outer_agg,
+    "join_full_outer_nations": join_full_outer_nations,
+    "join_semi_with_open_order": join_semi_with_open_order,
+    "join_anti_no_orders": join_anti_no_orders,
+    "join_cross_regions": join_cross_regions,
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_range_price_tiers": join_range_price_tiers,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "window_topk_per_customer": window_topk_per_customer,
+    "window_rank_dense": window_rank_dense,
+    "window_running_total": window_running_total,
+    "window_lag_lead": window_lag_lead,
+    "window_ntile_quartiles": window_ntile_quartiles,
+    "window_range_frame": window_range_frame,
+    "sort_global_topk": sort_global_topk,
+    "set_intersect_nations": set_intersect_nations,
+    "set_except_nations": set_except_nations,
+    "set_union_all_parties": set_union_all_parties,
+    "string_funcs_showcase": string_funcs_showcase,
+    "date_funcs_showcase": date_funcs_showcase,
+    "math_funcs_showcase": math_funcs_showcase,
+    "case_when_price_tiers": case_when_price_tiers,
+    "in_subquery_building": in_subquery_building,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "distinct_flag_pairs": distinct_flag_pairs,
+    "null_handling_showcase": null_handling_showcase,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "join_inner_enrich": JOIN_INNER_SQL,
+    "join_left_outer_agg": JOIN_LEFT_SQL,
+    "join_full_outer_nations": JOIN_FULL_SQL,
+    "join_semi_with_open_order": JOIN_SEMI_SQL,
+    "join_anti_no_orders": JOIN_ANTI_SQL,
+    "join_cross_regions": JOIN_CROSS_SQL,
+    "join_broadcast_dims": JOIN_BROADCAST_SQL,
+    "join_range_price_tiers": JOIN_RANGE_SQL,
+    "agg_count_distinct": AGG_COUNT_DISTINCT_SQL,
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
+    "window_topk_per_customer": WINDOW_TOPK_SQL,
+    "window_rank_dense": WINDOW_RANK_SQL,
+    "window_running_total": WINDOW_RUNNING_SQL,
+    "window_lag_lead": WINDOW_LAG_SQL,
+    "window_ntile_quartiles": WINDOW_NTILE_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
+    "sort_global_topk": SORT_TOPK_SQL,
+    "set_intersect_nations": SET_INTERSECT_SQL,
+    "set_except_nations": SET_EXCEPT_SQL,
+    "set_union_all_parties": SET_UNION_SQL,
+    "string_funcs_showcase": STRING_FUNCS_SQL,
+    "date_funcs_showcase": DATE_FUNCS_SQL,
+    "math_funcs_showcase": MATH_FUNCS_SQL,
+    "case_when_price_tiers": CASE_WHEN_SQL,
+    "in_subquery_building": IN_SUBQUERY_SQL,
+    "scalar_subquery_above_avg": SCALAR_SUBQUERY_SQL,
+    "distinct_flag_pairs": DISTINCT_SQL,
+    "null_handling_showcase": NULL_HANDLING_SQL,
+}

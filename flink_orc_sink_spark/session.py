@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference wires its runtime in the Flink job builder
+(``OrcSinkTest.java:16-21``: checkpointing every 30 s, parallelism 1).
+Our equivalent is a tuned ``SparkSession``: AQE for runtime re-planning,
+shuffle partitions sized to the local core count (overridable for a real
+cluster), Arrow for the Pandas-UDF edges, native vectorized ORC, and UTC
+session time so timestamp semantics are stable across engines (the
+reference instead subtracts 8h for display, ``RowOrcBucketingSink.java:196-198``
+— we report UTC, SURVEY.md §2.3 T4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flink_orc_sink_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults target the test harness (``local[$SPARK_GRAFT_CPUS]``) but
+    every knob here is what we would set on a 1000-executor cluster too:
+    AQE (incl. skew-join splitting), partial-agg-friendly shuffle sizing,
+    broadcast threshold generous enough for the dimension tables.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce small shuffle partitions, split skewed ones,
+        # convert to broadcast join at runtime when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for the Pandas-UDF edges (vector ops, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Native vectorized ORC reader/writer — the Spark-side replacement
+        # for the reference's hand-rolled VectorizedRowBatch encoder
+        # (RowOrcWriter.java:38,116-119).
+        .config("spark.sql.orc.impl", "native")
+        .config("spark.sql.orc.enableVectorizedReader", "true")
+        # Stable timestamp semantics vs external readers (DuckDB oracle).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dimension tables up to 64 MiB broadcast instead of shuffling.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

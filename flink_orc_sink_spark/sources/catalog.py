@@ -1,0 +1,49 @@
+"""Catalog over the driver's synthetic parquet tables.
+
+One parquet file per table under ``/root/testdata/sf*/`` (TESTDATA.md).
+Reading is a plain ``spark.read.parquet`` so Catalyst keeps full
+predicate-pushdown / column-pruning ability — never pre-collect or
+pre-transform here. At 100 TB these would be directories of many
+parquet files (or a Hive/Iceberg table); the API is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a DataFrame (lazy scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load several tables and register each as a temp view, so the same
+    data is reachable from both the DataFrame API and ``spark.sql``."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
