@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + collect-count)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+The headline set covers every operator family: scan-agg, multi-join,
+window, events (sessionize/as-of), dedup (minhash), similarity
+(brute-force cosine), and text stats — the queries a user of the
+reference-plus-north-star surface actually runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "window_topk_per_customer",
+    "window_running_total",
+    "events_tumbling_hourly",
+    "events_sessionize_10m",
+    "events_asof_orders",
+    "docs_minhash_pairs",
+    "docs_token_stats",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from flink_orc_sink_spark.queries import all_queries
+    from flink_orc_sink_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Warm the JVM/session on the smallest scale so per-query numbers
+    # measure the query, not one-time codegen/session init.
+    queries["q1_pricing_summary"](spark, sf_dir).count()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

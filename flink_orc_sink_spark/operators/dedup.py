@@ -97,7 +97,7 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.6,
     k: int = 3,
-    df_cap: int | None = None,
+    df_cap: int | None = 5000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair of documents
     sharing at least one ``k``-shingle; emits pairs with
@@ -107,9 +107,10 @@ def jaccard_pairs(
     index) → count shared shingles per pair → join per-doc set sizes →
     |∩| / (|A|+|B|−|∩|). Pairs with no shared shingle never exist, so
     cost follows real overlap, not n². ``df_cap`` (document frequency
-    cap) drops shingles appearing in more than ``df_cap`` docs — at
-    100 TB this bounds the worst-case join fan-out; leave None only
-    when the corpus is known to lack hot shingles.
+    cap) drops shingles appearing in more than ``df_cap`` docs — one
+    hot shingle shared by d documents creates d² join rows, so the cap
+    is ON by default (finite); pass ``None`` only when the corpus is
+    known to lack hot shingles.
     """
     postings = shingle_postings(df, id_col, text_col, k)
     if df_cap is not None:
@@ -202,12 +203,40 @@ def minhash_dedup_pairs(
     ``(doc_a, doc_b, jaccard)`` with ``jaccard >= threshold``.
 
     At 100 TB the candidate join replaces the all-pairs problem with
-    per-bucket micro-joins; verification touches only candidates.
+    per-bucket micro-joins, and verification touches ONLY candidate
+    pairs: each candidate is joined back to its two shingle sets (the
+    postings it already produced) to count the intersection — cost
+    O(candidates × shingles/doc), never the full inverted-index
+    self-join that LSH exists to avoid.
     """
+    # word_shingles is already distinct per doc, so postings are unique
+    # (doc, s) rows — no extra distinct/shuffle needed.
+    postings = shingle_postings(df, id_col, text_col, k)
     cands = minhash_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
-    exact = jaccard_pairs(df, id_col, text_col, threshold=0.0, k=k)
+    sizes = postings.groupBy("doc").agg(F.count("*").alias("n"))
+    pa = postings.select(F.col("doc").alias("doc_a"), "s")
+    pb = postings.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

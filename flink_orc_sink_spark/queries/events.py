@@ -61,7 +61,23 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).cast("double").alias("avg_value"),
+            # avg from an exact decimal sum, rounded via an explicit
+            # floor(x*1e4+0.5)/1e4 — pure IEEE-double ops that every
+            # engine evaluates bit-identically. Engine-native ROUND
+            # differs exactly at half-way doubles (Spark goes through
+            # BigDecimal.valueOf's decimal string, DuckDB stays in
+            # floats — observed 73.9138 vs 73.9137 at sf0.01).
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            )
+            .cast("double")
+            .alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )
@@ -69,7 +85,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SLIDING_SQL = """
 SELECT window_start, COUNT(*) AS n_events,
-  CAST(ROUND(AVG(value), 4) AS DOUBLE) AS avg_value
+  CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_value
 FROM (
   SELECT UNNEST([
            TIME_BUCKET(INTERVAL '30 minutes', ts),
@@ -112,7 +128,7 @@ WITH flagged AS (
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
   MIN(ts) AS session_start, MAX(ts) AS session_end,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
 FROM sessions GROUP BY user_id, session_seq

@@ -1,0 +1,430 @@
+"""LLM-training-data pipeline queries with DuckDB oracles.
+
+North-star surface (SURVEY.md §7.2 step 5): text analysis, the four
+dedup families, embedding similarity search, and multimodal metadata —
+each wrapped as a driver-contract query over the ``documents`` /
+``embeddings`` tables.
+
+Every hash in the dedup operators derives from md5
+(``functions/text.py::hash64``), so the oracles replicate signatures
+bit-for-bit: Spark ``conv(substr(md5(x),1,n),16,10)`` ==
+DuckDB ``('0x' || substr(md5(x),1,n))::BIGINT``. The MinHash and
+SimHash oracles below are *generated* from the same constants the
+Spark operators use (``operators/dedup.py``) — one source of truth.
+
+The reference has none of this (SURVEY.md §2.4 — NOT PRESENT); it is
+the engine's extension surface for 100 TB training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from flink_orc_sink_spark.operators import dedup as dd
+from flink_orc_sink_spark.operators.multimodal import (
+    attach_binary_from_text,
+    extract_media_meta,
+)
+from flink_orc_sink_spark.operators.similarity import brute_force_topk
+from flink_orc_sink_spark.sources.catalog import table
+
+# --- shared SQL fragments (one source of truth with functions/text.py)
+
+# tokens(text): filter(split(lower(trim(text)), '\s+'), t -> t <> '')
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "x -> x <> '')"
+)
+
+# word_shingles(text, k=3) as a CTE over `documents`: distinct word
+# 3-shingles; docs with < 3 tokens contribute the whole token sequence.
+SHINGLE_CTES = f"""
+toks AS (
+  SELECT doc_id AS doc, {TOKENS_SQL} AS t FROM documents
+),
+shingled AS (
+  SELECT doc,
+    list_distinct(
+      CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+postings AS (SELECT doc, unnest(sh) AS s FROM shingled),
+sizes AS (SELECT doc, count(*) AS n FROM postings GROUP BY doc),
+jacc AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         ROUND(count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)), 6)
+           AS jaccard
+  FROM postings a
+  JOIN postings b ON a.s = b.s AND a.doc < b.doc
+  JOIN sizes sa ON sa.doc = a.doc
+  JOIN sizes sb ON sb.doc = b.doc
+  GROUP BY a.doc, b.doc
+)
+"""
+
+FINGERPRINT_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+# --- text analysis ----------------------------------------------------
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + punctuation ratio — the cheap
+    pre-BPE length/quality proxies, all JVM-side expressions."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_live"),
+        F.round(punct_ratio("text"), 6).cast("double").alias("punct_ratio"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_live,
+  CAST(ROUND(CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+            / length(text)
+       ELSE 0.0 END, 6) AS DOUBLE) AS punct_ratio
+FROM documents
+"""
+
+
+def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword argmax) → per-language counts."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_sql() -> str:
+    hit_exprs = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hit_exprs.append(
+            f"len(list_filter(t, x -> x IN ({words}))) AS hits_{lang}"
+        )
+    hits_cols = ", ".join(f"hits_{lang}" for lang in sorted(LANG_STOPWORDS))
+    # Earlier language codes win ties (same precedence chain as
+    # functions/text.py::lang_id builds).
+    cases = " ".join(
+        f"WHEN hits_{lang} > 0 AND hits_{lang} = best THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),
+hits AS (SELECT {', '.join(hit_exprs)} FROM toks),
+best AS (SELECT *, greatest({hits_cols}) AS best FROM hits)
+SELECT CASE {cases} ELSE 'und' END AS lang_pred, COUNT(*) AS n_docs
+FROM best GROUP BY lang_pred
+"""
+
+
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document (filter-pipeline stage)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).cast("double").alias("quality"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len({TOKENS_SQL}) AS DOUBLE) AS tc,
+    CAST(length(trim(text)) AS DOUBLE) AS clen,
+    CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+              / length(text)
+         ELSE 0.0 END AS pr
+  FROM documents
+)
+SELECT doc_id,
+  CAST(ROUND(
+    0.4 * least(tc / 50.0, 1.0)
+    + 0.3 * (1.0 - least(pr * 10.0, 1.0))
+    + 0.3 * least(CASE WHEN tc > 0 THEN clen / tc ELSE 0.0 END / 8.0, 1.0),
+  6) AS DOUBLE) AS quality
+FROM s
+"""
+
+
+# --- exact dedup ------------------------------------------------------
+
+def docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint groups: one row per distinct normalized text."""
+    d = table(spark, sf_dir, "documents")
+    return dd.exact_duplicate_groups(d, "doc_id", "text")
+
+
+EXACT_GROUPS_SQL = f"""
+SELECT {FINGERPRINT_SQL} AS fp,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS keeper_id
+FROM documents GROUP BY fp
+"""
+
+
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivors (min doc_id per fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.dedup_exact(d, "doc_id", "text").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents GROUP BY {FINGERPRINT_SQL}
+)
+"""
+
+
+# --- near-dup families ------------------------------------------------
+
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs ≥ 0.6 via the inverted-index
+    self-join (pairs only materialize on shared shingles)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, "doc_id", "text", threshold=0.6, k=3)
+
+
+JACCARD_SQL = f"""
+WITH {SHINGLE_CTES}
+SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= 0.6
+"""
+
+
+def _minhash_sql(threshold: float) -> str:
+    """Generate the full 64-perm MinHash-LSH oracle from the SAME
+    constants the Spark operator uses (operators/dedup.py)."""
+    mins = ", ".join(
+        f"MIN(({dd.MINHASH_A[i]} * h + {dd.MINHASH_B[i]}) % {dd.MINHASH_P})"
+        f" AS mh{i}"
+        for i in range(dd.MINHASH_PERMS)
+    )
+    band_selects = []
+    for b in range(dd.MINHASH_BANDS):
+        cols = ", ".join(
+            f"mh{b * dd.MINHASH_ROWS + r}" for r in range(dd.MINHASH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {SHINGLE_CTES},
+h AS (
+  SELECT doc, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM postings
+),
+sig AS (SELECT doc, {mins} FROM h GROUP BY doc),
+bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 perms, 16×4 bands) with exact
+    Jaccard verification of the candidates only."""
+    d = table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7, k=3)
+
+
+MINHASH_SQL = _minhash_sql(0.7)
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    """Generate the 60-bit SimHash oracle from operators/dedup.py's
+    constants (bit votes → signature → 15-bit band buckets)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    chunk_bits = dd.SIMHASH_BITS // dd.SIMHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, simhash, {b} AS band,"
+        f" (simhash >> {b * chunk_bits}) & {mask} AS bkey FROM sig"
+        for b in range(dd.SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({TOKENS_SQL}) AS t FROM documents
+),
+tf AS (SELECT doc, t, count(*) AS cnt FROM toks GROUP BY doc, t),
+th AS (
+  SELECT doc, cnt, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tf
+),
+votes AS (SELECT doc, {votes} FROM th GROUP BY doc),
+sig AS (SELECT doc, {sig_terms} AS simhash FROM votes),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+         x.simhash AS sig_a, y.simhash AS sig_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 3, via 4-band pigeonhole."""
+    d = table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, "doc_id", "text", max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+SIMHASH_SQL = _simhash_sql(3)
+
+
+# --- embedding similarity ---------------------------------------------
+
+# Explicit in-order double-precision dot product — the exact fold
+# functions/vector.py::dot performs (aggregate over zip_with), so both
+# engines sum the same numbers in the same order.
+def _dot_sql(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 corpus neighbors for the first 10
+    vectors — the exact baseline the ANN path is validated against."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=5
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cid,
+    ROUND(
+      CASE WHEN sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}) > 0
+           THEN {_dot_sql('qv', 'cv')}
+                / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM q, c WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, cid, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine ≥ 0.9."""
+    from flink_orc_sink_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.9)
+
+
+EMB_NEARDUP_SQL = f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT id_a, id_b,
+    ROUND(
+      CASE WHEN sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')}) > 0
+           THEN {_dot_sql('va', 'vb')}
+                / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')}))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM a, b WHERE id_a < id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.9
+"""
+
+
+# --- multimodal plumbing ----------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction through the real mapInPandas
+    stage (Arrow batches, executor-local). The blob is the utf-8 bytes
+    of the text column — the documented stand-in while the container
+    has no media files (operators/multimodal.py)."""
+    d = attach_binary_from_text(
+        table(spark, sf_dir, "documents"), "text"
+    )
+    return extract_media_meta(d, "doc_id", "blob")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS sha256,
+  'application/octet-stream' AS mime_sniff
+FROM documents
+"""
+
+
+QUERIES = {
+    "docs_token_stats": docs_token_stats,
+    "docs_lang_distribution": docs_lang_distribution,
+    "docs_quality_scores": docs_quality_scores,
+    "docs_exact_dup_groups": docs_exact_dup_groups,
+    "docs_dedup_exact": docs_dedup_exact,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES = {
+    "docs_token_stats": TOKEN_STATS_SQL,
+    "docs_lang_distribution": _lang_sql(),
+    "docs_quality_scores": QUALITY_SQL,
+    "docs_exact_dup_groups": EXACT_GROUPS_SQL,
+    "docs_dedup_exact": DEDUP_EXACT_SQL,
+    "docs_jaccard_pairs": JACCARD_SQL,
+    "docs_minhash_pairs": MINHASH_SQL,
+    "docs_simhash_pairs": SIMHASH_SQL,
+    "emb_cosine_topk": COSINE_TOPK_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "multimodal_meta": MULTIMODAL_META_SQL,
+}

@@ -40,7 +40,14 @@ def dbl(expr: Column, scale: int = 4) -> Column:
     return F.round(expr, scale).cast("double")
 
 
-REVENUE = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+def revenue() -> Column:
+    """``extendedprice * (1 - discount)`` in exact decimal. A function,
+    not a module constant: building a Column requires a live
+    SparkContext, and plain ``import`` (pytest collection, the driver's
+    registry load) must work without one."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
 REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
 
 
@@ -61,9 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
             money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
-            money(F.sum(REVENUE)).alias("sum_disc_price"),
+            money(F.sum(revenue())).alias("sum_disc_price"),
             money(
-                F.sum(REVENUE * (F.lit(1) + _dec("l_tax")))
+                F.sum(revenue() * (F.lit(1) + _dec("l_tax")))
             ).alias("sum_charge"),
             dbl(F.avg("l_quantity")).alias("avg_qty"),
             dbl(F.avg("l_extendedprice")).alias("avg_price"),
@@ -106,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money(F.sum(REVENUE)).alias("revenue"))
+        .agg(money(F.sum(revenue())).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -149,7 +156,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(money(F.sum(REVENUE)).alias("revenue"))
+        .agg(money(F.sum(revenue())).alias("revenue"))
     )
 
 
@@ -213,7 +220,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(money(F.sum(REVENUE)).alias("revenue"))
+        .agg(money(F.sum(revenue())).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -694,14 +701,17 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with customers but no suppliers."""
+    """EXCEPT (distinct): nations with customers but no suppliers.
+
+    ``subtract`` is SQL EXCEPT DISTINCT (``exceptAll`` would be multiset
+    subtraction — wrong semantics for this query)."""
     c = table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.exceptAll(s.distinct()).distinct()
+    return c.subtract(s)
 
 
 SET_EXCEPT_SQL = """
@@ -786,7 +796,10 @@ def date_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
             "days_to_y2k"
         ),
-        F.last_day("o_orderdate").alias("month_end"),
+        # Timestamp-typed on both sides: DATE survives the two engines'
+        # pandas conversions differently (datetime.date vs datetime64),
+        # so date-valued outputs are normalized to TIMESTAMP.
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )
 
 
@@ -796,10 +809,10 @@ SELECT o_orderkey,
   CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
   CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
   CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
-  DATE_TRUNC('month', o_orderdate) AS month_start,
+  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
   o_orderdate + INTERVAL 30 DAY AS due_date,
   CAST(DATEDIFF('day', o_orderdate, DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
-  LAST_DAY(o_orderdate) AS month_end
+  CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end
 FROM orders
 """
 

@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.orc.enableVectorizedReader", "true")
         # Stable timestamp semantics vs external readers (DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read as int64 ns and convert in sources.catalog.table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Dimension tables up to 64 MiB broadcast instead of shuffling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

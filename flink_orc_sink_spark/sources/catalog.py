@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -30,10 +32,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table as a DataFrame (lazy scan)."""
+    """Load one synthetic table as a DataFrame (lazy scan).
+
+    ``events.ts`` is a nanosecond parquet timestamp (TIMESTAMP(NANOS)),
+    which Spark's reader rejects outright (PARQUET_TYPE_ILLEGAL). The
+    supported ingestion path is ``nanosAsLong`` (read ns as int64) plus
+    an explicit ns→µs conversion — truncating division, which matches
+    what DuckDB does when it reads the same file. The conf is set here
+    (runtime-settable) so it works under any caller's SparkSession,
+    including the driver's.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

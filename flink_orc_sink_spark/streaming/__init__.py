@@ -1,0 +1,20 @@
+"""Streaming layer: exactly-once ORC sink, watermark observability,
+and the reference demo pipeline (SURVEY.md §2.1 S1-S3, §2.3 T1-T6)."""
+
+from flink_orc_sink_spark.streaming.orc_sink import (
+    WatermarkTracker,
+    csv_parse,
+    demo_socket_to_orc,
+    read_committed_orc,
+    stream_from_files,
+    stream_write_orc,
+)
+
+__all__ = [
+    "WatermarkTracker",
+    "csv_parse",
+    "demo_socket_to_orc",
+    "read_committed_orc",
+    "stream_from_files",
+    "stream_write_orc",
+]

@@ -1,0 +1,187 @@
+"""Exactly-once streaming ORC sink + watermark observability.
+
+The reference's core capability (``RowOrcBucketingSink.java``) is a
+hand-rolled three-state file lifecycle — in-process → in-pending →
+committed, renamed at checkpoint boundaries (``README.md:7-22``,
+``snapshotState`` at ``RowOrcBucketingSink.java:153-170``,
+``notifyCheckpointComplete`` at ``:172-177``). Spark's Structured
+Streaming file sink provides the same contract natively and strictly
+stronger:
+
+- **Epoch = micro-batch**: each trigger is one transactional unit,
+  like the reference's checkpoint interval (``OrcSinkTest.java:20``).
+- **Commit = manifest, not rename**: completed files are recorded in
+  ``_spark_metadata``; readers trust only the manifest, so partially
+  written or orphaned files are invisible without any rename race —
+  the improvement over the reference's rename protocol, and it also
+  survives the cancel-with-savepoint hole ``README.md:4`` concedes.
+- **Recovery = source replay + idempotent batch ids** from
+  ``checkpointLocation`` — the reference instead rebuilds empty state
+  and leans on Kafka offset rewind (``README.md:19-22``).
+
+Watermarks: the reference tracks ``context.currentWatermark()`` per
+bucket and publishes a gauge shifted −8h for UTC+8 display
+(``RowOrcBucketingSink.java:86,114,196-198``). Spark equivalents: the
+``withWatermark`` operator on the stream plus
+``StreamingQueryProgress["eventTime"]["watermark"]``; the
+:class:`WatermarkTracker` listener below reports UTC, un-shifted
+(SURVEY.md §2.3 T4 "report UTC").
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
+
+
+def stream_write_orc(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Start the exactly-once streaming ORC sink.
+
+    Equivalent of constructing + ``addSink``-ing the reference's
+    ``RowOrcBucketingSink`` (``OrcSinkTest.java:29,37``):
+
+    - ``path`` ↔ the sink base path (``RowOrcBucketingSink.java:76``)
+    - ``partition_cols`` ↔ the ``Bucketer`` (``:41,111``) — pass
+      computed columns (e.g. a ``to_date(ts)`` day column) for the
+      date-bucketed Hive layout the reference demo targets.
+    - ``checkpoint`` ↔ ``env.enableCheckpointing`` + state backend
+      (``OrcSinkTest.java:20``); commit cadence = trigger interval.
+    - ``trigger`` e.g. ``{"processingTime": "30 seconds"}`` for the
+      demo's 30 s epoch, or ``{"availableNow": True}`` for drain-and-
+      stop (deterministic tests, backfills).
+
+    At scale: one writer task per partition of the final stage; use
+    ``df.repartition(cols)`` upstream to control file count per epoch
+    (few big ORC files beat many small ones at 100 TB).
+    """
+    writer = (
+        df.writeStream.format("orc")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("compression", compression)
+        .outputMode("append")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_committed_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read back ONLY committed files.
+
+    Spark's ORC reader honors the ``_spark_metadata`` manifest when
+    present, so uncommitted/abandoned part files are never visible —
+    the reader-side half of exactly-once (the reference relies on the
+    leading-``_`` Hive convention instead, ``README.md:9-13``).
+    """
+    return spark.read.orc(path)
+
+
+def stream_from_files(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replayable file source for deterministic streaming tests
+    (SURVEY.md §7.3: socket sources aren't replayable; file sources
+    are the test-friendly stand-in with identical sink semantics)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def csv_parse(lines: DataFrame, schema_ddl: str = "x INT, y INT") -> DataFrame:
+    """The reference demo's map operator (P1): CSV line → typed row.
+
+    ``OrcSinkTest.java:32-37`` splits on ',' and parses two ints into
+    ``Row.of(x, y)``; here it's a single ``from_csv`` over the
+    ``value`` column — JVM-side, codegen-friendly, and it handles
+    quoting/nulls the hand-split never did.
+    """
+    return lines.select(
+        F.from_csv(F.col("value"), schema_ddl).alias("r")
+    ).select("r.*")
+
+
+def demo_socket_to_orc(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    out_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 30,
+) -> StreamingQuery:
+    """End-to-end parity with the reference demo (``OrcSinkTest.java:
+    16-40``): socket text source → CSV parse → exactly-once ORC sink,
+    30 s commit cadence. Kept as a demo — tests use the replayable
+    file-source path instead (SURVEY.md §7.3)."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    rows = csv_parse(lines)
+    return stream_write_orc(
+        rows,
+        out_path,
+        checkpoint,
+        trigger=({"processingTime": f"{trigger_seconds} seconds"}),
+        query_name="demo_socket_to_orc",
+    )
+
+
+class WatermarkTracker(StreamingQueryListener):
+    """Watermark observability replacing the reference's per-bucket
+    gauge (``watermarkPerOrcBucketing``, ``RowOrcBucketingSink.java:86,
+    196-198``): records the event-time watermark from every progress
+    event, in UTC (no −8h display hack — SURVEY.md §2.3 T4).
+
+    Usage::
+
+        tracker = WatermarkTracker()
+        spark.streams.addListener(tracker)
+        ... run query ...
+        tracker.last_watermark  # ISO-8601 UTC string or None
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.last_watermark: str | None = None
+        self.history: list[tuple[str, str]] = []  # (query_id, watermark)
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        progress = event.progress
+        wm = (progress.eventTime or {}).get("watermark")
+        if wm:
+            with self._lock:
+                self.last_watermark = wm
+                self.history.append((str(progress.id), wm))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass

@@ -1,0 +1,87 @@
+"""Dedup-family tests on constructed corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_orc_sink_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the  quick brown fox jumps over the lazy dog"),  # ws/case dup of 1
+    (3, "The quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (4, "Completely different text about database engines and storage"),
+    (5, "Completely different text about database engines and compute"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_groups(docs):
+    groups = {
+        (r.n_docs, r.keeper_id)
+        for r in exact_duplicate_groups(docs, "doc_id", "text").collect()
+    }
+    # docs 1+2 normalize to the same fingerprint; 3,4,5 are singletons
+    assert (2, 1) in groups
+    assert sum(n for n, _ in groups) == 5
+
+
+def test_dedup_exact_survivors(docs):
+    survivors = {r.doc_id for r in dedup_exact(docs, "doc_id", "text").collect()}
+    assert survivors == {1, 3, 4, 5}
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after norm
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    # 4 docs all sharing one hot shingle; cap=2 kills that shingle's
+    # postings so no pairs survive.
+    hot = [(i, "common shared phrase") for i in range(4)]
+    df = spark.createDataFrame(hot, "doc_id long, text string")
+    assert jaccard_pairs(df, "doc_id", "text", threshold=0.1, df_cap=2).count() == 0
+    assert jaccard_pairs(df, "doc_id", "text", threshold=0.1, df_cap=None).count() == 6
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    # LSH can only miss (false negatives), never invent pairs, because
+    # every candidate is verified with exact Jaccard.
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} vs exact"
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0

@@ -1,0 +1,76 @@
+"""Unit tests for the custom relational operators on constructed data
+with hand-computed expected outputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.operators.relational import (
+    asof_join,
+    range_join,
+    sessionize,
+    topk_per_group,
+)
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 7)], "g string, v int"
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = {(r.g, r.v, r.rn) for r in out.collect()}
+    assert got == {("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 7, 2)}
+
+
+def test_asof_join_backward_with_equal_ts(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)],
+        "k long, t long, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k",
+        left_time="t", right_time="t",
+        right_value_cols=["px"],
+    )
+    got = {(r.ev, r.px) for r in out.collect()}
+    # e0@t=5: no right row <= 5 -> null; e1@t=10: right t=10 visible
+    # (<= semantics); e2@t=20: latest is t=15; e3@t=50: right is t=60,
+    # in the future -> null.
+    assert got == {("e0", None), ("e1", 100.0), ("e2", 150.0), ("e3", None)}
+
+
+def test_range_join_boundaries(spark):
+    fact = spark.createDataFrame([(0,), (49,), (50,), (99,)], "v int")
+    buckets = spark.createDataFrame(
+        [("lo", 0, 50), ("hi", 50, 100)], "tier string, lo int, hi int"
+    )
+    out = range_join(fact, buckets, "v")
+    got = {(r.v, r.tier) for r in out.collect()}
+    # inclusive lo, exclusive hi
+    assert got == {(0, "lo"), (49, "lo"), (50, "hi"), (99, "hi")}
+
+
+def test_sessionize_gap(spark):
+    base = 1_700_000_000_000_000  # microseconds
+    rows = [
+        ("u1", base),
+        ("u1", base + 5 * 60 * 1_000_000),   # 5 min later: same session
+        ("u1", base + 20 * 60 * 1_000_000),  # 15 min gap: new session
+        ("u2", base),
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user string, t_us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("t_us")))
+    out = sessionize(df, "user", "ts", gap_minutes=10)
+    got = {(r.user, r.t_us, r.session_seq) for r in out.collect()}
+    assert got == {
+        ("u1", base, 1),
+        ("u1", base + 5 * 60 * 1_000_000, 1),
+        ("u1", base + 20 * 60 * 1_000_000, 2),
+        ("u2", base, 1),
+    }

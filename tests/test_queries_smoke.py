@@ -1,0 +1,37 @@
+"""Every registered query runs at sf0.001 and produces a stable schema.
+
+The DuckDB value-level gate is the driver's job (and
+``tools/check_correctness.py`` locally); this suite guarantees the
+registry itself never regresses into "unrunnable" — the round-1
+failure mode.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+
+
+def test_registry_is_complete():
+    assert len(QUERIES) >= 50
+    # every oracle key matches a query key
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_flagship(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    # schema resolvable without execution, then actually run
+    assert len(df.columns) > 0
+    assert df.count() >= 0

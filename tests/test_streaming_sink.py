@@ -1,0 +1,127 @@
+"""Streaming exactly-once ORC sink lifecycle (SURVEY.md §5 item 2).
+
+The reference's core claim is exactly-once file output across
+checkpoint-aligned commits (``README.md:3``, lifecycle at
+``RowOrcBucketingSink.java:153-213``). Here: file-source micro-batches
+→ ORC sink with checkpoint; stop the query mid-stream; restart; assert
+committed rows are exactly the input set — no loss, no duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.streaming import (
+    WatermarkTracker,
+    csv_parse,
+    read_committed_orc,
+    stream_from_files,
+    stream_write_orc,
+)
+
+
+def _write_input(spark, path: str, ids: range) -> None:
+    spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in ids], "id long, user string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # epoch 1: first input file, drain with availableNow, stop.
+    _write_input(spark, src, range(0, 100))
+    stream = stream_from_files(spark, src, "id LONG, user STRING")
+    q = stream_write_orc(stream, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert read_committed_orc(spark, out).count() == 100
+
+    # epoch 2: more input arrives while "down"; restart from the same
+    # checkpoint — replays nothing already committed, picks up the new
+    # file exactly once.
+    _write_input(spark, src, range(100, 250))
+    stream2 = stream_from_files(spark, src, "id LONG, user STRING")
+    q2 = stream_write_orc(stream2, out, ckpt, trigger={"availableNow": True})
+    q2.awaitTermination(120)
+
+    back = read_committed_orc(spark, out)
+    assert back.count() == 250  # no duplicates, no loss
+    ids = {r.id for r in back.select("id").collect()}
+    assert ids == set(range(250))
+
+    # a third restart with no new input commits nothing new
+    q3 = stream_write_orc(
+        stream_from_files(spark, src, "id LONG, user STRING"),
+        out, ckpt, trigger={"availableNow": True},
+    )
+    q3.awaitTermination(120)
+    assert read_committed_orc(spark, out).count() == 250
+
+
+def test_partitioned_streaming_sink(spark, tmp_path):
+    """Bucketer parity: partition column routes rows to k=v dirs
+    (RowOrcBucketingSink.java:41,111) under streaming commit."""
+    src = str(tmp_path / "in")
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, src, range(0, 50))
+    stream = stream_from_files(spark, src, "id LONG, user STRING")
+    q = stream_write_orc(
+        stream, str(out), ckpt,
+        partition_cols=["user"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert (out / "user=u0").is_dir()
+    back = read_committed_orc(spark, str(out))
+    assert back.count() == 50
+    assert back.filter(F.col("user") == "u1").count() == 10
+
+
+def test_watermark_tracking(spark, tmp_path):
+    """T4/T6 parity: withWatermark + windowed agg; the listener
+    observes the event-time watermark advancing (UTC, no −8h hack —
+    RowOrcBucketingSink.java:196-198 deviation documented)."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"2024-01-01 0{i % 10}:00:00") for i in range(10)]
+    spark.createDataFrame(rows, "id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+
+    tracker = WatermarkTracker()
+    spark.streams.addListener(tracker)
+    try:
+        stream = stream_from_files(spark, src, "id LONG, ts TIMESTAMP")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_sink")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # two micro-batches happen under availableNow; watermark is
+        # published in progress events after the first batch.
+        assert tracker.last_watermark is not None
+        assert tracker.last_watermark.endswith("Z")  # UTC
+    finally:
+        spark.streams.removeListener(tracker)
+
+
+def test_csv_parse_demo_parity(spark):
+    """P1: the reference demo's map (OrcSinkTest.java:32-37)."""
+    lines = spark.createDataFrame([("1,2",), ("3,4",), ("bad",)], "value string")
+    out = csv_parse(lines)
+    got = {(r.x, r.y) for r in out.collect()}
+    assert (1, 2) in got and (3, 4) in got
+    # malformed line -> nulls, not a crash (improvement over the
+    # reference's raw Integer.parseInt)
+    assert (None, None) in got

@@ -1,0 +1,57 @@
+"""Text-function semantics on hand-checked examples."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+
+def _one(spark, text, expr):
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(expr.alias("v"))
+        .collect()[0]
+        .v
+    )
+
+
+def test_tokens_and_count(spark):
+    assert _one(spark, "  Hello   World  ", tokens("text")) == ["hello", "world"]
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "a b  c", token_count("text")) == 3
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", word_shingles("text", 3))
+    assert got == ["a b c", "b c d"]
+    # short doc: single whole-sequence shingle
+    assert _one(spark, "a b", word_shingles("text", 3)) == ["a b"]
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "The  Quick\tFox", fingerprint("text"))
+    b = _one(spark, "the quick fox", fingerprint("text"))
+    assert a == b
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog of a house", lang_id("text")) == "en"
+    assert _one(spark, "el perro y la casa de un amigo", lang_id("text")) == "es"
+    assert _one(spark, "zzz qqq xxx", lang_id("text")) == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(
+        F.min(quality_score("text")).alias("lo"),
+        F.max(quality_score("text")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
