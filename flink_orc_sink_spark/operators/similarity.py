@@ -1,34 +1,41 @@
 """Similarity search over embedding columns.
 
-Two tiers (SURVEY.md §7.2 step 5):
+Three tiers (SURVEY.md §7.2 step 5):
 
 - **brute-force top-k** — exact; query side broadcast, corpus side
-  streamed, per-group top-k via window. Correctness baseline and
-  perfectly adequate when |queries| · |corpus| per partition is small.
-- **hyperplane-LSH ANN** — the 100 TB path: sign-random-projection
-  signatures bucket the corpus; queries probe only their bucket
-  (plus optional multi-probe neighbors), turning all-pairs into
-  per-bucket micro-joins. Planes are derived deterministically from
-  md5 so runs are reproducible.
+  streamed, per-group top-k via window. The correctness baseline, and
+  the right choice whenever |queries|·|corpus| per partition is small.
+- **multi-table hyperplane LSH** — sign-random-projection signatures,
+  ``n_tables`` independent tables OR-ed together (banding), candidates
+  from per-table bucket equi-joins, exact cosine re-scoring. The
+  100 TB near-duplicate / high-similarity path.
+- **IVF (inverted-file) top-k** — k-means coarse quantizer trained on
+  a bounded sample; corpus partitioned by nearest centroid; queries
+  probe their ``nprobe`` closest cells only. The 100 TB semantic-
+  search path for real (clustered) embedding distributions.
+
+Signatures and cell assignments are computed in Arrow-batched Pandas
+UDFs over constant NumPy matrices — one matmul per batch. The earlier
+pure-Catalyst formulation unrolled ``dims × planes`` expression nodes
+per row (a codegen bomb at production dims) and used a single
+AND-construction (recall ≈ 3% measured); both are fixed here.
+
+Honest scaling note: on *isotropic random* vectors (like the
+synthetic ``embeddings`` table — measured top-5 neighbor cosine
+0.24-0.51) no sublinear index beats a scan; recall targets for the
+approximate tiers are validated on clustered data (tests/), which is
+what real embedding corpora look like.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_orc_sink_spark.functions.vector import cosine
-
-# Deterministic pseudo-random hyperplanes: component c of plane p is
-# derived from md5(f"{p}_{c}") mapped into [-1, 1). Reproducible in any
-# engine with md5; no RNG state to ship.
-_HASH_RANGE = float(1 << 32)
-
-
-def _plane_component(p: int, c: int) -> F.Column:
-    key = F.lit(f"{p}_{c}")
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    return (h.cast("double") / F.lit(_HASH_RANGE)) * 2.0 - 1.0
 
 
 def brute_force_topk(
@@ -73,19 +80,67 @@ def brute_force_topk(
     ).select("qid", "cid", "cos_sim", "rank")
 
 
-def hyperplane_signature(vec_col: str, n_planes: int, dims: int) -> F.Column:
-    """Sign-random-projection LSH signature as an integer bucket id:
-    bit p = 1 iff dot(vec, plane_p) >= 0. Pure Catalyst expressions —
-    the dot product unrolls to ``dims`` multiply-adds per plane."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = None
-        for c in range(dims):
-            term = F.element_at(F.col(vec_col), c + 1).cast("double") * _plane_component(p, c)
-            dot = term if dot is None else dot + term
-        bit = F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig + bit
-    return sig
+def make_signature_udf(
+    dims: int, n_tables: int = 16, n_planes: int = 8, seed: int = 42
+):
+    """Pandas UDF computing all ``n_tables`` LSH signatures per vector
+    in one NumPy matmul: vector → array of ``n_tables`` bucket codes
+    (one ``n_planes``-bit integer per table).
+
+    The plane matrix is a deterministic constant (seeded Gaussian),
+    serialized once into the UDF closure and shipped to executors with
+    the task — no per-row expression tree, no driver round-trips.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dims, n_tables * n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dims)
+        bits = (mat @ planes >= 0).reshape(len(mat), n_tables, n_planes)
+        codes = bits.astype(np.int64) @ weights  # (batch, n_tables)
+        return pd.Series(list(codes))
+
+    return signatures
+
+
+def _lsh_candidates(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    b_id: str,
+    a_vec: str,
+    b_vec: str,
+    n_tables: int,
+    n_planes: int,
+    dims: int,
+    seed: int,
+    ordered: bool,
+) -> DataFrame:
+    """Candidate id pairs from any-table bucket agreement.
+
+    Both sides are reduced to slim ``(id, table, bucket)`` rows before
+    the join — vectors never travel through the candidate shuffle
+    (they rejoin later for scoring). ``ordered=True`` keeps only
+    ``id_a < id_b`` (self-join dedup mode).
+    """
+    sig = make_signature_udf(dims, n_tables, n_planes, seed)
+    sa = a.select(
+        F.col(a_id).alias("id_a"),
+        F.posexplode(sig(F.col(a_vec))).alias("tbl", "bucket"),
+    )
+    sb = b.select(
+        F.col(b_id).alias("id_b"),
+        F.posexplode(sig(F.col(b_vec))).alias("tbl", "bucket"),
+    )
+    cond = F.col("id_a") < F.col("id_b") if ordered else F.col("id_a") != F.col("id_b")
+    return (
+        sa.join(sb, ["tbl", "bucket"])
+        .filter(cond)
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def lsh_topk(
@@ -96,33 +151,35 @@ def lsh_topk(
     query_vec: str,
     corpus_vec: str,
     k: int = 5,
+    n_tables: int = 16,
     n_planes: int = 8,
     dims: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-``k``: score only corpus rows whose hyperplane
-    bucket matches the query's. 2^n_planes buckets shrink candidate
-    sets ~2^n_planes-fold; recall is tunable via n_planes (fewer
-    planes = bigger buckets = higher recall, more work).
+    """Approximate top-``k`` via multi-table sign-LSH: score only
+    corpus rows sharing at least one table bucket with the query
+    (OR-construction — each extra table adds recall; each extra plane
+    sharpens buckets). Candidates are exact-cosine re-scored, so
+    precision is 1 by construction; only recall is approximate.
 
-    The join is an equi-join on the bucket id — shuffle-partitioned,
-    skew handled by AQE. This is the plan that survives a 100 TB
-    corpus; exactness is traded consciously (use
-    :func:`brute_force_topk` as the small-scale oracle).
+    Tune: P(candidate) = 1 − (1 − p^b)^L with p = 1 − θ/π. The
+    defaults (L=16, b=8) give ≥ 0.93 recall at cosine ≥ 0.9 while
+    pruning ~2^8-fold per table on big corpora.
     """
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(query_vec).alias("qvec"),
-        hyperplane_signature(query_vec, n_planes, dims).alias("bucket"),
+    cands = _lsh_candidates(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        n_tables, n_planes, dims, seed, ordered=False,
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(corpus_vec).alias("cvec"),
-        hyperplane_signature(corpus_vec, n_planes, dims).alias("bucket"),
-    )
+    qv = queries.select(F.col(query_id).alias("id_a"), F.col(query_vec).alias("qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("cvec"))
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"))
+        cands.join(qv, "id_a")
+        .join(cv, "id_b")
+        .select(
+            F.col("id_a").alias("qid"),
+            F.col("id_b").alias("cid"),
+            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+        )
     )
     from flink_orc_sink_spark.operators.relational import topk_per_group
 
@@ -161,27 +218,139 @@ def lsh_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    n_tables: int = 16,
     n_planes: int = 8,
     dims: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate embedding near-dup pairs via shared LSH bucket +
-    exact cosine verification — the embedding-cosine dedup path for a
-    100 TB corpus."""
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(vec_col, n_planes, dims).alias("bucket"),
+    """Approximate embedding near-dup pairs: multi-table LSH candidate
+    generation + exact cosine verification — the embedding-cosine
+    dedup path for a 100 TB corpus. At threshold 0.95 (θ/π ≈ 0.10)
+    the default L=16, b=8 tables catch ≥ 99% of true pairs."""
+    cands = _lsh_candidates(
+        df, df, id_col, id_col, vec_col, vec_col,
+        n_tables, n_planes, dims, seed, ordered=True,
     )
-    a = sigs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = sigs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
+
+
+# --- IVF (inverted file) ----------------------------------------------
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    nlist: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """K-means coarse quantizer trained on a bounded sample.
+
+    The sample (≤ ``sample_size`` rows) is the ONLY driver-side
+    collect in the IVF path, and it is bounded regardless of corpus
+    size — the standard IVF training recipe (train on a sample, assign
+    everything distributedly). Centroids are L2-normalized so nearest-
+    centroid-by-dot-product == nearest-by-cosine.
+    """
+    n_total = df.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sample = np.asarray(
+        df.sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    nlist = min(nlist, len(sample))
+    centroids = sample[rng.choice(len(sample), nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    return centroids
+
+
+def make_cell_udfs(centroids: np.ndarray, nprobe: int):
+    """(assign_udf, probe_udf): nearest cell per corpus vector; the
+    ``nprobe`` nearest cells per query vector. Both one matmul per
+    Arrow batch over the broadcast centroid matrix."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_cell(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign_cell, probe_cells
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    nlist: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-``k``: corpus bucketed by nearest centroid,
+    each query scored against only its ``nprobe`` closest cells —
+    ~``nprobe/nlist`` of the corpus touched per query. At 100 TB the
+    cell assignment is a one-off (persist the assigned corpus keyed by
+    cell; the probe join then prunes cells via the shuffle key)."""
+    centroids = train_centroids(
+        corpus, corpus_vec, nlist=nlist, sample_size=sample_size, seed=seed
+    )
+    assign_cell, probe_cells = make_cell_udfs(centroids, nprobe)
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cvec"),
+        assign_cell(F.col(corpus_vec)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qvec"),
+        F.explode(probe_cells(F.col(query_vec))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"))
+    )
+    from flink_orc_sink_spark.operators.relational import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("cid").asc()],
+        k,
+        rank_col="rank",
+    ).select("qid", "cid", "cos_sim", "rank")

@@ -353,6 +353,34 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN top-5 — the 100 TB
+    high-similarity path (candidates from 16 OR-ed tables, exact
+    cosine re-scoring ⇒ precision 1, recall tunable). No SQL oracle
+    (approximate op) — validated against brute force on clustered
+    data in tests/test_similarity.py; driver records rows-only."""
+    from flink_orc_sink_spark.operators.similarity import lsh_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=5)
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer, nprobe cells) ANN top-5 — the
+    100 TB semantic-search path for clustered embedding corpora.
+    No SQL oracle (approximate + sampled training); recall asserted
+    on clustered data in tests/test_similarity.py."""
+    from flink_orc_sink_spark.operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, nlist=32, nprobe=8,
+    )
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine ≥ 0.9."""
     from flink_orc_sink_spark.operators.similarity import (
@@ -411,6 +439,8 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_lsh_ann_topk": emb_lsh_ann_topk,
+    "emb_ivf_topk": emb_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "multimodal_meta": multimodal_meta,
 }

@@ -1,0 +1,115 @@
+"""Similarity-search tests.
+
+Approximate tiers (LSH, IVF) are validated for recall on CLUSTERED
+vectors — the distribution real embedding corpora have and the only
+one where sublinear ANN is information-theoretically possible. (The
+synthetic ``embeddings`` table is isotropic random: measured top-5
+neighbor cosines 0.24-0.51, zero pairs ≥ 0.8 — no index can beat a
+scan there, so it only gets exact-path coverage.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_orc_sink_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
+
+DIMS = 32
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """20 clusters x 20 points, tight (intra-cluster cosine ~0.95+)."""
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((20, DIMS))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            v = c + 0.15 * rng.standard_normal(DIMS) / np.sqrt(DIMS)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.qid, set()).add(r.cid)
+    return out
+
+
+def test_brute_force_exact_on_known_vectors(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0]),  # opposite to 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = brute_force_topk(
+        df.filter("vec_id = 0"), df, "vec_id", "vec_id",
+        "embedding", "embedding", k=3,
+    ).collect()
+    order = [r.cid for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_topk_recall_on_clustered(spark, clustered):
+    queries = clustered.filter("vec_id < 40")
+    exact = _topk_sets(
+        brute_force_topk(queries, clustered, "vec_id", "vec_id",
+                         "embedding", "embedding", k=5)
+    )
+    approx = _topk_sets(
+        lsh_topk(queries, clustered, "vec_id", "vec_id",
+                 "embedding", "embedding", k=5, dims=DIMS)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+
+
+def test_ivf_topk_recall_on_clustered(spark, clustered):
+    queries = clustered.filter("vec_id < 40")
+    exact = _topk_sets(
+        brute_force_topk(queries, clustered, "vec_id", "vec_id",
+                         "embedding", "embedding", k=5)
+    )
+    approx = _topk_sets(
+        ivf_topk(queries, clustered, "vec_id", "vec_id",
+                 "embedding", "embedding", k=5, nlist=20, nprobe=4)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+
+def test_lsh_neardup_matches_exact_on_clustered(spark, clustered):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            clustered, "vec_id", "embedding", threshold=0.97
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(
+            clustered, "vec_id", "embedding", threshold=0.97, dims=DIMS
+        ).collect()
+    }
+    # precision 1 by construction (exact re-scoring)
+    assert lsh <= exact
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.95, f"LSH near-dup recall {recall:.3f}"
