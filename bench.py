@@ -24,15 +24,20 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume",
     "q10_returned_items",
+    "q18_large_orders",
     "window_topk_per_customer",
     "window_running_total",
     "events_tumbling_hourly",
     "events_sessionize_10m",
     "events_asof_orders",
     "docs_minhash_pairs",
+    "docs_simhash_pairs",
+    "docs_winnow_fingerprints",
     "docs_token_stats",
     "emb_cosine_topk",
+    "emb_lsh_ann_topk",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators (SURVEY.md §2.4 streaming row).
+
+The reference has no stateful operators beyond its file-commit state
+machine; these are the engine-surface extensions a streaming pipeline
+needs, built on the two sanctioned Spark primitives:
+
+- ``dropDuplicatesWithinWatermark`` — built-in keyed dedup with state
+  eviction at the watermark (the streaming analogue of
+  ``queries/events.py::events_dedup_latest``).
+- ``applyInPandasWithState`` — Arrow-batched per-key custom state, the
+  general escape hatch (running aggregates, custom sessionization,
+  enrichment caches). State lives in the checkpoint, sized per key —
+  the 100 TB rule is bounded per-key state + watermark-driven timeout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    watermark_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once keyed dedup within the watermark horizon.
+
+    State is evicted once the watermark passes ``delay`` — bounded
+    memory regardless of stream length, unlike an unbounded
+    ``dropDuplicates`` whose state grows forever.
+    """
+    return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Per-key running (count, sum) maintained in custom state — the
+    minimal ``applyInPandasWithState`` operator shape: state is one
+    tuple per key, updates are Arrow batches, output is one row per
+    key per micro-batch (update semantics).
+    """
+
+    output_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total": [total]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
