@@ -207,11 +207,50 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def banded_pairs(bands: DataFrame, bucket_cap: int = 1000) -> DataFrame:
+    """Distinct candidate pairs from (doc, band, bkey) bucket rows.
+
+    One shuffle (groupBy bucket) and ONE evaluation of the upstream
+    signature expression — a bands-with-bands self-join would compute
+    the signatures twice (once per branch) and shuffle twice the rows.
+    Pairs are expanded in-bucket from the sorted doc list.
+
+    ``bucket_cap`` drops degenerate buckets (> cap docs): one such
+    bucket would expand to cap²/2 pairs in a single row. Buckets that
+    big mean a degenerate signature (e.g. thousands of empty
+    documents) — at 100 TB you want them surfaced and handled
+    upstream, not silently exploded. Exact duplicates still pair up
+    through ordinary-sized buckets.
+    """
+    grouped = (
+        bands.groupBy("band", "bkey")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= bucket_cap))
+    )
+    ds = F.array_sort(F.col("docs"))
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, bucket_cap: int = 1000
+) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair. One ``posexplode`` turns the signature array into
-    (band, key) bucket rows (no 16-way union); the self-join shuffles
-    on the bucket, so only same-bucket docs ever meet."""
+    (band, key) bucket rows (no 16-way union), then
+    :func:`banded_pairs` expands same-bucket pairs in one shuffle."""
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
         lambda b: F.concat_ws(
@@ -221,18 +260,7 @@ def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
     bands = signatures.select(
         "doc", F.posexplode(band_keys).alias("band", "bkey")
     )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
-    )
+    return banded_pairs(bands, bucket_cap)
 
 
 def minhash_dedup_pairs(
@@ -355,40 +383,31 @@ def simhash_pairs(
     sigs = simhash_signatures(df, id_col, text_col)
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
-    bands = None
-    for b in range(SIMHASH_BANDS):
-        piece = sigs.select(
-            "doc",
-            "simhash",
-            F.lit(b).alias("band"),
+    band_keys = F.array(
+        *[
             F.shiftright(F.col("simhash"), b * chunk_bits)
             .bitwiseAND(F.lit(mask))
-            .alias("bkey"),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cands = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.simhash").alias("sig_b"),
-        )
-        .distinct()
+            .cast("string")
+            for b in range(SIMHASH_BANDS)
+        ]
     )
+    # Carry the signature inside the bucket payload (struct sorts by
+    # doc id first) so the hamming check needs no join-back and the
+    # signature UDF is evaluated exactly once.
+    bands = sigs.select(
+        F.struct(F.col("doc"), F.col("simhash")).alias("doc"),
+        F.posexplode(band_keys).alias("band", "bkey"),
+    )
+    cands = banded_pairs(bands)
     return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        cands.select(
+            F.col("doc_a.doc").alias("doc_a"),
+            F.col("doc_b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("doc_a.simhash").bitwiseXOR(F.col("doc_b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
