@@ -350,6 +350,55 @@ FROM wm WHERE i <= greatest(max_i - {w - 1}, 1)
 """
 
 
+def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking via a Python UDTF (SURVEY.md §2.4 UDTF row):
+    each document explodes into 10-token training chunks with index
+    and length — the standard pre-embedding/pre-training chunker.
+    Lateral-joined in SQL; the UDTF yields rows, not arrays, so chunk
+    payloads never materialize as one giant array value."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, chunk_tokens int")
+    class ChunkTokens:
+        def eval(self, text: str):
+            # ASCII-\s tokenization matching functions/text.py::tokens
+            toks = [
+                t
+                for t in _re.split(
+                    r"[ \t\n\x0b\f\r]+", (text or "").strip(" ").lower()
+                )
+                if t
+            ]
+            for i in range(0, len(toks), 10):
+                chunk = toks[i : i + 10]
+                yield i // 10, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_ct")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.chunk_tokens
+        FROM documents_ct d, LATERAL chunk_tokens(d.text) c
+        """
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+    unnest(range(0, CAST(ceil(len(t) / 10.0) AS INTEGER))) AS chunk_idx, t
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+  array_to_string(t[chunk_idx * 10 + 1 : chunk_idx * 10 + 10], ' ') AS chunk,
+  CAST(len(t[chunk_idx * 10 + 1 : chunk_idx * 10 + 10]) AS INTEGER) AS chunk_tokens
+FROM chunks
+"""
+
+
 # --- embedding similarity ---------------------------------------------
 
 # Explicit in-order double-precision dot product — the exact fold
@@ -480,6 +529,7 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "docs_chunk_tokens": docs_chunk_tokens,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
@@ -497,6 +547,7 @@ ORACLES = {
     "docs_minhash_pairs": MINHASH_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
+    "docs_chunk_tokens": CHUNK_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

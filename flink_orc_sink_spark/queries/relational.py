@@ -20,6 +20,8 @@ partition (never a global unpartitioned sort in the hot path).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1223,6 +1225,54 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- UDAF / sketch surface -------------------------------------------
+
+def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (SURVEY.md §2.4 UDAF row): median
+    order price per priority. Median is an order statistic — exact
+    selection on the group's values, immune to the summation-order
+    nondeterminism that makes float-sum UDAFs oracle-hostile. Arrow
+    ships each group once; NumPy does the selection."""
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v))
+
+    @F.pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    # NB: grouped-agg pandas UDFs cannot mix with JVM aggregates in
+    # one agg() — both measures are pandas UDAFs here.
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(median_udaf("o_totalprice"), 4).alias("median_price"),
+        count_udaf("o_totalprice").alias("n_orders"),
+    )
+
+
+UDAF_MEDIAN_SQL = """
+SELECT o_orderpriority,
+  CAST(ROUND(median(o_totalprice), 4) AS DOUBLE) AS median_price,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch (approx_count_distinct): distinct
+    customers per segment at bounded memory — THE 100 TB cardinality
+    path (exact distinct shuffles every key; the sketch shuffles a few
+    KB per group and merges order-independently). No SQL oracle: HLL
+    estimates are engine-specific; accuracy vs exact is asserted in
+    tests/test_sketches.py (rsd 5%)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("c_custkey", rsd=0.05).alias("approx_customers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1267,6 +1317,8 @@ QUERIES = {
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "distinct_flag_pairs": distinct_flag_pairs,
     "null_handling_showcase": null_handling_showcase,
+    "udaf_median_price": udaf_median_price,
+    "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
 }
 
 ORACLES = {
@@ -1313,4 +1365,5 @@ ORACLES = {
     "scalar_subquery_above_avg": SCALAR_SUBQUERY_SQL,
     "distinct_flag_pairs": DISTINCT_SQL,
     "null_handling_showcase": NULL_HANDLING_SQL,
+    "udaf_median_price": UDAF_MEDIAN_SQL,
 }
