@@ -142,6 +142,36 @@ def decode_images(
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 10,
+    kernel: Callable[[bytes, int], list[tuple[int, bytes]]] = sample_frames_kernel,
+) -> DataFrame:
+    """Video frame-sampling stage: one input blob → N frame rows.
+
+    The fan-out (1 video → many frames) happens inside ``mapInPandas``
+    so frames land in the same partition as their source bytes — no
+    shuffle, and downstream ``repartition`` can rebalance if frame
+    sizes skew. ``kernel`` is injectable: tests drive the distributed
+    plumbing with a deterministic fake while the real ffmpeg decode
+    stays stubbed (not in this runtime).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[binary_col]):
+                for frame_idx, frame_png in kernel(bytes(raw), every_n):
+                    rows.append((int(mid), int(frame_idx), frame_png))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_png"]
+            )
+
+    return df.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
 def attach_binary_from_text(df: DataFrame, text_col: str) -> DataFrame:
     """Test fixture helper: stand-in blob column (utf-8 bytes of the
     text) so multimodal plumbing is exercisable without media files."""

@@ -117,6 +117,40 @@ def range_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting for extreme skew.
+
+    AQE's skew-join splitting (enabled in ``session.py``) handles most
+    skew at runtime; explicit salting is for the pathological case — a
+    single key holding a double-digit percentage of the fact side,
+    where even a split partition overwhelms one join task.
+
+    Mechanics: the big (left) side gets a deterministic salt in
+    ``[0, salt_buckets)`` derived from the whole row (monotonically_
+    increasing_id is partition-local, no shuffle); the small (right)
+    side is replicated once per salt value via an in-row explode. The
+    shuffle key becomes (key, salt), spreading one hot key over
+    ``salt_buckets`` tasks. Cost: right side × salt_buckets — use for
+    dimension-sized right sides that just miss the broadcast
+    threshold.
+    """
+    salted_l = left.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    salted_r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
