@@ -44,6 +44,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern (simplified to the RE2-compatible
+# subset: ordered alternation, no lookarounds): contractions, letter
+# runs, digit runs, other-symbol runs — each optionally preceded by
+# one space — then residual whitespace. Counting matches of this
+# pattern is the standard "BPE-ish" token-budget estimate before real
+# BPE merges run.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate BPE token count: matches of :data:`BPE_PATTERN`
+    (whitespace itself is not counted). Pure ``regexp_extract_all`` —
+    JVM-side, codegen-friendly, linear in text length."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word ``k``-shingles as an array<string>.
 

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.functions.text import (
+    BPE_PATTERN,
     LANG_STOPWORDS,
+    bpe_token_count,
     lang_id,
     punct_ratio,
     quality_score,
@@ -85,6 +87,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_live"),
         F.round(punct_ratio("text"), 6).cast("double").alias("punct_ratio"),
     )
@@ -93,6 +96,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_live,
   CAST(ROUND(CASE WHEN length(text) > 0
        THEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))

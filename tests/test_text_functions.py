@@ -55,3 +55,13 @@ def test_quality_score_bounds(spark, sf_dir):
         F.max(quality_score("text")).alias("hi"),
     ).collect()[0]
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_bpe_token_count(spark):
+    from flink_orc_sink_spark.functions.text import bpe_token_count
+
+    # "don't stop" -> don | 't | _stop ; "a1b2" -> a|1|b|2 ; "x, y!" -> x|,|_y|!
+    assert _one(spark, "don't stop", bpe_token_count("text")) == 3
+    assert _one(spark, "a1b2", bpe_token_count("text")) == 4
+    assert _one(spark, "x, y!", bpe_token_count("text")) == 4
+    assert _one(spark, "", bpe_token_count("text")) == 0
