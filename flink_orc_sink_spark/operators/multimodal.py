@@ -142,6 +142,52 @@ def decode_images(
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_kernel(raw: bytes, width: int, height: int) -> bytes:
+    """Resize one image to (width, height). STUB: requires PIL."""
+    raise NotImplementedError(
+        "image resize requires PIL, not present in this runtime"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int = 224,
+    height: int = 224,
+    kernel: Callable[[bytes, int, int], bytes] = resize_image_kernel,
+) -> DataFrame:
+    """Image-resize stage (the standard pre-encoder normalization):
+    blob in → fixed-size blob out, 1:1, executor-local Arrow batches.
+    Same injectable-kernel seam as :func:`decode_images`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized": [
+                        kernel(bytes(raw), width, height)
+                        for raw in pdf[binary_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

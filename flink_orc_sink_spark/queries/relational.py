@@ -1225,6 +1225,123 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a global scalar (TPC-H Q11 pattern): parts whose
+    total line value exceeds 1/1500 of the grand total. Both aggregates
+    come from ONE shuffle (the per-part agg re-aggregates to the
+    1-row total, which broadcasts back)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(revenue()).alias("val_dec")
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val_dec") * 1500 > F.col("total_dec"))
+        .select("l_partkey", money(F.col("val_dec")).alias("part_value"))
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({REVENUE_SQL}) AS val_dec FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(ROUND(val_dec, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE val_dec * 1500 > (SELECT SUM(val_dec) FROM per_part)
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count with exclusion filters (TPC-H Q16 pattern):
+    suppliers per (brand, type, size) for non-PROMO parts of small
+    sizes. The NOT-filter prunes at the scan; distinct count expands
+    only qualifying rows."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size").isin(1, 5, 10, 15))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate (TPC-H Q19 pattern): three brand/quantity
+    bands OR-ed together. Catalyst pushes the common ``l_quantity``
+    bounds and partition-prunes each disjunct; the whole filter stays
+    inside the scan stage — no join needed until the (broadcast)
+    brand lookup."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((p.p_brand == "Brand#1") & (li.l_quantity.between(1, 15)))
+        | ((p.p_brand == "Brand#7") & (li.l_quantity.between(10, 25)))
+        | ((p.p_brand == "Brand#13") & (li.l_quantity.between(20, 35)))
+    )
+    return joined.filter(cond).agg(
+        money(F.sum(revenue())).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join + scalar subquery (TPC-H Q22 pattern): customers
+    above the average positive balance with no URGENT order, counted
+    per nation (every synthetic customer has some order, so the anti
+    join targets the URGENT subset to stay non-trivial). The avg is a broadcast 1-row aggregate; the anti join
+    never duplicates the left side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_pos)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 # --- UDAF / sketch surface -------------------------------------------
 
 def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,6 +1404,10 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
+    "q11_part_value_share": q11_part_value_share,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "join_inner_enrich": join_inner_enrich,
     "join_left_outer_agg": join_left_outer_agg,
     "join_full_outer_nations": join_full_outer_nations,
@@ -1335,6 +1456,10 @@ ORACLES = {
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_orders": Q18_SQL,
+    "q11_part_value_share": Q11_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q19_disjunctive_predicates": Q19_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
     "join_inner_enrich": JOIN_INNER_SQL,
     "join_left_outer_agg": JOIN_LEFT_SQL,
     "join_full_outer_nations": JOIN_FULL_SQL,

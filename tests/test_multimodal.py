@@ -86,3 +86,21 @@ def test_attach_binary_roundtrip(spark):
     df = spark.createDataFrame([(1, "héllo")], "doc_id long, text string")
     blob = attach_binary_from_text(df, "text").collect()[0].blob
     assert bytes(blob).decode("utf-8") == "héllo"
+
+
+def test_resize_images_with_injected_kernel(spark):
+    from flink_orc_sink_spark.operators.multimodal import resize_images
+
+    def fake_resize(raw: bytes, w: int, h: int) -> bytes:
+        return raw[:8] + bytes([w % 256, h % 256])
+
+    df = spark.createDataFrame([(1, PNG), (2, JPEG)], "media_id long, blob binary")
+    rows = {
+        r.media_id: r
+        for r in resize_images(
+            df, "media_id", "blob", width=224, height=224, kernel=fake_resize
+        ).collect()
+    }
+    assert rows[1].width == 224 and rows[1].height == 224
+    assert bytes(rows[1].resized) == PNG[:8] + bytes([224, 224])
+    assert bytes(rows[2].resized)[:4] == JPEG[:4]
