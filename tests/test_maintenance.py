@@ -1,0 +1,65 @@
+"""Operational utilities: small-file compaction and column profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.operators.profile import profile_table
+from flink_orc_sink_spark.sources.orc_sink import compact_orc, read_orc
+
+
+def _orc_files(path):
+    import glob
+    import os
+
+    return [
+        f
+        for f in glob.glob(f"{path}/**/*", recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+def test_compact_orc_reduces_files_preserves_rows(spark, tmp_path):
+    out = str(tmp_path / "many_small")
+    # simulate 20 micro-batch epochs of tiny files
+    for i in range(20):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{j}") for j in range(10)], "id long, s string"
+        ).coalesce(1).write.mode("append").orc(out)
+    before = len(_orc_files(out))
+    assert before >= 20
+
+    after = compact_orc(spark, out, target_file_mb=256)
+    assert after < before
+    back = read_orc(spark, out)
+    assert back.count() == 200
+    assert back.agg(F.countDistinct("id")).collect()[0][0] == 200
+
+
+def test_compact_orc_partitioned(spark, tmp_path):
+    out = str(tmp_path / "part_small")
+    for i in range(6):
+        spark.createDataFrame(
+            [(j, "a" if j % 2 else "b") for j in range(10)], "v long, k string"
+        ).coalesce(1).write.mode("append").partitionBy("k").orc(out)
+    after = compact_orc(spark, out, target_file_mb=256, partition_cols=["k"])
+    back = read_orc(spark, out)
+    assert back.count() == 60
+    assert {r.k for r in back.select("k").distinct().collect()} == {"a", "b"}
+    assert after <= len(_orc_files(out))
+
+
+def test_profile_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r.column: r for r in profile_table(docs).collect()}
+    assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
+    n = docs.count()
+    assert prof["doc_id"].n_rows == n
+    assert prof["doc_id"].n_nulls == 0
+    # HLL estimate within 10% of exact
+    assert abs(prof["doc_id"].approx_distinct - n) <= max(2, 0.1 * n)
+    assert prof["text"].mean_len is not None and prof["text"].mean_len > 0
+    assert prof["n_chars"].min_str is not None
+    # single-pass: profiling must not error on mixed types, and min/max
+    # stringification keeps one schema for all columns
+    assert prof["lang"].max_str >= prof["lang"].min_str
