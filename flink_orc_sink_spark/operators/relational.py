@@ -117,6 +117,40 @@ def range_join(
     )
 
 
+def ntile_approx(
+    df: DataFrame,
+    value_col: str,
+    n: int = 4,
+    bucket_col: str = "bucket",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale-safe n-tile bucketing.
+
+    An unpartitioned ``Window.orderBy`` (exact ntile) collapses the
+    whole dataset into ONE partition — correct, but a single-task
+    sort that cannot survive 100 TB. This variant computes the n−1
+    boundary quantiles with ``approx_percentile`` (one aggregation,
+    bounded memory, mergeable sketches) and assigns buckets with a
+    broadcast comparison — fully parallel, two narrow passes.
+
+    Ties at a boundary all land in the lower bucket (deterministic);
+    bucket populations are approximate within ``relative_error``.
+    """
+    probs = [i / n for i in range(1, n)]
+    bounds_row = df.agg(
+        F.percentile_approx(
+            value_col, probs, F.lit(int(1.0 / relative_error))
+        ).alias("bounds")
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds_row))
+    bucket = F.lit(1)
+    for i in range(n - 1):
+        bucket = bucket + F.when(
+            F.col(value_col) > F.element_at("bounds", i + 1), 1
+        ).otherwise(0)
+    return with_bounds.withColumn(bucket_col, bucket).drop("bounds")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -364,7 +364,7 @@ def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, chunk string, chunk_tokens int")
+    @udtf(returnType="chunk_idx int, chunk string, chunk_tokens int", useArrow=True)
     class ChunkTokens:
         def eval(self, text: str):
             # ASCII-\s tokenization matching functions/text.py::tokens

@@ -609,7 +609,14 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over customer balances."""
+    """ntile / percent_rank / cume_dist over customer balances.
+
+    SCALE NOTE: the unpartitioned window is an exact global ranking —
+    Spark plans it as Exchange SinglePartition + one-task sort. That
+    is the semantics' inherent cost and fine for dimension-sized
+    inputs like customer; for fact-scale data use
+    ``operators.relational.ntile_approx`` (approx-percentile
+    bucketing, fully parallel — see tests/test_operators_relational)."""
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     return c.select(

@@ -74,3 +74,30 @@ def test_sessionize_gap(spark):
         ("u1", base + 20 * 60 * 1_000_000, 2),
         ("u2", base, 1),
     }
+
+
+def test_ntile_approx_matches_exact_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.operators.relational import ntile_approx
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    exact = c.select(
+        "c_custkey", F.ntile(4).over(w).alias("q_exact")
+    )
+    approx = ntile_approx(c, "c_acctbal", n=4, bucket_col="q_approx").select(
+        "c_custkey", "q_approx"
+    )
+    joined = exact.join(approx, "c_custkey")
+    n = joined.count()
+    agree = joined.filter(F.col("q_exact") == F.col("q_approx")).count()
+    # boundary rows may land one bucket off; the bulk must agree
+    assert agree / n >= 0.98, f"only {agree}/{n} rows agree"
+    # every bucket is populated and roughly balanced
+    sizes = {
+        r.q_approx: r.n
+        for r in approx.groupBy("q_approx").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) <= 1.2 * min(sizes.values())

@@ -30,6 +30,13 @@ ALLOW_CARTESIAN = {
     "emb_neardup_pairs",        # exact all-pairs oracle baseline
 }
 
+# Queries allowed an unpartitioned (single-partition) window: exact
+# global-ranking semantics on dimension-sized input, documented with a
+# scale-safe alternative (operators.relational.ntile_approx).
+ALLOW_GLOBAL_WINDOW = {
+    "window_ntile_quartiles",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -53,6 +60,15 @@ def main() -> int:
             findings.append(f"{name}: CartesianProduct in plan")
         if "BatchEvalPython" in plan:
             findings.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        if (
+            "Window" in plan
+            and "Exchange SinglePartition" in plan
+            and name not in ALLOW_GLOBAL_WINDOW
+        ):
+            findings.append(
+                f"{name}: window over Exchange SinglePartition (global sort"
+                " on one task — use a partitioned window or ntile_approx)"
+            )
         for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
             ncols = m.group(1).count(",") + 1 if m.group(1) else 0
             if ncols > 12:
