@@ -87,3 +87,98 @@ def test_running_totals_state_across_batches(spark, tmp_path):
     # than once with growing counts
     user1_counts = sorted(r.n_events for r in rows if r.user == 1)
     assert user1_counts[-1] == 3 and len(user1_counts) >= 2
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """Built-in session_window (SURVEY §2.4 streaming row): per-user
+    sessions with a 10-minute gap, closed by the watermark."""
+    src = str(tmp_path / "in_sess")
+    ckpt = str(tmp_path / "ckpt_sess")
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:05:00"),   # same session (gap 5m < 10m)
+        (1, "2024-01-01 01:00:00"),   # new session
+        (2, "2024-01-01 00:00:00"),
+        # late sentinel far in the future closes all sessions
+        (99, "2024-01-02 00:00:00"),
+    ]
+    (
+        spark.createDataFrame(rows, "user long, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    stream = stream_from_files(spark, src, "user LONG, ts TIMESTAMP")
+    sessions = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "10 minutes"), F.col("user"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user, r.n)
+        for r in spark.sql("SELECT user, n FROM sess_sink").collect()
+    }
+    assert (1, 2) in got      # first session has two events
+    assert (1, 1) in got      # second session
+    assert (2, 1) in got
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time interval condition
+    — the streaming analogue of the range/as-of join family. Both
+    sides carry watermarks so join state is bounded."""
+    clicks_p = str(tmp_path / "clicks")
+    views_p = str(tmp_path / "views")
+    ckpt = str(tmp_path / "ckpt_join")
+    views = [
+        (100, "2024-01-01 00:00:00"),
+        (200, "2024-01-01 01:00:00"),
+    ]
+    clicks = [
+        (100, "2024-01-01 00:00:30"),   # 30s after view 100 -> joins
+        (200, "2024-01-01 02:30:00"),   # 90min after view 200 -> outside window
+    ]
+    (
+        spark.createDataFrame(views, "ad long, ts_s string")
+        .withColumn("view_ts", F.to_timestamp("ts_s")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(views_p)
+    )
+    (
+        spark.createDataFrame(clicks, "ad long, ts_s string")
+        .withColumn("click_ts", F.to_timestamp("ts_s")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(clicks_p)
+    )
+    vs = stream_from_files(spark, views_p, "ad LONG, view_ts TIMESTAMP").withWatermark(
+        "view_ts", "1 minute"
+    )
+    cs = stream_from_files(spark, clicks_p, "ad LONG, click_ts TIMESTAMP").withWatermark(
+        "click_ts", "1 minute"
+    ).withColumnRenamed("ad", "c_ad")
+    joined = vs.join(
+        cs,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.ad for r in spark.sql("SELECT ad FROM join_sink").collect()]
+    assert got == [100]  # only the in-window click joins
