@@ -1,0 +1,73 @@
+"""End-to-end pipeline: the real events table streamed through
+windowed aggregation into the exactly-once partitioned ORC sink, read
+back and reconciled against the batch computation — the full
+reference workflow (ingest → window → typed partitioned ORC → Hive
+readback) on actual testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_orc_sink_spark.sources.catalog import table
+from flink_orc_sink_spark.streaming import (
+    read_committed_orc,
+    stream_write_orc,
+)
+
+
+def test_events_to_orc_pipeline(spark, sf_dir, tmp_path):
+    # stage the events table as streamable parquet (ns->us converted
+    # by the catalog; file source replays it as micro-batches)
+    staged = str(tmp_path / "staged")
+    events = table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.to_date("w.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = str(tmp_path / "orc_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_write_orc(
+        hourly, out, ckpt,
+        partition_cols=["day"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    back = read_committed_orc(spark, out)
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    # the streaming run can only emit watermark-closed windows; every
+    # emitted window must match the batch result exactly
+    joined = back.join(batch, ["window_start", "event_type"], "left")
+    assert back.count() > 0
+    mismatches = joined.filter(
+        (F.col(back.columns[3]).isNull())
+        | (back["n_events"] != batch["n_events"])
+    )
+    assert mismatches.count() == 0
+    # Hive-style partition layout exists
+    import os
+
+    assert any(d.startswith("day=") for d in os.listdir(out))
