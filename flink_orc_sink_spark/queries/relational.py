@@ -1349,6 +1349,124 @@ GROUP BY c_nationkey
 """
 
 
+# --- pivot / unpivot / arrays / percentiles ---------------------------
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def agg_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: market segments become columns (customer count per
+    nation × segment). Explicit value list keeps the plan a single
+    pass (unlisted pivots need an extra distinct scan)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_nationkey",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in SEGMENTS],
+        )
+    )
+
+
+AGG_PIVOT_SQL = (
+    "SELECT c_nationkey, "
+    + ", ".join(
+        f"COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS n_{s.lower()}"
+        for s in SEGMENTS
+    )
+    + " FROM customer GROUP BY c_nationkey"
+)
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part's numeric measures into (measure, value)
+    rows — the long-format transform feeding generic per-metric
+    pipelines. In-row expansion, no shuffle."""
+    p = table(spark, sf_dir, "part")
+    return p.unpivot(
+        "p_partkey",
+        [
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        ],
+        "measure",
+        "value",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
+"""
+
+
+def array_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage over the embedding column: size,
+    element access, slicing, sorted prefix, elementwise transform
+    aggregation — all in-row Catalyst higher-order functions."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            ),
+            6,
+        ).alias("head8_sum"),
+        F.round(
+            F.element_at(F.array_sort("embedding"), -1).cast("double"), 6
+        ).alias("max_dim"),
+        F.size(F.filter("embedding", lambda v: v > 0)).alias("n_positive"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+  CAST(len(embedding) AS INTEGER) AS dims,
+  CAST(ROUND(embedding[1]::DOUBLE, 6) AS DOUBLE) AS first_dim,
+  CAST(ROUND(list_sum(list_transform(embedding[1:8], v -> v::DOUBLE)), 6) AS DOUBLE) AS head8_sum,
+  CAST(ROUND(list_sort(embedding)[-1]::DOUBLE, 6) AS DOUBLE) AS max_dim,
+  CAST(len(list_filter(embedding, v -> v > 0)) AS INTEGER) AS n_positive
+FROM embeddings
+"""
+
+
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — identical
+    definition in Spark ``percentile`` and DuckDB ``quantile_cont``).
+    Exact percentiles sort each group's values; at fact-table scale
+    prefer ``percentile_approx`` (see ntile_approx) — kept exact here
+    on the dimension-sized customer table."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4)
+        .cast("double")
+        .alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4)
+        .cast("double")
+        .alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4)
+        .cast("double")
+        .alias("p90"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT c_mktsegment,
+  CAST(ROUND(quantile_cont(c_acctbal, 0.25), 4) AS DOUBLE) AS p25,
+  CAST(ROUND(quantile_cont(c_acctbal, 0.5), 4) AS DOUBLE) AS p50,
+  CAST(ROUND(quantile_cont(c_acctbal, 0.9), 4) AS DOUBLE) AS p90
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 # --- UDAF / sketch surface -------------------------------------------
 
 def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,6 +1564,10 @@ QUERIES = {
     "distinct_flag_pairs": distinct_flag_pairs,
     "null_handling_showcase": null_handling_showcase,
     "udaf_median_price": udaf_median_price,
+    "agg_pivot_segments": agg_pivot_segments,
+    "unpivot_part_measures": unpivot_part_measures,
+    "array_funcs_showcase": array_funcs_showcase,
+    "agg_exact_percentiles": agg_exact_percentiles,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
 }
 
@@ -1498,4 +1620,8 @@ ORACLES = {
     "distinct_flag_pairs": DISTINCT_SQL,
     "null_handling_showcase": NULL_HANDLING_SQL,
     "udaf_median_price": UDAF_MEDIAN_SQL,
+    "agg_pivot_segments": AGG_PIVOT_SQL,
+    "unpivot_part_measures": UNPIVOT_SQL,
+    "array_funcs_showcase": ARRAY_FUNCS_SQL,
+    "agg_exact_percentiles": PERCENTILES_SQL,
 }
