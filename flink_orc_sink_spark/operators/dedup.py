@@ -473,3 +473,48 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         F.explode(_winnow_udf()(F.col(text_col))).alias("fp"),
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → one row per
+    involved doc: ``(doc, cluster_keeper)`` with keeper = min doc id
+    in the component. THE step after pair generation in a dedup
+    pipeline: pairs (a,b),(b,c) must collapse to ONE survivor, which
+    pairwise filtering alone cannot decide.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-doc minimum; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow — typically 2-3).
+    All per-round work is distributed joins/aggregations; the driver
+    only checks the converged-row count. ``localCheckpoint`` truncates
+    lineage so plans stay constant-size across rounds.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.src == labels.doc).select(
+            F.col("dst").alias("doc"), F.col("label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("doc").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_keeper"))

@@ -78,7 +78,9 @@ def extract_media_meta(
                 }
             )
 
-    return df.mapInPandas(batches, MEDIA_META_SCHEMA)
+    # prune before the Arrow exchange: mapInPandas ships every input
+    # column through Arrow; a wide table would pay for all of them.
+    return df.select(id_col, binary_col).mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -139,7 +141,7 @@ def decode_images(
                 rows, columns=["media_id", "width", "height", "features"]
             )
 
-    return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -185,7 +187,7 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(batches, RESIZED_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def sample_frames(
@@ -215,7 +217,7 @@ def sample_frames(
                 rows, columns=["media_id", "frame_idx", "frame_png"]
             )
 
-    return df.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
 def attach_binary_from_text(df: DataFrame, text_col: str) -> DataFrame:

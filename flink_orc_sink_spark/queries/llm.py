@@ -216,9 +216,11 @@ SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= 0.6
 """
 
 
-def _minhash_sql(threshold: float) -> str:
-    """Generate the full 64-perm MinHash-LSH oracle from the SAME
-    constants the Spark operator uses (operators/dedup.py)."""
+def _minhash_ctes(threshold: float) -> str:
+    """The shared CTE chain for every MinHash-derived oracle,
+    generated from the SAME constants the Spark operators use
+    (operators/dedup.py): shingles → 32-bit hashes → 64-perm
+    signatures → 16 bands → candidates → verified pairs."""
     mins = ", ".join(
         f"MIN(({dd.MINHASH_A[i]} * h + {dd.MINHASH_B[i]}) % {dd.MINHASH_P})"
         f" AS mh{i}"
@@ -233,8 +235,7 @@ def _minhash_sql(threshold: float) -> str:
             f"SELECT doc, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
-    return f"""
-WITH {SHINGLE_CTES},
+    return f"""{SHINGLE_CTES},
 h AS (
   SELECT doc, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM postings
 ),
@@ -244,10 +245,38 @@ cands AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, j.jaccard
+  FROM cands c JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.jaccard >= {threshold}
+)"""
+
+
+def _minhash_sql(threshold: float) -> str:
+    return f"""
+WITH {_minhash_ctes(threshold)}
+SELECT doc_a, doc_b, jaccard FROM verified
+"""
+
+
+def _clusters_sql(threshold: float) -> str:
+    """Connected components over the verified MinHash pairs via a
+    recursive transitive-closure CTE: each doc's cluster keeper is the
+    minimum doc id it can reach."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(threshold)},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+reach(doc, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.doc
 )
-SELECT c.doc_a, c.doc_b, j.jaccard
-FROM cands c JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE j.jaccard >= {threshold}
+SELECT doc, MIN(r) AS cluster_keeper FROM reach GROUP BY doc
 """
 
 
@@ -259,6 +288,21 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MINHASH_SQL = _minhash_sql(0.7)
+
+
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs → connected components →
+    (doc, cluster_keeper). The survivor-selection step pairwise
+    filtering cannot decide (a~b, b~c must collapse to ONE keeper
+    even when a≁c directly). Iterative min-label propagation
+    (operators/dedup.py::neardup_clusters); oracle is a recursive
+    transitive-closure CTE over the identical pair set."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7, k=3)
+    return dd.neardup_clusters(pairs)
+
+
+CLUSTERS_SQL = _clusters_sql(0.7)
 
 
 def _simhash_sql(max_hamming: int) -> str:
@@ -531,6 +575,7 @@ QUERIES = {
     "docs_dedup_exact": docs_dedup_exact,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_neardup_clusters": docs_neardup_clusters,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_chunk_tokens": docs_chunk_tokens,
@@ -549,6 +594,7 @@ ORACLES = {
     "docs_dedup_exact": DEDUP_EXACT_SQL,
     "docs_jaccard_pairs": JACCARD_SQL,
     "docs_minhash_pairs": MINHASH_SQL,
+    "docs_neardup_clusters": CLUSTERS_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_chunk_tokens": CHUNK_SQL,

@@ -85,3 +85,30 @@ def test_simhash_identical_docs_hamming_zero(docs):
         for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_neardup_clusters_transitive(spark):
+    from flink_orc_sink_spark.operators.dedup import neardup_clusters
+
+    # chain a-b-c plus isolated pair (x,y): {1,2,3} -> keeper 1, {8,9} -> 8
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (8, 9, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        (r.doc, r.cluster_keeper) for r in neardup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+
+
+def test_neardup_clusters_long_chain(spark):
+    from flink_orc_sink_spark.operators.dedup import neardup_clusters
+
+    # a 12-node path graph needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(12)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    labels = {r.doc: r.cluster_keeper for r in neardup_clusters(pairs).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 13
