@@ -84,14 +84,40 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keepers, on=id_col, how="left_semi")
 
 
+def _py_shingles(toks: list, k: int) -> set:
+    """Distinct word k-shingles, matching functions/text.py::
+    word_shingles semantics (short docs yield the whole sequence)."""
+    toks = list(toks)
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def _shingle_udf(k: int):
+    """Arrow-batched shingling from a token array. The Catalyst
+    ``word_shingles`` expression is interpreted per element (~6 s per
+    evaluation on 5000 docs) and multi-branch plans (inverted-index
+    self-joins) re-evaluate it once per branch; the Python form is
+    ~0.2 s per evaluation."""
+
+    @F.pandas_udf("array<string>")
+    def sh(tokens: pd.Series) -> pd.Series:
+        return pd.Series([sorted(_py_shingles(t, k)) for t in tokens])
+
+    return sh
+
+
 def shingle_postings(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """Inverted index: one row per (shingle, doc) — the distributed
-    representation every near-dup family starts from."""
+    representation every near-dup family starts from. Tokenization in
+    Spark (shared definition), shingling Arrow-batched."""
+    from flink_orc_sink_spark.functions.text import tokens
+
     return df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, k)).alias("s"),
+        F.explode(_shingle_udf(k)(tokens(text_col))).alias("s"),
     )
 
 
@@ -165,13 +191,7 @@ def _minhash_sig_udf():
     def sig(tokens: pd.Series) -> pd.Series:
         out = []
         for toks in tokens:
-            toks = list(toks)
-            if len(toks) >= 3:
-                shingles = {
-                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
-                }
-            else:
-                shingles = {" ".join(toks)}
+            shingles = _py_shingles(toks, 3)
             h = np.array(
                 [
                     int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
@@ -288,18 +308,9 @@ def minhash_dedup_pairs(
 
     @F.pandas_udf("double")
     def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        def shingle(toks_):
-            toks_ = list(toks_)
-            if len(toks_) >= k:
-                return {
-                    " ".join(toks_[i : i + k])
-                    for i in range(len(toks_) - k + 1)
-                }
-            return {" ".join(toks_)}
-
         out = []
         for a_, b_ in zip(ta, tb):
-            sa, sb = shingle(a_), shingle(b_)
+            sa, sb = _py_shingles(a_, k), _py_shingles(b_, k)
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             out.append(inter / union if union else 0.0)
