@@ -34,7 +34,6 @@ from flink_orc_sink_spark.functions.text import (
     fingerprint,
     hash32,
     hash64,
-    word_shingles,
 )
 
 # --- MinHash parameters (shared with the SQL oracle generator) -------
