@@ -169,6 +169,107 @@ FROM s
 """
 
 
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation gate: language + quality score + token
+    bounds in one pass, reporting per-source survivor counts and
+    surviving token budget — the decision report a training-data run
+    produces before materializing the filtered corpus."""
+    d = table(spark, sf_dir, "documents")
+    survivors = d.filter(
+        (lang_id("text") == "en")
+        & (F.round(quality_score("text"), 6) >= 0.5)
+        & (token_count("text").between(10, 2000))
+    )
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text").cast("bigint")).alias("token_budget"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    lang_cases = " ".join(
+        f"WHEN hits_{lang} > 0 AND hits_{lang} = best THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    hit_exprs = ", ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang
+        )
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    hits_cols = ", ".join(f"hits_{lang}" for lang in sorted(LANG_STOPWORDS))
+    return f"""
+WITH s AS (
+  SELECT source, {TOKENS_SQL} AS t,
+    CAST(length(trim(text)) AS DOUBLE) AS clen,
+    CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+              / length(text)
+         ELSE 0.0 END AS pr
+  FROM documents
+),
+feat AS (
+  SELECT source, len(t) AS tc, clen, pr, {hit_exprs},
+         CAST(len(t) AS DOUBLE) AS tcd
+  FROM s
+),
+scored AS (
+  SELECT source, tc,
+    CASE {lang_cases.replace('best', f'greatest({hits_cols})')} ELSE 'und' END AS lang_pred,
+    ROUND(
+      0.4 * least(tcd / 50.0, 1.0)
+      + 0.3 * (1.0 - least(pr * 10.0, 1.0))
+      + 0.3 * least(CASE WHEN tcd > 0 THEN clen / tcd ELSE 0.0 END / 8.0, 1.0),
+    6) AS q
+  FROM feat
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(tc) AS BIGINT) AS token_budget
+FROM scored
+WHERE lang_pred = 'en' AND q >= 0.5 AND tc BETWEEN 10 AND 2000
+GROUP BY source
+"""
+
+
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5-hash bucket of the
+    doc id — reproducible across engines and runs (never ``rand()``:
+    a reshuffle-dependent split silently changes the eval set).
+    80/10/10 by ``hash64(doc_id) % 100``; reports per-split doc and
+    token counts."""
+    from flink_orc_sink_spark.functions.text import hash64
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
+TRAIN_TEST_SQL = f"""
+WITH b AS (
+  SELECT text,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+FROM b GROUP BY split
+"""
+
+
 # --- exact dedup ------------------------------------------------------
 
 def docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +672,8 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_lang_distribution": docs_lang_distribution,
     "docs_quality_scores": docs_quality_scores,
+    "docs_quality_filter": docs_quality_filter,
+    "docs_train_test_split": docs_train_test_split,
     "docs_exact_dup_groups": docs_exact_dup_groups,
     "docs_dedup_exact": docs_dedup_exact,
     "docs_jaccard_pairs": docs_jaccard_pairs,
@@ -590,6 +693,8 @@ ORACLES = {
     "docs_token_stats": TOKEN_STATS_SQL,
     "docs_lang_distribution": _lang_sql(),
     "docs_quality_scores": QUALITY_SQL,
+    "docs_quality_filter": _quality_filter_sql(),
+    "docs_train_test_split": TRAIN_TEST_SQL,
     "docs_exact_dup_groups": EXACT_GROUPS_SQL,
     "docs_dedup_exact": DEDUP_EXACT_SQL,
     "docs_jaccard_pairs": JACCARD_SQL,
