@@ -46,20 +46,22 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right_time <= left_time`` (direction='backward') on the same key.
+    ``right_time <= left_time`` (direction='backward'), or the
+    earliest right row with ``right_time >= left_time``
+    (direction='forward'), on the same key.
 
-    Implementation is the union + window ``last(ignorenulls)`` trick:
-    tag both sides, union them, sort within key by (time, side) and
-    carry the last seen right-side values forward. Cost: ONE shuffle
+    Implementation is the union + window ``last/first(ignorenulls)``
+    trick: tag both sides, union them, sort within key by (time, side)
+    and carry the adjacent right-side values across. Cost: ONE shuffle
     by key + an in-partition sort — the same shape as a sort-merge
     join, with no cross-product blow-up. This is the scalable form of
     the theta-join ``right_time <= left_time`` (SURVEY.md §2.4 row 1).
 
     Returns the left rows plus ``right_value_cols`` (null when no
-    right row precedes).
+    right row precedes/follows).
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip sort order; not needed yet")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tagged_r = right.select(
         F.col(right_on).alias("__key"),
@@ -76,24 +78,39 @@ def asof_join(
         *[F.col(c) for c in lcols],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    # Right rows sort before left rows at equal timestamps (__side 0<1),
-    # so an exactly-equal right timestamp IS visible to the left row —
-    # standard as-of "<=" semantics.
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        *lcols,
-        F.col("__side"),
-        *[
+    if direction == "backward":
+        # Right rows sort before left rows at equal timestamps
+        # (__side 0<1), so an exactly-equal right timestamp IS visible
+        # to the left row — standard as-of "<=" semantics; carry the
+        # LAST right value seen so far.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = [
             F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
             .over(w)
             .alias(c)
             for c in right_value_cols
-        ],
-    )
+        ]
+    else:
+        # Forward: left rows sort before right rows at equal
+        # timestamps (__side desc: 1 before 0), so an exactly-equal
+        # right timestamp is inside the FOLLOWING frame — ">="
+        # semantics; take the FIRST right value at or after.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t"), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = [
+            F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in right_value_cols
+        ]
+    carried = unioned.select(*lcols, F.col("__side"), *carry)
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 

@@ -101,3 +101,25 @@ def test_ntile_approx_matches_exact_quartiles(spark, sf_dir):
     }
     assert set(sizes) == {1, 2, 3, 4}
     assert max(sizes.values()) <= 1.2 * min(sizes.values())
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 65, "e3"), (2, 5, "e4")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 60, 600.0), (2, 1, 10.0)],
+        "k long, t long, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k",
+        left_time="t", right_time="t",
+        right_value_cols=["px"],
+        direction="forward",
+    )
+    got = {(r.ev, r.px) for r in out.collect()}
+    # e1@10: right@10 counts (>=); e2@20: next right is @60;
+    # e3@65: nothing at or after -> null; e4@5: right@1 is in the past -> null
+    assert got == {("e1", 100.0), ("e2", 600.0), ("e3", None), ("e4", None)}
