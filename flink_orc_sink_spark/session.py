@@ -39,6 +39,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode driver == executor JVM; the 1g default heap
+        # starves 32 concurrent tasks (GCLocker thrash observed at a
+        # 16x scale probe). Only effective when this call launches the
+        # JVM — a pre-existing session keeps its own sizing.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: coalesce small shuffle partitions, split skewed ones,
         # convert to broadcast join at runtime when a side turns out small.
