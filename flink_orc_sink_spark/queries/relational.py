@@ -1515,6 +1515,124 @@ def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join profit rollup (TPC-H Q9 pattern, adapted: the
+    testdata has no partsupp, so cost = 0.5 × retailprice × qty).
+    LIKE-filtered part → lineitem ⋈ part ⋈ supplier ⋈ nation, grouped
+    by nation × ship year. Scale: the LIKE filter prunes part before
+    the join (pushed to the scan); part/supplier/nation broadcast, so
+    the only exchange is lineitem's partial-agg shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cost = _dec("p_retailprice") * _dec("l_quantity") * F.lit("0.5").cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .agg(money(F.sum(revenue() - cost)).alias("profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name, CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(ROUND(SUM({REVENUE_SQL}
+    - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
+      * CAST(0.5 AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, ship_year
+"""
+
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional two-class counts (TPC-H Q12 pattern, adapted:
+    l_linestatus stands in for shipmode — the testdata carries no
+    shipmode/commitdate). Date-range filter is pushed to the lineitem
+    scan; orders joins on the orderkey shuffle with map-side partial
+    counts."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-correlated EXISTS + NOT EXISTS on the fact table (TPC-H
+    Q21 pattern, adapted: 'R' returnflag stands in for late receipt).
+    Suppliers whose line was returned in a multi-supplier order where
+    no OTHER supplier's line was returned. Spark shape: semi-join then
+    anti-join, both keyed on l_orderkey — the same shuffle key, so AQE
+    reuses one lineitem exchange for both probes; supplier broadcasts."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    multi = ret.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.alias("l1").join(
+        ret.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1533,6 +1651,9 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q21_exclusive_returns": q21_exclusive_returns,
     "join_inner_enrich": join_inner_enrich,
     "join_left_outer_agg": join_left_outer_agg,
     "join_full_outer_nations": join_full_outer_nations,
@@ -1589,6 +1710,9 @@ ORACLES = {
     "q16_supplier_variety": Q16_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
     "q22_idle_rich_customers": Q22_SQL,
+    "q9_profit_by_nation": Q9_SQL,
+    "q12_priority_by_linestatus": Q12_SQL,
+    "q21_exclusive_returns": Q21_SQL,
     "join_inner_enrich": JOIN_INNER_SQL,
     "join_left_outer_agg": JOIN_LEFT_SQL,
     "join_full_outer_nations": JOIN_FULL_SQL,
