@@ -29,6 +29,7 @@ from flink_orc_sink_spark.functions.text import (
     punct_ratio,
     quality_score,
     token_count,
+    tokens,
 )
 from flink_orc_sink_spark.operators import dedup as dd
 from flink_orc_sink_spark.operators.multimodal import (
@@ -361,12 +362,12 @@ SELECT doc_a, doc_b, jaccard FROM verified
 """
 
 
-def _clusters_sql(threshold: float) -> str:
-    """Connected components over the verified MinHash pairs via a
-    recursive transitive-closure CTE: each doc's cluster keeper is the
+def _cluster_ctes(threshold: float) -> str:
+    """CTE chain ending in ``clusters(doc, cluster_keeper)``:
+    connected components over the verified MinHash pairs via a
+    recursive transitive-closure CTE — each doc's keeper is the
     minimum doc id it can reach."""
-    return f"""
-WITH RECURSIVE {_minhash_ctes(threshold)},
+    return f"""{_minhash_ctes(threshold)},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM verified
   UNION
@@ -376,8 +377,16 @@ reach(doc, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.doc
-)
-SELECT doc, MIN(r) AS cluster_keeper FROM reach GROUP BY doc
+),
+clusters AS (
+  SELECT doc, MIN(r) AS cluster_keeper FROM reach GROUP BY doc
+)"""
+
+
+def _clusters_sql(threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold)}
+SELECT doc, cluster_keeper FROM clusters
 """
 
 
@@ -668,6 +677,176 @@ FROM documents
 """
 
 
+def docs_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the curated corpus after
+    near-dup removal. MinHash pairs → connected components → keep only
+    each cluster's keeper (min doc id) plus all untouched docs, via an
+    anti-join of documents against cluster non-keepers. Scale: the
+    anti-join key set (non-keepers) is tiny relative to the corpus —
+    Spark broadcasts it; the corpus itself is never shuffled."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7, k=3)
+    losers = dd.neardup_clusters(pairs).filter(
+        F.col("doc") != F.col("cluster_keeper")
+    )
+    return d.join(
+        F.broadcast(losers), d.doc_id == losers.doc, "left_anti"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SURVIVORS_SQL = f"""
+WITH RECURSIVE {_cluster_ctes(0.7)}
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM clusters WHERE doc <> cluster_keeper)
+"""
+
+
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal):
+    fraction of word bigrams that are duplicates of an earlier bigram
+    in the same doc. Pure per-row Catalyst expressions (zip_with over
+    adjacent token slices) — no shuffle at all; at 100 TB this is a
+    map-only pass."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bi)
+    rep = F.when(
+        n_bi > 0,
+        F.round(F.lit(1) - F.size(F.array_distinct(bi)) / n_bi, 6),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_bi.cast("int").alias("n_bigrams"),
+        rep.cast("double").alias("rep_ratio"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH tk AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END AS bigrams
+  FROM tk
+)
+SELECT doc_id,
+  CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+  CAST(CASE WHEN len(bigrams) > 0
+       THEN ROUND(1 - len(list_distinct(bigrams)) / len(bigrams), 6)
+       ELSE 0.0 END AS DOUBLE) AS rep_ratio
+FROM bi
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs (in doc_id order,
+    sharded by source) to fixed 2048-token context windows by
+    exclusive running token count, then report per-sequence doc count
+    and token sum. Scale: the window partitions by source — each
+    shard's cumsum is independent, so there is no global sort; 100 TB
+    packs shard-parallel exactly like a real pretokenization job."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tk = d.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    ).withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        tk.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / 2048).cast("int").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
+    )
+
+
+PACK_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, len({TOKENS_SQL}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tk
+)
+SELECT source, CAST(FLOOR(cum_before / 2048) AS INTEGER) AS seq_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM c GROUP BY source, seq_id
+"""
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (the n-gram-overlap audit every
+    pretraining pipeline runs before evals): treat source 'src0' as
+    the held-out eval set and count, per training doc, the distinct
+    8-gram word shingles it shares with ANY eval doc. Scale: the eval
+    shingle set is tiny next to the corpus — broadcast it; the
+    training corpus streams through map-side, no self-join."""
+    d = table(spark, sf_dir, "documents")
+    eval_sh = (
+        dd.shingle_postings(
+            d.filter(F.col("source") == "src0"), "doc_id", "text", k=8
+        )
+        .select("s")
+        .distinct()
+    )
+    train = dd.shingle_postings(
+        d.filter(F.col("source") != "src0"), "doc_id", "text", k=8
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .select(F.col("doc").alias("doc_id"), "n_shared_shingles")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH tk8 AS (
+  SELECT doc_id, source, {TOKENS_SQL} AS t FROM documents
+),
+sh8 AS (
+  SELECT doc_id, source,
+    list_distinct(
+      CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6),
+                               i -> array_to_string(t[i:i+7], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM tk8
+),
+evals AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh8 WHERE source = 'src0'
+),
+trainp AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh8 WHERE source <> 'src0'
+)
+SELECT t.doc_id, COUNT(*) AS n_shared_shingles
+FROM trainp t JOIN evals e ON t.s = e.s
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_lang_distribution": docs_lang_distribution,
@@ -679,6 +858,10 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_neardup_clusters": docs_neardup_clusters,
+    "docs_neardup_survivors": docs_neardup_survivors,
+    "docs_repetition_ratio": docs_repetition_ratio,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_contamination": docs_contamination,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_chunk_tokens": docs_chunk_tokens,
@@ -700,6 +883,10 @@ ORACLES = {
     "docs_jaccard_pairs": JACCARD_SQL,
     "docs_minhash_pairs": MINHASH_SQL,
     "docs_neardup_clusters": CLUSTERS_SQL,
+    "docs_neardup_survivors": SURVIVORS_SQL,
+    "docs_repetition_ratio": REPETITION_SQL,
+    "docs_pack_sequences": PACK_SQL,
+    "docs_contamination": CONTAMINATION_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_chunk_tokens": CHUNK_SQL,
