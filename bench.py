@@ -36,6 +36,10 @@ HEADLINE = [
     "docs_simhash_pairs",
     "docs_winnow_fingerprints",
     "docs_token_stats",
+    "docs_neardup_survivors",
+    "docs_contamination",
+    "docs_pack_sequences",
+    "q21_exclusive_returns",
     "emb_cosine_topk",
     "emb_lsh_ann_topk",
 ]
