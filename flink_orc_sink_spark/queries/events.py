@@ -227,6 +227,101 @@ ASOF LEFT JOIN (
 """
 
 
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per stage,
+    how many users completed it IN ORDER (each stage's first event
+    strictly after the previous stage's). The per-stage min-aggregate
+    + user-keyed join shape keeps every step a keyed shuffle on
+    user_id — no window over the whole event stream, so 100 TB of
+    events funnel at hash-agg cost."""
+    e = table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, col: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            pcol = prev.columns[-1]
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(pcol))
+        return s.groupBy("user_id").agg(F.min("ts").alias(col))
+
+    v = first_after("view", None, "t_view")
+    c = first_after("click", v, "t_click")
+    p = first_after("purchase", c, "t_purchase")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(v.t_view) AS n_view,
+  COUNT(c.t_click) AS n_view_click,
+  COUNT(p.t_purchase) AS n_view_click_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active date, counted
+    per day-offset of later activity. Two keyed aggregations plus one
+    join on user_id — the cohort table is users-sized (small next to
+    events), so Spark broadcasts it and the event stream is touched
+    once."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(F.broadcast(first), "user_id")
+        .groupBy(
+            # TIMESTAMP on both sides — the repo's date-output
+            # convention (DATE arrives as datetime64 from DuckDB).
+            F.col("cohort_date").cast("timestamp").alias("cohort_ts"),
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_ts,
+  CAST(DATE_DIFF('day', cohort_date, d) AS INTEGER) AS day_offset,
+  COUNT(*) AS n_users
+FROM activity JOIN first USING (user_id)
+GROUP BY cohort_ts, day_offset
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -234,6 +329,8 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_dedup_latest": events_dedup_latest,
     "events_asof_orders": events_asof_orders,
+    "events_funnel_3step": events_funnel_3step,
+    "events_daily_retention": events_daily_retention,
 }
 
 ORACLES = {
@@ -243,4 +340,6 @@ ORACLES = {
     "events_json_extract": JSON_SQL,
     "events_dedup_latest": DEDUP_LATEST_SQL,
     "events_asof_orders": ASOF_SQL,
+    "events_funnel_3step": FUNNEL_SQL,
+    "events_daily_retention": RETENTION_SQL,
 }

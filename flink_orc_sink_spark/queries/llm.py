@@ -847,6 +847,26 @@ GROUP BY t.doc_id
 """
 
 
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by md5 hash-mod of the doc id —
+    THE reproducible sampling method at 100 TB (``df.sample`` is
+    seed × partitioning dependent; a hash-mod predicate is pure
+    per-row, engine-portable, and stable across reruns/re-partitions).
+    The predicate pushes to the scan as a cheap row filter."""
+    from flink_orc_sink_spark.functions.text import hash32
+
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        hash32(F.col("doc_id").cast("string")) % 10 == 0
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_lang_distribution": docs_lang_distribution,
@@ -862,6 +882,7 @@ QUERIES = {
     "docs_repetition_ratio": docs_repetition_ratio,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_contamination": docs_contamination,
+    "docs_hash_sample": docs_hash_sample,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_chunk_tokens": docs_chunk_tokens,
@@ -887,6 +908,7 @@ ORACLES = {
     "docs_repetition_ratio": REPETITION_SQL,
     "docs_pack_sequences": PACK_SQL,
     "docs_contamination": CONTAMINATION_SQL,
+    "docs_hash_sample": HASH_SAMPLE_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_chunk_tokens": CHUNK_SQL,
