@@ -1633,6 +1633,123 @@ LIMIT 100
 """
 
 
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-join chain (TPC-H Q20 pattern, adapted: no
+    partsupp, so 'potential promotion' = shipped > 50 units of some
+    LIKE-matched part in 1996). The inner aggregate filters to
+    qualifying (supplier, part) pairs; suppliers semi-join against it.
+    Scale: the LIKE + date filters push to the scans; the inner
+    groupBy is a partial-agg shuffle on a composite key; the final
+    semi-join probes with a deduplicated, tiny key set (broadcast)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50
+)
+ORDER BY s_suppkey
+"""
+
+
+def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein) — the scalar-func
+    building block of entity resolution / noisy-string dedup. Pure
+    per-row expression, map-only at any scale."""
+    p = table(spark, sf_dir, "part")
+    lev = F.levenshtein(F.col("p_name"), F.lit("small ring"))
+    return (
+        p.filter(lev <= 4)
+        .select("p_partkey", "p_name", lev.cast("int").alias("edit_dist"))
+    )
+
+
+STRING_FUZZY_SQL = """
+SELECT p_partkey, p_name,
+  CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS edit_dist
+FROM part
+WHERE levenshtein(p_name, 'small ring') <= 4
+"""
+
+
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by computed bucket key (floor division —
+    engine-portable, unlike width_bucket variants). One partial-agg
+    shuffle on a small key domain."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.min(_dec("o_totalprice"))).alias("bucket_min"),
+            money(F.max(_dec("o_totalprice"))).alias("bucket_max"),
+        )
+    )
+
+
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS price_bucket,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS bucket_min,
+  CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS bucket_max
+FROM orders
+GROUP BY price_bucket
+"""
+
+
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation path through the correctness gate: revenue
+    per market segment via :func:`operators.relational.salted_join`
+    (orders fact side salted, customer side replicated per salt).
+    Results are identical to the plain join — the oracle proves it —
+    while the shuffle key (custkey, salt) spreads any pathological
+    hot customer over 16 tasks."""
+    from flink_orc_sink_spark.operators.relational import salted_join
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(o, c, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(money(F.sum(_dec("o_totalprice"))).alias("segment_rev"))
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS segment_rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1654,6 +1771,10 @@ QUERIES = {
     "q9_profit_by_nation": q9_profit_by_nation,
     "q12_priority_by_linestatus": q12_priority_by_linestatus,
     "q21_exclusive_returns": q21_exclusive_returns,
+    "q20_heavy_shippers": q20_heavy_shippers,
+    "string_fuzzy_match": string_fuzzy_match,
+    "agg_price_histogram": agg_price_histogram,
+    "join_salted_hot_keys": join_salted_hot_keys,
     "join_inner_enrich": join_inner_enrich,
     "join_left_outer_agg": join_left_outer_agg,
     "join_full_outer_nations": join_full_outer_nations,
@@ -1713,6 +1834,10 @@ ORACLES = {
     "q9_profit_by_nation": Q9_SQL,
     "q12_priority_by_linestatus": Q12_SQL,
     "q21_exclusive_returns": Q21_SQL,
+    "q20_heavy_shippers": Q20_SQL,
+    "string_fuzzy_match": STRING_FUZZY_SQL,
+    "agg_price_histogram": AGG_HISTOGRAM_SQL,
+    "join_salted_hot_keys": JOIN_SALTED_SQL,
     "join_inner_enrich": JOIN_INNER_SQL,
     "join_left_outer_agg": JOIN_LEFT_SQL,
     "join_full_outer_nations": JOIN_FULL_SQL,
