@@ -322,6 +322,82 @@ GROUP BY cohort_ts, day_offset
 """
 
 
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with a horizon: each click joined to the user's
+    most recent view within the preceding 10 minutes — the as-of join
+    (one shuffle + in-partition sort, no theta cross-product) with a
+    lateness filter in exact integer microseconds."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    j = asof_join(
+        clicks,
+        views,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_value_cols=["view_ts"],
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("view_ts")
+    return (
+        j.filter(F.col("view_ts").isNotNull() & (gap_us <= 600_000_000))
+        .select("event_id", "user_id", gap_us.alias("gap_us"))
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT c.event_id, c.user_id,
+  epoch_us(c.ts) - epoch_us(v.view_ts) AS gap_us
+FROM (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+) c
+ASOF JOIN (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+) v ON c.user_id = v.user_id AND c.ts >= v.view_ts
+WHERE epoch_us(c.ts) - epoch_us(v.view_ts) <= 600000000
+"""
+
+
+def events_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. The scale-safe
+    formulation: dedup to (user, day) first, then expand each row to
+    the ≤7 window-days it contributes to (bounded 7× blow-up) and
+    count-distinct per day — never a sliding distinct over raw events
+    (unbounded state) nor a day×day range self-join."""
+    e = table(spark, sf_dir, "events")
+    daily = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = daily.select("d").distinct()
+    expanded = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("wd"),
+    )
+    return (
+        expanded.join(days.withColumnRenamed("d", "wd"), "wd", "left_semi")
+        .groupBy(F.col("wd").cast("timestamp").alias("window_day"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+expanded AS (
+  SELECT user_id, d + CAST(t.i AS INTEGER) AS wd FROM daily, range(0, 7) t(i)
+)
+SELECT CAST(wd AS TIMESTAMP) AS window_day,
+  COUNT(DISTINCT user_id) AS active_users
+FROM expanded
+WHERE wd IN (SELECT d FROM daily)
+GROUP BY wd
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -331,6 +407,8 @@ QUERIES = {
     "events_asof_orders": events_asof_orders,
     "events_funnel_3step": events_funnel_3step,
     "events_daily_retention": events_daily_retention,
+    "events_click_attribution": events_click_attribution,
+    "events_rolling_7d_active": events_rolling_7d_active,
 }
 
 ORACLES = {
@@ -342,4 +420,6 @@ ORACLES = {
     "events_asof_orders": ASOF_SQL,
     "events_funnel_3step": FUNNEL_SQL,
     "events_daily_retention": RETENTION_SQL,
+    "events_click_attribution": ATTRIBUTION_SQL,
+    "events_rolling_7d_active": ROLLING_ACTIVE_SQL,
 }

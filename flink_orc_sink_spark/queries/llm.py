@@ -847,6 +847,31 @@ GROUP BY t.doc_id
 """
 
 
+def docs_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top 100 — word count, the canonical
+    distributed aggregation (explode → map-side partial count → one
+    shuffle on token), plus a deterministic top-k (count desc, token
+    asc tie-break). The vocabulary-induction primitive for tokenizer
+    training at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(100)
+    )
+
+
+TOP_TOKENS_SQL = f"""
+SELECT t AS token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents)
+GROUP BY t
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample by md5 hash-mod of the doc id —
     THE reproducible sampling method at 100 TB (``df.sample`` is
@@ -883,6 +908,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_contamination": docs_contamination,
     "docs_hash_sample": docs_hash_sample,
+    "docs_top_tokens": docs_top_tokens,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_chunk_tokens": docs_chunk_tokens,
@@ -909,6 +935,7 @@ ORACLES = {
     "docs_pack_sequences": PACK_SQL,
     "docs_contamination": CONTAMINATION_SQL,
     "docs_hash_sample": HASH_SAMPLE_SQL,
+    "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_chunk_tokens": CHUNK_SQL,
