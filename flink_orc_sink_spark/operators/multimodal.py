@@ -220,6 +220,53 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_kernel(raw: bytes) -> tuple[int, int, list[float]]:
+    """Decode one audio blob → (duration_ms, sample_rate, features
+    e.g. mel-band energies). STUB: requires soundfile/librosa, not
+    present in this runtime."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa, not present in this runtime"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    kernel: Callable[[bytes], tuple[int, int, list[float]]] = extract_audio_kernel,
+) -> DataFrame:
+    """Audio decode/feature stage (waveform stats, mel energies —
+    whatever the injected kernel computes): blob in → typed feature
+    row out, 1:1, executor-local Arrow batches. Same injectable-kernel
+    seam as :func:`decode_images`; the Spark-side plumbing (schema,
+    batching, partition-locality) is real and tested."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[binary_col]):
+                dur, sr, feats = kernel(bytes(raw))
+                rows.append((int(mid), int(dur), int(sr), feats))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_ms", "sample_rate", "features"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def attach_binary_from_text(df: DataFrame, text_col: str) -> DataFrame:
     """Test fixture helper: stand-in blob column (utf-8 bytes of the
     text) so multimodal plumbing is exercisable without media files."""

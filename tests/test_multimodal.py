@@ -104,3 +104,34 @@ def test_resize_images_with_injected_kernel(spark):
     assert rows[1].width == 224 and rows[1].height == 224
     assert bytes(rows[1].resized) == PNG[:8] + bytes([224, 224])
     assert bytes(rows[2].resized)[:4] == JPEG[:4]
+
+
+def test_extract_audio_features_with_injected_kernel(spark):
+    from flink_orc_sink_spark.operators.multimodal import extract_audio_features
+
+    def fake_audio(raw: bytes) -> tuple[int, int, list[float]]:
+        return (len(raw) * 10, 16000, [float(raw[0]), float(len(raw))])
+
+    df = spark.createDataFrame([(1, PNG), (2, MP4)], "media_id long, blob binary")
+    rows = {
+        r.media_id: r
+        for r in extract_audio_features(
+            df, "media_id", "blob", kernel=fake_audio
+        ).collect()
+    }
+    assert rows[1].sample_rate == 16000
+    assert rows[1].duration_ms == len(PNG) * 10
+    assert rows[2].features == [float(MP4[0]), float(len(MP4))]
+
+
+def test_extract_audio_features_stub_raises(spark):
+    from flink_orc_sink_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_audio_kernel,
+    )
+
+    df = spark.createDataFrame([(1, MP4)], "media_id long, blob binary")
+    with pytest.raises(Exception, match="librosa|NotImplemented"):
+        extract_audio_features(
+            df, "media_id", "blob", kernel=extract_audio_kernel
+        ).collect()
