@@ -82,3 +82,21 @@ def test_orc_readable_by_independent_reader(spark, tmp_path):
     assert files
     total = sum(pa_orc.ORCFile(str(p)).read().num_rows for p in files)
     assert total == 2
+
+
+def test_sort_within_partitions_clusters_stripes(spark, tmp_path):
+    """sort_within_partitions orders rows inside each ORC file so
+    stripe min/max stats can prune time-range scans."""
+    import pyarrow.orc as pa_orc
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "cast(10000 - id as long) as ts_key"
+    ).repartition(4)
+    out = tmp_path / "sorted_orc"
+    write_orc(df, str(out), sort_within_partitions=["ts_key"])
+    files = [p for p in out.iterdir() if p.name.startswith("part-")]
+    assert files
+    for p in files:
+        col = pa_orc.ORCFile(str(p)).read(columns=["ts_key"])["ts_key"]
+        vals = col.to_pylist()
+        assert vals == sorted(vals), f"{p.name} not clustered on ts_key"
