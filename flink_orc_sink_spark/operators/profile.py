@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 _ORDERABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
-    T.DateType, T.TimestampType, T.StringType,
+    T.DateType, T.TimestampType, T.TimestampNTZType, T.StringType,
 )
 
 

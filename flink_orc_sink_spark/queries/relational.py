@@ -1750,6 +1750,55 @@ GROUP BY c_mktsegment
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over ``orders`` (the data-quality
+    sweep before trusting a source): per column, row/null counts,
+    stringified min/max, mean string length — ONE aggregation pass
+    regardless of column count (a per-column loop would scan the
+    table once per column; at 100 TB that is the difference between
+    one job and nine). The HLL distinct estimate is dropped here
+    because it is engine-specific; ``agg_approx_distinct_sketch``
+    covers it with a rows-only check."""
+    from flink_orc_sink_spark.operators.profile import profile_table
+
+    o = table(spark, sf_dir, "orders")
+    return profile_table(o).select(
+        "column",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        "min_str",
+        "max_str",
+        "mean_len",
+    )
+
+
+def _profile_orders_sql() -> str:
+    cols = {
+        "o_orderkey": False,
+        "o_custkey": False,
+        "o_orderstatus": True,
+        "o_totalprice": False,
+        "o_orderdate": False,
+        "o_orderpriority": True,
+    }
+    parts = []
+    for c, is_str in cols.items():
+        mean_len = (
+            f"CAST(ROUND(AVG(length({c})), 4) AS DOUBLE)"
+            if is_str
+            else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(MIN({c}) AS VARCHAR) AS min_str,
+  CAST(MAX({c}) AS VARCHAR) AS max_str,
+  {mean_len} AS mean_len
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1775,6 +1824,7 @@ QUERIES = {
     "string_fuzzy_match": string_fuzzy_match,
     "agg_price_histogram": agg_price_histogram,
     "join_salted_hot_keys": join_salted_hot_keys,
+    "profile_orders": profile_orders,
     "join_inner_enrich": join_inner_enrich,
     "join_left_outer_agg": join_left_outer_agg,
     "join_full_outer_nations": join_full_outer_nations,
@@ -1838,6 +1888,7 @@ ORACLES = {
     "string_fuzzy_match": STRING_FUZZY_SQL,
     "agg_price_histogram": AGG_HISTOGRAM_SQL,
     "join_salted_hot_keys": JOIN_SALTED_SQL,
+    "profile_orders": _profile_orders_sql(),
     "join_inner_enrich": JOIN_INNER_SQL,
     "join_left_outer_agg": JOIN_LEFT_SQL,
     "join_full_outer_nations": JOIN_FULL_SQL,
