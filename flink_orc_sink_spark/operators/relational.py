@@ -46,9 +46,10 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right_time <= left_time`` (direction='backward'), or the
-    earliest right row with ``right_time >= left_time``
-    (direction='forward'), on the same key.
+    ``right_time <= left_time`` (direction='backward'), the earliest
+    right row with ``right_time >= left_time`` (direction='forward'),
+    or whichever of those two is closer in time
+    (direction='nearest'; backward wins exact ties), on the same key.
 
     Implementation is the union + window ``last/first(ignorenulls)``
     trick: tag both sides, union them, sort within key by (time, side)
@@ -60,8 +61,10 @@ def asof_join(
     Returns the left rows plus ``right_value_cols`` (null when no
     right row precedes/follows).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lcols = left.columns
     tagged_r = right.select(
         F.col(right_on).alias("__key"),
@@ -78,6 +81,53 @@ def asof_join(
         *[F.col(c) for c in lcols],
     )
     unioned = tagged_r.unionByName(tagged_l)
+    if direction == "nearest":
+        # Both passes share ONE shuffle on __key; the two window sorts
+        # happen in-partition. Backward wins exact-distance ties (the
+        # pandas merge_asof convention is backward-biased too).
+        import pyspark.sql.types as _T
+
+        t_type = left.schema[left_time].dataType
+        if isinstance(t_type, (_T.TimestampType, _T.TimestampNTZType, _T.DateType)):
+            def _us(c: Column) -> Column:
+                return F.unix_micros(c.cast("timestamp"))
+        else:
+            def _us(c: Column) -> Column:
+                return c
+        wb = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t"), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        right_t = F.when(F.col("__side") == 0, F.col("__t"))
+        back_t = F.last(right_t, ignorenulls=True).over(wb)
+        fwd_t = F.first(right_t, ignorenulls=True).over(wf)
+        take_back = fwd_t.isNull() | (
+            back_t.isNotNull()
+            & ((_us(F.col("__t")) - _us(back_t)) <= (_us(fwd_t) - _us(F.col("__t"))))
+        )
+        carry = [
+            F.when(
+                take_back,
+                F.last(
+                    F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+                ).over(wb),
+            )
+            .otherwise(
+                F.first(
+                    F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+                ).over(wf)
+            )
+            .alias(c)
+            for c in right_value_cols
+        ]
+        carried = unioned.select(*lcols, F.col("__side"), *carry)
+        return carried.filter(F.col("__side") == 1).drop("__side")
     if direction == "backward":
         # Right rows sort before left rows at equal timestamps
         # (__side 0<1), so an exactly-equal right timestamp IS visible

@@ -123,3 +123,61 @@ def test_asof_join_forward(spark):
     # e1@10: right@10 counts (>=); e2@20: next right is @60;
     # e3@65: nothing at or after -> null; e4@5: right@1 is in the past -> null
     assert got == {("e1", 100.0), ("e2", 600.0), ("e3", None), ("e4", None)}
+
+
+def test_asof_join_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 24, "e2"), (1, 26, "e3"), (2, 5, "e4"), (3, 7, "e5")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 30, 300.0), (2, 50, 500.0)],
+        "k long, t long, px double",
+    )
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k",
+        left_time="t", right_time="t",
+        right_value_cols=["px"],
+        direction="nearest",
+    )
+    got = {(r.ev, r.px) for r in out.collect()}
+    # e1@10: back=8 (d2) vs fwd=30 (d20) -> 80; e2@24: back=8 (d16) vs
+    # fwd=30 (d6) -> 300; e3@26: fwd closer -> 300; e4@5: only fwd=50
+    # -> 500; e5: key 3 has no right rows -> null.
+    assert got == {
+        ("e1", 80.0), ("e2", 300.0), ("e3", 300.0), ("e4", 500.0), ("e5", None),
+    }
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, 20, "e")], "k long, t long, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 30, 300.0)], "k long, t long, px double"
+    )
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k",
+        left_time="t", right_time="t",
+        right_value_cols=["px"],
+        direction="nearest",
+    )
+    assert out.collect()[0].px == 100.0  # equal distance -> backward
+
+
+def test_asof_join_nearest_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", "e1")], "k long, t string, ev string"
+    ).selectExpr("k", "cast(t as timestamp) as t", "ev")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:09", 9.0), (1, "2024-01-01 00:00:12", 12.0)],
+        "k long, t string, px double",
+    ).selectExpr("k", "cast(t as timestamp) as t", "px")
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k",
+        left_time="t", right_time="t",
+        right_value_cols=["px"],
+        direction="nearest",
+    )
+    assert out.collect()[0].px == 9.0  # 1s back vs 2s forward
