@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis): distributed operators vs
+straightforward pandas/pure-Python reference implementations on
+randomized inputs. Catches the edge cases hand-picked fixtures miss —
+equal timestamps, empty groups, single-element arrays, all-duplicate
+corpora.
+
+Examples are deliberately small (Spark job per example); deadline is
+disabled because executor scheduling jitter would trip it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flink_orc_sink_spark.operators.dedup import _py_shingles
+from flink_orc_sink_spark.operators.relational import asof_join, topk_per_group
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=1, max_value=3)
+times = st.integers(min_value=0, max_value=50)
+vals = st.integers(min_value=0, max_value=1000)
+
+
+@st.composite
+def asof_inputs(draw):
+    left = draw(
+        st.lists(st.tuples(keys, times), min_size=1, max_size=12, unique=True)
+    )
+    right = draw(
+        st.lists(st.tuples(keys, times, vals), min_size=0, max_size=12,
+                 unique_by=lambda r: (r[0], r[1]))
+    )
+    return left, right
+
+
+def _ref_asof(left, right, direction):
+    """Pure-Python as-of reference: per left row, scan all right rows."""
+    out = {}
+    for k, t in left:
+        cands = [(rt, v) for rk, rt, v in right if rk == k]
+        back = max(((rt, v) for rt, v in cands if rt <= t), default=None)
+        fwd = min(((rt, v) for rt, v in cands if rt >= t), default=None)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        else:  # nearest, backward-biased ties
+            if back is None:
+                pick = fwd
+            elif fwd is None:
+                pick = back
+            else:
+                pick = back if (t - back[0]) <= (fwd[0] - t) else fwd
+        out[(k, t)] = pick[1] if pick else None
+    return out
+
+
+@given(asof_inputs(), st.sampled_from(["backward", "forward", "nearest"]))
+@SETTINGS
+def test_asof_join_matches_reference(spark, inputs, direction):
+    left, right = inputs
+    ldf = spark.createDataFrame(left, "k long, t long")
+    rdf = spark.createDataFrame(
+        right or [(99, 99, 0)], "k long, t long, v long"
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in asof_join(
+            ldf, rdf,
+            left_on="k", right_on="k",
+            left_time="t", right_time="t",
+            right_value_cols=["v"],
+            direction=direction,
+        ).collect()
+    }
+    assert got == _ref_asof(left, right or [(99, 99, 0)], direction)
+
+
+@given(
+    st.lists(st.tuples(keys, vals, st.integers(0, 10**6)), min_size=1,
+             max_size=20, unique_by=lambda r: r[2]),
+    st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_topk_per_group_matches_pandas(spark, rows, k):
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = sorted(
+        (r.g, r.v, r.id)
+        for r in topk_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], k
+        ).collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "v", "id"])
+    pdf = pdf.sort_values(["v", "id"], ascending=[False, True])
+    expected = sorted(
+        pdf.groupby("g").head(k).itertuples(index=False, name=None)
+    )
+    assert got == expected
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), max_size=6),
+)
+@SETTINGS
+def test_exact_dedup_keeps_one_per_normalized_text(spark, texts):
+    from flink_orc_sink_spark.operators.dedup import dedup_exact
+
+    rows = [(i, t) for i, t in enumerate(texts)] or [(0, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    survivors = dedup_exact(df, "doc_id", "text").collect()
+    norm = lambda s: " ".join(s.lower().split())
+    groups: dict[str, int] = {}
+    for i, t in rows:
+        groups.setdefault(norm(t), i)  # min doc_id = first (ids ascend)
+    assert sorted(r.doc_id for r in survivors) == sorted(groups.values())
+
+
+@given(st.lists(st.sampled_from(["wa", "wb", "wc", "wd"]), max_size=12),
+       st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_py_shingles_reference(spark, toks, k):
+    got = _py_shingles(toks, k)
+    if len(toks) >= k:
+        expected = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        expected = {" ".join(toks)}
+    assert got == expected
