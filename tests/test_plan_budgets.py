@@ -1,0 +1,66 @@
+"""Physical-plan shuffle budgets for flagship queries.
+
+Every `Exchange` is a cluster-wide shuffle; at 100 TB an accidental
+extra one is the difference between an hour and a day. These tests
+pin the exchange count (and broadcast-ness of dimension joins) of the
+flagship plans so a refactor that silently degrades the plan fails CI
+— the plan-shape contract SCALE.md documents.
+
+Counts are upper bounds ON THE COMPILED PLAN (before AQE runtime
+re-optimization, which only ever removes/merges work).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry
+
+# name -> (max shuffle exchanges, min broadcast exchanges)
+BUDGETS = {
+    "q1_pricing_summary": (1, 0),    # one partial-agg shuffle
+    "q6_forecast_revenue": (1, 0),   # scan → filter → single agg
+    "q3_shipping_priority": (1, 2),  # lineitem agg shuffle; 2 dims broadcast
+    "q5_local_supplier_volume": (2, 3),
+    "q10_returned_items": (2, 2),
+    "window_running_total": (1, 0),  # one window shuffle
+    "sort_global_topk": (0, 0),      # TakeOrderedAndProject, no exchange
+    "docs_token_stats": (0, 0),      # map-only
+    "docs_repetition_ratio": (0, 0),  # map-only
+    "docs_hash_sample": (0, 0),      # pushed predicate, map-only
+    "events_tumbling_hourly": (1, 0),
+    "agg_price_histogram": (1, 0),
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, sf_dir, name):
+    max_shuffles, min_broadcasts = BUDGETS[name]
+    plan = _plan(entry.queries()[name](spark, sf_dir))
+    # formatted output shows each node twice (tree + detail); count
+    # the numbered detail headers, which are unique per node.
+    shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    broadcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+    assert shuffles <= max_shuffles, (
+        f"{name}: {shuffles} shuffle exchanges (budget {max_shuffles})\n{plan}"
+    )
+    assert broadcasts >= min_broadcasts, (
+        f"{name}: {broadcasts} broadcast exchanges (expected ≥ {min_broadcasts})"
+        f"\n{plan}"
+    )
+
+
+def test_sort_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(entry.queries()["sort_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never global sort + limit
