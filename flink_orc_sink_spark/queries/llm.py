@@ -847,6 +847,41 @@ GROUP BY t.doc_id
 """
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 5 docs per source, chosen by
+    md5-hash order (rerun- and partitioning-stable, unlike
+    ``sampleBy``). One window shuffle on the stratum key; the hash
+    order de-biases against doc_id correlation. The eval-set
+    construction primitive."""
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.functions.text import hash32
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source", "lang", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+STRATIFIED_SQL = """
+SELECT doc_id, source, lang, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT doc_id, source, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+               doc_id
+    ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""
+
+
 def docs_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies, top 100 — word count, the canonical
     distributed aggregation (explode → map-side partial count → one
@@ -908,6 +943,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_contamination": docs_contamination,
     "docs_hash_sample": docs_hash_sample,
+    "docs_stratified_sample": docs_stratified_sample,
     "docs_top_tokens": docs_top_tokens,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
@@ -935,6 +971,7 @@ ORACLES = {
     "docs_pack_sequences": PACK_SQL,
     "docs_contamination": CONTAMINATION_SQL,
     "docs_hash_sample": HASH_SAMPLE_SQL,
+    "docs_stratified_sample": STRATIFIED_SQL,
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
