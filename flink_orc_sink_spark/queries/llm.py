@@ -927,6 +927,152 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
 """
 
 
+def _plant_pii(d: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII keyed by doc_id (the corpus
+    text is PII-free word salad, so the fixture plants known emails /
+    phones / IPv4s to exercise the scrubber; the oracle plants the
+    identical strings)."""
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(did % 7 == 0, F.lit(" call +1 555-000-1234"))
+        .when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from host 10.0.0."),
+                (did % 255).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.withColumn("t", F.concat(F.col("text"), suffix))
+
+
+PII_PLANT_SQL = """
+SELECT doc_id, source,
+  text || CASE
+    WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN doc_id % 7 = 0 THEN ' call +1 555-000-1234'
+    WHEN doc_id % 11 = 0 THEN ' from host 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) || ' today'
+    ELSE '' END AS t
+FROM documents
+"""
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per source, how many emails/phones/IPs were
+    redacted and how many characters the scrub removed. The scrub +
+    counts are one scan-fused projection (``functions/pii.py``), then
+    one tiny groupBy — the exact shape a 100 TB scrub job has."""
+    from flink_orc_sink_spark.functions import pii
+
+    d = _plant_pii(table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    scrubbed = pii.scrub_pii(t)
+    return (
+        d.select(
+            F.col("source"),
+            pii.count_emails(t).alias("e"),
+            pii.count_phones(t).alias("p"),
+            pii.count_ipv4(t).alias("i"),
+            (F.length(t) - F.length(scrubbed)).cast("long").alias("delta"),
+            (scrubbed == t).cast("int").alias("clean"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_ips"),
+            F.sum("delta").alias("chars_removed"),
+            F.sum("clean").cast("long").alias("n_clean_docs"),
+        )
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH planted AS ({PII_PLANT_SQL}),
+scrubbed AS (
+  SELECT source, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\+\\d{{1,2}} \\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+      '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS s,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS e,
+    len(regexp_extract_all(t, '\\+\\d{{1,2}} \\d{{3}}-\\d{{3}}-\\d{{4}}')) AS p,
+    len(regexp_extract_all(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS i
+  FROM planted
+)
+SELECT source,
+  CAST(SUM(e) AS BIGINT) AS n_emails,
+  CAST(SUM(p) AS BIGINT) AS n_phones,
+  CAST(SUM(i) AS BIGINT) AS n_ips,
+  CAST(SUM(length(t) - length(s)) AS BIGINT) AS chars_removed,
+  CAST(SUM(CASE WHEN s = t THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs
+FROM scrubbed GROUP BY source
+"""
+
+
+def docs_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats over planted URLs: doc count and
+    distinct sources per host. Regex extract is scan-fused; the only
+    shuffle is the tiny groupBy on domain."""
+    from flink_orc_sink_spark.functions import pii
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (did % 20).cast("string"),
+                    F.lit(".example.org/p/"),
+                    did.cast("string"),
+                    F.lit(" next"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        planted.select("source", pii.url_domain(F.col("t")).alias("domain"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+URL_DOMAINS_SQL = """
+WITH planted AS (
+  SELECT source,
+    text || CASE WHEN doc_id % 3 = 0
+      THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' next'
+      ELSE '' END AS t
+  FROM documents
+)
+SELECT regexp_extract(t, 'https?://([^/\\s]+)', 1) AS domain,
+  COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+FROM planted
+WHERE regexp_extract(t, 'https?://([^/\\s]+)', 1) <> ''
+GROUP BY domain
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_lang_distribution": docs_lang_distribution,
@@ -948,6 +1094,8 @@ QUERIES = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_chunk_tokens": docs_chunk_tokens,
+    "docs_pii_scrub": docs_pii_scrub,
+    "docs_url_domains": docs_url_domains,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
@@ -976,6 +1124,8 @@ ORACLES = {
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_chunk_tokens": CHUNK_SQL,
+    "docs_pii_scrub": PII_SCRUB_SQL,
+    "docs_url_domains": URL_DOMAINS_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
