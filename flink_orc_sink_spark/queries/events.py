@@ -398,8 +398,68 @@ GROUP BY wd
 """
 
 
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate anomaly detection: hours where a user's
+    event count is ≥2 sample standard deviations from that user's
+    mean hourly rate. Two cheap shuffles (hour×user count, then
+    per-user moments); the per-user stats table is tiny and
+    broadcast back onto the hourly counts.
+
+    Determinism contract: mean/variance are derived from exact
+    integer sums (n, Σn, Σn²) with the identical double-op order on
+    both engines, and the z-score is rounded via floor(x·1e4+0.5)/1e4
+    — no engine-native stddev/ROUND in the compare path."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "user_id")
+    mean = F.col("s").cast("double") / F.col("cnt")
+    var = (
+        F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        j.filter((F.col("cnt") >= 2) & (var > 0) & (F.abs(z) >= 2))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("n").alias("n_events"),
+            (F.floor(z * 10000 + 0.5) / 10000).cast("double").alias("zscore"),
+        )
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS window_start, COUNT(*) AS n
+  FROM events GROUP BY user_id, window_start
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS cnt,
+         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n*n) AS BIGINT) AS ss
+  FROM hourly GROUP BY user_id
+)
+SELECT user_id, window_start, n AS n_events,
+  CAST(FLOOR((n - CAST(s AS DOUBLE)/cnt)
+       / sqrt((ss - CAST(s AS DOUBLE)*s/cnt)/(cnt-1)) * 10000 + 0.5)/10000
+       AS DOUBLE) AS zscore
+FROM hourly JOIN stats USING (user_id)
+WHERE cnt >= 2
+  AND (ss - CAST(s AS DOUBLE)*s/cnt)/(cnt-1) > 0
+  AND ABS((n - CAST(s AS DOUBLE)/cnt)
+          / sqrt((ss - CAST(s AS DOUBLE)*s/cnt)/(cnt-1))) >= 2
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "events_hourly_anomaly": events_hourly_anomaly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "events_sessionize_10m": events_sessionize_10m,
     "events_json_extract": events_json_extract,
@@ -413,6 +473,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_hourly": TUMBLING_SQL,
+    "events_hourly_anomaly": ANOMALY_SQL,
     "events_sliding_1h_30m": SLIDING_SQL,
     "events_sessionize_10m": SESSIONIZE_SQL,
     "events_json_extract": JSON_SQL,

@@ -1073,8 +1073,53 @@ GROUP BY domain
 """
 
 
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per document (CCNet-style filtering):
+    average negative log-likelihood of the doc's tokens under the
+    corpus's own unigram distribution. Lower = more typical text;
+    training pipelines drop the high-perplexity tail.
+
+    Shape at 100 TB: one token-count aggregation (shuffle on token),
+    then the vocabulary table — bounded, orders of magnitude smaller
+    than the corpus — broadcasts back onto the token stream, and the
+    per-doc average is a map-side-combinable groupBy(doc_id). The
+    double math (÷, ln, avg) uses the identical op order on both
+    engines and rounds via floor(x·1e4+0.5)/1e4."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("tot"))
+    vocab = freq.crossJoin(F.broadcast(tot))
+    nll = -F.log(F.col("n").cast("double") / F.col("tot"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens_scored"),
+            (F.floor(F.avg(nll) * 10000 + 0.5) / 10000)
+            .cast("double")
+            .alias("lm_score"),
+        )
+    )
+
+
+LM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM freq)
+SELECT doc_id, COUNT(*) AS n_tokens_scored,
+  CAST(FLOOR(AVG(-ln(CAST(n AS DOUBLE)/tot)) * 10000 + 0.5)/10000 AS DOUBLE)
+    AS lm_score
+FROM toks JOIN freq USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
+    "docs_lm_score": docs_lm_score,
     "docs_lang_distribution": docs_lang_distribution,
     "docs_quality_scores": docs_quality_scores,
     "docs_quality_filter": docs_quality_filter,
@@ -1105,6 +1150,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_token_stats": TOKEN_STATS_SQL,
+    "docs_lm_score": LM_SCORE_SQL,
     "docs_lang_distribution": _lang_sql(),
     "docs_quality_scores": QUALITY_SQL,
     "docs_quality_filter": _quality_filter_sql(),
