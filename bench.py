@@ -36,6 +36,9 @@ HEADLINE = [
     "docs_simhash_pairs",
     "docs_winnow_fingerprints",
     "docs_token_stats",
+    "docs_pii_scrub",
+    "docs_lm_score",
+    "events_hourly_anomaly",
     "docs_neardup_survivors",
     "docs_contamination",
     "docs_pack_sequences",
