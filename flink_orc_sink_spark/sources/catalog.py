@@ -44,6 +44,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Calendar extraction (year/date_trunc/window/cast-to-date) on a
+    # Spark timestamp is session-timezone dependent, while the DuckDB
+    # oracles are timezone-naive. Pin UTC here — runtime-settable, like
+    # nanosAsLong — so results are identical under any caller's session
+    # (the driver uses its own), not just our tuned get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
