@@ -10,14 +10,16 @@ SQL-expressible) a DuckDB oracle string — the driver contract in
   on the event stream (SURVEY.md §2.3 batch-equivalents).
 - ``llm``: text analysis, dedup families, similarity search, and
   multimodal metadata (north-star extensions).
+- ``engine``: the ORC sink and the Structured Streaming runtime
+  themselves, value-checked against batch oracles.
 """
 
-from flink_orc_sink_spark.queries import events, llm, relational
+from flink_orc_sink_spark.queries import engine, events, llm, relational
 
 
 def all_queries():
     merged = {}
-    for mod in (relational, events, llm):
+    for mod in (relational, events, llm, engine):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -27,6 +29,6 @@ def all_queries():
 
 def all_oracles():
     merged = {}
-    for mod in (relational, events, llm):
+    for mod in (relational, events, llm, engine):
         merged.update(mod.ORACLES)
     return merged
