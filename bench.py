@@ -45,6 +45,8 @@ HEADLINE = [
     "q21_exclusive_returns",
     "emb_cosine_topk",
     "emb_lsh_ann_topk",
+    "orc_roundtrip_events",
+    "stream_tumbling_hourly",
 ]
 
 

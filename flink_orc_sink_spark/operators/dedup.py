@@ -525,13 +525,17 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         nbr = edges.join(labels, edges.src == labels.doc).select(
             F.col("dst").alias("doc"), F.col("label")
         )
+        # Lazy checkpoint: the change-count job below is the first to
+        # compute new_labels, so it materializes the checkpoint as a
+        # side effect — one Spark job per round instead of two (labels
+        # only ever decrease, so "changed" is a strict < filter).
         new_labels = (
             labels.union(nbr).groupBy("doc").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
+            .filter(F.col("n.label") < F.col("o.label"))
             .count()
         )
         labels = new_labels
