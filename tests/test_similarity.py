@@ -113,3 +113,43 @@ def test_lsh_neardup_matches_exact_on_clustered(spark, clustered):
     assert exact, "fixture should contain near-dup pairs"
     recall = len(lsh) / len(exact)
     assert recall >= 0.95, f"LSH near-dup recall {recall:.3f}"
+
+
+def test_ivf_persisted_index_prunes_and_recalls(spark, clustered, tmp_path):
+    from flink_orc_sink_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(clustered, "vec_id", "embedding", idx, nlist=20)
+    queries = clustered.filter("vec_id < 40")
+
+    exact = _topk_sets(
+        brute_force_topk(queries, clustered, "vec_id", "vec_id",
+                         "embedding", "embedding", k=5)
+    )
+    got = ivf_search(spark, queries, idx, "vec_id", "embedding",
+                     k=5, nprobe=4)
+    approx = _topk_sets(got)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"persisted IVF recall {recall:.3f} < 0.9"
+
+    # partition pruning: a cell-filtered read of the index must list
+    # strictly fewer files than the full index holds (the pruning
+    # ivf_search relies on via its isin(probed) filter).
+    import glob
+
+    from pyspark.sql import functions as F
+
+    all_cells = glob.glob(f"{idx}/data/cell=*")
+    assert len(all_cells) >= 15  # 20 clusters -> ~20 populated cells
+    full = spark.read.parquet(f"{idx}/data")
+    pruned = full.filter(F.col("cell").isin([0, 1]))
+
+    def files_read(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    assert 0 < files_read(pruned) <= 2 < files_read(full)
