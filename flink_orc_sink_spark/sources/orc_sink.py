@@ -75,6 +75,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_orc_table(
+    df: DataFrame,
+    table_name: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Write a CATALOG-REGISTERED partitioned ORC table.
+
+    The reference's commit step registers every new date bucket as a
+    Hive partition so warehouse queries see it immediately
+    (``RowOrcBucketingSink.java`` commit path; ``README.md:7-22`` —
+    "hive could read it"). ``saveAsTable`` is the Spark-native
+    equivalent: data + partition metadata land in the session catalog
+    atomically, ``SHOW PARTITIONS`` / ``spark.table(name)`` work, and
+    on a cluster the same call against a Hive metastore gives every
+    engine (Trino, Hive, Spark) the table."""
+    writer = (
+        df.write.format("orc").mode(mode).option("compression", compression)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(table_name)
+
+
 def compact_orc(
     spark: SparkSession,
     path: str,

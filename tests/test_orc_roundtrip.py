@@ -100,3 +100,30 @@ def test_sort_within_partitions_clusters_stripes(spark, tmp_path):
         col = pa_orc.ORCFile(str(p)).read(columns=["ts_key"])["ts_key"]
         vals = col.to_pylist()
         assert vals == sorted(vals), f"{p.name} not clustered on ts_key"
+
+
+def test_write_orc_table_registers_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.sources.catalog import table
+    from flink_orc_sink_spark.sources.orc_sink import write_orc_table
+
+    e = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    spark.sql("DROP TABLE IF EXISTS events_orc_tbl")
+    write_orc_table(e, "events_orc_tbl", partition_cols=["dt"])
+    try:
+        back = spark.table("events_orc_tbl")
+        assert back.count() == e.count()
+        n_parts = spark.sql("SHOW PARTITIONS events_orc_tbl").count()
+        n_days = e.select("dt").distinct().count()
+        assert n_parts == n_days > 0
+        # catalog reports it as an ORC table
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED events_orc_tbl").collect()
+        }
+        assert "orc" in desc.get("Provider", "").lower()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_orc_tbl")
