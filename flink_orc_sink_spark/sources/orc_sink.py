@@ -32,6 +32,7 @@ files, which is what a 100 TB table wants.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_orc(
@@ -98,6 +99,49 @@ def write_orc_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.saveAsTable(table_name)
+
+
+def upsert_orc_partitions(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    compression: str = "zstd",
+) -> None:
+    """Upsert into a partitioned ORC directory, rewriting ONLY the
+    partitions the updates touch (``partitionOverwriteMode=dynamic``).
+
+    Semantics: within each touched partition, rows whose ``key_cols``
+    match an update are replaced; everything else is carried over;
+    new keys are appended. Partitions with no updates are not read,
+    not written, not listed — at 100 TB a one-day correction costs
+    one day's I/O, not the table's.
+
+    The merge itself is one anti-join (existing minus updated keys)
+    unioned with the updates, shuffled on the partition columns so
+    each output partition is written by one task.
+    """
+    touched = updates.select(*partition_cols).distinct()
+    existing = spark.read.orc(base_path).join(
+        F.broadcast(touched), partition_cols, "left_semi"
+    )
+    merged = existing.join(updates, key_cols, "left_anti").unionByName(
+        updates
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .format("orc")
+            .option("compression", compression)
+            .partitionBy(*partition_cols)
+            .save(base_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_orc(

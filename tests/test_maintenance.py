@@ -63,3 +63,42 @@ def test_profile_table(spark, sf_dir):
     # single-pass: profiling must not error on mixed types, and min/max
     # stringification keeps one schema for all columns
     assert prof["lang"].max_str >= prof["lang"].min_str
+
+
+def test_upsert_orc_partitions_rewrites_only_touched(spark, tmp_path):
+    import glob
+    import os
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        upsert_orc_partitions,
+        write_orc,
+    )
+
+    base = str(tmp_path / "upsert_base")
+    rows = [(i, f"d{i % 3}", f"v{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, dt string, val string")
+    write_orc(df, base, partition_cols=["dt"])
+
+    untouched_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{base}/dt=d1/*.orc")
+    }
+    assert untouched_before
+
+    # update two existing keys in d0 and add one new key in d0
+    updates = spark.createDataFrame(
+        [(0, "d0", "UPDATED"), (3, "d0", "UPDATED"), (999, "d0", "NEW")],
+        "id long, dt string, val string",
+    )
+    upsert_orc_partitions(spark, base, updates, ["id"], ["dt"])
+
+    back = spark.read.orc(base)
+    assert back.count() == 31  # 30 original + 1 new key
+    got = {r.id: r.val for r in back.filter("dt = 'd0'").collect()}
+    assert got[0] == "UPDATED" and got[3] == "UPDATED" and got[999] == "NEW"
+    assert got[6] == "v6"  # untouched row in the touched partition survives
+
+    # partitions without updates: same files, same mtimes
+    untouched_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{base}/dt=d1/*.orc")
+    }
+    assert untouched_after == untouched_before
