@@ -1505,14 +1505,36 @@ def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch (approx_count_distinct): distinct
     customers per segment at bounded memory — THE 100 TB cardinality
     path (exact distinct shuffles every key; the sketch shuffles a few
-    KB per group and merges order-independently). No SQL oracle: HLL
-    estimates are engine-specific; accuracy vs exact is asserted in
-    tests/test_sketches.py (rsd 5%)."""
+    KB per group and merges order-independently).
+
+    The raw HLL estimate is engine-specific, so the ORACLE-CHECKED
+    surface is the sketch's error-bound CONTRACT: per group we emit
+    the exact distinct count plus a boolean "estimate within the
+    configured 5% rsd (3-sigma)" — DuckDB asserts the exact count and
+    expects the verdict TRUE. A drifting sketch flips the hash."""
     c = table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.approx_count_distinct("c_custkey", rsd=0.05).alias("approx_customers"),
-        F.count("*").alias("n_rows"),
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("c_custkey", rsd=0.05).alias("approx"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            (
+                F.abs(F.col("approx") - F.col("n_customers"))
+                <= 0.15 * F.col("n_customers")
+            ).alias("within_rsd_bound"),
+        )
     )
+
+
+APPROX_SKETCH_SQL = """
+SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers,
+  TRUE AS within_rsd_bound
+FROM customer GROUP BY c_mktsegment
+"""
 
 
 def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1901,6 +1923,7 @@ ORACLES = {
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
+    "agg_approx_distinct_sketch": APPROX_SKETCH_SQL,
     "window_topk_per_customer": WINDOW_TOPK_SQL,
     "window_rank_dense": WINDOW_RANK_SQL,
     "window_running_total": WINDOW_RUNNING_SQL,
