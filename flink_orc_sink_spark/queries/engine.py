@@ -117,12 +117,69 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline, end to end, value-checked: replayable
+    source → exactly-once streaming ORC sink (checkpointed,
+    date-partitioned like the demo's Hive layout) → committed read.
+
+    The oracle is ``SELECT * FROM events``: a hash match proves no
+    row was lost, duplicated, or altered crossing the streaming
+    commit boundary — the reference's exactly-once claim
+    (``README.md:3``) as a value-level assertion. (Crash/restart
+    idempotence is the kill/restart pytest; this query gates the
+    happy path on every driver run.)"""
+    global _STREAM_SEQ
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        read_committed_orc,
+        stream_from_files,
+        stream_write_orc,
+    )
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_pipe_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    _STREAM_SEQ += 1
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_pipe_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    import shutil
+
+    # A stale run's _spark_metadata manifest under the same path would
+    # conflict with this run's fresh checkpoint (batch ids restart at
+    # 0); the sink owns the directory, so start clean.
+    shutil.rmtree(out, ignore_errors=True)
+    with tempfile.TemporaryDirectory(prefix="stream_pipe_ckpt_") as ckpt:
+        sdf = (
+            stream_from_files(spark, stage, raw_schema)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("dt", F.to_date("ts"))
+        )
+        q = stream_write_orc(
+            sdf,
+            out,
+            checkpoint=ckpt,
+            partition_cols=["dt"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return read_committed_orc(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 QUERIES = {
     "orc_roundtrip_events": orc_roundtrip_events,
     "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
 ORACLES = {
     "orc_roundtrip_events": ORC_ROUNDTRIP_SQL,
     "stream_tumbling_hourly": TUMBLING_SQL,
+    "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }
