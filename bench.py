@@ -47,6 +47,7 @@ HEADLINE = [
     "emb_lsh_ann_topk",
     "orc_roundtrip_events",
     "stream_tumbling_hourly",
+    "stream_orc_pipeline_events",
 ]
 
 
