@@ -71,3 +71,23 @@ def test_events_to_orc_pipeline(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("day=") for d in os.listdir(out))
+
+
+def test_curation_pipeline_example(spark, sf_dir, tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "curation_pipeline.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    counts = mod.run(spark, sf_dir, str(tmp_path / "curated"))
+    assert counts["input"] >= counts["after_quality_gate"] >= counts["after_exact_dedup"]
+    assert counts["after_exact_dedup"] >= counts["after_neardup_dedup"] > 0
+    assert counts["written"] == counts["after_neardup_dedup"]
