@@ -1438,6 +1438,46 @@ FROM embeddings
 """
 
 
+def map_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function coverage: ``create_map`` from columns,
+    ``map_concat`` with a computed entry, ``map_filter``, and
+    ``map_entries``→explode back to rows. The map stays inside the
+    row (no shuffle of map values); the output is exploded to plain
+    (key, value) rows so the value-hash compare never depends on map
+    ordering. The oracle rebuilds the same entries relationally."""
+    o = table(spark, sf_dir, "orders")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ),
+        F.create_map(
+            F.lit("bucket"),
+            F.when(F.col("o_totalprice") > 200000, F.lit("big")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        ),
+    )
+    kept = F.map_filter(m, lambda k, v: v.isNotNull())
+    return (
+        o.select(F.explode(F.map_entries(kept)).alias("e"))
+        .select(F.col("e.key").alias("attr"), F.col("e.value").alias("val"))
+        .groupBy("attr", "val")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT attr, val, COUNT(*) AS n_orders FROM (
+  SELECT 'status' AS attr, o_orderstatus AS val FROM orders
+  UNION ALL
+  SELECT 'priority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'bucket', 'big' FROM orders WHERE o_totalprice > 200000
+) GROUP BY attr, val
+"""
+
+
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — identical
     definition in Spark ``percentile`` and DuckDB ``quantile_cont``).
@@ -1881,6 +1921,7 @@ QUERIES = {
     "agg_pivot_segments": agg_pivot_segments,
     "unpivot_part_measures": unpivot_part_measures,
     "array_funcs_showcase": array_funcs_showcase,
+    "map_funcs_showcase": map_funcs_showcase,
     "agg_exact_percentiles": agg_exact_percentiles,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
 }
@@ -1946,5 +1987,6 @@ ORACLES = {
     "agg_pivot_segments": AGG_PIVOT_SQL,
     "unpivot_part_measures": UNPIVOT_SQL,
     "array_funcs_showcase": ARRAY_FUNCS_SQL,
+    "map_funcs_showcase": MAP_FUNCS_SQL,
     "agg_exact_percentiles": PERCENTILES_SQL,
 }
