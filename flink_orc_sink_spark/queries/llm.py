@@ -508,6 +508,34 @@ FROM wm WHERE i <= greatest(max_i - {w - 1}, 1)
 """
 
 
+def docs_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring report: winnowing
+    fingerprints shared by ≥2 documents — the substring-level dedup
+    signal (boilerplate, licenses, templated passages) that doc-level
+    near-dedup misses. One fingerprint shuffle, group sizes bounded
+    by document frequency; at 100 TB the heavy hitters ARE the
+    boilerplate you want surfaced first."""
+    d = table(spark, sf_dir, "documents")
+    fps = dd.winnow_fingerprints(d, "doc_id", "text")
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.min("doc").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _repeated_substrings_sql() -> str:
+    return f"""
+WITH fps AS ({_winnow_sql()})
+SELECT fp, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+  MIN(doc) AS first_doc
+FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc) >= 2
+"""
+
+
 def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context chunking via a Python UDTF (SURVEY.md §2.4 UDTF row):
     each document explodes into 10-token training chunks with index
@@ -1138,6 +1166,7 @@ QUERIES = {
     "docs_top_tokens": docs_top_tokens,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "docs_repeated_substrings": docs_repeated_substrings,
     "docs_chunk_tokens": docs_chunk_tokens,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_url_domains": docs_url_domains,
@@ -1169,6 +1198,7 @@ ORACLES = {
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
+    "docs_repeated_substrings": _repeated_substrings_sql(),
     "docs_chunk_tokens": CHUNK_SQL,
     "docs_pii_scrub": PII_SCRUB_SQL,
     "docs_url_domains": URL_DOMAINS_SQL,
