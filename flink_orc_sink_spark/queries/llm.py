@@ -657,6 +657,68 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per embedding: absmax scale,
+    `q = floor(v/scale*127)` codes, and the reconstruction error the
+    compression costs — the 4× storage/bandwidth lever for a 100 TB
+    vector corpus (serve int8, re-rank the shortlist in float).
+
+    Pure in-row array math (transform/aggregate HOFs, no shuffle);
+    every double op has the identical order in the DuckDB oracle and
+    rounding is the floor(x·1e6+0.5)/1e6 convention, so the audit is
+    value-hash checkable."""
+    e = table(spark, sf_dir, "embeddings")
+    scale = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    err_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc
+        + F.abs(
+            v.cast("double")
+            - F.floor(v.cast("double") / F.col("scale") * 127)
+            * F.col("scale")
+            / 127
+        ),
+    )
+    return (
+        e.select("vec_id", "embedding", scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            (F.floor(F.col("scale") * 1000000 + 0.5) / 1000000)
+            .cast("double")
+            .alias("absmax"),
+            (
+                F.floor(err_sum / F.size("embedding") * 1000000 + 0.5)
+                / 1000000
+            )
+            .cast("double")
+            .alias("mean_abs_err"),
+        )
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+    list_aggregate(list_transform(embedding, v -> abs(v::DOUBLE)), 'max')
+      AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(FLOOR(scale * 1000000 + 0.5) / 1000000 AS DOUBLE) AS absmax,
+  CAST(FLOOR(
+    list_sum(list_transform(embedding,
+      v -> abs(v::DOUBLE - FLOOR(v::DOUBLE / scale * 127) * scale / 127)))
+    / len(embedding) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS mean_abs_err
+FROM scaled WHERE scale > 0
+"""
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine ≥ 0.9."""
     from flink_orc_sink_spark.operators.similarity import (
@@ -1174,6 +1236,7 @@ QUERIES = {
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_quantize_int8": emb_quantize_int8,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1204,5 +1267,6 @@ ORACLES = {
     "docs_url_domains": URL_DOMAINS_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }
