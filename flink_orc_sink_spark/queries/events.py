@@ -457,6 +457,92 @@ WHERE cnt >= 2
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts):
+    for each user's time-ordered stream, count (prev_type → next_type)
+    pairs — the building block of next-event prediction features and
+    session-path mining.
+
+    One shuffle (window partition on user_id; the groupBy reuses
+    nothing but is O(|types|²) ≤ 25 groups, map-side combined). The
+    window never sees an unpartitioned sort, so the plan holds when
+    one user has millions of events only if user streams fit a
+    partition — for whale users, pre-split by (user_id, day) first.
+    Pure integer counts, ordered by ts with event_id tie-break —
+    deterministic on both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion histogram: for each user whose first
+    'purchase' follows their first 'view', bucket the delay into
+    whole hours and count users per bucket. All math in integer
+    microseconds (``unix_micros`` ↔ ``epoch_us``) with integer
+    division — bit-exact on both engines.
+
+    Scale shape: one shuffle to per-user min timestamps (map-side
+    combined conditional MINs, no self-join), then an O(buckets)
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase_us"),
+    )
+    return (
+        per_user.filter(
+            F.col("first_purchase_us") > F.col("first_view_us")
+        )
+        .withColumn(
+            "lag_hours",
+            F.expr(
+                "(first_purchase_us - first_view_us) div 3600000000"
+            ),
+        )
+        .groupBy("lag_hours")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+CONVERSION_LAG_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+  FROM events GROUP BY user_id
+)
+SELECT CAST((first_purchase_us - first_view_us) // 3600000000 AS BIGINT)
+         AS lag_hours,
+       COUNT(*) AS n_users
+FROM per_user
+WHERE first_purchase_us > first_view_us
+GROUP BY lag_hours
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_hourly_anomaly": events_hourly_anomaly,
