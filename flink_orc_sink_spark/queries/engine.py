@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.queries.events import TUMBLING_SQL
-from flink_orc_sink_spark.sources.catalog import table
+from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
 from flink_orc_sink_spark.sources.orc_sink import read_orc, write_orc
 
 _STREAM_SEQ = 0
@@ -77,10 +77,8 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (read-only) source file in a scratch dir.
     stage = tempfile.mkdtemp(prefix="stream_q_src_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
     )
     agg = (
         sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -153,11 +151,9 @@ def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0); the sink owns the directory, so start clean.
     shutil.rmtree(out, ignore_errors=True)
     with tempfile.TemporaryDirectory(prefix="stream_pipe_ckpt_") as ckpt:
-        sdf = (
+        sdf = normalize_events_ts(
             stream_from_files(spark, stage, raw_schema)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .withColumn("dt", F.to_date("ts"))
-        )
+        ).withColumn("dt", F.to_date("ts"))
         q = stream_write_orc(
             sdf,
             out,

@@ -555,6 +555,8 @@ QUERIES = {
     "events_daily_retention": events_daily_retention,
     "events_click_attribution": events_click_attribution,
     "events_rolling_7d_active": events_rolling_7d_active,
+    "events_markov_transitions": events_markov_transitions,
+    "events_conversion_lag": events_conversion_lag,
 }
 
 ORACLES = {
@@ -569,4 +571,6 @@ ORACLES = {
     "events_daily_retention": RETENTION_SQL,
     "events_click_attribution": ATTRIBUTION_SQL,
     "events_rolling_7d_active": ROLLING_ACTIVE_SQL,
+    "events_markov_transitions": MARKOV_SQL,
+    "events_conversion_lag": CONVERSION_LAG_SQL,
 }

@@ -34,11 +34,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table as a DataFrame (lazy scan).
 
-    ``events.ts`` is a nanosecond parquet timestamp (TIMESTAMP(NANOS)),
-    which Spark's reader rejects outright (PARQUET_TYPE_ILLEGAL). The
-    supported ingestion path is ``nanosAsLong`` (read ns as int64) plus
-    an explicit ns→µs conversion — truncating division, which matches
-    what DuckDB does when it reads the same file. The conf is set here
+    ``events.ts`` has shipped in two physical forms across driver data
+    generations: TIMESTAMP(NANOS) (which Spark's reader rejects —
+    PARQUET_TYPE_ILLEGAL — so we read via ``nanosAsLong`` + truncating
+    ns→µs division, matching DuckDB) and plain TIMESTAMP(MICROS)
+    without timezone (which Spark reads as TIMESTAMP_NTZ). Both are
+    normalized here to a session-timezone TIMESTAMP whose instant is
+    the naive wall time read as UTC — the same epoch microseconds
+    DuckDB's ``epoch_us`` yields on the naive value — via
+    ``timestamp_micros(µs-since-epoch)``, which is session-timezone
+    INDEPENDENT (no cast through the tz-dependent NTZ→TZ path), so
+    downstream ``unix_micros`` / ``window`` / ``date_trunc`` are
+    deterministic under any caller's session. The confs are set here
     (runtime-settable) so it works under any caller's SparkSession,
     including the driver's.
     """
@@ -53,11 +60,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` from any shipped physical form (ns-as-
+    long under ``nanosAsLong``, or µs TIMESTAMP_NTZ) to a session-tz
+    TIMESTAMP whose instant is the naive wall time read as UTC. Works
+    on batch and streaming DataFrames alike (pure column expressions,
+    no actions)."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return df
 
 
 def load_tables(

@@ -135,3 +135,74 @@ def test_extract_audio_features_stub_raises(spark):
         extract_audio_features(
             df, "media_id", "blob", kernel=extract_audio_kernel
         ).collect()
+
+
+# --- real container-header parsing (no codecs needed) -----------------
+
+def test_parse_media_dims_roundtrips_planted_containers():
+    from flink_orc_sink_spark.operators.multimodal import (
+        parse_media_dims,
+        plant_media_blob,
+    )
+
+    for mid in list(range(0, 40)) + [1023, 4095, 65537]:
+        fmt, w, h, sr, dur = parse_media_dims(plant_media_blob(mid))
+        m = mid % 4
+        if m == 0:
+            assert (fmt, w, h, sr, dur) == (
+                "png", mid % 1024 + 1, mid % 768 + 1, None, None)
+        elif m == 1:
+            assert (fmt, w, h, sr, dur) == (
+                "gif", mid % 640 + 1, mid % 480 + 1, None, None)
+        elif m == 2:
+            rate = 8000 + (mid % 8) * 1000
+            data = (mid % 64 + 1) * 32
+            assert (fmt, w, h, sr, dur) == (
+                "wav", None, None, rate, data * 1000 // (rate * 2))
+        else:
+            assert (fmt, w, h, sr, dur) == (
+                "jpeg", mid % 2048 + 1, mid % 1536 + 1, None, None)
+
+
+def test_parse_media_dims_garbage_and_truncated():
+    from flink_orc_sink_spark.operators.multimodal import (
+        parse_media_dims,
+        plant_media_blob,
+    )
+
+    assert parse_media_dims(b"") == (None, None, None, None, None)
+    assert parse_media_dims(b"not a container") == (
+        None, None, None, None, None)
+    # Truncated PNG (signature only, no IHDR): unknown, not a crash.
+    assert parse_media_dims(b"\x89PNG\r\n\x1a\n")[0] is None
+    # Truncated JPEG (SOI only): recognized container, no dims.
+    assert parse_media_dims(b"\xff\xd8\xff") == (
+        "jpeg", None, None, None, None)
+    # Truncated WAV (no chunks after the RIFF/WAVE preamble).
+    assert parse_media_dims(b"RIFF\x04\x00\x00\x00WAVE") == (
+        "wav", None, None, None, None)
+    # JPEG whose SOF sits behind an APP0 segment (marker walk).
+    real = plant_media_blob(3)
+    app0 = b"\xff\xd8" + b"\xff\xe0" + (6).to_bytes(2, "big") + b"JFIF" + real[2:]
+    assert parse_media_dims(app0)[0] == "jpeg"
+    assert parse_media_dims(app0)[1] == 3 % 2048 + 1
+
+
+def test_decode_media_dims_distributed(spark):
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_media,
+        decode_media_dims,
+    )
+
+    df = spark.range(0, 64).withColumnRenamed("id", "media_id")
+    out = decode_media_dims(
+        attach_planted_media(df, "media_id"), "media_id", "blob"
+    )
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 64
+    assert rows[0].format == "png" and rows[0].width == 1
+    assert rows[1].format == "gif" and rows[1].height == 2
+    assert rows[2].format == "wav" and rows[2].sample_rate == 10000
+    assert rows[3].format == "jpeg" and rows[3].width == 4
+    # NULL columns stay NULL through Arrow (Int32, not NaN-float).
+    assert rows[0].sample_rate is None and rows[2].width is None

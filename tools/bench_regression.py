@@ -1,0 +1,86 @@
+"""Bench regression gate against the pinned driver baseline.
+
+Reads a fresh ``bench.py`` JSON line from stdin (or a file given as
+argv[1]) and compares it against the driver-recorded baseline
+(``BENCH_r02.json`` by default, override with argv[2] or
+$SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
+— or the total — is more than ``THRESHOLD``× slower than the
+baseline. Queries absent from the baseline are reported but never
+fail the gate (new coverage is not a regression).
+
+Usage:
+    python bench.py | tail -1 | python tools/bench_regression.py
+    python tools/bench_regression.py fresh.json [baseline.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+THRESHOLD = 1.5
+# Ignore regressions on queries faster than this in the baseline:
+# sub-300ms timings on a warm local[32] JVM are scheduler noise.
+MIN_BASE_SEC = 0.3
+
+
+def load_baseline(path: str) -> dict:
+    with open(path) as f:
+        raw = json.load(f)
+    # Driver artifacts wrap the parsed line under "parsed"; a raw
+    # bench.py line is already the flat object.
+    return raw.get("parsed") or raw
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        with open(sys.argv[1]) as f:
+            fresh = json.load(f)
+    else:
+        fresh = json.loads(sys.stdin.read().strip().splitlines()[-1])
+
+    base_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_r02.json")
+    )
+    base = load_baseline(base_path)
+
+    failures: list[str] = []
+    fq, bq = fresh["queries"], base["queries"]
+    for name, sec in sorted(fq.items()):
+        if name not in bq:
+            print(f"new  {name}: {sec:.3f}s (no baseline)")
+            continue
+        ratio = sec / bq[name] if bq[name] > 0 else float("inf")
+        status = "ok  "
+        if ratio > THRESHOLD and bq[name] >= MIN_BASE_SEC:
+            status = "FAIL"
+            failures.append(name)
+        print(f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s ({ratio:.2f}x)")
+
+    overlap_total_fresh = sum(s for n, s in fq.items() if n in bq)
+    overlap_total_base = sum(bq[n] for n in fq if n in bq)
+    total_ratio = (
+        overlap_total_fresh / overlap_total_base
+        if overlap_total_base > 0
+        else float("inf")
+    )
+    print(
+        f"total (overlap): {overlap_total_fresh:.1f}s vs"
+        f" {overlap_total_base:.1f}s ({total_ratio:.2f}x)"
+    )
+    if total_ratio > THRESHOLD:
+        failures.append("__total__")
+
+    if failures:
+        print(f"REGRESSION: {failures}")
+        return 1
+    print("bench regression gate: clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
