@@ -45,8 +45,13 @@ HEADLINE = [
     "q21_exclusive_returns",
     "emb_cosine_topk",
     "emb_lsh_ann_topk",
+    "emb_lsh_neardup_pairs",
+    "events_markov_transitions",
+    "multimodal_dims",
     "orc_roundtrip_events",
+    "orc_roundtrip_typeedge",
     "stream_tumbling_hourly",
+    "stream_sessionize_10m",
     "stream_orc_pipeline_events",
 ]
 

@@ -226,7 +226,17 @@ def lsh_neardup_pairs(
     """Approximate embedding near-dup pairs: multi-table LSH candidate
     generation + exact cosine verification — the embedding-cosine
     dedup path for a 100 TB corpus. At threshold 0.95 (θ/π ≈ 0.10)
-    the default L=16, b=8 tables catch ≥ 99% of true pairs."""
+    the default L=16, b=8 tables catch ≥ 99% of true pairs.
+
+    SIZE ``n_planes`` WITH THE CORPUS: the banded self-join costs
+    Σ|bucket|², so bucket occupancy (~n/2^planes per table) must stay
+    roughly constant — use ``n_planes ≈ ceil(log2(n)) - 3`` (b=8 is
+    right for ~10⁴ rows; a 10¹⁰-row corpus wants b≈30). Recall at
+    cosine ≥ 0.95 stays ≈1 with the OR-16 construction up to b≈16;
+    beyond that raise ``n_tables`` too. Measured in
+    ``tools/scale_probe_similarity.py``: fixed b=8 went quadratic
+    (17 s → 191 s for 10k → 50k) while log-scaled planes hold the
+    linear profile with planted-pair recall 1.0."""
     cands = _lsh_candidates(
         df, df, id_col, id_col, vec_col, vec_col,
         n_tables, n_planes, dims, seed, ordered=True,

@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_orc_sink_spark.queries.events import TUMBLING_SQL
+from flink_orc_sink_spark.queries.events import SLIDING_SQL, TUMBLING_SQL
 from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
 from flink_orc_sink_spark.sources.orc_sink import read_orc, write_orc
 
@@ -115,6 +115,286 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def orc_roundtrip_typeedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip of the §1.4 EDGE types the plain events round-trip
+    doesn't reach (round-2 verdict item 8): DECIMAL(38,10) at both
+    extremes of the precision range (plus the smallest positive step
+    and an exact integral value), pre-1970 (negative-epoch) timestamps,
+    and non-ASCII strings (CJK, emoji/astral-plane, combining
+    accents, empty). Rows are derived deterministically from events
+    and pushed through the real ORC sink → committed read; the oracle
+    computes the same derivation directly, so a hash match proves the
+    sink stores and returns every edge value losslessly (the Hive-
+    readability claim at value level). Decimals are compared as
+    post-read-back strings — exact textual form, no double rounding.
+    Pre-1970 instants use pure epoch-µs arithmetic (no calendar-year
+    interval), so both engines land on the identical instant."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts")
+    edge = e.select(
+        "event_id",
+        F.expr(
+            """CASE event_id % 4
+         WHEN 0 THEN CAST('9999999999999999999999999999.9999999999' AS DECIMAL(38,10))
+         WHEN 1 THEN CAST('-9999999999999999999999999999.9999999999' AS DECIMAL(38,10))
+         WHEN 2 THEN CAST('0.0000000001' AS DECIMAL(38,10))
+         ELSE CAST(event_id AS DECIMAL(38,10)) END"""
+        ).alias("dec_edge"),
+        F.timestamp_micros(
+            F.unix_micros("ts") - F.lit(3_000_000_000_000_000)
+        ).alias("ts_pre1970"),
+        F.expr(
+            """CASE event_id % 3
+         WHEN 0 THEN concat('é中文🚀-', CAST(event_id AS STRING))
+         WHEN 1 THEN 'Ω≈ç√ naïve café'
+         ELSE '' END"""
+        ).alias("s_unicode"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_typeedge_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_orc(edge, out)
+    r = read_orc(spark, out)
+    return r.select(
+        "event_id",
+        F.col("dec_edge").cast("string").alias("dec_edge_str"),
+        "ts_pre1970",
+        "s_unicode",
+    )
+
+
+ORC_TYPEEDGE_SQL = """
+SELECT event_id,
+  CAST(CASE event_id % 4
+    WHEN 0 THEN CAST('9999999999999999999999999999.9999999999' AS DECIMAL(38,10))
+    WHEN 1 THEN CAST('-9999999999999999999999999999.9999999999' AS DECIMAL(38,10))
+    WHEN 2 THEN CAST('0.0000000001' AS DECIMAL(38,10))
+    ELSE CAST(event_id AS DECIMAL(38,10)) END AS VARCHAR) AS dec_edge_str,
+  make_timestamp(epoch_us(ts) - 3000000000000000) AS ts_pre1970,
+  CASE event_id % 3
+    WHEN 0 THEN 'é中文🚀-' || CAST(event_id AS VARCHAR)
+    WHEN 1 THEN 'Ω≈ç√ naïve café'
+    ELSE '' END AS s_unicode
+FROM events
+"""
+
+
+def stream_sessionize_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap SESSION WINDOWS computed BY THE STREAMING
+    RUNTIME via ``session_window`` (dynamic-gap merging in the
+    streaming state store) — the streaming counterpart of the batch
+    ``events_sessionize_10m`` gaps-and-islands query (round-2 verdict
+    item 5). ``availableNow`` bounded replay, complete-mode memory
+    sink; the oracle is the batch gaps-and-islands SQL aggregated to
+    (user, session) rows, so a hash match proves the streaming session
+    merge produces exactly the batch sessions. Boundary semantics
+    agree: ``session_window``'s half-open [ts, ts+gap) merge means a
+    gap of exactly 10 min starts a new session, same as the batch
+    ``>= gap`` rule."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_sess_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    )
+    agg = (
+        sdf.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "session_value",
+        )
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_sessionize_10m_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_sess_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 600000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length / 30 min slide) computed BY THE
+    STREAMING RUNTIME — each event contributes to two overlapping
+    window states in the state store. Same bounded-replay harness as
+    ``stream_tumbling_hourly``; the oracle is the batch sliding-window
+    SQL, so a hash match proves overlap assignment and the exact-
+    decimal average agree with the batch engine."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_slide_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            )
+            .cast("double")
+            .alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_sliding_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_slide_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exactly-once dedup across source files: the stage dir
+    holds the events file TWICE (two names → the file source replays
+    every row twice, possibly in different micro-batches), and
+    ``dropDuplicates("event_id")`` in the streaming state store must
+    collapse the duplicates back to exactly the source rows. The
+    oracle is plain ``SELECT * FROM events`` — a hash match is the
+    duplicate-elimination guarantee the reference's two-phase commit
+    provides at file level (`README.md:3`), asserted at row level
+    through the state store. Append mode, bounded replay; state is
+    dropped with the checkpoint."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    os.symlink(src, os.path.join(stage, "events_a.parquet"))
+    os.symlink(src, os.path.join(stage, "events_b.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    )
+    deduped = sdf.dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_dedup_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_dedup_ckpt_") as ckpt:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+def orc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SCHEMA EVOLUTION round-trip: generation 0 written without a
+    column, generation 1 written with it (the add-a-column migration
+    every long-lived warehouse table goes through), read back merged.
+    Old rows must surface the new column as NULL, new rows must keep
+    exact values — checked against a UNION ALL oracle. Uses the ORC
+    ``mergeSchema`` reader path; at 100 TB this is how a sink keeps
+    appending after a producer upgrade without rewriting history."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    sq = (
+        F.floor(F.col("value") * F.col("value") * 1e6 + 0.5) / 1e6
+    ).cast("double")
+    gen0 = e.filter(F.col("event_id") % 2 == 0)
+    gen1 = e.filter(F.col("event_id") % 2 == 1).withColumn("value_sq", sq)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_evolution_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_orc(gen0, os.path.join(out, "gen=0"))
+    write_orc(gen1, os.path.join(out, "gen=1"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .orc(out)
+        .select("event_id", "user_id", "value", "value_sq")
+    )
+
+
+ORC_EVOLUTION_SQL = """
+SELECT event_id, user_id, value, CAST(NULL AS DOUBLE) AS value_sq
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, value,
+  CAST(FLOOR(value * value * 1000000 + 0.5) / 1000000 AS DOUBLE) AS value_sq
+FROM events WHERE event_id % 2 = 1
+"""
+
+
 def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference pipeline, end to end, value-checked: replayable
     source → exactly-once streaming ORC sink (checkpointed,
@@ -170,12 +450,22 @@ def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "orc_roundtrip_events": orc_roundtrip_events,
+    "orc_roundtrip_typeedge": orc_roundtrip_typeedge,
+    "orc_schema_evolution": orc_schema_evolution,
     "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_sessionize_10m": stream_sessionize_10m,
+    "stream_sliding_1h_30m": stream_sliding_1h_30m,
+    "stream_dedup_events": stream_dedup_events,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
 ORACLES = {
     "orc_roundtrip_events": ORC_ROUNDTRIP_SQL,
+    "orc_roundtrip_typeedge": ORC_TYPEEDGE_SQL,
+    "orc_schema_evolution": ORC_EVOLUTION_SQL,
     "stream_tumbling_hourly": TUMBLING_SQL,
+    "stream_sessionize_10m": STREAM_SESSIONIZE_SQL,
+    "stream_sliding_1h_30m": SLIDING_SQL,
+    "stream_dedup_events": ORC_ROUNDTRIP_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

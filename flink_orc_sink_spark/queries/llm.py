@@ -1204,6 +1204,100 @@ FROM scrubbed GROUP BY source
 """
 
 
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY CORPUS BUILD as one composed operator chain —
+    plant-PII fixture → exact dedup (keep lowest doc_id per md5 of
+    text) → quality gate (score ≥ 0.5, 10..2000 tokens) → PII scrub →
+    per-source report (surviving docs, post-scrub token budget, chars
+    scrubbed, docs that had PII). Each stage is individually
+    oracle-verified elsewhere; this query verifies their COMPOSITION
+    end-to-end, which is what a user actually runs.
+
+    Scale shape: dedup is the only wide stage (one shuffle on the md5
+    fingerprint); gate + scrub + token count are scan-fused map work
+    on the dedup output, and the final per-source rollup is map-side
+    combined. Exactly two shuffles at any corpus size."""
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.functions import pii
+
+    d = _plant_pii(table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    w = Window.partitionBy(F.md5(t)).orderBy("doc_id")
+    deduped = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    gated = deduped.filter(
+        (F.round(quality_score(t), 6) >= 0.5)
+        & token_count(t).between(10, 2000)
+    )
+    scrubbed = pii.scrub_pii(t)
+    return (
+        gated.select(
+            "source",
+            token_count(scrubbed).cast("bigint").alias("tokens"),
+            (F.length(t) - F.length(scrubbed)).cast("long").alias("delta"),
+            (scrubbed != t).cast("int").alias("had_pii"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("token_budget"),
+            F.sum("delta").alias("chars_removed"),
+            F.sum("had_pii").cast("bigint").alias("n_had_pii"),
+        )
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH planted AS ({PII_PLANT_SQL}),
+deduped AS (
+  SELECT doc_id, source, t FROM (
+    SELECT doc_id, source, t,
+      ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+    FROM planted
+  ) WHERE rn = 1
+),
+feat AS (
+  SELECT source, t,
+    len(list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+                    x -> x <> '')) AS tc,
+    CAST(length(trim(t)) AS DOUBLE) AS clen,
+    CASE WHEN length(t) > 0
+         THEN (length(t) - length(regexp_replace(t, '[.!?,;:]', '', 'g')))
+              / length(t)
+         ELSE 0.0 END AS pr
+  FROM deduped
+),
+gated AS (
+  SELECT source, t FROM feat
+  WHERE tc BETWEEN 10 AND 2000
+    AND ROUND(
+      0.4 * least(tc / 50.0, 1.0)
+      + 0.3 * (1.0 - least(pr * 10.0, 1.0))
+      + 0.3 * least(CASE WHEN tc > 0 THEN clen / tc ELSE 0.0 END / 8.0, 1.0),
+    6) >= 0.5
+),
+scrubbed AS (
+  SELECT source, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\+\\d{{1,2}} \\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+      '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS s
+  FROM gated
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(list_filter(regexp_split_to_array(lower(trim(s)), '\\s+'),
+                           x -> x <> ''))) AS BIGINT) AS token_budget,
+  CAST(SUM(length(t) - length(s)) AS BIGINT) AS chars_removed,
+  CAST(SUM(CASE WHEN s <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_had_pii
+FROM scrubbed GROUP BY source
+"""
+
+
+
 def docs_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus stats over planted URLs: doc count and
     distinct sources per host. Regex extract is scan-fused; the only
@@ -1325,6 +1419,7 @@ QUERIES = {
     "docs_chunk_tokens": docs_chunk_tokens,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_url_domains": docs_url_domains,
+    "docs_curation_pipeline": docs_curation_pipeline,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1360,6 +1455,7 @@ ORACLES = {
     "docs_chunk_tokens": CHUNK_SQL,
     "docs_pii_scrub": PII_SCRUB_SQL,
     "docs_url_domains": URL_DOMAINS_SQL,
+    "docs_curation_pipeline": CURATION_PIPELINE_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
