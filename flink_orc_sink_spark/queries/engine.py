@@ -395,6 +395,71 @@ FROM events WHERE event_id % 2 = 1
 """
 
 
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (``applyInPandasWithState``)
+    pushed through the value-level oracle gate: per-user running
+    (count, sum) held in Arrow-batched per-key state across the
+    bounded replay; the final state per key must equal the batch
+    GROUP BY. Money math rides int64 micro-units end to end
+    (``floor(value*1e6+0.5)`` quantized by Spark, accumulated exactly
+    in state, descaled identically on both engines) so the hash match
+    is bit-for-bit regardless of how micro-batches split the stream.
+    Update-mode memory sink emits one row per key per micro-batch; the
+    final state is selected by max event count (monotone per key)."""
+    global _STREAM_SEQ
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.streaming.stateful import running_totals_exact
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_rt_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    ).withColumn(
+        "value_us", F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    )
+    totals = running_totals_exact(sdf, "user_id", "value_us")
+    _STREAM_SEQ += 1
+    name = f"stream_running_totals_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_rt_ckpt_") as ckpt:
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total").cast("double") / F.lit(1_000_000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+STREAM_RUNNING_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference pipeline, end to end, value-checked: replayable
     source → exactly-once streaming ORC sink (checkpointed,
@@ -456,6 +521,7 @@ QUERIES = {
     "stream_sessionize_10m": stream_sessionize_10m,
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
     "stream_dedup_events": stream_dedup_events,
+    "stream_running_totals": stream_running_totals,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -467,5 +533,6 @@ ORACLES = {
     "stream_sessionize_10m": STREAM_SESSIONIZE_SQL,
     "stream_sliding_1h_30m": SLIDING_SQL,
     "stream_dedup_events": ORC_ROUNDTRIP_SQL,
+    "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

@@ -75,3 +75,43 @@ def running_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def running_totals_exact(
+    df: DataFrame,
+    key_col: str,
+    int_value_col: str,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Per-key running (count, sum) over an INTEGER value column in
+    custom state. The integer variant exists for value-level oracle
+    checks: int64 accumulation is associative and order-independent,
+    so the final state is bit-identical however micro-batches split
+    the stream — float accumulation (``running_totals``) is not.
+    Callers quantize upstream (e.g. ``floor(value*1e6+0.5)`` micros)
+    and descale downstream."""
+
+    output_schema = f"{key_col} long, n_events long, total long"
+    state_schema = "n long, total long"
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            total += int(pdf[int_value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total": [total]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

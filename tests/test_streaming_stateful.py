@@ -182,3 +182,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.ad for r in spark.sql("SELECT ad FROM join_sink").collect()]
     assert got == [100]  # only the in-window click joins
+
+
+def test_running_totals_exact_cross_batch_bit_identical(spark, tmp_path):
+    """The int64 variant (the one the registered stream_running_totals
+    query uses): state accumulates exactly across micro-batches and the
+    final totals are bit-identical to batch integer sums however the
+    stream is split."""
+    from flink_orc_sink_spark.streaming.stateful import running_totals_exact
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, "user long, v_us long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    feed([(1, 10_000_001), (1, 4_999_999), (2, 1_000_000)])
+    feed([(1, 2_000_000), (3, -7_000_000)])
+    stream = stream_from_files(
+        spark, src, "user LONG, v_us LONG", max_files_per_trigger=1
+    )
+    totals = running_totals_exact(stream, "user", "v_us")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("totals_exact_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM totals_exact_sink").collect()
+    final = {}
+    for r in rows:
+        prev = final.get(r.user, (0, 0))
+        if r.n_events >= prev[0]:
+            final[r.user] = (r.n_events, r.total)
+    assert final[1] == (3, 17_000_000)  # exact, no float drift
+    assert final[2] == (1, 1_000_000)
+    assert final[3] == (1, -7_000_000)
+    assert sorted(r.n_events for r in rows if r.user == 1)[-1] == 3
