@@ -262,17 +262,14 @@ def banded_pairs(bands: DataFrame, bucket_cap: int = 1000) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(
-    signatures: DataFrame, bucket_cap: int = 1000
-) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of any band become a
-    candidate pair. One ``posexplode`` turns the signature array into
-    (band, key) bucket rows (no 16-way union), then
-    :func:`banded_pairs` expands same-bucket pairs in one shuffle."""
-    # Explicit per-band struct array (unrolled at plan-build time, 16
-    # bands) instead of a higher-order transform: HOF lambdas are
-    # interpreted per element and their first evaluation costs ~7 s;
-    # the unrolled form codegens and measures 0.2 s on the same data.
+def band_rows(signatures: DataFrame) -> DataFrame:
+    """(doc, band, bkey) bucket rows from (doc, sig) signatures.
+
+    Explicit per-band struct array (unrolled at plan-build time, 16
+    bands) instead of a higher-order transform: HOF lambdas are
+    interpreted per element and their first evaluation costs ~7 s;
+    the unrolled form codegens and measures 0.2 s on the same data.
+    """
     structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -286,10 +283,114 @@ def minhash_candidate_pairs(
         )
         for b in range(MINHASH_BANDS)
     ]
-    bands = signatures.select(
+    return signatures.select(
         "doc", F.explode(F.array(*structs)).alias("bb")
     ).select("doc", "bb.band", "bb.bkey")
-    return banded_pairs(bands, bucket_cap)
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, bucket_cap: int = 1000
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair. One ``posexplode`` turns the signature array into
+    (band, key) bucket rows (no 16-way union), then
+    :func:`banded_pairs` expands same-bucket pairs in one shuffle."""
+    return banded_pairs(band_rows(signatures), bucket_cap)
+
+
+def _pair_jaccard_udf(k: int):
+    """Arrow-batched exact shingle-set Jaccard for candidate pairs —
+    raw double ratio from Python (IEEE-identical to any engine's i/u);
+    callers round Spark-side so rounding semantics match the
+    relational convention everywhere."""
+
+    @F.pandas_udf("double")
+    def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a_, b_ in zip(ta, tb):
+            sa, sb = _py_shingles(a_, k), _py_shingles(b_, k)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out)
+
+    return pair_jaccard
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL ingest dedup: near-dup matches of a NEW batch
+    against the existing corpus plus earlier rows of the same batch
+    (``(new_doc, match_doc, jaccard)`` with jaccard ≥ threshold) —
+    the production shape where a 100 TB corpus is NOT re-deduped on
+    every ingest.
+
+    Scale shape: corpus signatures/bands are recomputed here for
+    self-containment, but both are per-row map work — in production
+    they are computed once at ingest and PERSISTED (parquet keyed by
+    (band, bkey)), so an incremental run's cost is: signature the new
+    batch (map-only), one bucket equi-join whose output is bounded by
+    the NEW batch's bucket occupancy, and exact verification of only
+    the surviving candidates. Nothing scales with corpus size except
+    the (pruned, pre-bucketed) index probe. Degenerate corpus buckets
+    (> ``bucket_cap`` docs) are dropped, mirroring
+    :func:`banded_pairs`'s cap.
+    """
+    from flink_orc_sink_spark.functions.text import tokens
+
+    bn = band_rows(minhash_signatures(new_docs, id_col, text_col, k)).select(
+        F.col("doc").alias("new_doc"), "band", "bkey"
+    )
+    bc = band_rows(minhash_signatures(corpus, id_col, text_col, k))
+    other = bc.withColumn("is_new", F.lit(False)).unionByName(
+        band_rows(
+            minhash_signatures(new_docs, id_col, text_col, k)
+        ).withColumn("is_new", F.lit(True))
+    )
+    hot = (
+        other.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bkey")
+    )
+    cands = (
+        bn.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+        .join(
+            other.select(F.col("doc").alias("match_doc"), "band", "bkey", "is_new"),
+            ["band", "bkey"],
+        )
+        .filter(
+            (~F.col("is_new")) | (F.col("match_doc") < F.col("new_doc"))
+        )
+        .select("new_doc", "match_doc")
+        .distinct()
+    )
+    all_docs = new_docs.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t")
+    ).unionByName(
+        corpus.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    )
+    pair_jaccard = _pair_jaccard_udf(k)
+    return (
+        cands.join(
+            all_docs.select(F.col("doc").alias("new_doc"), F.col("t").alias("ta")),
+            "new_doc",
+        )
+        .join(
+            all_docs.select(F.col("doc").alias("match_doc"), F.col("t").alias("tb")),
+            "match_doc",
+        )
+        .withColumn("jaccard", F.round(pair_jaccard(F.col("ta"), F.col("tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "match_doc", "jaccard")
+    )
 
 
 def minhash_dedup_pairs(
@@ -315,15 +416,7 @@ def minhash_dedup_pairs(
     cands = minhash_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
 
-    @F.pandas_udf("double")
-    def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for a_, b_ in zip(ta, tb):
-            sa, sb = _py_shingles(a_, k), _py_shingles(b_, k)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            out.append(inter / union if union else 0.0)
-        return pd.Series(out)
+    pair_jaccard = _pair_jaccard_udf(k)
 
     return (
         cands.join(toks.select(F.col("doc").alias("doc_a"), F.col("t").alias("ta")), "doc_a")

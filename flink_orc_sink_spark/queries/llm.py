@@ -884,6 +884,38 @@ WHERE doc_id NOT IN (SELECT doc FROM clusters WHERE doc <> cluster_keeper)
 """
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup end-to-end: treat every 10th doc as the
+    newly-arriving batch and the rest as the existing corpus; admit
+    only new docs with no near-dup (MinHash-verified Jaccard ≥ 0.7)
+    in the corpus or earlier in the batch. This is how a 100 TB corpus
+    actually ingests — dedup cost scales with the batch, never a
+    corpus-wide re-dedup (operators/dedup.py::minhash_incremental_pairs
+    documents the persisted-band-index production shape)."""
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    pairs = dd.minhash_incremental_pairs(
+        new, corpus, "doc_id", "text", threshold=0.7
+    )
+    dup_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
+    return new.join(F.broadcast(dup_ids), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {_minhash_ctes(0.7)}
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 10 = 0
+  AND doc_id NOT IN (
+    SELECT doc_a FROM verified WHERE doc_a % 10 = 0 AND doc_b % 10 <> 0
+    UNION
+    SELECT doc_b FROM verified WHERE doc_b % 10 = 0
+  )
+"""
+
+
 def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style quality signal):
     fraction of word bigrams that are duplicates of an earlier bigram
@@ -1420,6 +1452,7 @@ QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
     "docs_url_domains": docs_url_domains,
     "docs_curation_pipeline": docs_curation_pipeline,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1456,6 +1489,7 @@ ORACLES = {
     "docs_pii_scrub": PII_SCRUB_SQL,
     "docs_url_domains": URL_DOMAINS_SQL,
     "docs_curation_pipeline": CURATION_PIPELINE_SQL,
+    "docs_incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

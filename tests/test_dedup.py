@@ -112,3 +112,33 @@ def test_neardup_clusters_long_chain(spark):
     labels = {r.doc: r.cluster_keeper for r in neardup_clusters(pairs).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == 13
+
+
+def test_minhash_incremental_pairs_semantics(spark):
+    """New-batch docs match against the corpus AND earlier-id docs of
+    the same batch, never later-id ones; disjoint docs match nothing."""
+    from flink_orc_sink_spark.operators.dedup import minhash_incremental_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " lambda"),        # near-dup of corpus doc 1
+            (11, "unrelated fresh content nobody wrote before today"),
+            (12, base + " lambda"),        # dup of EARLIER new doc 10 (and corpus 1)
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.new_doc, r.match_doc)
+        for r in minhash_incremental_pairs(
+            new, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (10, 1) in pairs          # new vs corpus
+    assert (12, 10) in pairs         # within-batch, earlier id only
+    assert (10, 12) not in pairs     # never matches a LATER new doc
+    assert not any(a == 11 for a, _ in pairs)  # disjoint doc is clean
