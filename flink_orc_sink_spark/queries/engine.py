@@ -460,6 +460,131 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner interval join on the real runtime: clicks
+    and views replayed as two independent file streams, joined per
+    user on an event-time interval (view within the 10 minutes before
+    the click) with watermarks bounding both sides' join state. The
+    oracle is the equivalent batch theta-join, so a hash match proves
+    the streaming join buffers and matches across sources exactly.
+    (The batch as-of variant is ``events_click_attribution``; this is
+    the ALL-pairs-in-window semantics, Spark's native stream-stream
+    join shape.) Watermarks are generous (24 h) because correctness
+    here is value parity, not eviction timing — eviction is bounded
+    state, covered by the interval condition itself at scale."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage_c = tempfile.mkdtemp(prefix="stream_ij_clicks_")
+    stage_v = tempfile.mkdtemp(prefix="stream_ij_views_")
+    os.symlink(src, os.path.join(stage_c, "events.parquet"))
+    os.symlink(src, os.path.join(stage_v, "events.parquet"))
+    clicks = (
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(stage_c))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "24 hours")
+    )
+    views = (
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(stage_v))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "24 hours")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "click_id",
+        "view_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_interval_join_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_ij_ckpt_") as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage_c, ignore_errors=True)
+    shutil.rmtree(stage_v, ignore_errors=True)
+    return spark.table(name)
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS view_id,
+  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE
+"""
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment on the real runtime: the
+    events stream joined per micro-batch against the static nation
+    dimension (broadcast — no stream state, no shuffle of the stream).
+    This is the standard streaming dimension-enrichment pattern; the
+    oracle is the plain batch join. At 100 TB/day the static side
+    refreshes by swapping the broadcast table between restarts."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_enrich_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
+    )
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    ).withColumn("nk", F.col("user_id") % 25)
+    joined = sdf.join(F.broadcast(nation), "nk").select(
+        "event_id", "user_id", "event_type", "nation_name"
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_static_enrich_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_enrich_ckpt_") as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT event_id, user_id, event_type, n_name AS nation_name
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+"""
+
+
 def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference pipeline, end to end, value-checked: replayable
     source → exactly-once streaming ORC sink (checkpointed,
@@ -522,6 +647,8 @@ QUERIES = {
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
     "stream_dedup_events": stream_dedup_events,
     "stream_running_totals": stream_running_totals,
+    "stream_interval_join": stream_interval_join,
+    "stream_static_enrich": stream_static_enrich,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -534,5 +661,7 @@ ORACLES = {
     "stream_sliding_1h_30m": SLIDING_SQL,
     "stream_dedup_events": ORC_ROUNDTRIP_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
+    "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

@@ -629,6 +629,111 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def emb_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, dimension-wise — the vector
+    AGGREGATION pattern (class prototypes, cluster summaries, drift
+    monitors). Sums ride int64 nano-units (``floor(v*1e9+0.5)``
+    quantized identically on both engines) so the mean is
+    order-independent and hash-exact; one map-side-combined shuffle on
+    (label, dim) — at 100 TB this is the cheapest possible shape for
+    a dense-vector rollup (no driver collect, no UDF)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 1e9 + 0.5).cast("long"),
+    )
+    return (
+        e.select("label", F.posexplode(q).alias("dim", "qv"))
+        .groupBy("label", "dim")
+        .agg(F.count("*").alias("n"), F.sum("qv").alias("s"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            (
+                F.col("s").cast("double") / F.col("n") / F.lit(1_000_000_000.0)
+            ).alias("centroid_val"),
+        )
+    )
+
+
+EMB_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS dim, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1000000000.0 + 0.5) AS BIGINT))
+       AS DOUBLE) / COUNT(*) / 1000000000.0 AS centroid_val
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+"""
+
+
+def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL ACCURACY — the standard embedding-quality eval: for
+    every vector, how many of its 5 nearest neighbors (exact cosine,
+    self excluded) share its label, reported per label. Counts are
+    pure integers (accuracy = matches / (5·queries) as an identical
+    double division on both engines). The exact all-pairs scoring is
+    the eval harness — run at eval-set scale, not corpus scale; the
+    ANN tiers serve production lookups."""
+    e = table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(
+        e, e, "vec_id", "vec_id", "embedding", "embedding", k=5
+    )
+    lab = e.select("vec_id", "label")
+    qlab = lab.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("q_label")
+    )
+    clab = lab.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("c_label")
+    )
+    return (
+        topk.join(qlab, "qid")
+        .join(clab, "cid")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count_distinct("qid").alias("n_queries"),
+            F.sum((F.col("q_label") == F.col("c_label")).cast("long")).alias(
+                "n_matches"
+            ),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_matches",
+            (
+                F.col("n_matches").cast("double")
+                / (F.col("n_queries") * 5)
+            ).alias("knn_accuracy"),
+        )
+    )
+
+
+EMB_KNN_ACCURACY_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qv FROM embeddings),
+c AS (SELECT vec_id AS cid, label AS c_label, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT qid, q_label, cid, c_label,
+    ROUND(
+      CASE WHEN sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}) > 0
+           THEN {_dot_sql('qv', 'cv')}
+                / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM q, c WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, q_label, c_label,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT q_label AS label,
+  COUNT(DISTINCT qid) AS n_queries,
+  CAST(SUM(CASE WHEN q_label = c_label THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+  CAST(SUM(CASE WHEN q_label = c_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / (COUNT(DISTINCT qid) * 5) AS knn_accuracy
+FROM ranked WHERE rank <= 5
+GROUP BY q_label
+"""
+
+
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN top-5 — the 100 TB
     high-similarity path (candidates from 16 OR-ed tables, exact
@@ -1454,6 +1559,8 @@ QUERIES = {
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_incremental_dedup": docs_incremental_dedup,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_centroids_by_label": emb_centroids_by_label,
+    "emb_knn_label_accuracy": emb_knn_label_accuracy,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
@@ -1491,6 +1598,8 @@ ORACLES = {
     "docs_curation_pipeline": CURATION_PIPELINE_SQL,
     "docs_incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
+    "emb_centroids_by_label": EMB_CENTROIDS_SQL,
+    "emb_knn_label_accuracy": EMB_KNN_ACCURACY_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
