@@ -43,15 +43,21 @@ HEADLINE = [
     "docs_contamination",
     "docs_pack_sequences",
     "q21_exclusive_returns",
+    "docs_curation_pipeline",
+    "docs_incremental_dedup",
     "emb_cosine_topk",
     "emb_lsh_ann_topk",
     "emb_lsh_neardup_pairs",
+    "emb_centroids_by_label",
     "events_markov_transitions",
     "multimodal_dims",
     "orc_roundtrip_events",
     "orc_roundtrip_typeedge",
+    "orc_schema_evolution",
     "stream_tumbling_hourly",
     "stream_sessionize_10m",
+    "stream_running_totals",
+    "stream_interval_join",
     "stream_orc_pipeline_events",
 ]
 

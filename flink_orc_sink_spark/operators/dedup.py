@@ -345,14 +345,11 @@ def minhash_incremental_pairs(
     """
     from flink_orc_sink_spark.functions.text import tokens
 
-    bn = band_rows(minhash_signatures(new_docs, id_col, text_col, k)).select(
-        F.col("doc").alias("new_doc"), "band", "bkey"
-    )
+    new_bands = band_rows(minhash_signatures(new_docs, id_col, text_col, k))
+    bn = new_bands.select(F.col("doc").alias("new_doc"), "band", "bkey")
     bc = band_rows(minhash_signatures(corpus, id_col, text_col, k))
     other = bc.withColumn("is_new", F.lit(False)).unionByName(
-        band_rows(
-            minhash_signatures(new_docs, id_col, text_col, k)
-        ).withColumn("is_new", F.lit(True))
+        new_bands.withColumn("is_new", F.lit(True))
     )
     hot = (
         other.groupBy("band", "bkey")
