@@ -57,6 +57,52 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def orc_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-LEVEL UPSERT at value level: events written as a
+    date-partitioned ORC table, then a correction batch (every value
+    doubled for the latest date) upserted via dynamic partition
+    overwrite — only the touched partition is rewritten
+    (``sources/orc_sink.py::upsert_orc_partitions``; untouched-
+    partition preservation is separately pytest-asserted by mtime in
+    tests/test_maintenance.py). The oracle applies the correction
+    relationally, so a hash match proves the upsert replaced exactly
+    the right rows and carried everything else over — the backfill/
+    correction shape every warehouse table needs at 100 TB, where
+    rewriting the whole table for one bad day is not an option."""
+    from flink_orc_sink_spark.sources.orc_sink import upsert_orc_partitions
+
+    e = table(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_upsert_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_orc(e, out, partition_cols=["dt"])
+    # Bounded driver-side read by design: ONE scalar (the latest date).
+    max_dt = e.agg(F.max("dt")).collect()[0][0]
+    corrections = e.filter(F.col("dt") == F.lit(max_dt)).withColumn(
+        "value", F.col("value") * 2
+    )
+    upsert_orc_partitions(
+        spark, out, corrections, key_cols=["event_id"], partition_cols=["dt"]
+    )
+    return read_orc(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+ORC_UPSERT_SQL = """
+SELECT event_id, ts, user_id, event_type,
+  CASE WHEN CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+       THEN value * 2 ELSE value END AS value,
+  props
+FROM events
+"""
+
+
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts/sums computed BY THE STREAMING RUNTIME.
 
@@ -642,6 +688,7 @@ QUERIES = {
     "orc_roundtrip_events": orc_roundtrip_events,
     "orc_roundtrip_typeedge": orc_roundtrip_typeedge,
     "orc_schema_evolution": orc_schema_evolution,
+    "orc_partition_upsert": orc_partition_upsert,
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_sessionize_10m": stream_sessionize_10m,
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
@@ -656,6 +703,7 @@ ORACLES = {
     "orc_roundtrip_events": ORC_ROUNDTRIP_SQL,
     "orc_roundtrip_typeedge": ORC_TYPEEDGE_SQL,
     "orc_schema_evolution": ORC_EVOLUTION_SQL,
+    "orc_partition_upsert": ORC_UPSERT_SQL,
     "stream_tumbling_hourly": TUMBLING_SQL,
     "stream_sessionize_10m": STREAM_SESSIONIZE_SQL,
     "stream_sliding_1h_30m": SLIDING_SQL,

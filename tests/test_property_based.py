@@ -132,3 +132,35 @@ def test_py_shingles_reference(spark, toks, k):
     else:
         expected = {" ".join(toks)}
     assert got == expected
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_parse_media_dims_total_on_arbitrary_bytes(raw):
+    """The header parser is TOTAL: any byte string yields a 5-tuple
+    (no exception, no negative dims), since at 100 TB some blobs WILL
+    be corrupt and a decode stage must classify, not crash."""
+    from flink_orc_sink_spark.operators.multimodal import parse_media_dims
+
+    fmt, w, h, sr, dur = parse_media_dims(raw)
+    assert fmt in (None, "png", "gif", "wav", "jpeg", "video/mp4")
+    for v in (w, h, sr):
+        assert v is None or v >= 0
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_plant_parse_roundtrip_any_id(mid):
+    from flink_orc_sink_spark.operators.multimodal import (
+        parse_media_dims,
+        plant_media_blob,
+    )
+
+    fmt, w, h, sr, dur = parse_media_dims(plant_media_blob(mid))
+    assert fmt == ("png", "gif", "wav", "jpeg")[mid % 4]
+    if fmt == "wav":
+        rate = 8000 + (mid % 8) * 1000
+        data = (mid % 64 + 1) * 32
+        assert (sr, dur) == (rate, data * 1000 // (rate * 2))
+    else:
+        assert (w, h) != (None, None)
