@@ -543,6 +543,58 @@ GROUP BY lag_hours
 """
 
 
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral FEATURE VECTOR — the feature-engineering
+    pass a churn/propensity model trains on: per-type event counts
+    (conditional map-side-combined sums, no pivot shuffle), activity
+    span and distinct active days, and exact total spend (int64
+    micro-units). ONE shuffle on user_id at any scale; every feature
+    is integer or integer-derived, so the row hashes bit-identically
+    on both engines."""
+    e = table(spark, sf_dir, "events")
+    n_of = lambda t: F.sum(  # noqa: E731 — tiny local closure
+        (F.col("event_type") == t).cast("long")
+    ).alias(f"n_{t}")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n_of("view"),
+        n_of("click"),
+        n_of("purchase"),
+        n_of("signup"),
+        n_of("error"),
+        F.count_distinct(F.to_date("ts")).alias("active_days"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(86_400_000_000.0)
+        ).alias("span_days"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("purchase_value"),
+    )
+
+
+USER_FEATURES_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 86400000000.0 AS span_days,
+  CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 1000000.0 AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
 # Newest entries first: the driver's correctness gate caps at the
 # first 50 registry entries (see queries/__init__.py), and this module
 # sits last inside the cap — entries past it fall to the committed
@@ -550,6 +602,7 @@ GROUP BY lag_hours
 QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_conversion_lag": events_conversion_lag,
+    "events_user_features": events_user_features,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -577,4 +630,5 @@ ORACLES = {
     "events_rolling_7d_active": ROLLING_ACTIVE_SQL,
     "events_markov_transitions": MARKOV_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
+    "events_user_features": USER_FEATURES_SQL,
 }
