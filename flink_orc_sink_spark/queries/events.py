@@ -164,6 +164,64 @@ FROM events GROUP BY event_type
 """
 
 
+def events_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST ROBUSTNESS: a 100 TB feed always contains malformed
+    payloads; the engine must CLASSIFY them, not crash or silently
+    drop. Plants two corruption classes keyed by event_id (truncated
+    JSON, empty string — the oracle plants identical bytes), parses
+    with ``from_json`` (PERMISSIVE: corrupt → NULL struct), and
+    reports per-type totals, bad-record counts, and the sum over
+    surviving payloads. Map-only scan + one tiny rollup — the
+    dead-letter accounting pass of any ingest job."""
+    e = table(spark, sf_dir, "events")
+    did = F.col("event_id")
+    p2 = (
+        F.when(did % 11 == 0, F.lit('{"k": oops'))
+        .when(did % 13 == 0, F.lit(""))
+        .otherwise(F.col("props"))
+    )
+    # PERMISSIVE from_json returns a PARTIAL struct for truncated
+    # JSON (not NULL), so "bad" needs the explicit corrupt-record
+    # column: malformed input lands in _corrupt_record, while the
+    # empty string nulls the whole struct.
+    parsed = F.from_json(
+        p2,
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    bad = parsed.isNull() | parsed["_corrupt_record"].isNotNull()
+    return (
+        e.select(
+            "event_type",
+            bad.cast("long").alias("is_bad"),
+            F.when(~bad, parsed["k"]).alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("is_bad").alias("n_bad"),
+            F.sum(F.col("k_val").cast("bigint")).alias("sum_k"),
+        )
+    )
+
+
+JSON_BADRECORDS_SQL = """
+WITH planted AS (
+  SELECT event_type,
+    CASE WHEN event_id % 11 = 0 THEN '{"k": oops'
+         WHEN event_id % 13 = 0 THEN ''
+         ELSE props END AS p2
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN NOT json_valid(p2) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+  CAST(SUM(CASE WHEN json_valid(p2)
+                THEN CAST(json_extract_string(p2, '$.k') AS INTEGER)
+                END) AS BIGINT) AS sum_k
+FROM planted GROUP BY event_type
+"""
+
+
 def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dedup: latest event per (user, type) — the batch
     analogue of ``dropDuplicatesWithinWatermark`` with an explicit
@@ -603,6 +661,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_conversion_lag": events_conversion_lag,
     "events_user_features": events_user_features,
+    "events_json_badrecords": events_json_badrecords,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -631,4 +690,5 @@ ORACLES = {
     "events_markov_transitions": MARKOV_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
     "events_user_features": USER_FEATURES_SQL,
+    "events_json_badrecords": JSON_BADRECORDS_SQL,
 }

@@ -65,6 +65,17 @@ def get_spark(
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
         # default; read as int64 ns and convert in sources.catalog.table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store: streaming state spills to local disk
+        # instead of living on the JVM heap (HDFSBackedStateStore keeps
+        # every key in memory — the thing that dies first when a
+        # 100 TB/day stream's key space grows). Same results, bounded
+        # memory; queries still run correctly under a caller session
+        # without this conf (it is read per-query at stream start).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         # Dimension tables up to 64 MiB broadcast instead of shuffling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
