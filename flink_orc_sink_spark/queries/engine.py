@@ -631,6 +631,90 @@ FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 """
 
 
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA SEMANTICS at value level (SURVEY §2.3 T6):
+    three micro-batches in forced order — (a) every event older than
+    max_ts − 4 h, (b) the recent events, whose processing advances the
+    watermark and EVICTS the old windows' state, then (c) replayed
+    duplicate copies of old events (≥ 8 h behind max_ts) plus one
+    far-future sentinel. Spark's watermark guarantee is ONE-SIDED:
+    late rows are only dropped once their window's state has been
+    evicted, and eviction uses the watermark committed by the
+    PREVIOUS batch — so the copies must arrive a full batch after the
+    advancer (a two-batch version measurably double-counts; that
+    sequencing subtlety is exactly what this query pins). The
+    append-mode hourly counts must equal counting every original
+    event exactly once (plain tumbling oracle; the sentinel's window
+    stays beyond the final watermark and never emits)."""
+    global _STREAM_SEQ
+    import glob
+    import shutil
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    e = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # one scalar, bounded
+    pivot = F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
+    a_rows = e.filter(F.col("ts") <= pivot)
+    m_rows = e.filter(F.col("ts") > pivot)
+    late_copies = e.filter(
+        F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 8 HOURS")
+    )
+    sentinel = e.limit(1).select(
+        (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    b_rows = late_copies.unionByName(sentinel)
+    stage = tempfile.mkdtemp(prefix="stream_late_src_")
+
+    def _stage_one(df, name: str, mtime: int) -> None:
+        tmp = os.path.join(stage, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage, name)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))  # file source orders by mtime
+
+    _stage_one(a_rows, "a.parquet", 1_000_000_000)
+    _stage_one(m_rows, "m.parquet", 1_000_000_100)
+    _stage_one(b_rows, "b.parquet", 1_000_000_200)
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_late_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_late_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).filter(F.col("event_type") != "sentinel")
+
+
+STREAM_LATE_DROP_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY window_start, event_type
+"""
+
+
 def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference pipeline, end to end, value-checked: replayable
     source → exactly-once streaming ORC sink (checkpointed,
@@ -696,6 +780,7 @@ QUERIES = {
     "stream_running_totals": stream_running_totals,
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
+    "stream_late_data_drop": stream_late_data_drop,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -711,5 +796,6 @@ ORACLES = {
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }
