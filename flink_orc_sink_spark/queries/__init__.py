@@ -26,9 +26,15 @@ from flink_orc_sink_spark.queries import engine, events, llm, relational
 _MODULE_ORDER = (engine, llm, events, relational)
 
 # Pulled ahead of their module's position so they land inside the
-# driver's 50-entry cap (round-2 verdict item 2 asks for driver-green
-# rows on these specifically).
-_PRIORITY = ("events_markov_transitions", "events_conversion_lag")
+# driver's 50-entry cap (round-2 verdict items 2, 3 and 4 ask for
+# driver-green rows on these specifically).
+_PRIORITY = (
+    "events_markov_transitions",
+    "events_conversion_lag",
+    "emb_neardup_pairs",
+    "emb_lsh_neardup_pairs",
+    "multimodal_dims",
+)
 
 
 def _ordered(get):

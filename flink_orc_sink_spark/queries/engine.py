@@ -631,6 +631,46 @@ FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 """
 
 
+def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` CUSTOM SINK pushed through the value gate:
+    events streamed through batch-id-keyed idempotent ORC writes
+    (dynamic partition overwrite per micro-batch — the exactly-once
+    mechanism for sinks without a native streaming writer), read back
+    and compared to the source rows. Restart idempotence (same
+    checkpoint, crash-replayed batch) is pytest-asserted in
+    tests/test_streaming_sink.py."""
+    global _STREAM_SEQ
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        stream_from_files,
+        stream_write_orc_foreachbatch,
+    )
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_feb_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    _STREAM_SEQ += 1
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_feb_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    with tempfile.TemporaryDirectory(prefix="stream_feb_ckpt_") as ckpt:
+        sdf = normalize_events_ts(stream_from_files(spark, stage, raw_schema))
+        q = stream_write_orc_foreachbatch(
+            sdf, out, checkpoint=ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.orc(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARK LATE-DATA SEMANTICS at value level (SURVEY §2.3 T6):
     three micro-batches in forced order — (a) every event older than
@@ -781,6 +821,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_drop": stream_late_data_drop,
+    "stream_foreachbatch_orc": stream_foreachbatch_orc,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -797,5 +838,6 @@ ORACLES = {
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
+    "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

@@ -8,6 +8,7 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     read_committed_orc,
     stream_from_files,
     stream_write_orc,
+    stream_write_orc_foreachbatch,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "read_committed_orc",
     "stream_from_files",
     "stream_write_orc",
+    "stream_write_orc_foreachbatch",
 ]

@@ -82,6 +82,46 @@ def stream_write_orc(
     return writer.start()
 
 
+def stream_write_orc_foreachbatch(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """The CUSTOM-SINK escape hatch: ``foreachBatch`` with
+    batch-id-keyed idempotent writes — the pattern every warehouse
+    sink without a native streaming writer uses (JDBC upserts, Delta
+    MERGE, multi-table fan-out).
+
+    Exactly-once here comes from idempotence, not a manifest: each
+    micro-batch lands in its own ``batch_id=<id>`` partition via
+    DYNAMIC partition overwrite, so a crash-replayed batch rewrites
+    the same partition instead of duplicating rows (the checkpoint
+    guarantees replay delivers the same batch id with the same data).
+    This is the second exactly-once mechanism next to the manifest
+    file sink (``stream_write_orc``) — the reference's rename protocol
+    plays the same role for its ``part-{subtask}-{seq}`` files.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("batch_id")
+            .orc(path)
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def read_committed_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read back ONLY committed files.
 

@@ -125,3 +125,47 @@ def test_csv_parse_demo_parity(spark):
     # malformed line -> nulls, not a crash (improvement over the
     # reference's raw Integer.parseInt)
     assert (None, None) in got
+
+
+def test_foreachbatch_sink_idempotent_replay(spark, tmp_path):
+    """The foreachBatch custom sink's exactly-once mechanism is
+    idempotence: (1) a restart on a drained checkpoint writes nothing
+    new; (2) a crash-replayed micro-batch (same batch id, same data)
+    overwrites its own partition instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.streaming import (
+        stream_from_files,
+        stream_write_orc_foreachbatch,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = stream_write_orc_foreachbatch(
+            stream_from_files(spark, src, "id LONG, v DOUBLE"),
+            out,
+            checkpoint=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.orc(out).count() == 100
+    run()  # restart on drained checkpoint: no-op
+    assert spark.read.orc(out).count() == 100
+    # simulate a crash-replay of batch 0: same id, same data, again
+    (
+        spark.read.parquet(src)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .orc(out)
+    )
+    assert spark.read.orc(out).count() == 100  # overwrote, not appended
