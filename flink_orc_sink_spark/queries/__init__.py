@@ -29,6 +29,10 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver's 50-entry cap (round-2 verdict items 2, 3 and 4 ask for
 # driver-green rows on these specifically).
 _PRIORITY = (
+    "dq_audit_orders",
+    "events_cdc_apply",
+    "events_scd2_status",
+    "events_bitmap_distinct_rollup",
     "events_markov_transitions",
     "events_conversion_lag",
     "emb_neardup_pairs",

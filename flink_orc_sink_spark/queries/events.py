@@ -653,11 +653,168 @@ FROM events GROUP BY user_id
 """
 
 
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (the MERGE a warehouse runs on a change feed): treat
+    each event as a change record on entity ``user_id`` — ``error``
+    events are deletes, everything else an upsert carrying ``value``.
+    The applied state is the LATEST change per key (ts, event_id
+    tie-break), with deleted keys absent, plus the change count per
+    key for audit.
+
+    Scale shape: ONE shuffle on the key (the window partition); the
+    change-count rides the same partition, no second exchange. This
+    is the batch form of the streaming apply in
+    ``streaming/orc_sink.py::foreach_batch_orc`` (idempotent
+    partition overwrite); value is carried in exact int64
+    micro-units so the row hashes bit-identically on both engines."""
+    e = table(spark, sf_dir, "events")
+    ch = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    wk = Window.partitionBy("user_id")
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count("*").over(wk))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value_micro").alias("last_value_micro"),
+            "n_changes",
+        )
+    )
+
+
+CDC_APPLY_SQL = """
+WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+    CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro
+  FROM events
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts_us DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ch
+)
+SELECT user_id, ts_us AS last_ts_us, value_micro AS last_value_micro,
+       n_changes
+FROM r WHERE rn = 1 AND op = 'U'
+"""
+
+
+def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: track each user's event_type as a
+    slowly-changing "status" attribute — collapse consecutive repeats,
+    then emit one history row per status interval with
+    ``effective_from/effective_to`` validity bounds, a version number,
+    and the ``is_current`` flag (open interval). This is the standard
+    dimension-maintenance pattern a warehouse runs on entity snapshots.
+
+    Scale shape: both windows partition on ``user_id`` — one shuffle,
+    the second window reuses the first's partitioning (no second
+    exchange in the plan). Intervals are exact integer microseconds."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("effective_to_us", F.lead(F.unix_micros("ts")).over(w))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "version",
+            F.unix_micros("ts").alias("effective_from_us"),
+            "effective_to_us",
+            F.col("effective_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
+SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS status, ts, event_id FROM seq
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, status,
+  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+  epoch_us(ts) AS effective_from_us,
+  LEAD(epoch_us(ts)) OVER w AS effective_to_us,
+  (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per day computed the REAGGREGATABLE
+    way: per-hour user bitmaps (``bitmap_construct_agg``), OR-merged
+    up to days (``bitmap_or_agg``), then counted — the pattern that
+    lets a 100 TB pipeline keep hourly materializations and roll them
+    to day/week/month without ever re-touching raw events (unlike
+    COUNT(DISTINCT), which cannot be re-aggregated). The oracle checks
+    the merged counts against a direct COUNT(DISTINCT) — the bitmap
+    algebra is exact, not approximate.
+
+    Scale shape: the hourly bitmap agg is map-side combinable (bitmap
+    bytes merge associatively); the day rollup exchanges only
+    (day, bucket, 4 KiB bitmap) rows — corpus-size-independent."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day_start"),
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day_start", "hour_start", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        hourly.groupBy("day_start", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("day_start")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+    )
+
+
+BITMAP_ROLLUP_SQL = """
+SELECT DATE_TRUNC('day', ts) AS day_start,
+       COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY day_start
+"""
+
+
 # Newest entries first: the driver's correctness gate caps at the
 # first 50 registry entries (see queries/__init__.py), and this module
 # sits last inside the cap — entries past it fall to the committed
 # CHECKLOG.md run.
 QUERIES = {
+    "events_cdc_apply": events_cdc_apply,
+    "events_scd2_status": events_scd2_status,
+    "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
     "events_markov_transitions": events_markov_transitions,
     "events_conversion_lag": events_conversion_lag,
     "events_user_features": events_user_features,
@@ -676,6 +833,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cdc_apply": CDC_APPLY_SQL,
+    "events_scd2_status": SCD2_SQL,
+    "events_bitmap_distinct_rollup": BITMAP_ROLLUP_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,
     "events_sliding_1h_30m": SLIDING_SQL,

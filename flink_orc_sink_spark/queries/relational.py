@@ -1861,7 +1861,90 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts)
 
 
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the fact table — the pre-load
+    expectation suite every warehouse runs: null keys, non-positive
+    amounts, out-of-range dates (one single-pass scan for all three),
+    duplicate primary keys (one map-side-combined groupBy), and
+    referential-integrity orphans against the customer dimension
+    (broadcast anti-join on the deduplicated key set). Output is a
+    (metric, value) report row per check.
+
+    Scale shape: the three scan checks share ONE pass (a single agg
+    producing three counters, unpivoted in-row via map+explode — at
+    100 TB that is one job, not three); orphans probe a broadcast key
+    set; only the duplicate check shuffles, on the primary key."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    flag = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    scan = (
+        o.agg(
+            flag(F.col("o_custkey").isNull()).alias("null_custkey"),
+            flag(F.col("o_totalprice") <= 0).alias("nonpositive_totalprice"),
+            flag(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            ).alias("date_out_of_range"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("null_custkey"), F.col("null_custkey"),
+                    F.lit("nonpositive_totalprice"),
+                    F.col("nonpositive_totalprice"),
+                    F.lit("date_out_of_range"), F.col("date_out_of_range"),
+                )
+            ).alias("metric", "value")
+        )
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("value"))
+        .select(F.lit("dup_orderkeys").alias("metric"), "value")
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey").distinct()),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("value"))
+        .select(F.lit("orphan_orders").alias("metric"), "value")
+    )
+    return scan.unionAll(dups).unionAll(orphans)
+
+
+DQ_AUDIT_SQL = """
+SELECT 'null_custkey' AS metric,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS value
+FROM orders
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'date_out_of_range',
+       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '1999-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'dup_orderkeys', COUNT(*) FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+)
+UNION ALL
+SELECT 'orphan_orders', COUNT(*) FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+)
+"""
+
+
 QUERIES = {
+    "dq_audit_orders": dq_audit_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1927,6 +2010,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_audit_orders": DQ_AUDIT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
