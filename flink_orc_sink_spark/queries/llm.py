@@ -1167,6 +1167,56 @@ GROUP BY t.doc_id
 """
 
 
+def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check with a BLOOM-FILTER prefilter — the shape
+    ``docs_contamination`` takes when the eval shingle set is too
+    large to broadcast as strings: ship a ~1.2-byte-per-key bitset
+    instead (100× smaller), drop the overwhelming majority of clean
+    training shingles map-side with a vectorized membership test, and
+    run the exact broadcast-join confirm only on the survivors. The
+    confirm removes Bloom false positives, so the result is
+    bit-identical to ``docs_contamination`` (same oracle).
+
+    Scale shape: eval-set collection is bounded by definition (eval
+    sets are small next to a 100 TB corpus); the bitset broadcast is
+    O(|eval|) bytes; the prefilter is Arrow-batched NumPy bit math,
+    map-only; the exact join sees only candidate shingles."""
+    from pyspark.sql.functions import pandas_udf
+
+    from flink_orc_sink_spark.functions import bloom as bl
+
+    d = table(spark, sf_dir, "documents")
+    eval_sh = (
+        dd.shingle_postings(
+            d.filter(F.col("source") == "src0"), "doc_id", "text", k=8
+        )
+        .select("s")
+        .distinct()
+    )
+    hashes = [
+        r.h for r in eval_sh.select(F.xxhash64("s").alias("h")).collect()
+    ]
+    n_bits, n_hashes = bl.sizing(len(hashes), fpp=0.01)
+    bc = spark.sparkContext.broadcast(
+        bl.build_bloom(hashes, n_bits, n_hashes)
+    )
+
+    @pandas_udf("boolean")
+    def in_bloom(h):
+        return bl.might_contain(bc.value, n_bits, n_hashes, h)
+
+    train = dd.shingle_postings(
+        d.filter(F.col("source") != "src0"), "doc_id", "text", k=8
+    )
+    candidates = train.filter(in_bloom(F.xxhash64("s")))
+    return (
+        candidates.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .select(F.col("doc").alias("doc_id"), "n_shared_shingles")
+    )
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 5 docs per source, chosen by
     md5-hash order (rerun- and partitioning-stable, unlike
@@ -1531,7 +1581,75 @@ GROUP BY doc_id
 """
 
 
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms — the keyword-extraction /
+    relevance-weighting pass of a text pipeline. IDF here is the
+    FIXED-POINT linear form ``(N * 1e6) div df`` (integer division):
+    scores and the ranking that follows are pure int64 arithmetic, so
+    the result hashes bit-identically across engines and shuffle
+    orders — a log-IDF flavor is a one-line change but its libm
+    doubles are not cross-engine hash-stable, which matters when the
+    score feeds a deterministic curation gate.
+
+    Scale shape: one shuffle to per-doc term counts (map-side
+    combined), one vocabulary-sized aggregate for document
+    frequencies that is broadcast back onto the term stream (vocab ≪
+    corpus — same shape as ``docs_lm_score``), and a per-doc window
+    for the top-k. No corpus×corpus work anywhere."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_ppm",
+            F.expr("tf * ((n_docs * 1000000L) DIV df_docs)"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df_docs", "score_ppm", "rnk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+    tf.tf * ((n.n_docs * 1000000) // dfreq.df_docs) AS score_ppm
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_docs, score_ppm, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_ppm DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
 QUERIES = {
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_contamination_bloom": docs_contamination_bloom,
     "docs_token_stats": docs_token_stats,
     "docs_lm_score": docs_lm_score,
     "docs_lang_distribution": docs_lang_distribution,
@@ -1571,6 +1689,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_tfidf_top_terms": TFIDF_SQL,
+    "docs_contamination_bloom": CONTAMINATION_SQL,
     "docs_token_stats": TOKEN_STATS_SQL,
     "docs_lm_score": LM_SCORE_SQL,
     "docs_lang_distribution": _lang_sql(),
