@@ -42,6 +42,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+) -> Column:
+    """Cosine similarity with PRECOMPUTED per-side norms — bit-identical
+    to :func:`cosine` (same multiply/divide ordering), but the two
+    self-dot-products are evaluated once per ROW before the join
+    instead of once per PAIR inside it. On an n×m scoring join that
+    removes 2·n·m of the 3·n·m interpreted higher-order aggregations —
+    the dominant cost of the exact scoring tier."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 @F.pandas_udf(T.DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched cosine for wide vectors / the Python fallback path.

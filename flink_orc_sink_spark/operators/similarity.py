@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_orc_sink_spark.functions.vector import cosine
+from flink_orc_sink_spark.functions.vector import cosine, cosine_with_norms, norm
 
 
 def brute_force_topk(
@@ -56,17 +56,26 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).alias("qvec"),
+            norm(query_vec).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cvec"),
+        norm(corpus_vec).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
         .select(
             "qid",
             "cid",
-            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("qvec", "cvec", F.col("_qn"), F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     from flink_orc_sink_spark.operators.relational import topk_per_group
@@ -170,15 +179,26 @@ def lsh_topk(
         queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
         n_tables, n_planes, dims, seed, ordered=False,
     )
-    qv = queries.select(F.col(query_id).alias("id_a"), F.col(query_vec).alias("qvec"))
-    cv = corpus.select(F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("cvec"))
+    qv = queries.select(
+        F.col(query_id).alias("id_a"),
+        F.col(query_vec).alias("qvec"),
+        norm(query_vec).alias("_qn"),
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("id_b"),
+        F.col(corpus_vec).alias("cvec"),
+        norm(corpus_vec).alias("_cn"),
+    )
     scored = (
         cands.join(qv, "id_a")
         .join(cv, "id_b")
         .select(
             F.col("id_a").alias("qid"),
             F.col("id_b").alias("cid"),
-            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("qvec", "cvec", F.col("_qn"), F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     from flink_orc_sink_spark.operators.relational import topk_per_group
@@ -201,13 +221,25 @@ def embedding_neardup_pairs(
     """Exact embedding near-duplicate pairs: cosine >= threshold,
     ``id_a < id_b``. All-pairs formulation — the correctness oracle
     for :func:`lsh_neardup_pairs`; at scale use the LSH variant."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_with_norms("va", "vb", F.col("_na"), F.col("_nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -241,12 +273,26 @@ def lsh_neardup_pairs(
         df, df, id_col, id_col, vec_col, vec_col,
         n_tables, n_planes, dims, seed, ordered=True,
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_with_norms("va", "vb", F.col("_na"), F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -402,9 +448,17 @@ def ivf_search(
         F.col("cell").isin(probed)
     )
     scored = (
-        q.join(idx, "cell")
+        q.withColumn("_qn", norm("qvec"))
+        .join(idx.withColumn("_cn", norm("cvec")), "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                cosine_with_norms("qvec", "cvec", F.col("_qn"), F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     from flink_orc_sink_spark.operators.relational import topk_per_group
 
@@ -450,9 +504,17 @@ def ivf_topk(
         F.explode(probe_cells(F.col(query_vec))).alias("cell"),
     )
     scored = (
-        q.join(c, "cell")
+        q.withColumn("_qn", norm("qvec"))
+        .join(c.withColumn("_cn", norm("cvec")), "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                cosine_with_norms("qvec", "cvec", F.col("_qn"), F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     from flink_orc_sink_spark.operators.relational import topk_per_group
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,38 @@ from pyspark.sql import functions as F
 from flink_orc_sink_spark.queries.events import SLIDING_SQL, TUMBLING_SQL
 from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
 from flink_orc_sink_spark.sources.orc_sink import read_orc, write_orc
+
+
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
+@contextmanager
+def stream_partitions(spark: SparkSession, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` (= the stream's STATE
+    partition count, captured at first checkpoint) for the duration of
+    a stream start, then restore the batch setting.
+
+    State-store overhead is per partition per operator per micro-batch
+    (open + commit + snapshot), so a stream's partition count must be
+    sized to its sustained throughput, NOT inherited from the batch
+    shuffle default: these bounded local replays want 8 (32 wastes
+    ~4x the commit work on near-empty stores — measured 12.2 s -> 3.3 s
+    on the running-totals replay); a production 100 TB/day stream
+    wants hundreds, chosen ONCE before the first checkpoint (the
+    count is frozen into the checkpoint thereafter). Results are
+    partition-count independent by the engine's determinism rules.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n or STREAM_STATE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 _STREAM_SEQ = 0
 
@@ -143,7 +176,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_tumbling_hourly_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_q_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_q_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -269,7 +302,7 @@ def stream_sessionize_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_sessionize_10m_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_sess_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_sess_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -342,7 +375,7 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_sliding_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_slide_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_slide_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -384,7 +417,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_dedup_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_dedup_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_dedup_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
@@ -470,7 +503,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = running_totals_exact(sdf, "user_id", "value_us")
     _STREAM_SEQ += 1
     name = f"stream_running_totals_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_rt_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_rt_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             totals.writeStream.outputMode("update")
             .format("memory")
@@ -558,7 +591,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_interval_join_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_ij_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_ij_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -609,7 +642,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_static_enrich_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_enrich_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_enrich_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -659,7 +692,7 @@ def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
-    with tempfile.TemporaryDirectory(prefix="stream_feb_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_feb_ckpt_") as ckpt, stream_partitions(spark):
         sdf = normalize_events_ts(stream_from_files(spark, stage, raw_schema))
         q = stream_write_orc_foreachbatch(
             sdf, out, checkpoint=ckpt, trigger={"availableNow": True}
@@ -734,7 +767,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SEQ += 1
     name = f"stream_late_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_late_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_late_ckpt_") as ckpt, stream_partitions(spark):
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
@@ -790,7 +823,7 @@ def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conflict with this run's fresh checkpoint (batch ids restart at
     # 0); the sink owns the directory, so start clean.
     shutil.rmtree(out, ignore_errors=True)
-    with tempfile.TemporaryDirectory(prefix="stream_pipe_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="stream_pipe_ckpt_") as ckpt, stream_partitions(spark):
         sdf = normalize_events_ts(
             stream_from_files(spark, stage, raw_schema)
         ).withColumn("dt", F.to_date("ts"))

@@ -76,6 +76,15 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # Changelog checkpointing: commit the per-batch DELTA to the
+        # checkpoint instead of a full RocksDB snapshot — the
+        # production setting for any non-trivial state size, and
+        # measurably cheaper per micro-batch here too.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # Dimension tables up to 64 MiB broadcast instead of shuffling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
