@@ -29,6 +29,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver's 50-entry cap (round-2 verdict items 2, 3 and 4 ask for
 # driver-green rows on these specifically).
 _PRIORITY = (
+    "graph_pagerank_events",
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "dq_audit_orders",

@@ -807,11 +807,83 @@ FROM events GROUP BY day_start
 """
 
 
+def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (3 fixed
+    iterations, damping 0.85) — the iterative-graph-algorithm family
+    (link analysis, influence scoring) as a first-class, ORACLE-
+    CHECKED operator. Ranks are fixed-point int64 (parts per 1e12)
+    with truncated integer division, so the distributed iteration
+    hashes bit-identically to the oracle's unrolled SQL — float
+    PageRank can never be value-checked this way.
+
+    The node set here is small (event types) but every step is the
+    100 TB shape: per iteration one src-keyed equi-join + one
+    map-side-combined groupBy on dst; no driver-side data path (see
+    ``operators/graph.py::pagerank_fixed``)."""
+    from flink_orc_sink_spark.operators.graph import pagerank_fixed
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed(edges, iterations=3)
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 10**12) -> str:
+    base = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT prev_type AS src, event_type AS dst
+  FROM seq WHERE prev_type IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (
+  SELECT node, {scale} // n_nodes AS rank_ppt FROM nodes CROSS JOIN n
+)"""
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f""",
+it{i} AS (
+  SELECT nodes.node,
+    ({scale} * 15) // (100 * n.n_nodes)
+      + (85 * COALESCE(s.in_sum, 0)) // 100 AS rank_ppt
+  FROM nodes CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.rank_ppt // o.outdeg) AS BIGINT) AS in_sum
+    FROM {prev} r
+    JOIN edges e ON r.node = e.src
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON nodes.node = s.dst
+)""")
+        prev = f"it{i}"
+    return base + "".join(iters) + f"\nSELECT node, rank_ppt FROM {prev}"
+
+
+PAGERANK_SQL = _pagerank_sql(3)
+
+
 # Newest entries first: the driver's correctness gate caps at the
 # first 50 registry entries (see queries/__init__.py), and this module
 # sits last inside the cap — entries past it fall to the committed
 # CHECKLOG.md run.
 QUERIES = {
+    "graph_pagerank_events": graph_pagerank_events,
     "events_cdc_apply": events_cdc_apply,
     "events_scd2_status": events_scd2_status,
     "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
@@ -833,6 +905,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_pagerank_events": PAGERANK_SQL,
     "events_cdc_apply": CDC_APPLY_SQL,
     "events_scd2_status": SCD2_SQL,
     "events_bitmap_distinct_rollup": BITMAP_ROLLUP_SQL,

@@ -1,0 +1,59 @@
+"""Unit tests for operators/graph.py (fixed-point PageRank)."""
+
+from __future__ import annotations
+
+from flink_orc_sink_spark.operators.graph import pagerank_fixed
+
+SCALE = 10**12
+
+
+def _py_pagerank(edges, iterations=3, damping_pct=85, scale=SCALE):
+    """Reference implementation of the exact fixed-point semantics."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        in_sum = {v: 0 for v in nodes}
+        for s, d in edges:
+            in_sum[d] += rank[s] // out[s]
+        rank = {
+            v: (scale * (100 - damping_pct)) // (100 * n)
+            + (damping_pct * in_sum[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_semantics(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("b", "d"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.rank_ppt
+        for r in pagerank_fixed(df, iterations=3).collect()
+    }
+    assert got == _py_pagerank(edges, iterations=3)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star graph: everything points at 'hub'
+    edges = [(f"leaf{i}", "hub") for i in range(5)] + [("hub", "leaf0")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_ppt for r in pagerank_fixed(df).collect()}
+    assert got["hub"] > max(v for k, v in got.items() if k != "hub")
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]  # cycle: no dangling
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    total = sum(
+        r.rank_ppt for r in pagerank_fixed(df, iterations=4).collect()
+    )
+    # truncation leaks O(outdeg) parts per node per iteration only
+    assert SCALE - 100 <= total <= SCALE
