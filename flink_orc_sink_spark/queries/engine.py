@@ -664,6 +664,96 @@ FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 """
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE on the real runtime, pushed through the
+    value gate: the event change feed (``error`` = delete tombstone,
+    else upsert) replayed in THREE micro-batches
+    (``maxFilesPerTrigger=1`` over a 3-file stage) through
+    ``stream_cdc_apply_orc`` — each batch partition-prunes the keyed
+    ORC state table, merges latest-per-key, and dynamically overwrites
+    only touched key partitions. The final table must equal the batch
+    CDC oracle's latest-per-key state exactly, proving the incremental
+    merge composes across batches (latest-wins is associative) and
+    tombstones suppress deleted keys."""
+    global _STREAM_SEQ
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        stream_cdc_apply_orc,
+        stream_from_files,
+    )
+
+    e = table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    # 3-file stage so availableNow + maxFilesPerTrigger=1 replays the
+    # feed as three genuine micro-batches (a symlinked single file
+    # would merge everything in one batch and never exercise the
+    # state-table read-back path).
+    stage = tempfile.mkdtemp(prefix="stream_cdc_src_")
+    spark.read.parquet(src).repartitionByRange(3, "event_id").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    _STREAM_SEQ += 1
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_cdc_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    import shutil
+
+    shutil.rmtree(state, ignore_errors=True)
+    with tempfile.TemporaryDirectory(prefix="stream_cdc_ckpt_") as ckpt, stream_partitions(spark):
+        sdf = normalize_events_ts(
+            stream_from_files(spark, stage, raw_schema, max_files_per_trigger=1)
+        ).select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.floor(F.col("value") * 1e6 + 0.5)
+            .cast("long")
+            .alias("value_micro"),
+        )
+        q = stream_cdc_apply_orc(
+            sdf,
+            state,
+            checkpoint=ckpt,
+            key_col="user_id",
+            order_cols=["ts_us", "event_id"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.read.orc(state)
+        .filter(F.col("op") == "U")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value_micro").alias("last_value_micro"),
+        )
+    )
+
+
+STREAM_CDC_APPLY_SQL = """
+WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+    CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro
+  FROM events
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT user_id, ts_us AS last_ts_us, value_micro AS last_value_micro
+FROM r WHERE rn = 1 AND op = 'U'
+"""
+
+
 def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``foreachBatch`` CUSTOM SINK pushed through the value gate:
     events streamed through batch-id-keyed idempotent ORC writes
@@ -855,6 +945,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
+    "stream_cdc_apply": stream_cdc_apply,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -872,5 +963,6 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
+    "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

@@ -6,6 +6,7 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     csv_parse,
     demo_socket_to_orc,
     read_committed_orc,
+    stream_cdc_apply_orc,
     stream_from_files,
     stream_write_orc,
     stream_write_orc_foreachbatch,
@@ -16,6 +17,7 @@ __all__ = [
     "csv_parse",
     "demo_socket_to_orc",
     "read_committed_orc",
+    "stream_cdc_apply_orc",
     "stream_from_files",
     "stream_write_orc",
     "stream_write_orc_foreachbatch",

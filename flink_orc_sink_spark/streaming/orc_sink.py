@@ -30,6 +30,7 @@ bucket and publishes a gauge shifted −8h for UTC+8 display
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,6 +116,76 @@ def stream_write_orc_foreachbatch(
         )
 
     writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def stream_cdc_apply_orc(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    order_cols: list[str],
+    n_key_partitions: int = 16,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """Streaming CDC MERGE into a keyed ORC state table — the
+    ``foreachBatch`` upsert every warehouse runs on a change feed when
+    the sink has no native MERGE. Each micro-batch:
+
+    1. hashes keys into ``n_key_partitions`` buckets (``kp``),
+    2. reads ONLY the state partitions the batch touches (partition
+       pruning on ``kp`` — a batch touching 3 of 10 000 key buckets
+       reads 3),
+    3. keeps the latest row per key across state ∪ batch (strict
+       total order via ``order_cols`` — latest-wins is idempotent, so
+       a crash-replayed batch converges to the same table), and
+    4. rewrites only the touched partitions (dynamic partition
+       overwrite).
+
+    State size is O(live keys), never O(stream length); per-batch I/O
+    is O(touched partitions). Deletes stay in the table as tombstone
+    rows (``op='D'``) so re-inserts win later batches; readers filter
+    them. Production engines get snapshot isolation from a table
+    format (Delta/Iceberg MERGE); here the merged frame is eagerly
+    localCheckpoint-ed before the overwrite so the read and the
+    rewrite of the same files never overlap.
+    """
+    order_desc = [F.col(c).desc() for c in order_cols]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        ch = batch_df.withColumn(
+            "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
+        )
+        if os.path.isdir(state_path):
+            kps = [r.kp for r in ch.select("kp").distinct().collect()]
+            cur = spark.read.orc(state_path).filter(F.col("kp").isin(kps))
+            allrows = cur.unionByName(ch)
+        else:
+            allrows = ch
+        w = Window.partitionBy(key_col).orderBy(*order_desc)
+        merged = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("kp")
+            .orc(state_path)
+        )
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
     )
     if trigger:

@@ -169,3 +169,60 @@ def test_foreachbatch_sink_idempotent_replay(spark, tmp_path):
         .orc(out)
     )
     assert spark.read.orc(out).count() == 100  # overwrote, not appended
+
+
+def test_stream_cdc_apply_incremental_and_restart(spark, tmp_path):
+    """Streaming CDC merge: (1) batches compose incrementally —
+    feeding changes in two phases converges to latest-per-key over the
+    whole feed; (2) a restart on a drained checkpoint is a no-op;
+    (3) delete tombstones suppress keys until a later upsert wins."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.streaming import (
+        stream_cdc_apply_orc,
+        stream_from_files,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, seq long, op string, v long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = stream_cdc_apply_orc(
+            stream_from_files(spark, src, schema),
+            state,
+            checkpoint=ckpt,
+            key_col="k",
+            order_cols=["seq"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    def live():
+        return {
+            (r.k, r.seq, r.v)
+            for r in spark.read.orc(state).filter(F.col("op") == "U").collect()
+        }
+
+    feed([(1, 1, "U", 10), (2, 1, "U", 20), (3, 1, "U", 30)])
+    run()
+    assert live() == {(1, 1, 10), (2, 1, 20), (3, 1, 30)}
+
+    # phase 2: update k=1, delete k=2, new k=4 — merges into state
+    feed([(1, 2, "U", 11), (2, 2, "D", 0), (4, 1, "U", 40)])
+    run()
+    assert live() == {(1, 2, 11), (3, 1, 30), (4, 1, 40)}
+
+    run()  # restart on drained checkpoint: no-op
+    assert live() == {(1, 2, 11), (3, 1, 30), (4, 1, 40)}
+
+    # phase 3: re-insert k=2 after its tombstone — upsert wins
+    feed([(2, 3, "U", 22)])
+    run()
+    assert live() == {(1, 2, 11), (2, 3, 22), (3, 1, 30), (4, 1, 40)}
