@@ -136,6 +136,44 @@ FROM events
 """
 
 
+def orc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout at value level: orders rewritten
+    clustered on the Morton curve of (o_custkey, o_orderdate) and read
+    back — the hash match proves the multi-dimensional re-layout
+    (quantize → bit-interleave → range-partition → sort) moves every
+    row and loses none. The data-skipping payoff (a range filter on
+    EITHER clustered column touches a minority of files, where a
+    linear sort serves only its own column) is measured in
+    tests/test_scale_layouts.py::test_zorder_layout_serves_both_dimensions."""
+    from flink_orc_sink_spark.sources.orc_sink import write_orc_zordered
+
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_zorder_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_orc_zordered(o, out, ["o_custkey", "o_orderdate"])
+    return read_orc(spark, out).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+ORC_ZORDER_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+"""
+
+
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts/sums computed BY THE STREAMING RUNTIME.
 
@@ -946,6 +984,7 @@ QUERIES = {
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
     "stream_cdc_apply": stream_cdc_apply,
+    "orc_zorder_layout": orc_zorder_layout,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -964,5 +1003,6 @@ ORACLES = {
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
+    "orc_zorder_layout": ORC_ZORDER_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

@@ -93,3 +93,56 @@ def test_orc_table_readable_from_files(spark):
         assert back.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS t_plain")
+
+
+def test_zorder_layout_serves_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs linear sort on (o_custkey, o_orderdate): the linear
+    layout clusters only its own sort column; the Z-order layout gives
+    BOTH columns tight per-file ranges, so a range selection on either
+    dimension touches a small fraction of the files."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.sources.catalog import table
+    from flink_orc_sink_spark.sources.orc_sink import write_orc_zordered
+
+    o = table(spark, sf_dir, "orders")
+    n_files = 16
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_orc_zordered(
+        o, zpath, ["o_custkey", "o_orderdate"], n_files=n_files
+    )
+    (
+        o.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.format("orc")
+        .save(lpath)
+    )
+
+    lo, hi = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    dlo, dhi = o.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    k_hi = lo + (hi - lo) // 10          # 10% key range
+    d_hi = dlo + (dhi - dlo) / 10        # 10% date range
+
+    def files_touched(path, cond):
+        return (
+            spark.read.orc(path)
+            .filter(cond)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    key_cond = F.col("o_custkey") <= k_hi
+    date_cond = F.col("o_orderdate") <= F.lit(d_hi)
+
+    # Z-order: BOTH dimensions cluster — a 10% range lives in a
+    # minority of files on each axis.
+    assert files_touched(zpath, key_cond) <= n_files // 2
+    assert files_touched(zpath, date_cond) <= n_files // 2
+    # Linear: its own column clusters tightly…
+    assert files_touched(lpath, key_cond) <= 3
+    # …but the other dimension scatters across essentially all files.
+    assert files_touched(lpath, date_cond) >= n_files - 2
+    # and the data survives the layout unchanged
+    assert spark.read.orc(zpath).count() == o.count()
