@@ -50,14 +50,23 @@ HEADLINE = [
     "emb_lsh_neardup_pairs",
     "emb_centroids_by_label",
     "events_markov_transitions",
+    "events_cdc_apply",
+    "events_scd2_status",
+    "events_bitmap_distinct_rollup",
+    "dq_audit_orders",
+    "docs_tfidf_top_terms",
+    "docs_contamination_bloom",
+    "graph_pagerank_events",
     "multimodal_dims",
     "orc_roundtrip_events",
     "orc_roundtrip_typeedge",
     "orc_schema_evolution",
+    "orc_zorder_layout",
     "stream_tumbling_hourly",
     "stream_sessionize_10m",
     "stream_running_totals",
     "stream_interval_join",
+    "stream_cdc_apply",
     "stream_orc_pipeline_events",
 ]
 
@@ -83,6 +92,14 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         per_query[name] = round(time.time() - t0, 3)
+        # Measure each query, not the session debris of the previous
+        # ones: memory-sink tables and cached blocks accumulate across
+        # the 40+ headline queries and show up as GC noise in later
+        # numbers.
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_wall_sec",
