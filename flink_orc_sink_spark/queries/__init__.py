@@ -30,6 +30,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     "graph_pagerank_events",
+    "events_hll_union_rollup",
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "dq_audit_orders",

@@ -174,6 +174,130 @@ FROM orders
 """
 
 
+def orc_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-SKIPPING INDEX at value level: orders written Z-ordered,
+    a file-level min/max index built over it
+    (``sources/orc_sink.py::build_minmax_index``), then a key-range
+    selection answered by reading ONLY the files the index admits
+    (``pruned_read``). The oracle is the plain relational filter, so a
+    hash match proves plan-time file skipping loses no rows and admits
+    no extras — the Iceberg-manifest-style read path that turns "open
+    100k files" into "open the 40 the range touches" at 100 TB."""
+    from flink_orc_sink_spark.sources.orc_sink import (
+        build_minmax_index,
+        pruned_read,
+        write_orc_zordered,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_statsidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    data, idx = os.path.join(base, "data"), os.path.join(base, "index")
+    write_orc_zordered(o, data, ["o_custkey", "o_orderdate"])
+    build_minmax_index(spark, data, ["o_custkey"], idx)
+    # fixed relative range: [10%, 30%] of the key span
+    lo_k, hi_k = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo = lo_k + (hi_k - lo_k) // 10
+    hi = lo_k + 3 * (hi_k - lo_k) // 10
+    return pruned_read(spark, data, idx, "o_custkey", lo, hi).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+ORC_STATS_PRUNED_SQL = """
+WITH span AS (
+  SELECT MIN(o_custkey) AS lo_k, MAX(o_custkey) AS hi_k FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders, span
+WHERE o_custkey >= lo_k + (hi_k - lo_k) // 10
+  AND o_custkey <= lo_k + 3 * (hi_k - lo_k) // 10
+"""
+
+
+def orc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED AGGREGATE at value level: a daily
+    revenue rollup maintained the way a 100 TB warehouse maintains it
+    — the historical days aggregated once, then "a new day arrives"
+    and ONLY that day's partition is scanned (partition-pruned read)
+    and upserted into the aggregate table (dynamic partition
+    overwrite). The oracle recomputes the rollup from scratch, so a
+    hash match proves incremental maintenance equals full recompute —
+    the invariant that lets daily pipelines cost a day, not a table.
+    """
+    o = table(spark, sf_dir, "orders").withColumn(
+        "m", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_incragg_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    fact, agg_path = os.path.join(base, "fact"), os.path.join(base, "agg")
+    write_orc(o, fact, partition_cols=["m"])
+    # Bounded driver-side read by design: ONE scalar (the "new" month).
+    max_m = o.agg(F.max("m")).collect()[0][0]
+
+    def monthly_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("m").agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    # historical build: everything before the new month
+    hist = spark.read.orc(fact).filter(F.col("m") < F.lit(max_m))
+    write_orc(monthly_agg(hist), agg_path, partition_cols=["m"])
+    # incremental step: scan ONLY the new month's partition, upsert it
+    new_month = spark.read.orc(fact).filter(F.col("m") == F.lit(max_m))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            monthly_agg(new_month)
+            .write.mode("overwrite")
+            .format("orc")
+            .partitionBy("m")
+            .save(agg_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return read_orc(spark, agg_path).select(
+        F.to_timestamp(F.concat(F.col("m"), F.lit("-01"))).alias(
+            "month_start"
+        ),
+        "n_orders",
+        "revenue",
+    )
+
+
+ORC_INCR_AGG_SQL = """
+SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+    AS revenue
+FROM orders GROUP BY month_start
+"""
+
+
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts/sums computed BY THE STREAMING RUNTIME.
 
@@ -985,6 +1109,8 @@ QUERIES = {
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
     "stream_cdc_apply": stream_cdc_apply,
     "orc_zorder_layout": orc_zorder_layout,
+    "orc_stats_pruned_read": orc_stats_pruned_read,
+    "orc_incremental_agg": orc_incremental_agg,
     "stream_orc_pipeline_events": stream_orc_pipeline_events,
 }
 
@@ -1004,5 +1130,7 @@ ORACLES = {
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,
+    "orc_stats_pruned_read": ORC_STATS_PRUNED_SQL,
+    "orc_incremental_agg": ORC_INCR_AGG_SQL,
     "stream_orc_pipeline_events": ORC_ROUNDTRIP_SQL,
 }

@@ -807,6 +807,52 @@ FROM events GROUP BY day_start
 """
 
 
+def events_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE mergeable distinct rollup: per-hour DataSketches
+    HLL sketches (``hll_sketch_agg``) union-merged to days
+    (``hll_union_agg``) — the companion to
+    ``events_bitmap_distinct_rollup``: bitmaps are exact but grow with
+    the key range; HLL sketches are a FIXED few KB at any cardinality,
+    which is what a 100 TB pipeline keeps per (dimension-combination,
+    hour) cell when the dimensions multiply. The raw estimate is
+    engine-specific, so (like ``agg_approx_distinct_sketch``) the
+    oracle-checked surface is the sketch CONTRACT: exact distinct per
+    day plus a boolean "merged estimate within 5%" that DuckDB expects
+    TRUE — a drifting merge flips the hash."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day_start"),
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "user_id",
+        )
+        .groupBy("day_start", "hour_start")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    merged = hourly.groupBy("day_start").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = e.groupBy(F.date_trunc("day", "ts").alias("day_start")).agg(
+        F.count_distinct("user_id").alias("n_distinct_users")
+    )
+    return exact.join(merged, "day_start").select(
+        "day_start",
+        "n_distinct_users",
+        (
+            F.abs(F.col("est") - F.col("n_distinct_users"))
+            <= 0.05 * F.col("n_distinct_users")
+        ).alias("union_within_bound"),
+    )
+
+
+HLL_ROLLUP_SQL = """
+SELECT DATE_TRUNC('day', ts) AS day_start,
+       COUNT(DISTINCT user_id) AS n_distinct_users,
+       TRUE AS union_within_bound
+FROM events GROUP BY day_start
+"""
+
+
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (3 fixed
     iterations, damping 0.85) — the iterative-graph-algorithm family
@@ -884,6 +930,7 @@ PAGERANK_SQL = _pagerank_sql(3)
 # CHECKLOG.md run.
 QUERIES = {
     "graph_pagerank_events": graph_pagerank_events,
+    "events_hll_union_rollup": events_hll_union_rollup,
     "events_cdc_apply": events_cdc_apply,
     "events_scd2_status": events_scd2_status,
     "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
@@ -906,6 +953,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_events": PAGERANK_SQL,
+    "events_hll_union_rollup": HLL_ROLLUP_SQL,
     "events_cdc_apply": CDC_APPLY_SQL,
     "events_scd2_status": SCD2_SQL,
     "events_bitmap_distinct_rollup": BITMAP_ROLLUP_SQL,

@@ -317,3 +317,69 @@ def write_orc_zordered(
         .option("compression", compression)
         .save(path)
     )
+
+
+def build_minmax_index(
+    spark: SparkSession, path: str, cols: list[str], index_path: str
+) -> None:
+    """Build a FILE-LEVEL min/max skipping index (Iceberg-manifest
+    style) over an ORC table: one tiny parquet of
+    ``(file, <col>_min, <col>_max, n_rows)`` per data file, computed
+    in one distributed scan grouped by ``input_file_name()``.
+
+    Spark's planner prunes ORC stripes from embedded stats at READ
+    time but still lists and opens every file; this external index
+    moves the skip decision to PLAN time — ``pruned_read`` consults
+    the (broadcast-sized) index first and hands the reader only the
+    files whose range intersects the predicate. At 100 TB that is the
+    difference between opening 100k files and opening the 40 a
+    time/key-range query touches. Rebuild per partition on append;
+    the index is itself a table, so maintenance is an ordinary job.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    aggs.append(F.count("*").alias("n_rows"))
+    (
+        spark.read.orc(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    index_path: str,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files whose ``[col_min, col_max]`` range
+    intersects ``[lo, hi]`` (per the min/max index), then apply the
+    exact filter — identical rows to a full-scan filter, a fraction of
+    the file opens. The driver-side step is bounded: the index has one
+    row per FILE (not per row group or record)."""
+    idx = spark.read.parquet(index_path)
+    files = [
+        r.file
+        for r in idx.filter(
+            (F.col(f"{col}_max") >= F.lit(lo))
+            & (F.col(f"{col}_min") <= F.lit(hi))
+        ).collect()
+    ]
+    if not files:
+        return (
+            spark.read.orc(path)
+            .filter(F.lit(False))
+        )
+    return (
+        spark.read.orc(files)
+        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    )

@@ -146,3 +146,47 @@ def test_zorder_layout_serves_both_dimensions(spark, sf_dir, tmp_path):
     assert files_touched(lpath, date_cond) >= n_files - 2
     # and the data survives the layout unchanged
     assert spark.read.orc(zpath).count() == o.count()
+
+
+def test_minmax_index_prunes_file_opens(spark, sf_dir, tmp_path):
+    """The external min/max index hands the reader only intersecting
+    files: on a Z-ordered table a 10% key range admits a minority of
+    the 16 files, and the pruned read returns exactly the full-scan
+    filter's rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.sources.catalog import table
+    from flink_orc_sink_spark.sources.orc_sink import (
+        build_minmax_index,
+        pruned_read,
+        write_orc_zordered,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    write_orc_zordered(o, data, ["o_custkey", "o_orderdate"], n_files=16)
+    build_minmax_index(spark, data, ["o_custkey"], idx)
+
+    lo_k, hi_k = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo, hi = lo_k, lo_k + (hi_k - lo_k) // 10
+
+    admitted = (
+        spark.read.parquet(idx)
+        .filter(
+            (F.col("o_custkey_max") >= lo) & (F.col("o_custkey_min") <= hi)
+        )
+        .count()
+    )
+    n_data_files = len(glob.glob(data + "/part-*"))
+    assert n_data_files >= 8
+    assert admitted <= n_data_files // 2  # the index actually skips
+
+    got = pruned_read(spark, data, idx, "o_custkey", lo, hi)
+    want = spark.read.orc(data).filter(
+        (F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi)
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
