@@ -276,3 +276,61 @@ def sessionize(
     is_new = (prev.isNull() | ((t_us - prev) >= gap_us)).cast("int")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(is_new).over(wsum))
+
+
+def cdc_latest_state(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed: the LATEST change per key (strict
+    total order via ``order_cols``, descending), with keys whose
+    latest change is a delete absent, plus ``n_changes`` per surviving
+    key for audit. ONE shuffle on the key — the count window rides the
+    same partition as the ranking window.
+
+    Latest-wins is idempotent and associative, which is what makes
+    the incremental/streaming form (``streaming/orc_sink.py::
+    stream_cdc_apply_orc``) converge under crash replay and arbitrary
+    batch splits."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    wk = Window.partitionBy(*key_cols)
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count("*").over(wk))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD Type-2 history of ``attr_col`` per key: collapse
+    consecutive repeats (ordered by ``order_cols``, default
+    ``[ts_col]``), then emit one row per attribute interval with
+    ``version``, ``effective_from`` (= the change's ``ts_col``),
+    ``effective_to`` (= next change's, NULL while open) and
+    ``is_current``. Both windows partition on the key — one exchange,
+    reused."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+        .drop("_prev")
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )

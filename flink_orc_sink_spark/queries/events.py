@@ -668,6 +668,8 @@ def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition overwrite); value is carried in exact int64
     micro-units so the row hashes bit-identically on both engines."""
     e = table(spark, sf_dir, "events")
+    from flink_orc_sink_spark.operators.relational import cdc_latest_state
+
     ch = e.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -677,20 +679,13 @@ def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value_micro"),
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts_us"), F.desc("event_id")
-    )
-    wk = Window.partitionBy("user_id")
-    return (
-        ch.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_changes", F.count("*").over(wk))
-        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
-        .select(
-            "user_id",
-            F.col("ts_us").alias("last_ts_us"),
-            F.col("value_micro").alias("last_value_micro"),
-            "n_changes",
-        )
+    return cdc_latest_state(
+        ch, ["user_id"], ["ts_us", "event_id"]
+    ).select(
+        "user_id",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("value_micro").alias("last_value_micro"),
+        "n_changes",
     )
 
 
@@ -725,25 +720,20 @@ def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both windows partition on ``user_id`` — one shuffle,
     the second window reuses the first's partitioning (no second
     exchange in the plan). Intervals are exact integer microseconds."""
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = e.withColumn(
-        "prev_type", F.lag("event_type").over(w)
-    ).filter(
-        F.col("prev_type").isNull()
-        | (F.col("prev_type") != F.col("event_type"))
+    from flink_orc_sink_spark.operators.relational import scd2_history
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
     )
-    return (
-        changes.withColumn("version", F.row_number().over(w))
-        .withColumn("effective_to_us", F.lead(F.unix_micros("ts")).over(w))
-        .select(
-            "user_id",
-            F.col("event_type").alias("status"),
-            "version",
-            F.unix_micros("ts").alias("effective_from_us"),
-            "effective_to_us",
-            F.col("effective_to_us").isNull().alias("is_current"),
-        )
+    return scd2_history(
+        e, ["user_id"], "event_type", "ts_us", order_cols=["ts_us", "event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "version",
+        F.col("effective_from").alias("effective_from_us"),
+        F.col("effective_to").alias("effective_to_us"),
+        "is_current",
     )
 
 

@@ -164,3 +164,75 @@ def test_plant_parse_roundtrip_any_id(mid):
         assert (sr, dur) == (rate, data * 1000 // (rate * 2))
     else:
         assert (w, h) != (None, None)
+
+
+cdc_rows = st.lists(
+    st.tuples(
+        keys,                                      # k
+        st.integers(min_value=0, max_value=30),    # seq
+        st.sampled_from(["U", "D"]),               # op
+        vals,                                      # v
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=cdc_rows)
+@SETTINGS
+def test_cdc_latest_state_matches_reference(spark, rows):
+    from flink_orc_sink_spark.operators.relational import cdc_latest_state
+
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v long")
+    got = {
+        (r.k, r.seq, r.v, r.n_changes)
+        for r in cdc_latest_state(df, ["k"], ["seq"]).collect()
+    }
+    want = set()
+    by_key: dict = {}
+    for k, seq, op, v in rows:
+        by_key.setdefault(k, []).append((seq, op, v))
+    for k, ch in by_key.items():
+        seq, op, v = max(ch)
+        if op != "D":
+            want.add((k, seq, v, len(ch)))
+    assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(keys, st.integers(min_value=0, max_value=30),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=15, unique_by=lambda r: (r[0], r[1]),
+))
+@SETTINGS
+def test_scd2_history_matches_reference(spark, rows):
+    from flink_orc_sink_spark.operators.relational import scd2_history
+
+    df = spark.createDataFrame(rows, "k long, ts long, attr string")
+    got = {
+        (r.k, r.attr, r.version, r.effective_from, r.effective_to,
+         r.is_current)
+        for r in scd2_history(df, ["k"], "attr", "ts").collect()
+    }
+    want = set()
+    by_key: dict = {}
+    for k, ts, attr in rows:
+        by_key.setdefault(k, []).append((ts, attr))
+    for k, ch in by_key.items():
+        ch.sort()
+        ivals = [
+            (ts, attr) for i, (ts, attr) in enumerate(ch)
+            if i == 0 or ch[i - 1][1] != attr
+        ]
+        for i, (ts, attr) in enumerate(ivals):
+            nxt = ivals[i + 1][0] if i + 1 < len(ivals) else None
+            want.add((k, attr, i + 1, ts, nxt, nxt is None))
+    assert got == want
+    # invariant: intervals per key are non-overlapping and ordered
+    for k, ch in by_key.items():
+        spans = sorted(
+            (f, t) for kk, _, _, f, t, _ in got if kk == k
+        )
+        for (f1, t1), (f2, _) in zip(spans, spans[1:]):
+            assert t1 == f2
