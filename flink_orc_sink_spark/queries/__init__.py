@@ -31,6 +31,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 _PRIORITY = (
     "graph_pagerank_events",
     "events_hll_union_rollup",
+    "events_theta_audience_overlap",
+    "docs_top_tokens_sketch",
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "dq_audit_orders",

@@ -843,6 +843,75 @@ FROM events GROUP BY day_start
 """
 
 
+def events_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP via theta-sketch SET ALGEBRA: distinct viewers
+    ∩ buyers and viewers ∖ buyers estimated from two mergeable theta
+    sketches — the segment-overlap computation ad/analytics stacks run
+    across hundreds of segment pairs, where exact distinct-intersections
+    (a shuffle per pair) are unaffordable but sketches compose in
+    O(sketch bytes). Oracle-checked via the sketch CONTRACT (exact
+    counts + "estimate within 5% or ±3" booleans DuckDB expects TRUE);
+    the exact side is one per-user flag aggregation — a single shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    sketches = e.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'view'"
+            " THEN user_id END)"
+        ).alias("vsk"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase'"
+            " THEN user_id END)"
+        ).alias("bsk"),
+    ).select(
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(vsk, bsk))"
+        ).alias("both_est"),
+        F.expr(
+            "theta_sketch_estimate(theta_difference(vsk, bsk))"
+        ).alias("view_only_est"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("long")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("b"),
+    )
+    exact = per_user.agg(
+        F.sum("v").alias("n_viewers"),
+        F.sum("b").alias("n_buyers"),
+        F.sum(F.col("v") * F.col("b")).alias("n_both"),
+        F.sum(F.col("v") * (1 - F.col("b"))).alias("n_view_only"),
+    )
+    ok = lambda est, n: (  # noqa: E731 — within 5% or ±3 absolute
+        F.abs(F.col(est) - F.col(n))
+        <= F.greatest(0.05 * F.col(n), F.lit(3.0))
+    )
+    return exact.crossJoin(F.broadcast(sketches)).select(
+        "n_viewers",
+        "n_buyers",
+        "n_both",
+        "n_view_only",
+        ok("both_est", "n_both").alias("intersect_within_bound"),
+        ok("view_only_est", "n_view_only").alias("difference_within_bound"),
+    )
+
+
+THETA_OVERLAP_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(v) AS BIGINT) AS n_viewers,
+       CAST(SUM(b) AS BIGINT) AS n_buyers,
+       CAST(SUM(v * b) AS BIGINT) AS n_both,
+       CAST(SUM(v * (1 - b)) AS BIGINT) AS n_view_only,
+       TRUE AS intersect_within_bound,
+       TRUE AS difference_within_bound
+FROM per_user
+"""
+
+
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (3 fixed
     iterations, damping 0.85) — the iterative-graph-algorithm family
@@ -921,6 +990,7 @@ PAGERANK_SQL = _pagerank_sql(3)
 QUERIES = {
     "graph_pagerank_events": graph_pagerank_events,
     "events_hll_union_rollup": events_hll_union_rollup,
+    "events_theta_audience_overlap": events_theta_audience_overlap,
     "events_cdc_apply": events_cdc_apply,
     "events_scd2_status": events_scd2_status,
     "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
@@ -944,6 +1014,7 @@ QUERIES = {
 ORACLES = {
     "graph_pagerank_events": PAGERANK_SQL,
     "events_hll_union_rollup": HLL_ROLLUP_SQL,
+    "events_theta_audience_overlap": THETA_OVERLAP_SQL,
     "events_cdc_apply": CDC_APPLY_SQL,
     "events_scd2_status": SCD2_SQL,
     "events_bitmap_distinct_rollup": BITMAP_ROLLUP_SQL,

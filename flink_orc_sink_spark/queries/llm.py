@@ -1647,7 +1647,53 @@ WHERE rnk <= 5
 """
 
 
+def docs_top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY HITTERS via the frequent-items sketch (``approx_top_k``):
+    the one-pass, fixed-memory, MERGEABLE way to find top tokens at
+    100 TB (exact top-k shuffles the full vocabulary; the sketch
+    shuffles a bounded summary per partition). Contract-checked like
+    the other sketch queries: the exact top-5 tokens (one
+    vocabulary-sized shuffle) each carry a boolean "found in the
+    sketch's top-20 with the exact count" — the Misra-Gries guarantee
+    for items this far above the noise floor — and DuckDB expects all
+    TRUE."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    sketch = toks.agg(
+        F.expr("approx_top_k(token, 20, 1000)").alias("tk")
+    ).select(
+        F.map_from_arrays(
+            F.expr("transform(tk, x -> x.item)"),
+            F.expr("transform(tk, x -> x.count)"),
+        ).alias("approx")
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(5)
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "token",
+        "n_occurrences",
+        (
+            F.col("approx").getItem(F.col("token"))
+            == F.col("n_occurrences")
+        ).alias("in_sketch_topk"),
+    )
+
+
+TOP_TOKENS_SKETCH_SQL = f"""
+SELECT t AS token, COUNT(*) AS n_occurrences, TRUE AS in_sketch_topk
+FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents)
+GROUP BY t
+ORDER BY n_occurrences DESC, token
+LIMIT 5
+"""
+
+
 QUERIES = {
+    "docs_top_tokens_sketch": docs_top_tokens_sketch,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_contamination_bloom": docs_contamination_bloom,
     "docs_token_stats": docs_token_stats,
@@ -1689,6 +1735,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_top_tokens_sketch": TOP_TOKENS_SKETCH_SQL,
     "docs_tfidf_top_terms": TFIDF_SQL,
     "docs_contamination_bloom": CONTAMINATION_SQL,
     "docs_token_stats": TOKEN_STATS_SQL,
