@@ -222,7 +222,27 @@ def test_stream_cdc_apply_incremental_and_restart(spark, tmp_path):
     run()  # restart on drained checkpoint: no-op
     assert live() == {(1, 2, 11), (3, 1, 30), (4, 1, 40)}
 
-    # phase 3: re-insert k=2 after its tombstone — upsert wins
+    # phase 3: re-insert k=2 after its tombstone — upsert wins, and
+    # ONLY k=2's key-bucket partition is rewritten (per-batch I/O is
+    # O(touched partitions): untouched bucket dirs keep their mtime)
+    import glob
+    import os
+    import time
+
+    def bucket_mtimes():
+        return {
+            d: max(
+                (os.path.getmtime(f) for f in glob.glob(d + "/*")),
+                default=0,
+            )
+            for d in glob.glob(state + "/kp=*")
+        }
+
+    before = bucket_mtimes()
+    time.sleep(1.1)
     feed([(2, 3, "U", 22)])
     run()
     assert live() == {(1, 2, 11), (2, 3, 22), (3, 1, 30), (4, 1, 40)}
+    after = bucket_mtimes()
+    touched = {d for d in before if after[d] != before[d]}
+    assert len(touched) == 1, f"expected 1 rewritten bucket, got {touched}"
