@@ -32,7 +32,9 @@ con = duckdb.connect()
 for t in ("orders", "lineitem", "events"):
     con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '{{sf}}/{{t}}.parquet'")
 for name in ("events_tumbling_hourly", "events_hourly_anomaly",
-             "date_funcs_showcase"):
+             "date_funcs_showcase", "events_bitmap_distinct_rollup",
+             "events_cdc_apply", "events_scd2_status",
+             "orc_incremental_agg"):
     s = qs[name](spark, sf).toPandas()
     o = con.sql(os_[name]).df()
     assert len(s) == len(o), (name, len(s), len(o))
