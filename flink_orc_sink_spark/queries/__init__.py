@@ -33,6 +33,7 @@ _PRIORITY = (
     "events_hll_union_rollup",
     "events_theta_audience_overlap",
     "docs_top_tokens_sketch",
+    "emb_int8_topk",
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "dq_audit_orders",
