@@ -32,6 +32,9 @@ _PRIORITY = (
     "graph_pagerank_events",
     "events_hll_union_rollup",
     "events_theta_audience_overlap",
+    "events_daily_gapfill",
+    "join_not_in_nulls",
+    "window_percent_rank",
     "docs_top_tokens_sketch",
     "emb_int8_topk",
     "docs_tfidf_top_terms",

@@ -912,6 +912,56 @@ FROM per_user
 """
 
 
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES GAP FILL: daily totals joined onto a generated
+    date SPINE (``sequence(min_day, max_day)``) so days with no
+    events appear as explicit zeros — the densification step every
+    downstream forecasting/charting consumer needs (a missing row and
+    a zero row mean different things). The spine generates from one
+    broadcast 2-value aggregate; the join is spine-sized (days), not
+    data-sized — at 100 TB the fill costs nothing next to the scan."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sumv"),
+    )
+    return spine.join(daily, "day", "left").select(
+        F.col("day").cast("timestamp").alias("day_start"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sumv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+DAILY_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+spine AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sumv
+  FROM events GROUP BY day
+)
+SELECT CAST(s.day AS TIMESTAMP) AS day_start,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(d.sumv, 0.0) AS DOUBLE) AS sum_value
+FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
+"""
+
+
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (3 fixed
     iterations, damping 0.85) — the iterative-graph-algorithm family
@@ -991,6 +1041,7 @@ QUERIES = {
     "graph_pagerank_events": graph_pagerank_events,
     "events_hll_union_rollup": events_hll_union_rollup,
     "events_theta_audience_overlap": events_theta_audience_overlap,
+    "events_daily_gapfill": events_daily_gapfill,
     "events_cdc_apply": events_cdc_apply,
     "events_scd2_status": events_scd2_status,
     "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
@@ -1015,6 +1066,7 @@ ORACLES = {
     "graph_pagerank_events": PAGERANK_SQL,
     "events_hll_union_rollup": HLL_ROLLUP_SQL,
     "events_theta_audience_overlap": THETA_OVERLAP_SQL,
+    "events_daily_gapfill": DAILY_GAPFILL_SQL,
     "events_cdc_apply": CDC_APPLY_SQL,
     "events_scd2_status": SCD2_SQL,
     "events_bitmap_distinct_rollup": BITMAP_ROLLUP_SQL,

@@ -1943,8 +1943,79 @@ WHERE NOT EXISTS (
 """
 
 
+def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE anti join (``NOT IN`` subquery semantics): because
+    the probe column is nullable, the planner cannot use a plain anti
+    join — one NULL in the probe set would make every ``NOT IN``
+    evaluate to UNKNOWN (empty result). Spark therefore plans a
+    null-aware anti join over the broadcast probe set; this query
+    exercises that plan non-vacuously (the data's probe set is
+    null-free, so rows survive), and the empty-when-null semantics is
+    pytest-asserted in tests/test_operators_relational.py.
+
+    Scale: keep ``NOT IN`` probes deduplicated and broadcastable
+    (Spark's null-aware path requires a broadcastable build side);
+    rewrite to ``NOT EXISTS`` when the probe side is big — it has no
+    null trap and shuffles as an ordinary anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_c")
+    o.createOrReplaceTempView("_o")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM _c
+        WHERE c_nationkey < 5
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM _o
+            WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+          )
+        """
+    )
+
+
+NOT_IN_NULLS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_nationkey < 5
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+  )
+"""
+
+
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percent_rank`` + ``cume_dist`` per market segment — the
+    relative-standing window pair (both are exact rationals of integer
+    ranks, so the doubles are bit-identical across engines without any
+    rounding convention). Partitioned window — one shuffle."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+PERCENT_RANK_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 QUERIES = {
     "dq_audit_orders": dq_audit_orders,
+    "join_not_in_nulls": join_not_in_nulls,
+    "window_percent_rank": window_percent_rank,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2011,6 +2082,8 @@ QUERIES = {
 
 ORACLES = {
     "dq_audit_orders": DQ_AUDIT_SQL,
+    "join_not_in_nulls": NOT_IN_NULLS_SQL,
+    "window_percent_rank": PERCENT_RANK_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

@@ -181,3 +181,25 @@ def test_asof_join_nearest_timestamps(spark):
         direction="nearest",
     )
     assert out.collect()[0].px == 9.0  # 1s back vs 2s forward
+
+
+def test_not_in_with_null_probe_is_empty(spark):
+    """Three-valued logic: one NULL in a NOT IN probe set makes every
+    membership test UNKNOWN — the correct result is EMPTY, which a
+    plain (non-null-aware) anti join would get wrong."""
+    spark.createDataFrame([(1,), (2,), (3,)], "k long").createOrReplaceTempView(
+        "_naaj_l"
+    )
+    spark.createDataFrame(
+        [(1,), (None,)], "k long"
+    ).createOrReplaceTempView("_naaj_r")
+    got = spark.sql(
+        "SELECT k FROM _naaj_l WHERE k NOT IN (SELECT k FROM _naaj_r)"
+    )
+    assert got.count() == 0
+    # and with the NULL removed, ordinary anti semantics return rows
+    got2 = spark.sql(
+        "SELECT k FROM _naaj_l"
+        " WHERE k NOT IN (SELECT k FROM _naaj_r WHERE k IS NOT NULL)"
+    )
+    assert {r.k for r in got2.collect()} == {2, 3}
