@@ -34,6 +34,15 @@ BUDGETS = {
     "docs_hash_sample": (0, 0),      # pushed predicate, map-only
     "events_tumbling_hourly": (1, 0),
     "agg_price_histogram": (1, 0),
+    # round-3 surface: the claims in each docstring, pinned
+    "events_cdc_apply": (1, 0),      # ranking + count share one key shuffle
+    "events_scd2_status": (1, 0),    # both windows reuse the key exchange
+    "events_bitmap_distinct_rollup": (3, 0),  # 3-level rollup hierarchy
+    "window_percent_rank": (1, 0),
+    "join_not_in_nulls": (0, 1),     # broadcast null-aware probe, no shuffle
+    "events_daily_gapfill": (2, 1),  # daily agg + spine join (spine b/c)
+    "dq_audit_orders": (5, 1),       # 3 scan checks share ONE agg pass
+    "docs_tfidf_top_terms": (5, 2),  # tf, df aggs; df+N broadcast back
 }
 
 
