@@ -37,6 +37,9 @@ _PRIORITY = (
     "window_percent_rank",
     "docs_top_tokens_sketch",
     "emb_int8_topk",
+    "docs_weighted_sample",
+    "docs_balance_sources",
+    "docs_token_budget_select",
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "dq_audit_orders",

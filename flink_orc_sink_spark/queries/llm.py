@@ -1380,6 +1380,122 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
 """
 
 
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic sampling: per-doc Bernoulli with
+    inclusion probability ∝ min(n_chars, 2000)/2000 — longer documents
+    kept more often, the quality/length-weighted corpus downsample a
+    pretraining mix runs. Pure integer predicate on a per-row hash
+    (``hash mod 2000 < weight``): reproducible across reruns,
+    partitionings and engines (``df.sample`` weights are neither), and
+    it pushes to the scan as a cheap row filter. Map-only."""
+    from flink_orc_sink_spark.functions.text import hash32
+
+    d = table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(2000))
+    return d.filter(
+        hash32(F.col("doc_id").cast("string")) % 2000 < weight
+    ).select("doc_id", "source", "n_chars")
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2000
+      < LEAST(n_chars, 2000)
+"""
+
+
+def docs_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION BALANCING (the data-mixing step): downsample every
+    source to the SMALLEST source's document count so the mix is
+    uniform across sources — rank rows within each source by a
+    deterministic per-row hash (so the kept subset is a stable,
+    unbiased sample, not "first N in file order") and keep
+    ``rank <= min_count``. One shuffle (the per-source window); the
+    min count is a tiny broadcast aggregate."""
+    from flink_orc_sink_spark.functions.text import hash32
+
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    min_n = d.groupBy("source").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("min_n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        hash32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("rnk") <= F.col("min_n"))
+        .select("doc_id", "source")
+    )
+
+
+BALANCE_SOURCES_SQL = """
+WITH counts AS (
+  SELECT MIN(n) AS min_n FROM (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+  )
+),
+ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+               doc_id
+    ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked CROSS JOIN counts WHERE rnk <= min_n
+"""
+
+
+def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET corpus selection: pick the longest-document tier
+    of the corpus that fits a 20k-token training budget — documents
+    are bucketed by length (``n_chars DIV 100``), per-bucket token
+    totals are cumulated from the longest bucket down, and whole
+    buckets are admitted while the running total fits. Bucket-granular
+    on purpose: the cutoff decision runs on the TINY bucket table (a
+    join-based cumsum, no global single-partition window), then the
+    corpus is filtered by a broadcast semi-join — nothing data-sized
+    ever sorts globally."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("n_chars DIV 100").alias("bucket"),
+        token_count("text").cast("int").alias("n_tok"),
+    )
+    buckets = d.groupBy("bucket").agg(F.sum("n_tok").alias("tok"))
+    b1 = buckets.alias("b1")
+    b2 = buckets.alias("b2")
+    cum = (
+        b1.join(F.broadcast(b2), F.col("b2.bucket") >= F.col("b1.bucket"))
+        .groupBy(F.col("b1.bucket").alias("bucket"))
+        .agg(F.sum("b2.tok").alias("cum_tok"))
+    )
+    selected = cum.filter(F.col("cum_tok") <= 20000).select("bucket")
+    return d.join(F.broadcast(selected), "bucket", "left_semi").select(
+        "doc_id", "bucket", "n_tok"
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars // 100 AS bucket,
+    CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tok
+  FROM documents
+),
+b AS (SELECT bucket, SUM(n_tok) AS tok FROM d GROUP BY bucket),
+c AS (
+  SELECT b1.bucket, CAST(SUM(b2.tok) AS BIGINT) AS cum_tok
+  FROM b b1 JOIN b b2 ON b2.bucket >= b1.bucket
+  GROUP BY b1.bucket
+),
+sel AS (SELECT bucket FROM c WHERE cum_tok <= 20000)
+SELECT d.doc_id, d.bucket, d.n_tok FROM d JOIN sel USING (bucket)
+"""
+
+
 def _plant_pii(d: DataFrame) -> DataFrame:
     """Append deterministic synthetic PII keyed by doc_id (the corpus
     text is PII-free word salad, so the fixture plants known emails /
@@ -1778,6 +1894,9 @@ LIMIT 5
 QUERIES = {
     "docs_top_tokens_sketch": docs_top_tokens_sketch,
     "emb_int8_topk": emb_int8_topk,
+    "docs_weighted_sample": docs_weighted_sample,
+    "docs_balance_sources": docs_balance_sources,
+    "docs_token_budget_select": docs_token_budget_select,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_contamination_bloom": docs_contamination_bloom,
     "docs_token_stats": docs_token_stats,
@@ -1821,6 +1940,9 @@ QUERIES = {
 ORACLES = {
     "docs_top_tokens_sketch": TOP_TOKENS_SKETCH_SQL,
     "emb_int8_topk": EMB_INT8_TOPK_SQL,
+    "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "docs_balance_sources": BALANCE_SOURCES_SQL,
+    "docs_token_budget_select": TOKEN_BUDGET_SQL,
     "docs_tfidf_top_terms": TFIDF_SQL,
     "docs_contamination_bloom": CONTAMINATION_SQL,
     "docs_token_stats": TOKEN_STATS_SQL,
