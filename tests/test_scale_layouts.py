@@ -190,3 +190,29 @@ def test_minmax_index_prunes_file_opens(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact table to
+    a FILTERED dimension must prune fact partitions at RUNTIME from
+    the dim-side join keys (the filter value isn't known at plan
+    time). At 100 TB this is what keeps a star-join from scanning the
+    whole fact table; the plan must carry a dynamicpruning subquery on
+    the fact scan and the result must equal the unpruned join."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.sources.catalog import table
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "m", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "fact")
+    o.write.partitionBy("m").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = o.select("m").distinct().filter(F.col("m") >= "1998-06")
+
+    joined = fact.join(dim.hint("broadcast"), "m")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    want = o.filter(F.col("m") >= "1998-06").count()
+    assert joined.count() == want
