@@ -57,11 +57,19 @@ HEADLINE = [
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "graph_pagerank_events",
+    "events_theta_audience_overlap",
+    "events_hll_union_rollup",
+    "events_daily_gapfill",
+    "emb_int8_topk",
+    "docs_top_tokens_sketch",
+    "docs_token_budget_select",
     "multimodal_dims",
     "orc_roundtrip_events",
     "orc_roundtrip_typeedge",
     "orc_schema_evolution",
     "orc_zorder_layout",
+    "orc_stats_pruned_read",
+    "orc_incremental_agg",
     "stream_tumbling_hourly",
     "stream_sessionize_10m",
     "stream_running_totals",

@@ -249,7 +249,10 @@ def orc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(base, ignore_errors=True)
     fact, agg_path = os.path.join(base, "fact"), os.path.join(base, "agg")
-    write_orc(o, fact, partition_cols=["m"])
+    # cluster rows into their partition before writing: one file per
+    # month instead of (tasks × months) small files — the layout a
+    # real fact table wants, and ~3× faster to write locally
+    write_orc(o, fact, partition_cols=["m"], repartition_by_partition_cols=True)
     # Bounded driver-side read by design: ONE scalar (the "new" month).
     max_m = o.agg(F.max("m")).collect()[0][0]
 

@@ -23,6 +23,11 @@ THRESHOLD = 1.5
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
 MIN_BASE_SEC = 0.3
+# ... and require a real absolute cost on top of the ratio: repeated
+# clean runs on this VM show ±35% jitter on sub-second queries
+# (q1: 0.87s vs 1.20s back-to-back, identical code), so a ratio alone
+# flags noise. A genuine regression must cost absolute wall time.
+MIN_DELTA_SEC = 0.75
 
 
 def load_baseline(path: str) -> dict:
@@ -56,7 +61,11 @@ def main() -> int:
             continue
         ratio = sec / bq[name] if bq[name] > 0 else float("inf")
         status = "ok  "
-        if ratio > THRESHOLD and bq[name] >= MIN_BASE_SEC:
+        if (
+            ratio > THRESHOLD
+            and bq[name] >= MIN_BASE_SEC
+            and sec - bq[name] >= MIN_DELTA_SEC
+        ):
             status = "FAIL"
             failures.append(name)
         print(f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s ({ratio:.2f}x)")
