@@ -29,6 +29,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver's 50-entry cap (round-2 verdict items 2, 3 and 4 ask for
 # driver-green rows on these specifically).
 _PRIORITY = (
+    "docs_bm25_topk",
+    "q14_promo_effect",
     "graph_pagerank_events",
     "events_hll_union_rollup",
     "events_theta_audience_overlap",

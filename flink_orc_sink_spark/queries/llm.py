@@ -1360,6 +1360,94 @@ LIMIT 100
 """
 
 
+# Fixed keyword query for the BM25 retrieval demo (terms chosen from
+# the synthetic corpus vocabulary with distinct document frequencies).
+BM25_TERMS = ("spark", "merge", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 documents for a fixed 3-term
+    query. The sparse-retrieval primitive of a training-data pipeline
+    (quality-biased corpus search, retrieval-based decontamination,
+    RAG indexing).
+
+    Distributed shape — the inverted-index plan, not a per-query scan:
+    term frequencies come from one explode + partial-count (the
+    posting-list build); document frequencies and the corpus stats
+    (N, avgdl) are tiny aggregates that BROADCAST back, so the only
+    O(corpus) shuffle is the tf groupBy. Postings are filtered to the
+    query terms *before* the shuffle, so the exchange carries only
+    matching (doc, term) rows — at 100 TB this is the standard
+    "score only the postings" BM25 join, never an all-docs sort.
+    Scores are double precision rounded 6dp (shared float convention);
+    top-k is `TakeOrderedAndProject`, O(k) per partition."""
+    d = table(spark, sf_dir, "documents")
+    doclen = d.select("doc_id", token_count("text").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).cast("double").alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+  WHERE token IN ('spark', 'merge', 'filter')
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+SELECT tf.doc_id,
+  CAST(ROUND(SUM(
+    ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+    * tf.tf * ({BM25_K1} + 1.0)
+    / (tf.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl.dl / stats.avgdl))
+  ), 6) AS DOUBLE) AS bm25,
+  COUNT(*) AS n_terms
+FROM tf
+JOIN dfreq USING (token)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample by md5 hash-mod of the doc id —
     THE reproducible sampling method at 100 TB (``df.sample`` is
@@ -1917,6 +2005,7 @@ QUERIES = {
     "docs_hash_sample": docs_hash_sample,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_top_tokens": docs_top_tokens,
+    "docs_bm25_topk": docs_bm25_topk,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_repeated_substrings": docs_repeated_substrings,
@@ -1963,6 +2052,7 @@ ORACLES = {
     "docs_hash_sample": HASH_SAMPLE_SQL,
     "docs_stratified_sample": STRATIFIED_SQL,
     "docs_top_tokens": TOP_TOKENS_SQL,
+    "docs_bm25_topk": BM25_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_repeated_substrings": _repeated_substrings_sql(),

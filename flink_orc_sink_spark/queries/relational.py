@@ -1113,6 +1113,43 @@ GROUP BY ship_year
 """
 
 
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 proper: promo revenue percentage for one ship month.
+
+    Unlike :func:`q8_promo_share` (the yearly ratio family), this is the
+    literal Q14 shape — a single month filter pushed into the lineitem
+    scan, a broadcast join to ``part``, and one global conditional-ratio
+    aggregate. At 100 TB the month filter prunes to ~1/80 of the fact
+    scan before the join; ``part`` stays broadcast, so the only exchange
+    is the final single-group partial-agg merge (O(partitions) rows)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    p = table(spark, sf_dir, "part")
+    promo = F.when(p.p_type == "PROMO", revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        dbl(F.lit(100) * F.sum(promo) / F.sum(revenue()), 6).alias(
+            "promo_revenue_pct"
+        ),
+        money(F.sum(promo)).alias("promo_rev"),
+        money(F.sum(revenue())).alias("total_rev"),
+    )
+
+
+Q14_SQL = f"""
+SELECT
+  CAST(ROUND(100 * SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END)
+             / SUM({REVENUE_SQL}), 6) AS DOUBLE) AS promo_revenue_pct,
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END), 2) AS DOUBLE) AS promo_rev,
+  CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DOUBLE) AS total_rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double aggregation (TPC-H Q13): customers per order count,
     preserving zero-order customers via left join. Two small shuffles
@@ -2025,6 +2062,7 @@ QUERIES = {
     "q4_exists_late_ship": q4_exists_late_ship,
     "q7_nation_volume": q7_nation_volume,
     "q8_promo_share": q8_promo_share,
+    "q14_promo_effect": q14_promo_effect,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2093,6 +2131,7 @@ ORACLES = {
     "q4_exists_late_ship": Q4_SQL,
     "q7_nation_volume": Q7_SQL,
     "q8_promo_share": Q8_SQL,
+    "q14_promo_effect": Q14_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
