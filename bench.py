@@ -56,6 +56,9 @@ HEADLINE = [
     "dq_audit_orders",
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
+    "docs_bm25_topk",
+    "q14_promo_effect",
+    "emb_pca_project",
     "graph_pagerank_events",
     "events_theta_audience_overlap",
     "events_hll_union_rollup",
@@ -69,6 +72,7 @@ HEADLINE = [
     "orc_schema_evolution",
     "orc_zorder_layout",
     "orc_stats_pruned_read",
+    "orc_compact_roundtrip",
     "orc_incremental_agg",
     "stream_tumbling_hourly",
     "stream_sessionize_10m",

@@ -1,0 +1,134 @@
+"""Distributed linear algebra over embedding columns: moments + PCA.
+
+The pattern is the one MLlib's ``RowMatrix`` uses for
+``computePrincipalComponents`` (public Spark source,
+``mllib/linalg/distributed/RowMatrix.scala``): the *data* stays
+distributed and only *fixed-size* summaries (a d-vector mean and a
+d×d second-moment matrix) travel to the driver, where the trailing
+O(d³) eigendecomposition is trivially cheap because d is the
+embedding dimension (64–4096), not the row count.
+
+Scale shape at 100 TB:
+
+- ``moments`` is one ``mapInPandas`` pass — each Arrow batch folds
+  into a running ``(count, sum, Xᵀ·X)`` with a single NumPy matmul;
+  each *partition* emits exactly one partial row. No shuffle at all:
+  the p partial rows (p = #partitions, each d²+d+1 doubles) are
+  reduced driver-side, the same contract as ``treeAggregate`` with
+  depth 1. For d=4096 a partial is ~128 MB — at that width switch
+  ``partials_per_batch`` down so batches stay Arrow-sized; for the
+  d≤1024 regime this is single-digit MB and a non-issue.
+- ``pca_project`` broadcasts the (k×d) component matrix inside a
+  pandas UDF closure — one matmul per Arrow batch, map-only.
+
+Determinism: eigenvectors are sign-ambiguous; ``pca`` fixes each
+component's sign so its largest-|magnitude| coordinate is positive,
+making the output reproducible across runs/partitionings (the same
+convention scikit-learn's ``svd_flip`` uses, described in its public
+docs). Eigendecomposition itself is not SQL-expressible, so the
+registered query is rows-only checked; exactness vs a single-node
+NumPy PCA is asserted in ``tests/test_linalg.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray           # (d,)
+    components: np.ndarray     # (k, d) rows = principal axes
+    explained_variance: np.ndarray  # (k,) eigenvalues (sample covariance)
+    n: int
+
+
+def moments(df: DataFrame, vec_col: str, dim: int):
+    """One-pass distributed ``(n, mean, covariance)`` of a vector column.
+
+    Returns ``(n, mean (d,), cov (d,d))`` with the *sample* covariance
+    (n-1 denominator). One partial row per partition, no shuffle.
+    """
+    partial_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema=partial_schema)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("moments() of an empty DataFrame")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    # sample covariance from raw second moment: (G - n·μμᵀ) / (n-1)
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    return n, mean, cov
+
+
+def pca(df: DataFrame, vec_col: str, dim: int, k: int) -> PCAModel:
+    """Fit a k-component PCA of ``df[vec_col]`` (see module docstring)."""
+    n, mean, cov = moments(df, vec_col, dim)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # svd_flip-style sign fix: largest-|coord| of each component > 0
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return PCAModel(mean, comps, evals[order], n)
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, model: PCAModel, round_dp: int = 6
+) -> DataFrame:
+    """Map-only projection onto the fitted components.
+
+    Output: ``(id_col, proj array<double> length k)`` — centered,
+    rotated, rounded to ``round_dp`` for cross-run reproducibility.
+    """
+    mean, comps = model.mean, model.components
+    schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("proj", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            p = np.round((x - mean) @ comps.T, round_dp)
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(proj, schema=schema)

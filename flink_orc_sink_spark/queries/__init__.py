@@ -31,6 +31,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 _PRIORITY = (
     "docs_bm25_topk",
     "q14_promo_effect",
+    "emb_pca_project",
+    "orc_compact_roundtrip",
     "graph_pagerank_events",
     "events_hll_union_rollup",
     "events_theta_audience_overlap",

@@ -136,6 +136,56 @@ FROM events
 """
 
 
+def orc_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION at value level: events deliberately
+    written as 64 fragment files (what a streaming sink leaves behind
+    — one file per task per epoch), then compacted to ~target-size
+    files with ``sources/orc_sink.py::compact_orc`` (size-derived file
+    count, atomic directory swap), then read back. The oracle is
+    ``SELECT * FROM events``: a value-hash match proves the
+    maintenance job is loss-free and dup-free, and the query itself
+    asserts the file count actually shrank — the property that keeps
+    a 100 TB streaming table readable (NameNode/manifest pressure and
+    per-file open cost scale with file count, not bytes)."""
+    import glob
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import compact_orc
+
+    e = table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_compact_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    e.repartition(64).write.format("orc").option(
+        "compression", "zstd"
+    ).save(out)
+
+    def data_files(p):
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "*.orc"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    before = len(data_files(out))
+    compact_orc(spark, out, target_file_mb=256)
+    after = len(data_files(out))
+    if after >= before:
+        raise ValueError(
+            f"compaction did not reduce file count: {before} -> {after}"
+        )
+    return read_orc(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+ORC_COMPACT_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 def orc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustered layout at value level: orders rewritten
     clustered on the Morton curve of (o_custkey, o_orderdate) and read
@@ -1101,6 +1151,7 @@ QUERIES = {
     "orc_roundtrip_typeedge": orc_roundtrip_typeedge,
     "orc_schema_evolution": orc_schema_evolution,
     "orc_partition_upsert": orc_partition_upsert,
+    "orc_compact_roundtrip": orc_compact_roundtrip,
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_sessionize_10m": stream_sessionize_10m,
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
@@ -1122,6 +1173,7 @@ ORACLES = {
     "orc_roundtrip_typeedge": ORC_TYPEEDGE_SQL,
     "orc_schema_evolution": ORC_EVOLUTION_SQL,
     "orc_partition_upsert": ORC_UPSERT_SQL,
+    "orc_compact_roundtrip": ORC_COMPACT_SQL,
     "stream_tumbling_hourly": TUMBLING_SQL,
     "stream_sessionize_10m": STREAM_SESSIONIZE_SQL,
     "stream_sliding_1h_30m": SLIDING_SQL,

@@ -907,6 +907,29 @@ FROM scaled WHERE scale > 0
 """
 
 
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding corpus: fit 4
+    principal components with the one-pass distributed moments
+    aggregate (one partial row per partition, no shuffle — see
+    ``operators/linalg.py``), then a map-only projection. The
+    compression / visualization / whitening primitive of an embedding
+    pipeline; at 100 TB only fixed-size (d², d) summaries ever leave
+    the executors, and the O(d³) eigensolve is driver-trivial.
+
+    Eigendecomposition is not SQL-expressible, so this registers
+    rows-only; exact agreement with a single-node NumPy PCA (same
+    sign convention) is asserted in ``tests/test_linalg.py``."""
+    from flink_orc_sink_spark.operators.linalg import pca, pca_project
+
+    e = table(spark, sf_dir, "embeddings")
+    model = pca(e, "embedding", dim=64, k=4)
+    p = pca_project(e, "vec_id", "embedding", model)
+    return p.select(
+        "vec_id",
+        *[F.col("proj")[i].alias(f"pc{i + 1}") for i in range(4)],
+    ).orderBy("vec_id")
+
+
 def _plant_emb_neardups(e: DataFrame) -> DataFrame:
     """Union the corpus with deterministic near-duplicate clones of the
     five lowest vec_ids (clone id = vec_id + 1_000_000, first component
@@ -2022,6 +2045,7 @@ QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_lsh_neardup_pairs": emb_lsh_neardup_pairs,
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_pca_project": emb_pca_project,
     "multimodal_meta": multimodal_meta,
     "multimodal_dims": multimodal_dims,
 }

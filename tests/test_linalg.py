@@ -1,0 +1,82 @@
+"""Distributed moments/PCA agree exactly with single-node NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_orc_sink_spark.operators.linalg import (
+    moments,
+    pca,
+    pca_project,
+)
+from flink_orc_sink_spark.sources.catalog import table
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_moments_match_numpy(emb, emb_np):
+    n, mean, cov = moments(emb.repartition(7), "embedding", DIM)
+    assert n == len(emb_np)
+    np.testing.assert_allclose(mean, emb_np.mean(axis=0), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        cov, np.cov(emb_np, rowvar=False, ddof=1), rtol=0, atol=1e-8
+    )
+
+
+def test_pca_matches_numpy_and_is_orthonormal(emb, emb_np):
+    model = pca(emb, "embedding", DIM, k=4)
+    # orthonormal components
+    np.testing.assert_allclose(
+        model.components @ model.components.T, np.eye(4), atol=1e-9
+    )
+    # variance sorted descending
+    assert all(np.diff(model.explained_variance) <= 1e-12)
+    # same answer as a single-node eigensolve with the same sign fix
+    cov = np.cov(emb_np, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(4), np.abs(comps).argmax(axis=1)])
+    comps *= flip[:, None]
+    np.testing.assert_allclose(model.components, comps, atol=1e-7)
+    np.testing.assert_allclose(
+        model.explained_variance, evals[order], rtol=1e-9
+    )
+
+
+def test_projection_reproducible_across_partitionings(emb):
+    model = pca(emb, "embedding", DIM, k=2)
+    a = {
+        r["vec_id"]: tuple(r["proj"])
+        for r in pca_project(emb.repartition(3), "vec_id", "embedding", model).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["proj"])
+        for r in pca_project(emb.repartition(11), "vec_id", "embedding", model).collect()
+    }
+    assert a == b
+    assert len(a) == emb.count()
+
+
+def test_projection_variance_is_eigenvalue(emb, emb_np):
+    """Projected coordinate 0 has sample variance = top eigenvalue."""
+    model = pca(emb, "embedding", DIM, k=1)
+    p = pca_project(emb, "vec_id", "embedding", model, round_dp=9)
+    pc1 = np.asarray(
+        [r["proj"][0] for r in p.collect()], dtype=np.float64
+    )
+    assert pc1.var(ddof=1) == pytest.approx(
+        float(model.explained_variance[0]), rel=1e-6
+    )
