@@ -59,6 +59,7 @@ HEADLINE = [
     "docs_bm25_topk",
     "q14_promo_effect",
     "emb_pca_project",
+    "emb_semantic_dedup",
     "graph_pagerank_events",
     "events_theta_audience_overlap",
     "events_hll_union_rollup",

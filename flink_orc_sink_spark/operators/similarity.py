@@ -525,3 +525,90 @@ def ivf_topk(
         k,
         rank_col="rank",
     ).select("qid", "cid", "cos_sim", "rank")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nlist: int = 64,
+    cell_cap: int = 4096,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style cluster-then-dedup (Abbas et al. 2023, public
+    arXiv 2303.09540): k-means the corpus into ``nlist`` cells, then
+    flag within-cell near-duplicates (cosine ≥ ``threshold``) keeping
+    the lowest id of each duplicate group as the representative.
+
+    Output: ``(id_col, is_dup boolean, dup_of nullable id)`` — one row
+    per input row; ``dup_of`` is the kept representative for flagged
+    rows, NULL otherwise.
+
+    100 TB shape: ONE shuffle (hash on cell); each cell is scored with
+    a single NumPy gram matrix inside ``applyInPandas`` — never a
+    pairwise row join. Pairwise work is O(Σ cell²), the SemDeDup cost
+    model: with balanced cells that is n²/nlist, and ``nlist`` scales
+    ~√n exactly like the IVF tier. Oversized cells (skewed k-means)
+    are processed in id-sorted chunks of ``cell_cap`` — cost stays
+    bounded at cap²·(size/cap) per cell; cross-chunk pairs inside one
+    giant cell are the documented recall trade, the same degenerate-
+    bucket guard the LSH tier uses (``bucket_cap``).
+
+    Approximate by construction (near-dups straddling a cell boundary
+    are missed — the paper's own trade), so no SQL oracle; planted-
+    clone recall is pytest-asserted in tests/test_similarity.py.
+    """
+    centroids = train_centroids(
+        df, vec_col, nlist=nlist, sample_size=sample_size, seed=seed
+    )
+    assign_cell, _ = make_cell_udfs(centroids, nprobe=1)
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        assign_cell(F.col(vec_col)).alias("_cell"),
+    )
+
+    out_schema = T.StructType(
+        [
+            next(
+                T.StructField("_id", f.dataType)
+                for f in df.schema.fields
+                if f.name == id_col
+            ),
+            T.StructField("is_dup", T.BooleanType()),
+            T.StructField("dup_of", next(
+                f.dataType for f in df.schema.fields if f.name == id_col
+            )),
+        ]
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy()
+        out_dup = np.zeros(len(pdf), dtype=bool)
+        out_of = np.full(len(pdf), None, dtype=object)
+        for start in range(0, len(pdf), cell_cap):
+            chunk = pdf.iloc[start : start + cell_cap]
+            x = np.asarray(chunk["_vec"].tolist(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ x.T
+            # dup against any EARLIER (lower-id) row in the chunk;
+            # representative = the earliest such row. One boolean
+            # matrix, no Python-per-pair work.
+            hit = np.triu(sims >= threshold, k=1)  # [i, j] with i < j
+            dup_j = hit.any(axis=0)
+            first_i = hit.argmax(axis=0)  # first earlier hit per col
+            for j in np.nonzero(dup_j)[0]:
+                out_dup[start + j] = True
+                out_of[start + j] = ids[start + int(first_i[j])]
+        return pd.DataFrame(
+            {"_id": ids, "is_dup": out_dup, "dup_of": out_of}
+        )
+
+    return (
+        assigned.groupBy("_cell")
+        .applyInPandas(dedup_cell, schema=out_schema)
+        .withColumnRenamed("_id", id_col)
+    )

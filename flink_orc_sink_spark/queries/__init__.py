@@ -32,6 +32,7 @@ _PRIORITY = (
     "docs_bm25_topk",
     "q14_promo_effect",
     "emb_pca_project",
+    "emb_semantic_dedup",
     "orc_compact_roundtrip",
     "graph_pagerank_events",
     "events_hll_union_rollup",

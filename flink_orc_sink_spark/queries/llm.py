@@ -930,6 +930,24 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-dedup over the embedding corpus (with the
+    planted near-duplicate clones, so positives exist at any SF): one
+    k-means pass buckets vectors into cells, one shuffle groups each
+    cell, one NumPy gram matrix per cell flags within-cell cosine
+    ≥ 0.95 duplicates keeping the lowest vec_id — the semantic
+    counterpart of the MinHash tier, at the SemDeDup cost model
+    n²/nlist instead of all-pairs n². Approximate by construction
+    (cross-cell dups are missed), so rows-only here; planted-clone
+    recall is pytest-asserted in tests/test_similarity.py."""
+    from flink_orc_sink_spark.operators.similarity import semantic_dedup
+
+    e = _plant_emb_neardups(table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.95, nlist=16
+    ).orderBy("vec_id")
+
+
 def _plant_emb_neardups(e: DataFrame) -> DataFrame:
     """Union the corpus with deterministic near-duplicate clones of the
     five lowest vec_ids (clone id = vec_id + 1_000_000, first component
@@ -2046,6 +2064,7 @@ QUERIES = {
     "emb_lsh_neardup_pairs": emb_lsh_neardup_pairs,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_pca_project": emb_pca_project,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "multimodal_meta": multimodal_meta,
     "multimodal_dims": multimodal_dims,
 }

@@ -178,3 +178,47 @@ def test_planted_emb_neardups_nonvacuous_and_lsh_recall(spark):
     }
     assert planted <= approx
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_semantic_dedup_flags_planted_clones(spark, clustered):
+    """SemDeDup: plant exact-ish clones of 5 vectors; they must be
+    flagged with dup_of = the original; the rest of the (clustered but
+    sub-threshold) corpus must survive at threshold 0.99."""
+    from flink_orc_sink_spark.operators.similarity import semantic_dedup
+
+    base = clustered.filter("vec_id < 100")
+    clones = base.filter("vec_id < 5").selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(embedding, (v, i) -> CAST(v + IF(i = 0, 0.001, 0.0) AS FLOAT)) AS embedding",
+    )
+    out = semantic_dedup(
+        base.unionByName(clones), "vec_id", "embedding",
+        threshold=0.99, nlist=8,
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 105  # one row per input row
+    for i in range(5):
+        clone = by_id[i + 1_000_000]
+        assert clone.is_dup and clone.dup_of == i
+    # originals are representatives, never dups of their own clones
+    for i in range(5):
+        assert not by_id[i].is_dup
+
+
+def test_semantic_dedup_respects_cell_cap(spark, clustered):
+    """With cell_cap smaller than a cell, chunking still flags clones
+    that land in the same id-sorted chunk (clone ids adjacent-ish to
+    originals stay detectable) and never errors."""
+    from flink_orc_sink_spark.operators.similarity import semantic_dedup
+
+    base = clustered.filter("vec_id < 60")
+    clones = base.filter("vec_id < 3").selectExpr(
+        "vec_id + 100 AS vec_id", "embedding"
+    )
+    out = semantic_dedup(
+        base.unionByName(clones), "vec_id", "embedding",
+        threshold=0.999, nlist=4, cell_cap=500,
+    ).collect()
+    flagged = {r.vec_id: r.dup_of for r in out if r.is_dup}
+    assert {100, 101, 102} <= set(flagged)
+    assert flagged[100] == 0 and flagged[101] == 1 and flagged[102] == 2
