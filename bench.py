@@ -57,6 +57,10 @@ HEADLINE = [
     "docs_tfidf_top_terms",
     "docs_contamination_bloom",
     "docs_bm25_topk",
+    "docs_bpe_pair_counts",
+    "docs_source_divergence",
+    "docs_negative_samples",
+    "events_decay_wma_daily",
     "q14_promo_effect",
     "emb_pca_project",
     "emb_semantic_dedup",

@@ -30,6 +30,10 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     "docs_bm25_topk",
+    "docs_bpe_pair_counts",
+    "docs_source_divergence",
+    "docs_negative_samples",
+    "events_decay_wma_daily",
     "q14_promo_effect",
     "emb_pca_project",
     "emb_semantic_dedup",

@@ -962,6 +962,66 @@ FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
 """
 
 
+DECAY_WMA_LAGS = 7
+DECAY_WMA_ALPHA = 0.5
+
+
+def events_decay_wma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-DECAYED moving average of daily totals per event
+    type (7 observed-day window, decay 0.5^k) — the trend-smoothing
+    primitive behind alerting baselines and forecast features.
+
+    The recursion-free formulation: a fixed LAG-term sum over the
+    per-type daily series, normalized by the weights actually present
+    (series edges keep exact semantics instead of a warm-up hack).
+    The daily rollup is a map-side-combined aggregate to O(types ×
+    days) rows; the window runs on that tiny frame — at 100 TB the
+    cost is the fact scan, not the smoothing. Weights are exact binary
+    (0.5^k) and term order is identical in the oracle, so doubles
+    match bit-for-bit before the 6dp round."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.col("x") * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, DECAY_WMA_LAGS):
+        lagk = F.lag("x", k).over(w)
+        wk = F.lit(DECAY_WMA_ALPHA**k)
+        num = num + F.coalesce(lagk, F.lit(0.0)) * wk
+        den = den + F.when(lagk.isNull(), F.lit(0.0)).otherwise(wk)
+    return daily.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day_start"),
+        F.round("x", 4).cast("double").alias("sum_value"),
+        F.round(num / den, 6).cast("double").alias("decay_wma"),
+    )
+
+
+def _decay_wma_sql() -> str:
+    num = ["x * 1.0"]
+    den = ["1.0"]
+    for k in range(1, DECAY_WMA_LAGS):
+        wk = repr(DECAY_WMA_ALPHA**k)
+        num.append(f"COALESCE(LAG(x, {k}) OVER w, 0.0) * {wk}")
+        den.append(f"CASE WHEN LAG(x, {k}) OVER w IS NULL THEN 0.0 ELSE {wk} END")
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day_start,
+  CAST(ROUND(x, 4) AS DOUBLE) AS sum_value,
+  CAST(ROUND(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS DOUBLE) AS decay_wma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (3 fixed
     iterations, damping 0.85) — the iterative-graph-algorithm family
@@ -1042,6 +1102,7 @@ QUERIES = {
     "events_hll_union_rollup": events_hll_union_rollup,
     "events_theta_audience_overlap": events_theta_audience_overlap,
     "events_daily_gapfill": events_daily_gapfill,
+    "events_decay_wma_daily": events_decay_wma_daily,
     "events_cdc_apply": events_cdc_apply,
     "events_scd2_status": events_scd2_status,
     "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
@@ -1067,6 +1128,7 @@ ORACLES = {
     "events_hll_union_rollup": HLL_ROLLUP_SQL,
     "events_theta_audience_overlap": THETA_OVERLAP_SQL,
     "events_daily_gapfill": DAILY_GAPFILL_SQL,
+    "events_decay_wma_daily": _decay_wma_sql(),
     "events_cdc_apply": CDC_APPLY_SQL,
     "events_scd2_status": SCD2_SQL,
     "events_bitmap_distinct_rollup": BITMAP_ROLLUP_SQL,

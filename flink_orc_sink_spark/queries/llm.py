@@ -1489,6 +1489,179 @@ LIMIT 20
 """
 
 
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — THE inner loop of BPE/
+    WordPiece tokenizer training (count all adjacent symbol pairs,
+    merge the most frequent, repeat). One explode of per-row bigram
+    arrays (pure Catalyst ``zip_with`` over token slices, no Python),
+    then a map-side-combined count and a deterministic top-50. At
+    100 TB each merge round is exactly this job; the shuffle carries
+    only (pair, partial-count) rows, never raw text."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bi).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(50)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH tk AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+SELECT pair, COUNT(*) AS n_occurrences FROM (
+  SELECT unnest(
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END) AS pair
+  FROM tk)
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+"""
+
+
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift metric: KL(p‖q), KL(q‖p) and Jensen-Shannon
+    divergence between the token distributions of two source groups
+    (even- vs odd-numbered sources), Laplace-smoothed over the union
+    vocabulary — how a data-mixing pipeline quantifies whether two
+    slices (old crawl vs new crawl, two domains) speak the same
+    language before blending them.
+
+    Shape: one token-count aggregate per group (map-side combined, the
+    only corpus-sized shuffle), then all divergence math happens on
+    the vocabulary-sized frame — vocab ≪ corpus at any scale. Term
+    order inside the sums is engine-independent to < 1e-12, rounded
+    6dp."""
+    d = table(spark, sf_dir, "documents")
+    grp = (
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2
+    ).alias("grp")
+    counts = (
+        d.select(grp, F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cq"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count("*").alias("v"),
+    )
+    r = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("cp") + 1) / (F.col("np") + F.col("v"))
+    q = (F.col("cq") + 1) / (F.col("nq") + F.col("v"))
+    m = (p + q) / 2
+    return r.agg(
+        F.round(F.sum(p * F.log(p / q)), 6).cast("double").alias("kl_pq"),
+        F.round(F.sum(q * F.log(q / p)), 6).cast("double").alias("kl_qp"),
+        F.round(
+            F.sum(p * F.log(p / m)) / 2 + F.sum(q * F.log(q / m)) / 2, 6
+        )
+        .cast("double")
+        .alias("js_div"),
+        F.max("v").cast("long").alias("vocab_size"),
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 AS grp,
+         unnest({TOKENS_SQL}) AS token
+  FROM documents
+), counts AS (
+  SELECT token,
+    SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS cp,
+    SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cq
+  FROM toks GROUP BY token
+), tot AS (
+  SELECT SUM(cp) AS np, SUM(cq) AS nq, COUNT(*) AS v FROM counts
+), r AS (
+  SELECT (cp + 1.0) / (np + v) AS p, (cq + 1.0) / (nq + v) AS q, v
+  FROM counts CROSS JOIN tot
+)
+SELECT
+  CAST(ROUND(SUM(p * ln(p / q)), 6) AS DOUBLE) AS kl_pq,
+  CAST(ROUND(SUM(q * ln(q / p)), 6) AS DOUBLE) AS kl_qp,
+  CAST(ROUND(SUM(p * ln(p / ((p + q) / 2))) / 2
+           + SUM(q * ln(q / ((p + q) / 2))) / 2, 6) AS DOUBLE) AS js_div,
+  CAST(MAX(v) AS BIGINT) AS vocab_size
+FROM r
+"""
+
+
+def docs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training: two
+    pseudo-random partner docs per document, drawn by hash-mod over
+    the (dense) doc-id space with self-exclusion — never a crossJoin
+    and never ``rand()`` (seed × partitioning dependent). The sampled
+    ids become an equi-join back to the corpus to fetch partner
+    metadata: at 100 TB that is one k·n-row hash join, fully
+    shuffle-parallel, and reproducible row-for-row across reruns,
+    repartitions and engines."""
+    from flink_orc_sink_spark.functions.text import hash32
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").alias("n"))
+    pairs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("neg_rank"),
+        )
+    )
+    raw = hash32(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("neg_rank").cast("string"))
+    ) % F.col("n")
+    neg = F.when(raw == F.col("doc_id"), (raw + 1) % F.col("n")).otherwise(raw)
+    sampled = pairs.select(
+        "doc_id", "neg_rank", neg.cast("long").alias("neg_id")
+    )
+    meta = d.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return sampled.join(meta, "neg_id").select(
+        "doc_id", "neg_rank", "neg_id", "neg_source", "neg_lang"
+    )
+
+
+NEGATIVE_SAMPLES_SQL = """
+WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (
+  SELECT doc_id, n, neg_rank
+  FROM documents CROSS JOIN n_docs
+  CROSS JOIN (SELECT unnest([1, 2]) AS neg_rank)
+), sampled AS (
+  SELECT doc_id, neg_rank,
+    CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+  FROM (
+    SELECT doc_id, n, neg_rank,
+      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(neg_rank AS VARCHAR)), 1, 8))::BIGINT % n AS raw
+    FROM pairs)
+)
+SELECT s.doc_id, s.neg_rank, s.neg_id,
+       d.source AS neg_source, d.lang AS neg_lang
+FROM sampled s JOIN documents d ON d.doc_id = s.neg_id
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample by md5 hash-mod of the doc id —
     THE reproducible sampling method at 100 TB (``df.sample`` is
@@ -2047,6 +2220,9 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_top_tokens": docs_top_tokens,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_bpe_pair_counts": docs_bpe_pair_counts,
+    "docs_source_divergence": docs_source_divergence,
+    "docs_negative_samples": docs_negative_samples,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_repeated_substrings": docs_repeated_substrings,
@@ -2096,6 +2272,9 @@ ORACLES = {
     "docs_stratified_sample": STRATIFIED_SQL,
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_bm25_topk": BM25_SQL,
+    "docs_bpe_pair_counts": BPE_PAIRS_SQL,
+    "docs_source_divergence": SOURCE_DIVERGENCE_SQL,
+    "docs_negative_samples": NEGATIVE_SAMPLES_SQL,
     "docs_simhash_pairs": SIMHASH_SQL,
     "docs_winnow_fingerprints": _winnow_sql(),
     "docs_repeated_substrings": _repeated_substrings_sql(),
