@@ -29,6 +29,13 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver's 50-entry cap (round-2 verdict items 2, 3 and 4 ask for
 # driver-green rows on these specifically).
 _PRIORITY = (
+    # round-3 additions first — newest surface gets driver-green rows
+    "docs_paragraph_dedup",
+    "docs_temperature_mix",
+    "docs_rrf_hybrid",
+    "docs_lm_quality_buckets",
+    "events_cohort_revenue",
+    "orc_bucketed_join",
     "docs_bm25_topk",
     "docs_bpe_pair_counts",
     "docs_source_divergence",

@@ -1146,7 +1146,85 @@ def stream_orc_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_table(
+    spark: SparkSession, df: DataFrame, name: str, key: str, path: str
+) -> DataFrame:
+    """Write ``df`` as an 8-bucket, bucket-sorted external ORC table
+    at ``path`` and return it re-read through the catalog (so Spark
+    knows the bucketing and can plan shuffle-free joins on ``key``)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        df.write.format("orc")
+        .option("path", path)
+        .bucketBy(8, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def orc_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED JOIN via bucketed ORC tables: orders and customer
+    are both written ``bucketBy(8, custkey)`` + bucket-sorted, then
+    joined on the bucket key and rolled up to revenue per market
+    segment. Because both sides hash into the SAME bucket layout,
+    Spark plans the sort-merge join with NO shuffle exchange on
+    either side (asserted in tests/test_maintenance.py with broadcast
+    disabled) — the bucketing is the *storage-level* answer to the
+    biggest cost at 100 TB, where re-shuffling a fact table for every
+    fact-fact join dwarfs the query itself. This is the Spark
+    equivalent of the reference's bucketer routing rows to fixed
+    directories (``RowOrcBucketingSink.java:251-254``), promoted from
+    a write-path detail to a query-time join strategy.
+
+    Value gate: revenue rides int64 cents, so the rollup hash-matches
+    the plain parquet-join oracle exactly — proving the bucketed
+    write+read path loses nothing."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_{sf_tag}"
+    )
+    ot = _bucketed_table(
+        spark,
+        table(spark, sf_dir, "orders"),
+        f"sg_bucketed_orders_{sf_tag}",
+        "o_custkey",
+        os.path.join(base, "orders"),
+    )
+    ct = _bucketed_table(
+        spark,
+        table(spark, sf_dir, "customer"),
+        f"sg_bucketed_customer_{sf_tag}",
+        "c_custkey",
+        os.path.join(base, "customer"),
+    )
+    return (
+        ot.join(ct, ot.o_custkey == ct.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+ORC_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "orc_bucketed_join": orc_bucketed_join,
     "orc_roundtrip_events": orc_roundtrip_events,
     "orc_roundtrip_typeedge": orc_roundtrip_typeedge,
     "orc_schema_evolution": orc_schema_evolution,
@@ -1169,6 +1247,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orc_bucketed_join": ORC_BUCKETED_JOIN_SQL,
     "orc_roundtrip_events": ORC_ROUNDTRIP_SQL,
     "orc_roundtrip_typeedge": ORC_TYPEEDGE_SQL,
     "orc_schema_evolution": ORC_EVOLUTION_SQL,

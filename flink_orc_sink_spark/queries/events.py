@@ -1097,7 +1097,63 @@ PAGERANK_SQL = _pagerank_sql(3)
 # first 50 registry entries (see queries/__init__.py), and this module
 # sits last inside the cap — entries past it fall to the committed
 # CHECKLOG.md run.
+def events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue matrix: users are cohorted by the month of their
+    FIRST purchase; revenue and active-purchaser counts roll up per
+    (cohort_month, months-since-cohort) cell — the classic retention/
+    LTV triangle every growth dashboard is built on.
+
+    Scale shape: the first-purchase frame is a map-side-combined
+    groupBy(user_id); joining it back to purchases is a co-keyed
+    shuffle join on user_id (both sides pre-filtered to purchases —
+    at 100 TB the filter prunes first, and AQE handles user skew).
+    Revenue rides int64 cents (``floor(v·100+0.5)``), so sums are
+    order-independent and hash-exact; month arithmetic is pure
+    integer year/month math on both engines."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("month", "ts")).alias("cohort_month")
+    )
+    j = e.join(first, "user_id")
+    month_offset = (
+        (F.year("ts") - F.year("cohort_month")) * 12
+        + (F.month("ts") - F.month("cohort_month"))
+    ).cast("int")
+    return (
+        j.withColumn("month_offset", month_offset)
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+COHORT_REVENUE_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+first AS (
+  SELECT user_id, CAST(MIN(date_trunc('month', ts)) AS TIMESTAMP) AS cohort_month
+  FROM p GROUP BY user_id
+)
+SELECT cohort_month,
+  CAST((year(ts) - year(cohort_month)) * 12
+     + (month(ts) - month(cohort_month)) AS INTEGER) AS month_offset,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_purchases,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM p JOIN first USING (user_id)
+GROUP BY cohort_month, month_offset
+"""
+
+
 QUERIES = {
+    "events_cohort_revenue": events_cohort_revenue,
     "graph_pagerank_events": graph_pagerank_events,
     "events_hll_union_rollup": events_hll_union_rollup,
     "events_theta_audience_overlap": events_theta_audience_overlap,
@@ -1124,6 +1180,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cohort_revenue": COHORT_REVENUE_SQL,
     "graph_pagerank_events": PAGERANK_SQL,
     "events_hll_union_rollup": HLL_ROLLUP_SQL,
     "events_theta_audience_overlap": THETA_OVERLAP_SQL,

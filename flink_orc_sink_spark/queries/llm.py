@@ -1408,23 +1408,11 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval: top-20 documents for a fixed 3-term
-    query. The sparse-retrieval primitive of a training-data pipeline
-    (quality-biased corpus search, retrieval-based decontamination,
-    RAG indexing).
-
-    Distributed shape — the inverted-index plan, not a per-query scan:
-    term frequencies come from one explode + partial-count (the
-    posting-list build); document frequencies and the corpus stats
-    (N, avgdl) are tiny aggregates that BROADCAST back, so the only
-    O(corpus) shuffle is the tf groupBy. Postings are filtered to the
-    query terms *before* the shuffle, so the exchange carries only
-    matching (doc, term) rows — at 100 TB this is the standard
-    "score only the postings" BM25 join, never an all-docs sort.
-    Scores are double precision rounded 6dp (shared float convention);
-    top-k is `TakeOrderedAndProject`, O(k) per partition."""
-    d = table(spark, sf_dir, "documents")
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """Shared BM25 scorer over the fixed ``BM25_TERMS`` query:
+    returns one row per matching document with ``(doc_id, bm25,
+    n_terms)``, scores rounded 6dp. Used by both the plain top-k
+    retrieval query and the RRF hybrid-fusion query."""
     doclen = d.select("doc_id", token_count("text").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -1454,6 +1442,28 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term_score), 6).cast("double").alias("bm25"),
             F.count("*").alias("n_terms"),
         )
+    )
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 documents for a fixed 3-term
+    query. The sparse-retrieval primitive of a training-data pipeline
+    (quality-biased corpus search, retrieval-based decontamination,
+    RAG indexing).
+
+    Distributed shape — the inverted-index plan, not a per-query scan:
+    term frequencies come from one explode + partial-count (the
+    posting-list build); document frequencies and the corpus stats
+    (N, avgdl) are tiny aggregates that BROADCAST back, so the only
+    O(corpus) shuffle is the tf groupBy. Postings are filtered to the
+    query terms *before* the shuffle, so the exchange carries only
+    matching (doc, term) rows — at 100 TB this is the standard
+    "score only the postings" BM25 join, never an all-docs sort.
+    Scores are double precision rounded 6dp (shared float convention);
+    top-k is `TakeOrderedAndProject`, O(k) per partition."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(d)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
@@ -2050,7 +2060,13 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc average is a map-side-combinable groupBy(doc_id). The
     double math (÷, ln, avg) uses the identical op order on both
     engines and rounds via floor(x·1e4+0.5)/1e4."""
-    d = table(spark, sf_dir, "documents")
+    return _lm_scores(table(spark, sf_dir, "documents"))
+
+
+def _lm_scores(d: DataFrame) -> DataFrame:
+    """Per-doc unigram-LM score core shared by ``docs_lm_score`` and
+    ``docs_lm_quality_buckets``: ``(doc_id, n_tokens_scored,
+    lm_score)`` with the floor(x·1e4+0.5)/1e4 rounding convention."""
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("tot"))
@@ -2193,7 +2209,300 @@ LIMIT 5
 """
 
 
+# --- round-3 additions: paragraph dedup, source mixing, hybrid
+# retrieval, perplexity buckets ---------------------------------------
+
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/Falcon curation
+    stage): split every document into fixed 10-token "paragraph"
+    units, hash each, keep only the globally FIRST occurrence of each
+    distinct paragraph (min ``(doc_id, para_idx)``), and report the
+    per-document survival ratio. Removing repeated boilerplate
+    *within* surviving documents is what line/paragraph dedup does
+    that whole-doc dedup cannot.
+
+    Scale shape: chunking is pure Catalyst (``transform`` over a
+    ``sequence`` of slice offsets — no Python, no UDTF); the only
+    corpus-sized exchange is ONE hash-partitioned window on the
+    paragraph hash (same key layout a groupBy-dedup would use), then
+    the per-doc rollup is map-side combinable. No corpus×corpus
+    work; skewed hashes (a boilerplate paragraph repeated millions of
+    times) stay one partition but carry only (doc_id, idx) pairs."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    nch = F.ceil(n / F.lit(10.0)).cast("int")
+    paras = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(t, i * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).select("doc_id", "para_idx", F.md5("para").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    flagged = ex.withColumn(
+        "kept", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(F.sum("kept") / F.count("*"), 6)
+        .cast("double")
+        .alias("kept_ratio"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+    unnest(range(0, CAST(ceil(len(t) / 10.0) AS INTEGER))) AS para_idx, t
+  FROM toks WHERE len(t) > 0
+),
+paras AS (
+  SELECT doc_id, para_idx,
+    md5(array_to_string(t[para_idx * 10 + 1 : para_idx * 10 + 10], ' ')) AS h
+  FROM chunks
+),
+flagged AS (
+  SELECT doc_id,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, para_idx) = 1
+         THEN 1 ELSE 0 END AS kept
+  FROM paras
+)
+SELECT doc_id, COUNT(*) AS n_paras,
+  CAST(SUM(kept) AS BIGINT) AS n_kept,
+  CAST(ROUND(SUM(kept) * 1.0 / COUNT(*), 6) AS DOUBLE) AS kept_ratio
+FROM flagged GROUP BY doc_id
+"""
+
+
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LM sampling
+    scheme: sample source i with probability ∝ p_i^α): per-source
+    token shares, α=0.5 sampling weights, and the up/down-sampling
+    boost each source gets relative to natural frequency. α=0.5 uses
+    ``sqrt`` — IEEE-exact on both engines — and weights are
+    normalized through int64 parts-per-billion so the cross-source
+    sum is order-independent and the result hash-exact.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus
+    (source cardinality ≪ corpus); the normalizations run as
+    unpartitioned windows over the tiny per-source frame — so the
+    corpus is scanned exactly once (the agg→crossJoin formulation
+    would recompute the corpus rollup per normalization constant).
+    This is the job that decides epoch mixture before a 100 TB
+    training run."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()  # per-source frame: tiny by definition
+    j = per.withColumn(
+        "p", F.col("n_tokens") / F.sum("n_tokens").over(w)
+    ).withColumn(
+        "w_ppb", F.floor(F.sqrt(F.col("p")) * 1e9 + 0.5).cast("bigint")
+    ).withColumn("weight", F.col("w_ppb") / F.sum("w_ppb").over(w))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p"), 6).cast("double").alias("p_tokens"),
+        F.round(F.col("weight"), 6).cast("double").alias("weight"),
+        F.round(F.col("weight") / F.col("p"), 6).cast("double").alias("boost"),
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+w AS (
+  SELECT per.*, tot.tot_tokens,
+    CAST(FLOOR(sqrt(n_tokens / tot_tokens) * 1e9 + 0.5) AS BIGINT) AS w_ppb
+  FROM per, tot
+),
+ws AS (SELECT CAST(SUM(w_ppb) AS BIGINT) AS wsum FROM w)
+SELECT source, n_docs, n_tokens,
+  CAST(ROUND(n_tokens / tot_tokens, 6) AS DOUBLE) AS p_tokens,
+  CAST(ROUND(w_ppb / wsum, 6) AS DOUBLE) AS weight,
+  CAST(ROUND((w_ppb / wsum) / (n_tokens / tot_tokens), 6) AS DOUBLE) AS boost
+FROM w, ws
+"""
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: fuse the BM25
+    keyword ranking (fixed 3-term query, top-100 list) with the dense
+    cosine ranking (query = embedding of vec_id 0, top-100 list) via
+    RRF = Σ 1/(60 + rank), and return the fused top-20. The standard
+    sparse+dense RAG retrieval stack expressed as one declarative
+    plan.
+
+    Scale shape: the BM25 side scores only matching postings (see
+    ``_bm25_scored``); the dense side is a broadcast-query scan with a
+    per-partition top-k (no corpus shuffle). Ranking each retrieved
+    list is a window over the LIST (≤ matched candidates, cut to
+    100), never the corpus; the fusion join is list×list — trivially
+    broadcastable at any corpus size."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_r = (
+        _bm25_scored(d)
+        .withColumn("bm25_rank", F.row_number().over(wb))
+        .filter(F.col("bm25_rank") <= 100)
+        .select("doc_id", "bm25_rank")
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    vr = brute_force_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=100
+    ).select(F.col("cid").alias("doc_id"), F.col("rank").alias("cos_rank"))
+    fused = bm_r.join(vr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)
+        ),
+        6,
+    ).cast("double")
+    return (
+        fused.select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+RRF_HYBRID_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+  WHERE token IN ('spark', 'merge', 'filter')
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), bm AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(SUM(
+      ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * tf.tf * ({BM25_K1} + 1.0)
+      / (tf.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl.dl / stats.avgdl))
+    ), 6) AS DOUBLE) AS bm25
+  FROM tf
+  JOIN dfreq USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bmr AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM bm QUALIFY bm25_rank <= 100
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS doc_id,
+    ROUND(
+      CASE WHEN sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}) > 0
+           THEN {_dot_sql('qv', 'cv')}
+                / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM (SELECT vec_id, embedding AS cv FROM embeddings), q
+  WHERE vec_id <> 0
+), vr AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+  FROM scored QUALIFY cos_rank <= 100
+)
+SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id,
+  CAST(bm25_rank AS INTEGER) AS bm25_rank,
+  CAST(cos_rank AS INTEGER) AS cos_rank,
+  CAST(ROUND(COALESCE(1.0 / ({RRF_K} + bm25_rank), 0)
+           + COALESCE(1.0 / ({RRF_K} + cos_rank), 0), 6) AS DOUBLE) AS rrf
+FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+def docs_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity buckets: per-language
+    terciles of the unigram-LM score (``ntile(3)`` over the
+    deterministic ``(lm_score, doc_id)`` order), with per-bucket doc
+    counts and exact score ranges. Training pipelines keep the "head"
+    (most language-typical) bucket and drop or downweight the tail.
+
+    Scale shape: the LM-score core is one token shuffle + broadcast
+    vocabulary (see ``_lm_scores``); the bucket window partitions by
+    language — bounded parallelism per language is inherent to exact
+    per-language quantiles, and the windowed rows carry only (id,
+    score). Min/max per bucket instead of a double mean keeps the
+    rollup order-independent and hash-exact."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    s = _lm_scores(d).join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    return (
+        s.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("lm_score").alias("min_score"),
+            F.max("lm_score").alias("max_score"),
+        )
+    )
+
+
+LM_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM freq),
+scores AS (
+  SELECT doc_id,
+    CAST(FLOOR(AVG(-ln(CAST(n AS DOUBLE)/tot)) * 10000 + 0.5)/10000 AS DOUBLE)
+      AS lm_score
+  FROM toks JOIN freq USING (tok), tot
+  GROUP BY doc_id
+),
+lb AS (
+  SELECT d.lang, s.lm_score,
+    NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.lm_score, s.doc_id)
+      AS bucket
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_docs,
+  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+FROM lb GROUP BY lang, bucket
+"""
+
+
 QUERIES = {
+    "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_temperature_mix": docs_temperature_mix,
+    "docs_rrf_hybrid": docs_rrf_hybrid,
+    "docs_lm_quality_buckets": docs_lm_quality_buckets,
     "docs_top_tokens_sketch": docs_top_tokens_sketch,
     "emb_int8_topk": emb_int8_topk,
     "docs_weighted_sample": docs_weighted_sample,
@@ -2246,6 +2555,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "docs_temperature_mix": TEMPERATURE_MIX_SQL,
+    "docs_rrf_hybrid": RRF_HYBRID_SQL,
+    "docs_lm_quality_buckets": LM_BUCKETS_SQL,
     "docs_top_tokens_sketch": TOP_TOKENS_SKETCH_SQL,
     "emb_int8_topk": EMB_INT8_TOPK_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,

@@ -102,3 +102,36 @@ def test_upsert_orc_partitions_rewrites_only_touched(spark, tmp_path):
         f: os.path.getmtime(f) for f in glob.glob(f"{base}/dt=d1/*.orc")
     }
     assert untouched_after == untouched_before
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """orc_bucketed_join's tables co-locate the join: with broadcast
+    disabled, the sort-merge join on the bucket key must plan with NO
+    shuffle exchange on either input (only the final rollup
+    exchanges) — the storage-level join strategy the query claims."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from flink_orc_sink_spark.queries.engine import orc_bucketed_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = orc_bucketed_join(spark, sf_dir)
+        ot = spark.table(
+            "sg_bucketed_orders_sf0_001"
+        )
+        ct = spark.table("sg_bucketed_customer_sf0_001")
+        joined = ot.join(ct, ot.o_custkey == ct.c_custkey)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+        # the registered rollup still answers correctly
+        segs = {r["c_mktsegment"]: r["n_orders"] for r in df.collect()}
+        assert sum(segs.values()) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -43,6 +43,11 @@ BUDGETS = {
     "events_daily_gapfill": (2, 1),  # daily agg + spine join (spine b/c)
     "dq_audit_orders": (5, 1),       # 3 scan checks share ONE agg pass
     "docs_tfidf_top_terms": (5, 2),  # tf, df aggs; df+N broadcast back
+    # round-3 additions
+    "docs_paragraph_dedup": (2, 0),  # hash window + per-doc rollup
+    "docs_temperature_mix": (2, 0),  # source agg + tiny-frame window
+    "events_cohort_revenue": (3, 0),  # first-purchase agg, join, rollup
+    "docs_lm_quality_buckets": (5, 3),  # lm core + lang join + ntile
 }
 
 
