@@ -29,6 +29,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set via frontier expansion
+    (distributed BFS) — the reachability / k-hop-neighbourhood family
+    the reference lacks (SURVEY.md §2.4 — NOT PRESENT).
+
+    ``seeds`` is a DataFrame with one column ``node``. Returns
+    ``(node, hops)`` for every node reachable within ``max_hops``,
+    where ``hops`` is the MINIMUM hop count (0 for seeds). Exact, so
+    it is value-checkable against a depth-bounded ``WITH RECURSIVE``
+    oracle.
+
+    Scale shape (per hop): one equi-join of the current frontier with
+    the edge list on ``src`` (frontier is the small side — broadcast
+    once it shrinks below the AQE threshold), one ``distinct`` on the
+    new frontier, one left-anti join against the visited set. The
+    iteration count is the FIXED ``max_hops`` — no driver-side
+    convergence read — and lineage is cut with ``localCheckpoint``
+    every ``checkpoint_every`` hops, mirroring ``pagerank_fixed``.
+    At 100 TB the visited set stays partitioned on ``node`` across
+    iterations, so the anti-join reuses the exchange.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    visited = seeds.select("node").distinct().withColumn("hops", F.lit(0))
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+        if h % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return visited
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src: str = "src",

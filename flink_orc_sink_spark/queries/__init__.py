@@ -30,6 +30,11 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "graph_bfs_reachability",
+    "events_top_paths",
+    "events_rfm_segments",
+    "docs_hash_classifier_score",
+    "docs_dsir_weights",
     "docs_paragraph_dedup",
     "docs_temperature_mix",
     "docs_rrf_hybrid",

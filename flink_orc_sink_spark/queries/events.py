@@ -601,6 +601,197 @@ GROUP BY lag_hours
 """
 
 
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop reachability (distributed BFS) from the 'view'
+    node over the event-type transition graph — the iterative
+    frontier-expansion family (k-hop neighbourhoods, blast-radius
+    queries) as an ORACLE-CHECKED operator: hop counts are exact
+    integers, so the Spark iteration hashes identically to a
+    depth-bounded ``WITH RECURSIVE`` oracle.
+
+    Node set is small here (event types) but every step is the 100 TB
+    shape: per hop one src-keyed equi-join + distinct + anti-join,
+    fixed iteration count, no driver-side data path (see
+    ``operators/graph.py::bfs_hops``)."""
+    from flink_orc_sink_spark.operators.graph import bfs_hops
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("view",)], ["node"])
+    out = bfs_hops(edges, seeds, max_hops=3)
+    return out.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+BFS_REACHABILITY_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT prev_type AS src, event_type AS dst
+  FROM seq WHERE prev_type IS NOT NULL
+),
+walk(node, hops) AS (
+  SELECT 'view' AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 3
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step event-type paths (clickstream
+    path mining): per-user time-ordered trigram sequences, counted
+    globally. Deterministic: the trigram window orders by
+    (ts, event_id) and the top-10 tie-breaks on the path string.
+
+    Scale shape: one shuffle (window partition on user_id), then a
+    map-side-combined count over ≤ |types|³ groups and a
+    ``TakeOrderedAndProject`` for the limit — no global sort."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(10)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT
+    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+    event_type AS e3
+  FROM events
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths
+FROM seq WHERE e1 IS NOT NULL
+GROUP BY path
+ORDER BY n_paths DESC, path
+LIMIT 10
+"""
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles):
+    per user, days since last event (integer days vs the corpus max
+    timestamp), event count, and exact purchase spend in int64
+    micro-units; each scored 1–5 with ``ntile`` over a fully
+    deterministic ordering (metric, then user_id), then users counted
+    per 3-digit segment.
+
+    The quintile scoring is a GLOBAL ntile — a single-partition sort
+    over the per-user table (1 row per user, ~10⁴× smaller than the
+    event log). At 100 TB replace the exact ntile with
+    ``approx_percentile`` thresholds broadcast to a map-side score —
+    documented trade-off; the exact form is what the oracle can
+    value-check. Spend math is integer micro-units, bit-exact on
+    both engines."""
+    e = table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max(F.unix_micros("ts")).alias("corpus_max_us"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("spend_micros"),
+        )
+        .crossJoin(F.broadcast(max_ts))
+        .withColumn(
+            "recency_days",
+            F.expr("(corpus_max_us - last_us) div 86400000000"),
+        )
+    )
+    scored = per_user.select(
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("spend_micros"), "user_id"))
+        .alias("m_score"),
+        "spend_micros",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.sum("spend_micros").cast("double") / F.lit(1_000_000.0)).alias(
+                "segment_spend"
+            ),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", "r_score", "f_score", "m_score"),
+        )
+        .select("segment", "n_users", "segment_spend")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(epoch_us(ts)) AS last_us,
+    COUNT(*) AS freq,
+    SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+      AS spend_micros
+  FROM events GROUP BY user_id
+),
+with_recency AS (
+  SELECT *,
+    (SELECT MAX(epoch_us(ts)) FROM events) AS corpus_max_us,
+    ((SELECT MAX(epoch_us(ts)) FROM events) - last_us) // 86400000000
+      AS recency_days
+  FROM per_user
+),
+scored AS (
+  SELECT
+    NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+    NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+    NTILE(5) OVER (ORDER BY spend_micros DESC, user_id) AS m_score,
+    spend_micros
+  FROM with_recency
+)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment,
+       COUNT(*) AS n_users,
+       CAST(SUM(spend_micros) AS DOUBLE) / 1000000.0 AS segment_spend
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
 def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral FEATURE VECTOR — the feature-engineering
     pass a churn/propensity model trains on: per-type event counts
@@ -1164,6 +1355,9 @@ QUERIES = {
     "events_bitmap_distinct_rollup": events_bitmap_distinct_rollup,
     "events_markov_transitions": events_markov_transitions,
     "events_conversion_lag": events_conversion_lag,
+    "graph_bfs_reachability": graph_bfs_reachability,
+    "events_top_paths": events_top_paths,
+    "events_rfm_segments": events_rfm_segments,
     "events_user_features": events_user_features,
     "events_json_badrecords": events_json_badrecords,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -1202,6 +1396,9 @@ ORACLES = {
     "events_rolling_7d_active": ROLLING_ACTIVE_SQL,
     "events_markov_transitions": MARKOV_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
+    "graph_bfs_reachability": BFS_REACHABILITY_SQL,
+    "events_top_paths": TOP_PATHS_SQL,
+    "events_rfm_segments": RFM_SEGMENTS_SQL,
     "events_user_features": USER_FEATURES_SQL,
     "events_json_badrecords": JSON_BADRECORDS_SQL,
 }

@@ -2498,7 +2498,140 @@ FROM lb GROUP BY lang, bucket
 """
 
 
+def docs_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hash-linear classifier APPLY — the
+    quality-classifier sweep every pretraining corpus goes through
+    (a linear model over hashed bag-of-words features, scored on
+    every document). The model here is a deterministic stand-in:
+    feature bucket = ``hash32(token) % 1024``, weight =
+    ``(bucket * 2654435761) % 2001 - 1000`` parts-per-mille — the
+    same md5-replicable hash family as the dedup operators, so the
+    oracle reproduces the classifier bit-for-bit. Swapping in real
+    learned weights is a broadcast-map-join away and changes nothing
+    in the plan.
+
+    Scale shape: ZERO shuffles — tokenization, hashing, and the
+    weighted sum all run in-row via higher-order functions
+    (``transform`` + ``aggregate``), whole-stage-codegen'd, no
+    explode. The ideal shape for a 100 TB scoring sweep: map-only,
+    embarrassingly parallel, no Python."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    score = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: (
+                (
+                    (
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                            "long"
+                        )
+                        % 1024
+                    )
+                    * F.lit(2654435761).cast("long")
+                )
+                % 2001
+                - 1000
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_ppm"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
+HASH_CLASSIFIER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(list_sum(list_transform({TOKENS_SQL},
+      t -> (((('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+             * 2654435761) % 2001) - 1000)), 0) AS BIGINT) AS score_ppm
+  FROM documents
+)
+SELECT doc_id, n_tokens, score_ppm,
+  CAST(CASE WHEN score_ppm > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored
+"""
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much
+    its hashed-unigram distribution looks like a TARGET domain (here
+    ``lang = 'en'``) relative to the raw corpus. Per 4096-way hash
+    bucket ``h``: ``ratio_ppm(h) = ((target_cnt+1) * 1e6) DIV
+    (raw_cnt+1)`` (add-one smoothed, fixed-point); a document's
+    weight is the sum of its tokens' bucket ratios. The log-ratio
+    flavor is a one-line change but its libm doubles are not
+    cross-engine hash-stable (same argument as ``docs_tfidf``).
+
+    Scale shape: one shuffle to bucket counts (map-side combined,
+    output is FIXED 4096 rows regardless of corpus size), bucket
+    table broadcast back onto the token stream, one map-side-combined
+    groupBy(doc_id). The broadcast is ~100 KB at any corpus scale —
+    this is exactly how DSIR runs over trillion-token corpora."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens("text")).alias("t"),
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % 4096,
+    )
+    raw = tok.groupBy("h").agg(F.count("*").alias("raw_cnt"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("h")
+        .agg(F.count("*").alias("tgt_cnt"))
+    )
+    buckets = raw.join(tgt, "h", "left").select(
+        "h",
+        F.expr(
+            "((coalesce(tgt_cnt, 0L) + 1) * 1000000L) DIV (raw_cnt + 1)"
+        ).alias("ratio_ppm"),
+    )
+    return (
+        tok.join(F.broadcast(buckets), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("ratio_ppm").alias("weight_ppm"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS h
+  FROM (SELECT doc_id, lang, unnest({TOKENS_SQL}) AS t FROM documents)
+),
+raw AS (SELECT h, COUNT(*) AS raw_cnt FROM tok GROUP BY h),
+tgt AS (SELECT h, COUNT(*) AS tgt_cnt
+        FROM tok WHERE lang = 'en' GROUP BY h),
+buckets AS (
+  SELECT raw.h,
+    ((COALESCE(tgt.tgt_cnt, 0) + 1) * 1000000) // (raw.raw_cnt + 1)
+      AS ratio_ppm
+  FROM raw LEFT JOIN tgt ON raw.h = tgt.h
+)
+SELECT tok.doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(buckets.ratio_ppm) AS BIGINT) AS weight_ppm
+FROM tok JOIN buckets ON tok.h = buckets.h
+GROUP BY tok.doc_id
+"""
+
+
 QUERIES = {
+    "docs_hash_classifier_score": docs_hash_classifier_score,
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_temperature_mix": docs_temperature_mix,
     "docs_rrf_hybrid": docs_rrf_hybrid,
@@ -2555,6 +2688,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
+    "docs_dsir_weights": DSIR_SQL,
     "docs_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "docs_temperature_mix": TEMPERATURE_MIX_SQL,
     "docs_rrf_hybrid": RRF_HYBRID_SQL,

@@ -57,3 +57,33 @@ def test_pagerank_mass_approximately_conserved(spark):
     )
     # truncation leaks O(outdeg) parts per node per iteration only
     assert SCALE - 100 <= total <= SCALE
+
+
+def test_bfs_hops_min_distance(spark):
+    from flink_orc_sink_spark.operators.graph import bfs_hops
+
+    # a→b→c→d plus a shortcut a→c: c must get hops=1 (min), not 2.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_hops_respects_max_hops_and_cycles(spark):
+    from flink_orc_sink_spark.operators.graph import bfs_hops
+
+    # cycle a→b→a must terminate; d beyond max_hops is excluded.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
