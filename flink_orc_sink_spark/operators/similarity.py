@@ -612,3 +612,200 @@ def semantic_dedup(
         .applyInPandas(dedup_cell, schema=out_schema)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces and an independent ``ksub``-centroid
+    k-means is trained per subspace on a bounded sample (the same
+    train-on-sample recipe as :func:`train_centroids` — the ONLY
+    driver-side collect in the PQ path, bounded regardless of corpus
+    size). Vectors are L2-normalized first so PQ dot products
+    approximate cosine. Returns ``(m, ksub, dsub)`` float64.
+    """
+    n_total = df.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sample = np.asarray(
+        df.sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    ksub = min(ksub, len(sample))
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for i in range(m):
+        sub = sample[:, i * dsub : (i + 1) * dsub]
+        cents = sub[rng.choice(len(sub), ksub, replace=False)].copy()
+        for _ in range(iters):
+            # nearest centroid by L2 on the subvector
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[i] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, vec_col: str, books: np.ndarray, out_col: str = "codes"
+) -> DataFrame:
+    """Encode each vector as ``m`` centroid ids (one per subspace) —
+    the ~``4*d/m``-fold compression that lets a 100 TB vector corpus
+    live in memory. Arrow-batched, one distance computation per
+    subspace per batch; map-only, zero shuffle."""
+    books = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for i in range(m):
+            sub = mat[:, i * dsub : (i + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 32,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN top-``k`` with asymmetric distance
+    (ADC) and exact re-rank — the memory-bound tier of the similarity
+    stack (brute ⊂ int8 ⊂ PQ ⊂ IVF/LSH; compose with
+    :func:`build_ivf_index` for IVF-PQ, the standard trillion-vector
+    recipe).
+
+    Flow: (1) codebooks from a bounded sample; (2) the query BATCH is
+    collected to the driver (bounded by design — this is a serving
+    batch, not the corpus) and turned into per-query lookup tables
+    ``LUT[q,i,j] = <q_sub_i, books[i,j]>``; (3) ONE ``mapInPandas``
+    pass over the encoded corpus scores every (query, code) pair by
+    LUT gather — O(m) per pair instead of O(d), no join, no shuffle
+    of vectors — and emits only each partition's per-query top
+    ``shortlist``; (4) a global top-``shortlist`` merge (ties broken
+    by corpus id, so the candidate set is deterministic), then exact
+    cosine re-rank of candidates against the true vectors.
+
+    Ids must be integral (BIGINT) — the mapInPandas contract declares
+    them as ``long``.
+    """
+    books = train_pq_codebooks(
+        corpus, corpus_vec, m=m, ksub=ksub, sample_size=sample_size, seed=seed
+    )
+    _, _, dsub = books.shape
+
+    q_pdf = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    ).toPandas()
+    qids = q_pdf["qid"].to_numpy(dtype=np.int64)
+    qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # LUT[q, i, j] = dot(query q's subvector i, codebook i centroid j)
+    lut = np.stack(
+        [qmat[:, i * dsub : (i + 1) * dsub] @ books[i].T for i in range(m)],
+        axis=1,
+    )
+
+    enc = pq_encode(
+        corpus.select(
+            F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+        ),
+        "cvec",
+        books,
+    ).select("cid", "codes")
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            # scores[q, row] = Σ_i LUT[q, i, codes[row, i]]
+            scores = np.zeros((len(qids), len(cids)), dtype=np.float64)
+            for i in range(m):
+                scores += lut[:, i, codes[:, i]]
+            out_q, out_c, out_s = [], [], []
+            top = min(shortlist, len(cids))
+            for qi in range(len(qids)):
+                mask = cids != qids[qi]
+                sc, cc = scores[qi][mask], cids[mask]
+                # deterministic top-`shortlist`: approx desc, cid asc
+                order = np.lexsort((cc, -sc))[:top]
+                out_q.append(np.full(len(order), qids[qi]))
+                out_c.append(cc[order])
+                out_s.append(sc[order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "cid": np.concatenate(out_c),
+                    "approx": np.concatenate(out_s),
+                }
+            )
+
+    from flink_orc_sink_spark.operators.relational import topk_per_group
+
+    partial = enc.mapInPandas(
+        score_partition, "qid long, cid long, approx double"
+    )
+    cands = topk_per_group(
+        partial,
+        ["qid"],
+        [F.col("approx").desc(), F.col("cid").asc()],
+        shortlist,
+        rank_col="_srank",
+    ).select("qid", "cid")
+    q_exact = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    )
+    c_exact = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+    )
+    rescored = (
+        cands.join(F.broadcast(q_exact), "qid")
+        .join(c_exact, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        rescored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("cid").asc()],
+        k,
+        rank_col="rank",
+    ).select("qid", "cid", "cos_sim", "rank")

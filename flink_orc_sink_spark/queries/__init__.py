@@ -35,6 +35,8 @@ _PRIORITY = (
     "events_rfm_segments",
     "docs_hash_classifier_score",
     "docs_dsir_weights",
+    "emb_pq_topk",
+    "stream_topk_per_window",
     "docs_paragraph_dedup",
     "docs_temperature_mix",
     "docs_rrf_hybrid",

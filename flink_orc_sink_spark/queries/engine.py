@@ -754,6 +754,72 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOP-K PER WINDOW: the runtime maintains per-(hour,
+    user) counts in the state store across the bounded replay; the
+    top-3 ranking per window is the post-materialization select (the
+    standard serving split — streaming keeps the additive state,
+    ranking happens on read, because rank is not an incremental
+    aggregate). Ties broken by user_id, so the result is
+    deterministic and value-checkable against the batch oracle."""
+    global _STREAM_SEQ
+    from pyspark.sql import Window
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_topk_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_topk_per_window_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_topk_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "user_id", "n_events", "rank")
+    )
+
+
+STREAM_TOPK_WINDOW_SQL = """
+WITH counts AS (
+  SELECT DATE_TRUNC('hour', ts) AS window_start, user_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY window_start, user_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY window_start ORDER BY n_events DESC, user_id
+    ) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT window_start, user_id, n_events, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM inner interval join on the real runtime: clicks
     and views replayed as two independent file streams, joined per
@@ -1235,6 +1301,7 @@ QUERIES = {
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
     "stream_dedup_events": stream_dedup_events,
     "stream_running_totals": stream_running_totals,
+    "stream_topk_per_window": stream_topk_per_window,
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_drop": stream_late_data_drop,
@@ -1258,6 +1325,7 @@ ORACLES = {
     "stream_sliding_1h_30m": SLIDING_SQL,
     "stream_dedup_events": ORC_ROUNDTRIP_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
+    "stream_topk_per_window": STREAM_TOPK_WINDOW_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,

@@ -762,6 +762,26 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (ADC scoring + exact re-rank) —
+    the memory-bound tier of the similarity stack: 8 subspace
+    codebooks compress each 64-dim vector to 8 bytes (~32×), the
+    corpus pass is one shuffle-free ``mapInPandas`` LUT gather, and
+    only the per-query shortlist is ever re-scored exactly. Compose
+    with ``build_ivf_index`` for IVF-PQ at trillion-vector scale.
+    No SQL oracle (approximate + sampled codebook training); recall
+    ≥ 0.9 asserted on clustered data in tests/test_similarity.py;
+    driver records rows-only."""
+    from flink_orc_sink_spark.operators.similarity import pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, m=8, ksub=16, shortlist=32,
+    )
+
+
 def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8 SHORTLIST SEARCH: brute-force top-5 by integer dot product
     over symmetrically-quantized codes — the memory tier that serves a
@@ -2678,6 +2698,7 @@ QUERIES = {
     "emb_knn_label_accuracy": emb_knn_label_accuracy,
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_pq_topk": emb_pq_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_lsh_neardup_pairs": emb_lsh_neardup_pairs,
     "emb_quantize_int8": emb_quantize_int8,

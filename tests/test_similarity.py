@@ -222,3 +222,40 @@ def test_semantic_dedup_respects_cell_cap(spark, clustered):
     flagged = {r.vec_id: r.dup_of for r in out if r.is_dup}
     assert {100, 101, 102} <= set(flagged)
     assert flagged[100] == 0 and flagged[101] == 1 and flagged[102] == 2
+
+
+def test_pq_topk_recall_on_clustered(spark, clustered):
+    from flink_orc_sink_spark.operators.similarity import pq_topk
+
+    queries = clustered.filter("vec_id < 40")
+    exact = _topk_sets(
+        brute_force_topk(queries, clustered, "vec_id", "vec_id",
+                         "embedding", "embedding", k=5)
+    )
+    approx = _topk_sets(
+        pq_topk(queries, clustered, "vec_id", "vec_id",
+                "embedding", "embedding", k=5, m=8, ksub=16, shortlist=32)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"PQ recall {recall:.3f} < 0.9"
+
+
+def test_pq_encode_shapes_and_determinism(spark, clustered):
+    from flink_orc_sink_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(clustered, "embedding", m=8, ksub=16)
+    assert books.shape == (8, 16, DIMS // 8)
+    enc = pq_encode(clustered, "embedding", books)
+    rows = {r.vec_id: r.codes for r in enc.select("vec_id", "codes").collect()}
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    # re-encoding is bit-identical (fixed codebooks, fixed seed)
+    rows2 = {
+        r.vec_id: r.codes for r in enc.select("vec_id", "codes").collect()
+    }
+    assert rows == rows2
