@@ -37,6 +37,9 @@ _PRIORITY = (
     "docs_dsir_weights",
     "emb_pq_topk",
     "stream_topk_per_window",
+    "events_windowed_funnel",
+    "events_anomaly_mad",
+    "agg_mode_per_group",
     "docs_paragraph_dedup",
     "docs_temperature_mix",
     "docs_rrf_hybrid",

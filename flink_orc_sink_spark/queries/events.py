@@ -792,6 +792,176 @@ GROUP BY r_score, f_score, m_score
 """
 
 
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT ORDERED WINDOWED FUNNEL (ClickHouse ``windowFunnel``
+    semantics): per user, level 1 = has a view; level 2 = earliest
+    click AFTER the first view and within 1 hour of it; level 3 =
+    earliest purchase after that click, still within the view's
+    1-hour window. Users counted per deepest level reached.
+
+    Three user-keyed grouped passes (one per funnel stage), every
+    one on the SAME key — after the first exchange the joins and
+    groupBys are co-partitioned, so no re-partitioning and no
+    event×event self-join anywhere; each stage joins the fact stream
+    against a 1-row-per-user stage table. All math in integer
+    microseconds — bit-exact on both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    hour_us = 3_600_000_000
+    mv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "view_us"
+        )
+    )
+    with_mv = e.join(mv, "user_id")
+    mc = with_mv.groupBy("user_id").agg(
+        F.min("view_us").alias("view_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("view_us"))
+                & (F.col("us") <= F.col("view_us") + hour_us),
+                F.col("us"),
+            )
+        ).alias("click_us"),
+    )
+    mp = (
+        with_mv.join(
+            mc.select("user_id", F.col("click_us").alias("c_us")), "user_id"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("c_us"))
+                    & (F.col("us") <= F.col("view_us") + hour_us),
+                    F.col("us"),
+                )
+            ).alias("purchase_us")
+        )
+    )
+    levels = (
+        mc.join(mp, "user_id")
+        .filter(F.col("view_us").isNotNull())
+        .select(
+            (
+                F.lit(1)
+                + F.col("click_us").isNotNull().cast("int")
+                + (
+                    F.col("click_us").isNotNull()
+                    & F.col("purchase_us").isNotNull()
+                ).cast("int")
+            ).alias("funnel_level")
+        )
+    )
+    return levels.groupBy("funnel_level").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+WINDOWED_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+mv AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN us END) AS view_us
+  FROM e GROUP BY user_id
+),
+mc AS (
+  SELECT e.user_id, MIN(mv.view_us) AS view_us,
+    MIN(CASE WHEN e.event_type = 'click' AND e.us > mv.view_us
+             AND e.us <= mv.view_us + 3600000000 THEN e.us END) AS click_us
+  FROM e JOIN mv ON e.user_id = mv.user_id
+  GROUP BY e.user_id
+),
+mp AS (
+  SELECT e.user_id,
+    MIN(CASE WHEN e.event_type = 'purchase' AND e.us > mc.click_us
+             AND e.us <= mc.view_us + 3600000000 THEN e.us END)
+      AS purchase_us
+  FROM e JOIN mc ON e.user_id = mc.user_id
+  GROUP BY e.user_id
+)
+SELECT CAST(1
+    + CASE WHEN mc.click_us IS NOT NULL THEN 1 ELSE 0 END
+    + CASE WHEN mc.click_us IS NOT NULL AND mp.purchase_us IS NOT NULL
+           THEN 1 ELSE 0 END AS INTEGER) AS funnel_level,
+  COUNT(*) AS n_users
+FROM mc JOIN mp ON mc.user_id = mp.user_id
+WHERE mc.view_us IS NOT NULL
+GROUP BY funnel_level
+"""
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly detection: hours whose event count deviates
+    from the per-type MEDIAN by more than 3× the MEDIAN ABSOLUTE
+    DEVIATION — the outlier rule that, unlike the z-score variant
+    (``events_hourly_anomaly``), is itself immune to the outliers it
+    hunts. Exact interpolated medians (``percentile`` ==
+    ``quantile_cont``) over integer counts: every intermediate is an
+    exact half-integer double, so the comparison — and the hash —
+    is bit-stable across engines.
+
+    Scale shape: hourly counts are one map-side-combined shuffle;
+    medians are per-type aggregates over hours (tiny); both medians
+    broadcast back. The percentile agg holds one group's hours in
+    memory — hours per type is bounded (8 760/year), not data-sized."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("cnt", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(
+                (
+                    F.col("absdev") > F.lit(3.0) * F.col("mad")
+                ).cast("long")
+            ).alias("anomalous_hours"),
+        )
+    )
+
+
+ANOMALY_MAD_SQL = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY hour, event_type
+),
+med AS (
+  SELECT event_type, QUANTILE_CONT(cnt, 0.5) AS med
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, ABS(h.cnt - m.med) AS absdev
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, QUANTILE_CONT(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, COUNT(*) AS n_hours,
+  CAST(SUM(CASE WHEN d.absdev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS anomalous_hours
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
 def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral FEATURE VECTOR — the feature-engineering
     pass a churn/propensity model trains on: per-type event counts
@@ -1358,6 +1528,8 @@ QUERIES = {
     "graph_bfs_reachability": graph_bfs_reachability,
     "events_top_paths": events_top_paths,
     "events_rfm_segments": events_rfm_segments,
+    "events_windowed_funnel": events_windowed_funnel,
+    "events_anomaly_mad": events_anomaly_mad,
     "events_user_features": events_user_features,
     "events_json_badrecords": events_json_badrecords,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -1399,6 +1571,8 @@ ORACLES = {
     "graph_bfs_reachability": BFS_REACHABILITY_SQL,
     "events_top_paths": TOP_PATHS_SQL,
     "events_rfm_segments": RFM_SEGMENTS_SQL,
+    "events_windowed_funnel": WINDOWED_FUNNEL_SQL,
+    "events_anomaly_mad": ANOMALY_MAD_SQL,
     "events_user_features": USER_FEATURES_SQL,
     "events_json_badrecords": JSON_BADRECORDS_SQL,
 }

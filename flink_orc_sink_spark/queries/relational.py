@@ -1515,6 +1515,56 @@ SELECT attr, val, COUNT(*) AS n_orders FROM (
 """
 
 
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group with a defined tie-break
+    (smallest value wins) — ``mode()`` builtins leave ties
+    implementation-defined, so the portable form is count +
+    row_number, which is also the shape that scales: two map-side-
+    combined shuffles on (group, value) then group, never a per-group
+    value buffer. Here: the most common order priority per order
+    status, with its share in parts-per-million (integer division)."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    totals = o.groupBy("o_orderstatus").agg(F.count("*").alias("total"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(totals), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+            F.expr("(n * 1000000L) DIV total").alias("share_ppm"),
+        )
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+totals AS (
+  SELECT o_orderstatus, COUNT(*) AS total FROM orders GROUP BY o_orderstatus
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+    ) AS rn
+  FROM counts
+)
+SELECT r.o_orderstatus, r.o_orderpriority AS mode_priority, r.n,
+  (r.n * 1000000) // t.total AS share_ppm
+FROM ranked r JOIN totals t ON r.o_orderstatus = t.o_orderstatus
+WHERE r.rn = 1
+"""
+
+
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — identical
     definition in Spark ``percentile`` and DuckDB ``quantile_cont``).
@@ -2114,6 +2164,7 @@ QUERIES = {
     "unpivot_part_measures": unpivot_part_measures,
     "array_funcs_showcase": array_funcs_showcase,
     "map_funcs_showcase": map_funcs_showcase,
+    "agg_mode_per_group": agg_mode_per_group,
     "agg_exact_percentiles": agg_exact_percentiles,
     "agg_approx_distinct_sketch": agg_approx_distinct_sketch,
 }
@@ -2184,5 +2235,6 @@ ORACLES = {
     "unpivot_part_measures": UNPIVOT_SQL,
     "array_funcs_showcase": ARRAY_FUNCS_SQL,
     "map_funcs_showcase": MAP_FUNCS_SQL,
+    "agg_mode_per_group": AGG_MODE_SQL,
     "agg_exact_percentiles": PERCENTILES_SQL,
 }
