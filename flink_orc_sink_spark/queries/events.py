@@ -799,53 +799,59 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest purchase after that click, still within the view's
     1-hour window. Users counted per deepest level reached.
 
-    Three user-keyed grouped passes (one per funnel stage), every
-    one on the SAME key — after the first exchange the joins and
-    groupBys are co-partitioned, so no re-partitioning and no
-    event×event self-join anywhere; each stage joins the fact stream
-    against a 1-row-per-user stage table. All math in integer
+    ONE user-keyed exchange for all three stages: each stage's
+    timestamp is an unbounded conditional-MIN window over the SAME
+    ``user_id`` partitioning, and window operators referencing a
+    previous stage's column stack on the same sort — no self-join,
+    no per-stage re-shuffle (plan-budget-pinned at 2 exchanges total,
+    the second being the tiny per-level count). All math in integer
     microseconds — bit-exact on both engines."""
+    wu = Window.partitionBy("user_id")
+    hour_us = 3_600_000_000
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    hour_us = 3_600_000_000
-    mv = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
-            "view_us"
+    staged = (
+        e.withColumn(
+            "view_us",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).over(wu),
         )
-    )
-    with_mv = e.join(mv, "user_id")
-    mc = with_mv.groupBy("user_id").agg(
-        F.min("view_us").alias("view_us"),
-        F.min(
-            F.when(
-                (F.col("event_type") == "click")
-                & (F.col("us") > F.col("view_us"))
-                & (F.col("us") <= F.col("view_us") + hour_us),
-                F.col("us"),
-            )
-        ).alias("click_us"),
-    )
-    mp = (
-        with_mv.join(
-            mc.select("user_id", F.col("click_us").alias("c_us")), "user_id"
-        )
-        .groupBy("user_id")
-        .agg(
+        .withColumn(
+            "click_us",
             F.min(
                 F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("us") > F.col("c_us"))
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("view_us"))
                     & (F.col("us") <= F.col("view_us") + hour_us),
                     F.col("us"),
                 )
-            ).alias("purchase_us")
+            ).over(wu),
+        )
+        .withColumn(
+            "purchase_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("click_us"))
+                    & (F.col("us") <= F.col("view_us") + hour_us),
+                    F.col("us"),
+                )
+            ).over(wu),
         )
     )
-    levels = (
-        mc.join(mp, "user_id")
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(
+            F.min("view_us").alias("view_us"),
+            F.min("click_us").alias("click_us"),
+            F.min("purchase_us").alias("purchase_us"),
+        )
         .filter(F.col("view_us").isNotNull())
-        .select(
+    )
+    return (
+        per_user.select(
             (
                 F.lit(1)
                 + F.col("click_us").isNotNull().cast("int")
@@ -855,9 +861,8 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("int")
             ).alias("funnel_level")
         )
-    )
-    return levels.groupBy("funnel_level").agg(
-        F.count("*").alias("n_users")
+        .groupBy("funnel_level")
+        .agg(F.count("*").alias("n_users"))
     )
 
 

@@ -1527,14 +1527,17 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n")
     )
-    totals = o.groupBy("o_orderstatus").agg(F.count("*").alias("total"))
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.desc("n"), F.asc("o_orderpriority")
     )
+    # group total as a window-SUM over the SAME partitioning as the
+    # ranking window — one exchange serves both, no second agg + join.
     return (
         counts.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy("o_orderstatus"))
+        )
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(totals), "o_orderstatus")
         .select(
             "o_orderstatus",
             F.col("o_orderpriority").alias("mode_priority"),

@@ -48,6 +48,13 @@ BUDGETS = {
     "docs_temperature_mix": (2, 0),  # source agg + tiny-frame window
     "events_cohort_revenue": (3, 0),  # first-purchase agg, join, rollup
     "docs_lm_quality_buckets": (5, 3),  # lm core + lang join + ntile
+    # round-3 batch 2
+    "docs_hash_classifier_score": (0, 0),  # in-row HOF scoring, map-only
+    "docs_dsir_weights": (3, 2),     # token agg ×2; bucket table broadcast
+    "events_top_paths": (2, 0),      # trigram window + TakeOrdered count
+    "events_rfm_segments": (3, 1),   # user agg, global ntile, segment agg
+    "events_windowed_funnel": (2, 0),  # all 3 stages share ONE user window
+    "agg_mode_per_group": (2, 0),    # count agg + shared ranking window
 }
 
 
