@@ -187,6 +187,41 @@ def probe_ivf(spark, path: str, n: int, work: str) -> dict:
     }
 
 
+def probe_pq(spark, path: str, n: int) -> dict:
+    """PQ tier: one LUT-gather pass over the encoded corpus. Claims
+    under test: wall time grows ~LINEARLY in n (it is a single
+    map-only corpus pass — no join, no candidate blowup), and
+    planted-clone recall stays high because ADC ranks the clone's
+    codes at the top and exact re-rank fixes any residual order."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.operators.similarity import pq_topk
+
+    df = spark.read.parquet(path)
+    queries = df.filter(
+        (F.col("vec_id") % 50 == 49) & (F.col("vec_id") < 10_000)
+    )
+    t0 = time.time()
+    res = pq_topk(
+        queries, df, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, m=8, ksub=16, shortlist=32,
+    )
+    hits = {}
+    for r in res.collect():
+        hits.setdefault(r.qid, set()).add(r.cid)
+    wall = time.time() - t0
+    recall = sum(
+        1 for q, cids in hits.items() if q - 1 in cids
+    ) / max(len(hits), 1)
+    return {
+        "tier": "pq",
+        "n": n,
+        "wall_sec": round(wall, 2),
+        "n_queries": len(hits),
+        "planted_recall": round(recall, 4),
+    }
+
+
 def main() -> None:
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -197,6 +232,7 @@ def main() -> None:
     tiers = [a[2:] for a in sys.argv[1:] if a.startswith("--")] or [
         "lsh",
         "ivf",
+        "pq",
     ]
     sizes = [int(a) for a in args] or [10_000, 50_000, 100_000]
     spark = get_spark("scale-probe-similarity")
@@ -209,6 +245,8 @@ def main() -> None:
                 print(json.dumps(probe_lsh(spark, path, n)), flush=True)
             if "ivf" in tiers:
                 print(json.dumps(probe_ivf(spark, path, n, work)), flush=True)
+            if "pq" in tiers:
+                print(json.dumps(probe_pq(spark, path, n)), flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
