@@ -40,6 +40,7 @@ _PRIORITY = (
     "events_windowed_funnel",
     "events_anomaly_mad",
     "agg_mode_per_group",
+    "orc_time_travel",
     "docs_paragraph_dedup",
     "docs_temperature_mix",
     "docs_rrf_hybrid",

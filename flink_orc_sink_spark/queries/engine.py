@@ -186,6 +186,39 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def orc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL at value level: events committed as snapshot v1,
+    then a corrupting overwrite (every value doubled) committed as
+    v2 INTO THE SAME TREE — and the query reads **as of v1**. The
+    oracle is plain ``SELECT * FROM events``: a hash match proves the
+    manifest pins exactly the v1 file set (v2's files sit adjacent on
+    disk and MUST stay invisible). Versioned manifests + immutable
+    data files are the miniature of the Delta/Iceberg snapshot
+    contract (``sources/orc_sink.py::snapshot_write``); v2
+    readability and orphan invisibility are pytest-asserted in
+    tests/test_maintenance.py."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    e = table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_snap_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    v1 = snapshot_write(e, out, mode="append")
+    snapshot_write(
+        e.withColumn("value", F.col("value") * 2), out, mode="overwrite"
+    )
+    return snapshot_read(spark, out, version=v1).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def orc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustered layout at value level: orders rewritten
     clustered on the Morton curve of (o_custkey, o_orderdate) and read
@@ -1307,6 +1340,7 @@ QUERIES = {
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
     "stream_cdc_apply": stream_cdc_apply,
+    "orc_time_travel": orc_time_travel,
     "orc_zorder_layout": orc_zorder_layout,
     "orc_stats_pruned_read": orc_stats_pruned_read,
     "orc_incremental_agg": orc_incremental_agg,
@@ -1331,6 +1365,7 @@ ORACLES = {
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
+    "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,
     "orc_stats_pruned_read": ORC_STATS_PRUNED_SQL,
     "orc_incremental_agg": ORC_INCR_AGG_SQL,

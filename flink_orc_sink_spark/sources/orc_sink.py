@@ -383,3 +383,111 @@ def pruned_read(
         spark.read.orc(files)
         .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     )
+
+
+def _versions_dir(base_path: str) -> str:
+    import os
+
+    return os.path.join(base_path, "_versions")
+
+
+def snapshot_versions(base_path: str) -> list[int]:
+    """Committed snapshot versions of a :func:`snapshot_write` table,
+    ascending. A version exists iff its manifest file does — data
+    files alone are invisible (same visibility rule as the streaming
+    sink's ``_spark_metadata`` and the reference's rename-commit)."""
+    import glob
+    import os
+
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(_versions_dir(base_path), "v*.json"))
+    )
+
+
+def snapshot_write(
+    df: DataFrame,
+    base_path: str,
+    mode: str = "append",
+    compression: str = "zstd",
+) -> int:
+    """MANIFEST-COMMITTED versioned ORC write (time travel in
+    miniature — the Delta/Iceberg core idea re-expressed on plain ORC
+    + JSON, no table-format dependency):
+
+    - data files are IMMUTABLE: each write lands its ORC files in a
+      fresh ``data/v{n}-…`` directory (never touching prior files);
+    - a snapshot is a JSON manifest listing exactly the files visible
+      at that version; ``mode="append"`` carries the parent's list
+      forward, ``mode="overwrite"`` starts fresh — either way old
+      versions stay readable;
+    - the manifest is published with write-temp-then-``os.replace``
+      (atomic on POSIX): readers see either the old snapshot or the
+      new one, never a partial file list — crash mid-write leaves
+      orphan data files that no manifest references (invisible, GC-able),
+      the exact failure contract of the reference's pending→committed
+      rename and our streaming sink.
+
+    At 100 TB the manifest IS the file listing — readers never
+    ``ls`` the data tree (object-store listing is slow and eventually
+    consistent), and compaction is just another version whose
+    manifest swaps many small files for few big ones. Returns the new
+    version number.
+    """
+    import json
+    import os
+    import uuid
+
+    os.makedirs(_versions_dir(base_path), exist_ok=True)
+    prior = snapshot_versions(base_path)
+    version = (prior[-1] + 1) if prior else 1
+    stage = os.path.join(base_path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").format("orc").option(
+        "compression", compression
+    ).save(stage)
+    new_files = sorted(
+        os.path.relpath(os.path.join(root, f), base_path)
+        for root, _, files in os.walk(stage)
+        for f in files
+        if f.endswith(".orc") and not f.startswith(("_", "."))
+    )
+    files = list(new_files)
+    if mode == "append" and prior:
+        with open(
+            os.path.join(_versions_dir(base_path), f"v{prior[-1]:08d}.json")
+        ) as fh:
+            files = json.load(fh)["files"] + files
+    elif mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode: {mode}")
+    manifest = {"version": version, "mode": mode, "files": files}
+    tmp = os.path.join(_versions_dir(base_path), f".v{version:08d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(
+        tmp, os.path.join(_versions_dir(base_path), f"v{version:08d}.json")
+    )
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, base_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table AS OF ``version`` (default: latest).
+    Only manifest-listed files are scanned — orphans from failed
+    writes and files belonging to later versions are invisible.
+    Filters/column pruning push into the ORC scan as usual (the
+    manifest only fixes the file list)."""
+    import json
+    import os
+
+    versions = snapshot_versions(base_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {base_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_versions_dir(base_path), f"v{v:08d}.json")) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.format("orc").load(
+        [os.path.join(base_path, f) for f in files]
+    )

@@ -135,3 +135,52 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         assert sum(segs.values()) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_snapshot_time_travel_versions(spark, tmp_path):
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    base = str(tmp_path / "snap")
+    df1 = spark.range(10).withColumn("v", F.col("id") * 10)
+    v1 = snapshot_write(df1, base, mode="append")
+    df2 = spark.range(10, 15).withColumn("v", F.col("id") * 10)
+    v2 = snapshot_write(df2, base, mode="append")
+    df3 = spark.range(3).withColumn("v", F.lit(-1).cast("long"))
+    v3 = snapshot_write(df3, base, mode="overwrite")
+    assert snapshot_versions(base) == [v1, v2, v3] == [1, 2, 3]
+    # v1: first batch only; v2: append = both; v3: overwrite = fresh
+    assert snapshot_read(spark, base, 1).count() == 10
+    assert snapshot_read(spark, base, 2).count() == 15
+    assert snapshot_read(spark, base, 3).count() == 3
+    assert snapshot_read(spark, base).count() == 3  # latest default
+    got = sorted(
+        (r.id, r.v) for r in snapshot_read(spark, base, 2).collect()
+    )
+    assert got == [(i, i * 10) for i in range(15)]
+
+
+def test_snapshot_orphans_invisible(spark, tmp_path):
+    """Data files without a manifest entry (crash-mid-write debris,
+    later-version files) must never be read."""
+    import os
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = str(tmp_path / "snap")
+    snapshot_write(spark.range(10).withColumn("v", F.lit(1)), base)
+    # simulate a crashed writer: copy a committed data dir to an
+    # uncommitted sibling — same bytes, no manifest pointing at it
+    data_root = os.path.join(base, "data")
+    vdir = os.listdir(data_root)[0]
+    shutil.copytree(
+        os.path.join(data_root, vdir), os.path.join(data_root, "v9-orphan")
+    )
+    assert snapshot_read(spark, base).count() == 10  # not 20
