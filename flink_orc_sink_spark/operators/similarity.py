@@ -809,3 +809,129 @@ def pq_topk(
         k,
         rank_col="rank",
     ).select("qid", "cid", "cos_sim", "rank")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    nlist: int = 64,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 32,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the coarse quantizer restricts each query to its
+    ``nprobe`` nearest cells (~``nprobe/nlist`` of the corpus) and PQ
+    codes make each candidate comparison O(m) over 8-byte codes —
+    the standard trillion-vector serving recipe (IVFADC, Jégou et
+    al.), composed from this module's :func:`train_centroids` and
+    :func:`train_pq_codebooks`/:func:`pq_encode` tiers.
+
+    Shape: encode+assign is one map-only pass; candidate generation
+    is ONE equi-join on ``cell`` (the same bucket-join shape as LSH
+    banding — no crossJoin); ADC scoring is an Arrow-batched UDF over
+    the joined codes (per-query LUTs in the closure); exact cosine
+    re-ranks only the global shortlist. Codebooks here quantize raw
+    vectors; the residual-encoding refinement (quantize ``v −
+    centroid[cell]``) is a drop-in change to ``pq_encode``'s input
+    and sharpens cells with strong means.
+
+    Persisted form: write the encoded corpus PARTITIONED BY cell
+    (exactly :func:`build_ivf_index` with ``codes`` instead of raw
+    vectors) and the probe filter prunes at the file listing.
+    """
+    centroids = train_centroids(
+        corpus, corpus_vec, nlist=nlist, sample_size=sample_size, seed=seed
+    )
+    books = train_pq_codebooks(
+        corpus, corpus_vec, m=m, ksub=ksub, sample_size=sample_size, seed=seed
+    )
+    _, _, dsub = books.shape
+    assign_cell, _ = make_cell_udfs(centroids, nprobe)
+
+    enc = pq_encode(
+        corpus.select(
+            F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+        ),
+        "cvec",
+        books,
+    ).select("cid", assign_cell(F.col("cvec")).alias("cell"), "codes")
+
+    q_pdf = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    ).toPandas()
+    qids = q_pdf["qid"].to_numpy(dtype=np.int64)
+    qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    lut = {
+        int(qid): np.stack(
+            [qmat[i, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+        )
+        for i, qid in enumerate(qids)
+    }
+    sims = qmat @ np.asarray(centroids, dtype=np.float64).T
+    probe_rows = [
+        (int(qid), int(c))
+        for i, qid in enumerate(qids)
+        for c in np.argsort(-sims[i])[:nprobe]
+    ]
+    spark = queries.sparkSession
+    q_cells = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid long, cell int")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        code_mat = np.asarray(codes.tolist(), dtype=np.int64)
+        qarr = qid.to_numpy(dtype=np.int64)
+        out = np.zeros(len(qarr), dtype=np.float64)
+        idx = np.arange(m)
+        for q in np.unique(qarr):
+            mask = qarr == q
+            tab = lut[int(q)]
+            out[mask] = tab[idx, code_mat[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    cand = (
+        enc.join(q_cells, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", adc("qid", "codes").alias("approx"))
+    )
+    from flink_orc_sink_spark.operators.relational import topk_per_group
+
+    cands = topk_per_group(
+        cand,
+        ["qid"],
+        [F.col("approx").desc(), F.col("cid").asc()],
+        shortlist,
+        rank_col="_srank",
+    ).select("qid", "cid")
+    q_exact = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    )
+    c_exact = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+    )
+    rescored = (
+        cands.join(F.broadcast(q_exact), "qid")
+        .join(c_exact, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        rescored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("cid").asc()],
+        k,
+        rank_col="rank",
+    ).select("qid", "cid", "cos_sim", "rank")

@@ -36,6 +36,7 @@ _PRIORITY = (
     "docs_hash_classifier_score",
     "docs_dsir_weights",
     "emb_pq_topk",
+    "emb_ivf_pq_topk",
     "stream_topk_per_window",
     "events_windowed_funnel",
     "events_anomaly_mad",

@@ -782,6 +782,24 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN top-5 (IVFADC): coarse cells restrict each
+    query to nprobe/nlist of the corpus, 8-byte PQ codes make each
+    candidate O(m), exact re-rank restores precision on the
+    shortlist — the standard trillion-vector recipe, here as ONE
+    bucket-join + Arrow ADC UDF + windowed top-k. No SQL oracle
+    (approximate); recall asserted on clustered data in
+    tests/test_similarity.py; driver records rows-only."""
+    from flink_orc_sink_spark.operators.similarity import ivf_pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, nlist=32, nprobe=8, m=8, ksub=16, shortlist=32,
+    )
+
+
 def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8 SHORTLIST SEARCH: brute-force top-5 by integer dot product
     over symmetrically-quantized codes — the memory tier that serves a
@@ -2699,6 +2717,7 @@ QUERIES = {
     "emb_lsh_ann_topk": emb_lsh_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_pq_topk": emb_pq_topk,
+    "emb_ivf_pq_topk": emb_ivf_pq_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_lsh_neardup_pairs": emb_lsh_neardup_pairs,
     "emb_quantize_int8": emb_quantize_int8,

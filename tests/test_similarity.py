@@ -259,3 +259,22 @@ def test_pq_encode_shapes_and_determinism(spark, clustered):
         r.vec_id: r.codes for r in enc.select("vec_id", "codes").collect()
     }
     assert rows == rows2
+
+
+def test_ivf_pq_topk_recall_on_clustered(spark, clustered):
+    from flink_orc_sink_spark.operators.similarity import ivf_pq_topk
+
+    queries = clustered.filter("vec_id < 40")
+    exact = _topk_sets(
+        brute_force_topk(queries, clustered, "vec_id", "vec_id",
+                         "embedding", "embedding", k=5)
+    )
+    approx = _topk_sets(
+        ivf_pq_topk(queries, clustered, "vec_id", "vec_id",
+                    "embedding", "embedding", k=5, nlist=20, nprobe=6,
+                    m=8, ksub=16, shortlist=32)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.85, f"IVF-PQ recall {recall:.3f} < 0.85"
