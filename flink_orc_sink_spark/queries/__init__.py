@@ -35,6 +35,7 @@ _PRIORITY = (
     "events_rfm_segments",
     "docs_hash_classifier_score",
     "docs_dsir_weights",
+    "docs_bigram_lm_score",
     "emb_pq_topk",
     "emb_ivf_pq_topk",
     "stream_topk_per_window",
@@ -42,6 +43,7 @@ _PRIORITY = (
     "events_anomaly_mad",
     "agg_mode_per_group",
     "orc_time_travel",
+    "stream_interval_join_left",
     "docs_paragraph_dedup",
     "docs_temperature_mix",
     "docs_rrf_hybrid",

@@ -932,6 +932,100 @@ FROM events c JOIN events v
 """
 
 
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join on the real runtime —
+    the harder half of stream-stream joins: unmatched left rows can
+    only be emitted once the watermark PROVES no matching view can
+    still arrive, so null-padding is a state-eviction decision, not a
+    lookup miss. Tight 1-hour watermarks make eviction actually
+    happen during the bounded replay; rows whose no-match verdict
+    the final watermark cannot yet decide (the last ~1 h 10 m of the
+    stream) are excluded by an IDENTICAL deterministic cutoff on
+    both engines (``click_ts ≤ max(ts) − 2 h``), so the value-hash
+    compares exactly the decidable region. A hash match proves the
+    runtime's eviction emits every unmatched click exactly once with
+    the right nulls."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage_c = tempfile.mkdtemp(prefix="stream_loj_clicks_")
+    stage_v = tempfile.mkdtemp(prefix="stream_loj_views_")
+    os.symlink(src, os.path.join(stage_c, "events.parquet"))
+    os.symlink(src, os.path.join(stage_v, "events.parquet"))
+    clicks = (
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(stage_c))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(stage_v))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "click_ts",
+        "view_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_interval_join_left_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_loj_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage_c, ignore_errors=True)
+    shutil.rmtree(stage_v, ignore_errors=True)
+    max_ts = (
+        table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(max_ts))
+        .filter(F.col("click_ts") <= F.col("m") - F.expr("INTERVAL 2 HOURS"))
+        .select("click_id", "view_id", "gap_us")
+    )
+
+
+STREAM_INTERVAL_JOIN_LEFT_SQL = """
+WITH mx AS (SELECT MAX(ts) AS maxts FROM events)
+SELECT c.event_id AS click_id, v.event_id AS view_id,
+  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events c
+LEFT JOIN events v
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE
+WHERE c.event_type = 'click'
+  AND c.ts <= (SELECT maxts FROM mx) - INTERVAL 2 HOUR
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC broadcast enrichment on the real runtime: the
     events stream joined per micro-batch against the static nation
@@ -1336,6 +1430,7 @@ QUERIES = {
     "stream_running_totals": stream_running_totals,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_interval_join": stream_interval_join,
+    "stream_interval_join_left": stream_interval_join_left,
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
@@ -1361,6 +1456,7 @@ ORACLES = {
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_topk_per_window": STREAM_TOPK_WINDOW_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
+    "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,

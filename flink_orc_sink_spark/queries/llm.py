@@ -1579,6 +1579,96 @@ LIMIT 50
 """
 
 
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM quality score per document — one order up from
+    ``docs_lm_score``'s unigram model (CCNet filters with a 5-gram
+    KenLM; each added order is this same shape): average negative
+    log-likelihood of the doc's adjacent token pairs under an
+    add-one-smoothed conditional ``p(w2|w1) = (cnt(w1,w2)+1) /
+    (cnt(w1·)+V)`` estimated from the corpus itself.
+
+    Shape at 100 TB: bigrams are extracted IN-ROW (``zip_with`` over
+    token slices — no window, no per-token shuffle), the bigram and
+    first-token count tables are vocabulary-bounded aggregates that
+    broadcast back onto the bigram stream, and the per-doc average is
+    a map-side-combined groupBy(doc_id). Same
+    floor(x·1e4+0.5)/1e4 rounding convention as the unigram scorer.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = d.select("doc_id", F.explode(bi).alias("pair"))
+    bicnt = big.groupBy("pair").agg(F.count("*").alias("n_bi"))
+    w1cnt = (
+        bicnt.withColumn("w1", F.substring_index("pair", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("n_bi").alias("n_w1"))
+    )
+    vocab = (
+        d.select(F.explode(t).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    bistats = (
+        bicnt.withColumn("w1", F.substring_index("pair", " ", 1))
+        .join(w1cnt, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("pair", "n_bi", "n_w1", "v")
+    )
+    nll = -F.log(
+        (F.col("n_bi") + 1).cast("double") / (F.col("n_w1") + F.col("v"))
+    )
+    return (
+        big.join(F.broadcast(bistats), "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(F.avg(nll) * 10000 + 0.5) / 10000)
+            .cast("double")
+            .alias("bigram_lm_score"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH tk AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+big AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END) AS pair
+  FROM tk
+),
+bicnt AS (SELECT pair, COUNT(*) AS n_bi FROM big GROUP BY pair),
+w1cnt AS (
+  SELECT split_part(pair, ' ', 1) AS w1, CAST(SUM(n_bi) AS BIGINT) AS n_w1
+  FROM bicnt GROUP BY w1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM tk)
+),
+bistats AS (
+  SELECT b.pair, b.n_bi, w.n_w1, vocab.v
+  FROM bicnt b
+  JOIN w1cnt w ON split_part(b.pair, ' ', 1) = w.w1
+  CROSS JOIN vocab
+)
+SELECT big.doc_id, COUNT(*) AS n_bigrams,
+  CAST(FLOOR(AVG(-ln(CAST(s.n_bi + 1 AS DOUBLE) / (s.n_w1 + s.v)))
+             * 10000 + 0.5) / 10000 AS DOUBLE) AS bigram_lm_score
+FROM big JOIN bistats s ON big.pair = s.pair
+GROUP BY big.doc_id
+"""
+
+
 def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mix drift metric: KL(p‖q), KL(q‖p) and Jensen-Shannon
     divergence between the token distributions of two source groups
@@ -2670,6 +2760,7 @@ GROUP BY tok.doc_id
 QUERIES = {
     "docs_hash_classifier_score": docs_hash_classifier_score,
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_bigram_lm_score": docs_bigram_lm_score,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_temperature_mix": docs_temperature_mix,
     "docs_rrf_hybrid": docs_rrf_hybrid,
@@ -2730,6 +2821,7 @@ QUERIES = {
 ORACLES = {
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
     "docs_dsir_weights": DSIR_SQL,
+    "docs_bigram_lm_score": BIGRAM_LM_SQL,
     "docs_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "docs_temperature_mix": TEMPERATURE_MIX_SQL,
     "docs_rrf_hybrid": RRF_HYBRID_SQL,
