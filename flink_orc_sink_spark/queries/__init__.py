@@ -30,6 +30,11 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "graph_triangle_count",
+    "profile_corr_matrix",
+    "part_pareto_frontier",
+    "events_max_concurrency",
+    "events_experiment_lift",
     "graph_bfs_reachability",
     "events_top_paths",
     "events_rfm_segments",

@@ -1518,7 +1518,175 @@ GROUP BY cohort_month, month_offset
 """
 
 
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT SESSIONS per day by interval SWEEP-LINE —
+    the capacity-planning primitive (max simultaneous users, license
+    peaks, connection-pool sizing). Sessions are the 10-minute-gap
+    sessionization; each becomes a +1 at its start and a −1 at its
+    end, and the running sum over the globally time-ordered deltas is
+    the live concurrency. Ends sort before starts at the same instant
+    (half-open intervals) and (ts, delta, user_id) is a total order,
+    so the prefix sums — and the daily max — are exact integers,
+    identical in both engines.
+
+    Shape at 100 TB: sessionization is the usual one user-keyed
+    window exchange; the sweep itself is a running sum over a
+    SESSION-BOUNDARY stream (two rows per session, orders of
+    magnitude smaller than the event stream). The global sort is the
+    honest cost of an exact global concurrency answer; for
+    per-tenant capacity the window would partition by tenant.
+    """
+    e = table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_minutes=10)
+    iv = s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    deltas = iv.select(
+        F.col("start_ts").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        iv.select(
+            F.col("end_ts").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = Window.orderBy("t", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.withColumn("live", F.sum("delta").over(w))
+    return (
+        swept.groupBy(F.date_trunc("day", "t").alias("day"))
+        .agg(F.max("live").alias("peak_concurrency"))
+    )
+
+
+MAX_CONCURRENCY_SQL = """
+WITH sess AS (
+  SELECT user_id, ts,
+    SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 600000000
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT user_id, ts,
+      LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+    FROM events)
+),
+iv AS (
+  SELECT user_id, session_seq, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM sess GROUP BY user_id, session_seq
+),
+deltas AS (
+  SELECT start_ts AS t, 1 AS delta, user_id FROM iv
+  UNION ALL
+  SELECT end_ts AS t, -1 AS delta, user_id FROM iv
+),
+swept AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id
+                             ROWS UNBOUNDED PRECEDING) AS live
+  FROM deltas
+)
+SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+  CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM swept GROUP BY day
+"""
+
+
+def events_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT readout with a two-proportion z-score — the
+    online-experimentation primitive. Assignment is the deterministic
+    hash-mod bucket (``user_id % 2`` here; a salted hash in
+    production — same shape as ``docs_negative_samples``'s sampler);
+    a user converts on a high-value purchase (``value >= 95`` —
+    plain purchases are near-universal here). Counts are
+    exact integers; the rates / lift / z run the identical IEEE
+    double formula on those integers in both engines, rounded 6 dp.
+
+    Shape at 100 TB: one distinct-user aggregate with a boolean
+    MAX (map-side combined), then a two-row reduce to one. No joins,
+    no driver math.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 95)
+            ).cast("int")
+        ).alias("converted")
+    )
+    per_variant = (
+        per_user.withColumn("variant", F.pmod("user_id", F.lit(2)))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias(
+                "users_a"
+            ),
+            F.sum(
+                F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+            ).alias("conv_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias(
+                "users_b"
+            ),
+            F.sum(
+                F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+            ).alias("conv_b"),
+        )
+    )
+    na = F.col("users_a").cast("double")
+    nb = F.col("users_b").cast("double")
+    ca = F.col("conv_a").cast("double")
+    cb = F.col("conv_b").cast("double")
+    pa = ca / na
+    pb = cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (pb - pa) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    return per_variant.select(
+        F.col("users_a").cast("long").alias("users_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("users_b").cast("long").alias("users_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+EXPERIMENT_LIFT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value >= 95
+        THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS users_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS users_b,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM per_user
+)
+SELECT users_a, conv_a, users_b, conv_b,
+  ROUND(CAST(conv_a AS DOUBLE) / users_a, 6) AS rate_a,
+  ROUND(CAST(conv_b AS DOUBLE) / users_b, 6) AS rate_b,
+  ROUND(CAST(conv_b AS DOUBLE) / users_b
+      - CAST(conv_a AS DOUBLE) / users_a, 6) AS lift,
+  ROUND((CAST(conv_b AS DOUBLE) / users_b
+       - CAST(conv_a AS DOUBLE) / users_a)
+    / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+         * (1.0 / users_a + 1.0 / users_b)), 6) AS z_score
+FROM agg
+"""
+
+
 QUERIES = {
+    "events_max_concurrency": events_max_concurrency,
+    "events_experiment_lift": events_experiment_lift,
     "events_cohort_revenue": events_cohort_revenue,
     "graph_pagerank_events": graph_pagerank_events,
     "events_hll_union_rollup": events_hll_union_rollup,
@@ -1551,6 +1719,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_max_concurrency": MAX_CONCURRENCY_SQL,
+    "events_experiment_lift": EXPERIMENT_LIFT_SQL,
     "events_cohort_revenue": COHORT_REVENUE_SQL,
     "graph_pagerank_events": PAGERANK_SQL,
     "events_hll_union_rollup": HLL_ROLLUP_SQL,

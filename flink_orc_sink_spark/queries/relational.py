@@ -2102,7 +2102,211 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TRIANGLE COUNT over the part co-purchase graph (parts
+    linked when they appear in the same order) — the graph-clustering
+    primitive (clustering coefficient, community density, spam-graph
+    detection) as an oracle-checked operator: counts are exact
+    integers, so the distributed degree-ordered count hashes
+    identically to the oracle's 3-way self-join.
+
+    Shape at 100 TB: edge generation fans out per order (order sizes
+    are bounded), and the count uses degree-ordered orientation
+    (``operators/graph.py::triangle_count``) so the wedge join fans
+    out by oriented out-degree — O(sqrt(m)) per node even on
+    power-law graphs, where the oracle's naive a<b<c self-join would
+    hot-spot on high-degree nodes. Same count, scale-safe plan.
+    """
+    from flink_orc_sink_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    other = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(other, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT x AS n FROM e UNION SELECT y FROM e)) AS n_nodes,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT COUNT(*) FROM e e1
+     JOIN e e2 ON e2.x = e1.y
+     JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y) AS n_triangles
+"""
+
+
+def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson CORRELATION MATRIX over lineitem's numeric measures —
+    the feature-analysis primitive (redundant-feature pruning,
+    leakage screens before model training) computed from EXACT
+    moments: all five sums ride decimals (addition exact and
+    associative, so shuffle order can't move a bit), and only the
+    final closed-form combination runs in double — identical IEEE
+    expression on identical inputs in both engines, rounded to 6 dp.
+
+    Shape at 100 TB: ONE full-scan aggregate computes every moment
+    for all pairs simultaneously (map-side partial agg, single
+    reduce to one row); the pair explosion happens on that one row.
+    No per-pair passes, no driver math.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    d = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("decimal(38,6)").alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((d[a] * d[b]).cast("decimal(38,12)"))
+                .cast("decimal(38,12)")
+                .alias(f"p_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str) -> Column:
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        saa = F.col(f"p_{a}_{a}").cast("double")
+        sbb = F.col(f"p_{b}_{b}").cast("double")
+        sab = F.col(f"p_{a}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return F.round(num / den, 6)
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    rows = [
+        m.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            corr(a, b).alias("pearson_r"),
+        )
+        for a, b in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+CORR_MATRIX_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s_q,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s_p,
+    SUM(CAST(l_discount AS DECIMAL(18,6))) AS s_d,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS p_qq,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS p_pp,
+    SUM(CAST(CAST(l_discount AS DECIMAL(28,6))
+           * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS p_dd,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS p_qp,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS p_qd,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+           * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS p_pd
+  FROM lineitem
+),
+c AS (
+  SELECT CAST(n AS DOUBLE) AS n,
+    CAST(s_q AS DOUBLE) AS s_q, CAST(s_p AS DOUBLE) AS s_p,
+    CAST(s_d AS DOUBLE) AS s_d,
+    CAST(p_qq AS DOUBLE) AS p_qq, CAST(p_pp AS DOUBLE) AS p_pp,
+    CAST(p_dd AS DOUBLE) AS p_dd, CAST(p_qp AS DOUBLE) AS p_qp,
+    CAST(p_qd AS DOUBLE) AS p_qd, CAST(p_pd AS DOUBLE) AS p_pd
+  FROM m
+)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+  ROUND((n * p_qp - s_q * s_p)
+    / (SQRT(n * p_qq - s_q * s_q) * SQRT(n * p_pp - s_p * s_p)), 6)
+    AS pearson_r
+FROM c
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+  ROUND((n * p_qd - s_q * s_d)
+    / (SQRT(n * p_qq - s_q * s_q) * SQRT(n * p_dd - s_d * s_d)), 6)
+FROM c
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+  ROUND((n * p_pd - s_p * s_d)
+    / (SQRT(n * p_pp - s_p * s_p) * SQRT(n * p_dd - s_d * s_d)), 6)
+FROM c
+"""
+
+
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto frontier over part (maximize ``p_size``,
+    minimize ``p_retailprice``): parts no other part dominates —
+    the multi-objective shortlist primitive (cheapest-per-capability
+    sweeps, instance-type selection). Dominance is exact double/int
+    comparison, so the hash match is exact.
+
+    Shape at 100 TB: the oracle's NOT EXISTS is a quadratic
+    self-join; the engine instead aggregates min-price per size
+    (map-side combined, ≤ distinct-sizes rows), computes the
+    strictly-larger-size running minimum on that TINY table with one
+    window, and broadcasts it back — the skyline falls out of one
+    broadcast-joined filter. Linear scan, no self-join.
+    """
+    p = table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("mn_at_size")
+    )
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sizes = per_size.select(
+        "p_size",
+        "mn_at_size",
+        F.min("mn_at_size").over(w).alias("mn_gt_size"),
+    )
+    return (
+        p.join(F.broadcast(sizes), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("mn_at_size"))
+            & (
+                F.col("mn_gt_size").isNull()
+                | (F.col("mn_gt_size") > F.col("p_retailprice"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+PARETO_SQL = """
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+)
+"""
+
+
 QUERIES = {
+    "graph_triangle_count": graph_triangle_count,
+    "profile_corr_matrix": profile_corr_matrix,
+    "part_pareto_frontier": part_pareto_frontier,
     "dq_audit_orders": dq_audit_orders,
     "join_not_in_nulls": join_not_in_nulls,
     "window_percent_rank": window_percent_rank,
@@ -2173,6 +2377,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_triangle_count": TRIANGLE_SQL,
+    "profile_corr_matrix": CORR_MATRIX_SQL,
+    "part_pareto_frontier": PARETO_SQL,
     "dq_audit_orders": DQ_AUDIT_SQL,
     "join_not_in_nulls": NOT_IN_NULLS_SQL,
     "window_percent_rank": PERCENT_RANK_SQL,

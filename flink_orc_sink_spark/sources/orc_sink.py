@@ -491,3 +491,55 @@ def snapshot_read(
     return spark.read.format("orc").load(
         [os.path.join(base_path, f) for f in files]
     )
+
+
+def snapshot_expire(
+    base_path: str, keep_last: int = 1
+) -> dict[str, int]:
+    """RETENTION / VACUUM for :func:`snapshot_write` tables: drop all
+    but the newest ``keep_last`` snapshot manifests, then delete every
+    data file no surviving manifest references (committed-but-expired
+    files AND orphans from crashed writes — the GC half of the
+    reference's abandon-on-recovery contract,
+    ``RowOrcBucketingSink.java:165-168`` / ``README.md:19-22``).
+
+    Deletion order is crash-safe: manifests are removed FIRST (atomic
+    unlink each), so a crash mid-GC leaves unreferenced-but-present
+    data files — invisible to readers, collected by the next expire.
+    The reverse order could leave a live manifest naming deleted
+    files. At 100 TB this runs as a metadata-only driver job (the
+    manifest lists are small); the file deletes fan out to the object
+    store. Returns counts: versions_expired, files_deleted,
+    files_retained.
+    """
+    import json
+    import os
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(base_path)
+    expired = versions[:-keep_last]
+    kept = versions[-keep_last:]
+    for v in expired:
+        os.unlink(os.path.join(_versions_dir(base_path), f"v{v:08d}.json"))
+    live: set[str] = set()
+    for v in kept:
+        with open(
+            os.path.join(_versions_dir(base_path), f"v{v:08d}.json")
+        ) as fh:
+            live.update(json.load(fh)["files"])
+    deleted = 0
+    data_root = os.path.join(base_path, "data")
+    for root, _, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(root, f)
+            if os.path.relpath(full, base_path) not in live and f.endswith(
+                ".orc"
+            ):
+                os.unlink(full)
+                deleted += 1
+    return {
+        "versions_expired": len(expired),
+        "files_deleted": deleted,
+        "files_retained": len(live),
+    }
