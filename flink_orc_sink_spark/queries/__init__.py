@@ -30,6 +30,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "orc_snapshot_expire",
+    "stream_chained_windows",
     "graph_triangle_count",
     "profile_corr_matrix",
     "part_pareto_frontier",

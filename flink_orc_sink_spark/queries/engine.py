@@ -1416,7 +1416,184 @@ GROUP BY c_mktsegment
 """
 
 
+def orc_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT RETENTION / VACUUM at value level: a junk snapshot v1
+    (every value doubled), a clean overwrite v2, then
+    ``snapshot_expire(keep_last=1)`` deletes v1's manifest AND its
+    now-unreferenced data files. The oracle is plain
+    ``SELECT * FROM events``: the hash match proves GC left the live
+    snapshot bit-identical while physically reclaiming the expired
+    one (deletion-actually-happened and crash-order safety are
+    pytest-asserted in tests/test_maintenance.py). This is the
+    Delta VACUUM / Iceberg expire-snapshots half of the manifest
+    lifecycle that ``orc_time_travel`` opens."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_expire,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    e = table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_expire_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    snapshot_write(e.withColumn("value", F.col("value") * 2), out)
+    snapshot_write(e, out, mode="overwrite")
+    snapshot_expire(out, keep_last=1)
+    return snapshot_read(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS on the streaming runtime: a 10-minute
+    tumbling count per event_type feeding a SECOND windowed
+    aggregation that rolls the partials up to hourly — two stateful
+    operators in one query (``window()`` over the first agg's window
+    column), legal since Spark 3.5's multi-stateful-operator support
+    and the shape of every streaming medallion pipeline (fine-grained
+    bronze agg → coarse silver rollup without a batch hop).
+
+    Append mode requires the watermark to pass a window before it
+    emits, so the replay appends a far-future sentinel to flush all
+    real windows (same trick as ``stream_late_data_drop``); counts
+    are exact integers and must equal the batch hourly oracle.
+    """
+    global _STREAM_SEQ
+    import glob
+    import shutil
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    e = table(spark, sf_dir, "events").select("ts", "event_type")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # one scalar, bounded
+    sentinel = e.limit(1).select(
+        (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        F.lit("sentinel").alias("event_type"),
+    )
+    stage = tempfile.mkdtemp(prefix="stream_chain_src_")
+    tmp = os.path.join(stage, "_tmp")
+    e.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(tmp)
+    for i, part in enumerate(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))
+    ):
+        shutil.move(part, os.path.join(stage, f"{i}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(stage)
+        .withWatermark("ts", "1 hour")
+    )
+    ten_min = (
+        sdf.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_10m"))
+    )
+    hourly = (
+        ten_min.groupBy(
+            F.window(F.col("w"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(F.sum("n_10m").alias("n_events"))
+        .select(
+            F.col("h.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_chained_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_chain_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            hourly.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).filter(F.col("event_type") != "sentinel")
+
+
+STREAM_CHAINED_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events
+FROM events GROUP BY window_start, event_type
+"""
+
+
+def stream_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``transformWithStateInPandas`` CUSTOM STATEFUL PROCESSOR
+    (Spark 4's arbitrary-state API: named typed states + timers per
+    key) — per-user running (count, sum) in a ``ValueState``, int64
+    micro-units end to end, replayed with ``availableNow`` and
+    reduced to the final state per key. Same oracle shape as
+    ``stream_running_totals`` (the ``applyInPandasWithState`` form):
+    both custom-state APIs must land on the identical batch GROUP BY
+    answer.
+
+    NOT in the driver registry: the transformWithState state-server
+    protocol requires the ``protobuf`` package, absent from this
+    container (no installs allowed). The operator
+    (``streaming/stateful.py::running_totals_tws``) and this harness
+    are exercised by tests/test_streaming_stateful.py, which skips
+    without protobuf and value-checks against the batch GROUP BY
+    when the dependency is present."""
+    global _STREAM_SEQ
+    import shutil
+
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.streaming.stateful import running_totals_tws
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_tws_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    ).withColumn(
+        "value_us", F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    )
+    totals = running_totals_tws(sdf, "user_id", "value_us")
+    _STREAM_SEQ += 1
+    name = f"stream_tws_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_tws_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total").cast("double") / F.lit(1_000_000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "orc_snapshot_expire": orc_snapshot_expire,
+    "stream_chained_windows": stream_chained_windows,
     "orc_bucketed_join": orc_bucketed_join,
     "orc_roundtrip_events": orc_roundtrip_events,
     "orc_roundtrip_typeedge": orc_roundtrip_typeedge,
@@ -1443,6 +1620,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orc_snapshot_expire": ORC_ROUNDTRIP_SQL,
+    "stream_chained_windows": STREAM_CHAINED_SQL,
     "orc_bucketed_join": ORC_BUCKETED_JOIN_SQL,
     "orc_roundtrip_events": ORC_ROUNDTRIP_SQL,
     "orc_roundtrip_typeedge": ORC_TYPEEDGE_SQL,

@@ -184,3 +184,52 @@ def test_snapshot_orphans_invisible(spark, tmp_path):
         os.path.join(data_root, vdir), os.path.join(data_root, "v9-orphan")
     )
     assert snapshot_read(spark, base).count() == 10  # not 20
+
+
+def test_snapshot_expire_retention_gc(spark, tmp_path):
+    """snapshot_expire must drop expired manifests, physically delete
+    every data file only expired versions referenced (including
+    crash orphans), and leave retained snapshots bit-identical."""
+    import glob
+    import os
+
+    import pytest
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    base = str(tmp_path / "snap")
+    snapshot_write(spark.range(10).withColumn("v", F.lit(1)), base)
+    snapshot_write(spark.range(5).withColumn("v", F.lit(2)), base)  # append
+    snapshot_write(
+        spark.range(3).withColumn("v", F.lit(3)), base, mode="overwrite"
+    )
+    # crash orphan: data file no manifest references
+    data_root = os.path.join(base, "data")
+    some = glob.glob(os.path.join(data_root, "*", "*.orc"))[0]
+    orphan = os.path.join(os.path.dirname(some), "part-9999-orphan.orc")
+    import shutil
+
+    shutil.copy(some, orphan)
+    n_before = len(glob.glob(os.path.join(data_root, "*", "*.orc")))
+
+    stats = snapshot_expire(base, keep_last=1)
+    assert stats["versions_expired"] == 2
+    assert stats["files_deleted"] >= 1
+    assert snapshot_versions(base) == [3]
+    # retained snapshot unchanged
+    got = sorted((r.id, r.v) for r in snapshot_read(spark, base).collect())
+    assert got == [(i, 3) for i in range(3)]
+    # expired versions physically gone: only v3's files (and nothing
+    # else, orphan included) remain on disk
+    remaining = glob.glob(os.path.join(data_root, "*", "*.orc"))
+    assert len(remaining) == stats["files_retained"] < n_before
+    assert not os.path.exists(orphan)
+    with pytest.raises(ValueError):
+        snapshot_read(spark, base, 1)
+    with pytest.raises(ValueError):
+        snapshot_expire(base, keep_last=0)
