@@ -30,6 +30,11 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "orc_gdpr_erase",
+    "orc_bloom_pruned_read",
+    "agg_spearman_corr",
+    "part_association_rules",
+    "events_twap_daily",
     "orc_snapshot_expire",
     "stream_chained_windows",
     "graph_triangle_count",

@@ -1591,7 +1591,98 @@ def stream_transform_with_state(
     )
 
 
+def orc_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FILE SKIPPING at value level: orders written
+    hash-clustered on ``o_custkey`` into 8 ORC files (every file's
+    [min,max] custkey range spans the whole domain, so the min/max
+    index of ``orc_stats_pruned_read`` can skip NOTHING here), a
+    file-level bloom index built over the key, then a point lookup
+    answered by opening only the files whose bloom admits the key —
+    hash clustering puts each key in exactly one file, so that's 1
+    file (+ false positives) of 8. The oracle is the plain equality
+    filter: blooms have no false negatives, so the hash match proves
+    plan-time point-lookup skipping loses no rows. File-open counts
+    are asserted in tests/test_scale_layouts.py."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_bloomidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data = os.path.join(base, "data")
+    idx = os.path.join(base, "index")
+    o.repartition(8, "o_custkey").write.format("orc").save(data)
+    build_bloom_index(spark, data, "o_custkey", idx)
+    return bloom_pruned_read(spark, data, idx, "o_custkey", 7).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+ORC_BLOOM_PRUNED_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_custkey = 7
+"""
+
+
+def orc_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE at value level: events stored key-bucketed
+    (``kb = user_id % 16``), three users physically deleted via
+    ``erase_keys_orc`` — which rewrites ONLY the buckets those users
+    hash to — then the whole table read back. The oracle is the plain
+    ``NOT IN`` filter: a hash match proves the pruned rewrite removed
+    exactly the requested keys and disturbed nothing else. Bucket
+    mtime stability (untouched buckets not rewritten) is asserted in
+    tests/test_maintenance.py."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import erase_keys_orc
+
+    e = table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_gdpr_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        e.withColumn("kb", F.pmod("user_id", F.lit(16)))
+        .repartition("kb")
+        .write.format("orc")
+        .partitionBy("kb")
+        .save(base)
+    )
+    erase = spark.createDataFrame(
+        [(3,), (9,), (27,)], "user_id long"
+    )
+    erase_keys_orc(spark, base, erase, "user_id", "kb")
+    return spark.read.orc(base).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+ORC_GDPR_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE user_id NOT IN (3, 9, 27)
+"""
+
+
 QUERIES = {
+    "orc_gdpr_erase": orc_gdpr_erase,
+    "orc_bloom_pruned_read": orc_bloom_pruned_read,
     "orc_snapshot_expire": orc_snapshot_expire,
     "stream_chained_windows": stream_chained_windows,
     "orc_bucketed_join": orc_bucketed_join,
@@ -1620,6 +1711,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orc_gdpr_erase": ORC_GDPR_SQL,
+    "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,
     "orc_snapshot_expire": ORC_ROUNDTRIP_SQL,
     "stream_chained_windows": STREAM_CHAINED_SQL,
     "orc_bucketed_join": ORC_BUCKETED_JOIN_SQL,

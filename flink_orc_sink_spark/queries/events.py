@@ -1684,7 +1684,72 @@ FROM agg
 """
 
 
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE value per day (TWAP — the irregular-
+    sample averaging primitive: sensor readings, prices, metrics
+    emitted on change rather than on a clock). Each event's value
+    holds until the user's next event that day; the last event of a
+    user-day carries no interval and drops out. Weights are exact
+    int64 microseconds, values exact int64 cents, and the weighted
+    sums ride DECIMAL(38,0) — bit-exact in both engines; only the
+    final division runs in double, rounded 6 dp.
+
+    Shape at 100 TB: one user-keyed window for the LEAD (the same
+    exchange every sequence query shares) and one map-side-combined
+    daily aggregate. No global sort.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    nxt = F.lead(t_us).over(w)
+    nxt_day = F.lead(F.date_trunc("day", "ts")).over(w)
+    rows = (
+        e.withColumn("w_us", nxt - t_us)
+        .withColumn("same_day", nxt_day == F.date_trunc("day", "ts"))
+        .filter(F.col("same_day"))
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("w_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    num = F.sum(
+        (F.col("w_us").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
+    ).cast("decimal(38,0)")
+    den = F.sum(F.col("w_us").cast("decimal(38,0)")).cast("decimal(38,0)")
+    return rows.groupBy("day").agg(
+        F.count("*").alias("n_intervals"),
+        F.round(
+            num.cast("double") / den.cast("double") / 100.0, 6
+        ).alias("twap_value"),
+    )
+
+
+TWAP_SQL = """
+WITH seq AS (
+  SELECT date_trunc('day', ts) AS day,
+    LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS w_us,
+    LEAD(date_trunc('day', ts)) OVER w AS nxt_day,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+rows_ AS (
+  SELECT day, w_us, cents FROM seq WHERE nxt_day = day
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+  COUNT(*) AS n_intervals,
+  ROUND(CAST(CAST(SUM(CAST(w_us AS DECIMAL(19,0))
+                    * CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0))
+             AS DOUBLE)
+      / CAST(CAST(SUM(CAST(w_us AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             AS DOUBLE) / 100.0, 6) AS twap_value
+FROM rows_ GROUP BY day
+"""
+
+
 QUERIES = {
+    "events_twap_daily": events_twap_daily,
     "events_max_concurrency": events_max_concurrency,
     "events_experiment_lift": events_experiment_lift,
     "events_cohort_revenue": events_cohort_revenue,
@@ -1719,6 +1784,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_twap_daily": TWAP_SQL,
     "events_max_concurrency": MAX_CONCURRENCY_SQL,
     "events_experiment_lift": EXPERIMENT_LIFT_SQL,
     "events_cohort_revenue": COHORT_REVENUE_SQL,

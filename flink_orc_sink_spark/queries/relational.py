@@ -2303,7 +2303,175 @@ WHERE NOT EXISTS (
 """
 
 
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation (min-rank convention) between
+    lineitem quantity and extended price — the robust, outlier-proof
+    sibling of ``profile_corr_matrix``'s Pearson. Ranks are exact
+    integers (``RANK()`` min-rank for ties — the convention is pinned
+    so both engines agree; average-rank Spearman would put fractions
+    in the moments), moments ride DECIMAL(38,0) (exact at any scale),
+    and only the final closed form runs in double, rounded 6 dp.
+
+    Shape at 100 TB: two global rank windows (the honest cost of
+    exact ranks — sample or bucket-approximate ranks when n makes a
+    global sort unreasonable) and one moment aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rq = F.rank().over(Window.orderBy("l_quantity")).cast("long")
+    rp = F.rank().over(Window.orderBy("l_extendedprice")).cast("long")
+    ranked = li.select(rq.alias("rq"), rp.alias("rp"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(d("rq")).cast("decimal(38,0)").alias("sq"),
+        F.sum(d("rp")).cast("decimal(38,0)").alias("sp"),
+        F.sum((d("rq") * d("rq"))).cast("decimal(38,0)").alias("sqq"),
+        F.sum((d("rp") * d("rp"))).cast("decimal(38,0)").alias("spp"),
+        F.sum((d("rq") * d("rp"))).cast("decimal(38,0)").alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sp = F.col("sp").cast("double")
+    sqq = F.col("sqq").cast("double")
+    spp = F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    rho = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH ranked AS (
+  SELECT CAST(RANK() OVER (ORDER BY l_quantity) AS BIGINT) AS rq,
+         CAST(RANK() OVER (ORDER BY l_extendedprice) AS BIGINT) AS rp
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(rq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+    CAST(SUM(CAST(rp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+    CAST(SUM(CAST(rq AS DECIMAL(19,0)) * CAST(rq AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS sqq,
+    CAST(SUM(CAST(rp AS DECIMAL(19,0)) * CAST(rp AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS spp,
+    CAST(SUM(CAST(rq AS DECIMAL(19,0)) * CAST(rp AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS sqp
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+       - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+    / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+     * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS spearman_rho
+FROM m
+"""
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES over co-purchased parts:
+    support / confidence / lift for part pairs appearing in the same
+    order, top-20 by lift — the recommender / cross-sell primitive on
+    the same co-occurrence backbone as ``graph_triangle_count``.
+    Counts are exact; the ratios are the identical IEEE expression on
+    those integers in both engines, rounded 6 dp, with full
+    deterministic tie-break (lift desc, antecedent, consequent).
+
+    Shape at 100 TB: pair generation fans out per order (bounded
+    basket sizes), pair counts are one map-side-combined shuffle, and
+    the per-item counts broadcast back onto the pair stream. The
+    top-20 is ``TakeOrderedAndProject``, never a global sort.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()  # one scalar
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    other = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        li.join(other, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b"))
+        .groupBy(F.col("l_partkey").alias("a"), "b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(
+                item.select(
+                    F.col("l_partkey").alias("a"),
+                    F.col("n_item").alias("n_a"),
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                item.select(
+                    F.col("l_partkey").alias("b"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "b",
+        )
+    )
+    lift = (
+        F.col("n_pair").cast("double") * F.lit(float(n_orders))
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        enriched.select(
+            "a",
+            "b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair").cast("double") / n_orders, 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def _assoc_sql() -> str:
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_pair
+  FROM li x JOIN li y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+  GROUP BY a, b
+)
+SELECT a, b, n_pair,
+  ia.n_item AS n_a, ib.n_item AS n_b,
+  ROUND(CAST(n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+  ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+  ROUND(CAST(n_pair AS DOUBLE) * n.n_orders
+      / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+FROM pairs
+JOIN item ia ON ia.l_partkey = a
+JOIN item ib ON ib.l_partkey = b
+CROSS JOIN n
+ORDER BY lift DESC, a, b
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "agg_spearman_corr": agg_spearman_corr,
+    "part_association_rules": part_association_rules,
     "graph_triangle_count": graph_triangle_count,
     "profile_corr_matrix": profile_corr_matrix,
     "part_pareto_frontier": part_pareto_frontier,
@@ -2377,6 +2545,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_spearman_corr": SPEARMAN_SQL,
+    "part_association_rules": _assoc_sql(),
     "graph_triangle_count": TRIANGLE_SQL,
     "profile_corr_matrix": CORR_MATRIX_SQL,
     "part_pareto_frontier": PARETO_SQL,

@@ -543,3 +543,137 @@ def snapshot_expire(
         "files_deleted": deleted,
         "files_retained": len(live),
     }
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    index_path: str,
+    fpp: float = 0.01,
+) -> None:
+    """Build a FILE-LEVEL BLOOM-FILTER index over an integer key
+    column of an ORC table — the equality-lookup complement to
+    :func:`build_minmax_index` (ranges skip files for range
+    predicates; blooms skip them for point predicates on
+    high-cardinality keys, where every file's [min,max] spans the
+    whole domain and range skipping admits everything).
+
+    One distributed pass groups rows by ``input_file_name()`` and
+    packs each file's distinct keys into a bitset sized for ``fpp``
+    (~1.2 bytes/key at 1%): per-file Arrow batches through
+    ``applyInPandas``, NumPy bit arithmetic, no per-row Python. The
+    index is one row per FILE — broadcast-sized at 100 TB, same as
+    ORC's embedded bloom stripes but consultable at PLAN time
+    without opening any data file.
+    """
+    import pandas as pd
+
+    from flink_orc_sink_spark.functions.bloom import build_bloom, sizing
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["k"].dropna().unique()
+        n_bits, n_hashes = sizing(len(keys), fpp)
+        return pd.DataFrame(
+            {
+                "file": [pdf["file"].iloc[0]],
+                "n_keys": [len(keys)],
+                "n_bits": [n_bits],
+                "n_hashes": [n_hashes],
+                "bitset": [build_bloom(keys, n_bits, n_hashes)],
+            }
+        )
+
+    (
+        spark.read.orc(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(col).cast("long").alias("k"),
+        )
+        .groupBy("file")
+        .applyInPandas(
+            make,
+            "file string, n_keys long, n_bits long, n_hashes long,"
+            " bitset binary",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    path: str,
+    index_path: str,
+    col: str,
+    key: int,
+) -> DataFrame:
+    """Point lookup ``col == key`` reading ONLY the files whose bloom
+    admits the key. Blooms have no false negatives, so the result is
+    identical to a full-scan filter; false positives cost one extra
+    file open each, removed by the exact filter. Driver-side work is
+    bounded: one bitset probe per FILE."""
+    import pandas as pd
+
+    from flink_orc_sink_spark.functions.bloom import might_contain
+
+    idx = spark.read.parquet(index_path).collect()
+    probe = pd.Series([key])
+    files = [
+        r.file
+        for r in idx
+        if bool(
+            might_contain(r.bitset, r.n_bits, r.n_hashes, probe).iloc[0]
+        )
+    ]
+    if not files:
+        return spark.read.orc(path).filter(F.lit(False))
+    return spark.read.orc(files).filter(F.col(col) == F.lit(key))
+
+
+def erase_keys_orc(
+    spark: SparkSession,
+    base_path: str,
+    keys: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    compression: str = "zstd",
+) -> None:
+    """RIGHT-TO-ERASURE (GDPR/CCPA delete) on a key-bucket-partitioned
+    ORC table: physically remove every row whose ``key_col`` is in
+    ``keys``, rewriting ONLY the bucket partitions those keys hash to.
+
+    The deletion set is small by nature (a deletion request batch),
+    so it broadcasts twice: once to find touched buckets, once as the
+    anti-join filter. Untouched buckets are not read, not written,
+    not listed (``partitionOverwriteMode=dynamic``) — at 100 TB an
+    erasure request costs a few buckets' I/O, not a table rewrite.
+    Mtime-stability of untouched buckets is pytest-asserted
+    (tests/test_maintenance.py), same contract as the streaming CDC
+    merge's pruned rewrite.
+    """
+    touched = (
+        spark.read.orc(base_path)
+        .join(F.broadcast(keys), key_col, "left_semi")
+        .select(bucket_col)
+        .distinct()
+    )
+    remaining = (
+        spark.read.orc(base_path)
+        .join(F.broadcast(touched), bucket_col, "left_semi")
+        .join(F.broadcast(keys), key_col, "left_anti")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            remaining.repartition(bucket_col)
+            .write.mode("overwrite")
+            .format("orc")
+            .option("compression", compression)
+            .partitionBy(bucket_col)
+            .save(base_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -233,3 +233,42 @@ def test_snapshot_expire_retention_gc(spark, tmp_path):
         snapshot_read(spark, base, 1)
     with pytest.raises(ValueError):
         snapshot_expire(base, keep_last=0)
+
+
+def test_erase_keys_rewrites_only_touched_buckets(spark, tmp_path):
+    """erase_keys_orc must delete exactly the requested keys and
+    leave untouched bucket partitions' files physically unmodified
+    (same mtime — not rewritten, not listed)."""
+    import glob
+    import os
+
+    from flink_orc_sink_spark.sources.orc_sink import erase_keys_orc
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("kb"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df.repartition("kb").write.format("orc").partitionBy("kb").save(base)
+    mtimes_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(base, "kb=*", "*.orc"))
+    }
+    # keys 3 and 10 live in buckets 3 and 3 (10%7=3) -> one bucket
+    erase = spark.createDataFrame([(3,), (10,)], "k long")
+    erase_keys_orc(spark, base, erase, "k", "kb")
+    got = spark.read.orc(base)
+    assert got.count() == 998
+    assert got.filter(F.col("k").isin(3, 10)).count() == 0
+    untouched = {
+        p: m
+        for p, m in mtimes_before.items()
+        if "kb=3" not in p and os.path.exists(p)
+    }
+    # every non-bucket-3 file survives with its original mtime
+    assert len(untouched) == sum(
+        1 for p in mtimes_before if "kb=3" not in p
+    )
+    for p, m in untouched.items():
+        assert os.path.getmtime(p) == m

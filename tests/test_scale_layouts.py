@@ -216,3 +216,49 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:4000]
     want = o.filter(F.col("m") >= "1998-06").count()
     assert joined.count() == want
+
+
+def test_bloom_index_prunes_file_opens(spark, sf_dir, tmp_path):
+    """Point lookup through the bloom file index must open a strict
+    minority of hash-clustered files (each key lives in exactly one;
+    false positives only add file opens, never lose rows) and return
+    exactly the full-scan answer."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.sources.catalog import table
+    from flink_orc_sink_spark.sources.orc_sink import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    o.repartition(8, "o_custkey").write.format("orc").save(data)
+    build_bloom_index(spark, data, "o_custkey", idx)
+
+    key = o.select("o_custkey").first().o_custkey
+    got = bloom_pruned_read(spark, data, idx, "o_custkey", key)
+    n_admitted = got.select(F.input_file_name()).distinct().count()
+    n_total = (
+        spark.read.orc(data)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n_total == 8
+    # the key's rows live in ONE file; blooms may admit a couple more
+    assert n_admitted <= 3
+    want = sorted(
+        r.o_orderkey
+        for r in o.filter(F.col("o_custkey") == key)
+        .select("o_orderkey")
+        .collect()
+    )
+    have = sorted(r.o_orderkey for r in got.select("o_orderkey").collect())
+    assert have == want and len(have) > 0
+
+    # a key absent from the table: blooms must admit few files and
+    # the exact filter must return nothing
+    missing = bloom_pruned_read(spark, data, idx, "o_custkey", 10**12)
+    assert missing.count() == 0
