@@ -1530,31 +1530,49 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines.
 
     Shape at 100 TB: sessionization is the usual one user-keyed
-    window exchange; the sweep itself is a running sum over a
-    SESSION-BOUNDARY stream (two rows per session, orders of
-    magnitude smaller than the event stream). The global sort is the
-    honest cost of an exact global concurrency answer; for
-    per-tenant capacity the window would partition by tenant.
+    window exchange; the sweep is the TWO-PHASE distributed prefix
+    scan — per-day running sums (windows partitioned by day, the
+    range-partitioned phase), plus day offsets computed by a window
+    over the PER-DAY PARTIAL SUMS (one row per day — metadata-sized,
+    the only global step). Associativity makes the split exact:
+    offset(day) + within-day prefix == the oracle's single global
+    prefix sum. No full-stream single-partition sort anywhere.
     """
     e = table(spark, sf_dir, "events")
     s = sessionize(e, "user_id", "ts", gap_minutes=10)
     iv = s.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
     )
-    deltas = iv.select(
-        F.col("start_ts").alias("t"), F.lit(1).alias("delta"), "user_id"
-    ).unionAll(
+    deltas = (
         iv.select(
-            F.col("end_ts").alias("t"), F.lit(-1).alias("delta"), "user_id"
+            F.col("start_ts").alias("t"), F.lit(1).alias("delta"), "user_id"
         )
+        .unionAll(
+            iv.select(
+                F.col("end_ts").alias("t"),
+                F.lit(-1).alias("delta"),
+                "user_id",
+            )
+        )
+        .withColumn("day", F.date_trunc("day", "t"))
     )
-    w = Window.orderBy("t", "delta", "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wday = Window.partitionBy("day").orderBy(
+        "t", "delta", "user_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one row PER DAY — the global window runs on this tiny aggregate
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    woff = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    swept = deltas.withColumn("live", F.sum("delta").over(w))
-    return (
-        swept.groupBy(F.date_trunc("day", "t").alias("day"))
-        .agg(F.max("live").alias("peak_concurrency"))
+    offsets = per_day.select(
+        "day",
+        F.coalesce(F.sum("day_delta").over(woff), F.lit(0)).alias("offset"),
+    )
+    swept = deltas.withColumn("within", F.sum("delta").over(wday)).join(
+        F.broadcast(offsets), "day"
+    )
+    return swept.groupBy("day").agg(
+        F.max(F.col("offset") + F.col("within")).alias("peak_concurrency")
     )
 
 

@@ -2491,11 +2491,15 @@ def docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
+    # top-100 via orderBy+limit = TakeOrderedAndProject (distributed
+    # per-partition top-k, no single-partition sort of the matched
+    # set); row_number then ranks only the 100 surviving rows
     wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     bm_r = (
         _bm25_scored(d)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)
         .withColumn("bm25_rank", F.row_number().over(wb))
-        .filter(F.col("bm25_rank") <= 100)
         .select("doc_id", "bm25_rank")
     )
     q = e.filter(F.col("vec_id") == 0)

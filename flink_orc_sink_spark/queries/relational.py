@@ -2312,14 +2312,32 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the moments), moments ride DECIMAL(38,0) (exact at any scale),
     and only the final closed form runs in double, rounded 6 dp.
 
-    Shape at 100 TB: two global rank windows (the honest cost of
-    exact ranks — sample or bucket-approximate ranks when n makes a
-    global sort unreasonable) and one moment aggregate.
+    Shape at 100 TB: exact min-ranks WITHOUT a global row sort —
+    ``rank(v) = 1 + Σ count(values < v)`` computed as a cumulative
+    sum over the DISTINCT-VALUE count table (map-side-combined
+    aggregate, then a window over |V| rows — the measure domain,
+    orders of magnitude below row count) joined back onto the rows.
+    One moment aggregate finishes; no full-table single-partition
+    window anywhere.
     """
     li = table(spark, sf_dir, "lineitem")
-    rq = F.rank().over(Window.orderBy("l_quantity")).cast("long")
-    rp = F.rank().over(Window.orderBy("l_extendedprice")).cast("long")
-    ranked = li.select(rq.alias("rq"), rp.alias("rp"))
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        vc = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return vc.select(
+            col,
+            (1 + F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+            .cast("long")
+            .alias(out),
+        )
+
+    ranked = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(rank_map("l_quantity", "rq"), "l_quantity")
+        .join(rank_map("l_extendedprice", "rp"), "l_extendedprice")
+        .select("rq", "rp")
+    )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = ranked.agg(
         F.count("*").alias("n"),

@@ -35,6 +35,23 @@ ALLOW_CARTESIAN = {
 # scale-safe alternative (operators.relational.ntile_approx).
 ALLOW_GLOBAL_WINDOW = {
     "window_ntile_quartiles",
+    # two-phase distributed prefix scan: the only global window runs
+    # over PER-DAY PARTIAL SUMS (one row per day); the full-stream
+    # running sum is partitioned by day
+    "events_max_concurrency",
+    # exact min-ranks via cumulative counts over the DISTINCT-VALUE
+    # table (|V| rows, the measure domain) — no row-level global sort
+    "agg_spearman_corr",
+    # Pareto frontier: window over the per-size min-price aggregate
+    # (≤ distinct sizes rows)
+    "part_pareto_frontier",
+    # quintile scoring over the PER-USER aggregate (1 row per user);
+    # docstring documents the approx_percentile-threshold form for
+    # when even that table is too big to sort on one task
+    "events_rfm_segments",
+    # rank assignment over the top-100 LIST (TakeOrderedAndProject
+    # feeds it — the window input is bounded by the limit)
+    "docs_rrf_hybrid",
 }
 
 
@@ -60,9 +77,14 @@ def main() -> int:
             findings.append(f"{name}: CartesianProduct in plan")
         if "BatchEvalPython" in plan:
             findings.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        # A window spec whose FIRST argument is an ordering column
+        # (ASC/DESC) has no partition keys — WindowExec moves all
+        # rows to one task. ("Exchange SinglePartition" can't be the
+        # probe: formatted explain puts SinglePartition on a separate
+        # Arguments: line, and final global aggregates legitimately
+        # use single-partition exchanges.)
         if (
-            "Window" in plan
-            and "Exchange SinglePartition" in plan
+            re.search(r"windowspecdefinition\([^,()]+ (ASC|DESC) ", plan)
             and name not in ALLOW_GLOBAL_WINDOW
         ):
             findings.append(
