@@ -935,3 +935,66 @@ def ivf_pq_topk(
         k,
         rank_col="rank",
     ).select("qid", "cid", "cos_sim", "rank")
+
+
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    filter_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """FILTERED vector search (exact): cosine top-``k`` restricted to
+    corpus rows whose ``filter_col`` equals the query's — the
+    metadata-constrained ANN shape (tenant-scoped search, same-
+    language retrieval, category-restricted recommendations).
+
+    PRE-filtering, not post-filtering: the constraint is an equi-join
+    key, so each query only ever scores its own slice of the corpus —
+    post-filtering a global top-k can return FEWER than k (or zero)
+    survivors, the classic filtered-ANN correctness trap. The
+    broadcast query side + per-partition scoring + per-query top-k
+    window mirror :func:`brute_force_topk`; with a selective filter
+    the scored volume drops by the filter's selectivity. The same
+    pre-filter composes with the IVF tier by adding the column to the
+    cell-partitioned layout (partition by (cell, filter)).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).alias("qvec"),
+            norm(query_vec).alias("_qn"),
+            F.col(filter_col).alias("_f"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cvec"),
+        norm(corpus_vec).alias("_cn"),
+        F.col(filter_col).alias("_f"),
+    )
+    scored = (
+        q.join(c, "_f")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            F.col("_f").alias(filter_col),
+            "cid",
+            F.round(
+                cosine_with_norms("qvec", "cvec", F.col("_qn"), F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from flink_orc_sink_spark.operators.relational import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("cid").asc()],
+        k,
+        rank_col="rank",
+    ).select("qid", filter_col, "cid", "cos_sim", "rank")

@@ -30,6 +30,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "sales_yoy_growth",
+    "emb_filtered_topk",
+    "docs_bpe_encode",
     "orc_gdpr_erase",
     "orc_bloom_pruned_read",
     "agg_spearman_corr",

@@ -2761,7 +2761,100 @@ GROUP BY tok.doc_id
 """
 
 
+def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-5 restricted to
+    corpus vectors sharing the query's label — metadata-constrained
+    retrieval done as a PRE-filter (the constraint is a join key, so
+    k survivors are guaranteed; post-filtering a global top-k is the
+    classic filtered-ANN correctness trap). See
+    ``operators/similarity.py::filtered_topk`` for the scale shape."""
+    from flink_orc_sink_spark.operators.similarity import filtered_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return filtered_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", "label", k=5
+    )
+
+
+FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label FROM embeddings
+  WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, label FROM embeddings),
+scored AS (
+  SELECT qid, q.label AS label, cid,
+    ROUND(
+      CASE WHEN sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}) > 0
+           THEN {_dot_sql('qv', 'cv')}
+                / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM q JOIN c USING (label) WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, label, cid, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC)
+      AS rank
+  FROM scored
+)
+SELECT qid, label, cid, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZATION end to end: merges trained on a bounded
+    sample (first 100 docs by doc_id — tokenizer training is
+    sample-bounded by design, GPT-2's merge file is kilobytes), then
+    the whole corpus encoded by an Arrow-batched pandas UDF carrying
+    the merge ranks as a closure constant — zero shuffle, cost scales
+    with distinct words per batch thanks to per-batch memoization
+    (``functions/bpe.py``). Output: per-doc word count, BPE token
+    count, and the tokens-per-word expansion (subword fertility — the
+    tokenizer-quality metric), rounded 4 dp.
+
+    No SQL oracle (BPE is not expressible in DuckDB) — rows-only in
+    the driver gate; the algorithm itself is pinned by
+    tests/test_text_functions.py against hand-computed merges and a
+    reconstruction property (concatenated subwords rebuild every
+    word)."""
+    from flink_orc_sink_spark.functions.bpe import (
+        make_bpe_encode_udf,
+        train_bpe,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sample = [
+        r.text
+        for r in d.orderBy("doc_id").limit(100).select("text").collect()
+    ]  # bounded by design: tokenizers train on samples
+    # 40 merges against this corpus's ~31-word vocabulary leaves
+    # real subword splits (fertility ≈ 3 at sf0.01) — a full-coverage
+    # merge budget would collapse every word to one token and make
+    # the fertility column vacuously 1.0
+    merges = train_bpe(sample, n_merges=40)
+    encode = make_bpe_encode_udf(merges)
+    enc = d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_words"),
+        F.size(encode(F.col("text"))).alias("n_bpe_tokens"),
+    )
+    return enc.withColumn(
+        "fertility",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                F.col("n_bpe_tokens") * 10000 / F.col("n_words")
+            ).cast("double")
+            / 10000,
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 QUERIES = {
+    "docs_bpe_encode": docs_bpe_encode,
+    "emb_filtered_topk": emb_filtered_topk,
     "docs_hash_classifier_score": docs_hash_classifier_score,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_bigram_lm_score": docs_bigram_lm_score,
@@ -2823,6 +2916,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_filtered_topk": FILTERED_TOPK_SQL,
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
     "docs_dsir_weights": DSIR_SQL,
     "docs_bigram_lm_score": BIGRAM_LM_SQL,

@@ -2487,7 +2487,67 @@ LIMIT 20
 """
 
 
+def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR-OVER-YEAR growth per calendar month — the comparable-
+    period reporting primitive (same-month-last-year, the TPC-DS
+    "year over year" family). Monthly revenue rides exact
+    DECIMAL(18,4) sums; the growth ratio is IEEE double on those
+    exact values, rounded 6 dp.
+
+    Shape at 100 TB: one map-side-combined monthly aggregate, then
+    the LAG runs partitioned BY CALENDAR MONTH ordered by year —
+    same-month-prior-year is a partition-local neighbor, so no
+    global month sort exists in the plan at any scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "n_orders",
+        money(F.col("rev")).alias("revenue"),
+        money(prev).alias("prev_year_revenue"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round(
+                (F.col("rev").cast("double") - prev.cast("double"))
+                / prev.cast("double")
+                * 100,
+                6,
+            ),
+        ).alias("yoy_pct"),
+    )
+
+
+YOY_SQL = """
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+    COUNT(*) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY yr, mo
+)
+SELECT yr, mo, n_orders,
+  CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+  CAST(ROUND(LAG(rev) OVER w, 2) AS DOUBLE) AS prev_year_revenue,
+  CASE WHEN LAG(rev) OVER w IS NOT NULL AND LAG(rev) OVER w <> 0
+    THEN ROUND((CAST(rev AS DOUBLE) - CAST(LAG(rev) OVER w AS DOUBLE))
+             / CAST(LAG(rev) OVER w AS DOUBLE) * 100, 6)
+  END AS yoy_pct
+FROM monthly
+WINDOW w AS (PARTITION BY mo ORDER BY yr)
+"""
+
+
 QUERIES = {
+    "sales_yoy_growth": sales_yoy_growth,
     "agg_spearman_corr": agg_spearman_corr,
     "part_association_rules": part_association_rules,
     "graph_triangle_count": graph_triangle_count,
@@ -2563,6 +2623,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sales_yoy_growth": YOY_SQL,
     "agg_spearman_corr": SPEARMAN_SQL,
     "part_association_rules": _assoc_sql(),
     "graph_triangle_count": TRIANGLE_SQL,
