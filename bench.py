@@ -85,6 +85,19 @@ HEADLINE = [
     "stream_interval_join",
     "stream_cdc_apply",
     "stream_orc_pipeline_events",
+    # round-3 session additions
+    "graph_triangle_count",
+    "part_association_rules",
+    "agg_spearman_corr",
+    "profile_corr_matrix",
+    "events_max_concurrency",
+    "events_twap_daily",
+    "sales_yoy_growth",
+    "emb_filtered_topk",
+    "docs_bpe_encode",
+    "orc_bloom_pruned_read",
+    "orc_gdpr_erase",
+    "stream_chained_windows",
 ]
 
 

@@ -160,6 +160,11 @@ def triangle_count(
         )
         .filter(F.col("x") < F.col("y"))
         .distinct()
+        # the canonical edge set feeds degrees, orientation, and the
+        # edge count — materialize once instead of re-running the
+        # dedup join per consumer (same bounded-lineage pattern as
+        # the connected-components iteration)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -172,11 +177,14 @@ def triangle_count(
     rank = (F.col("deg") * F.lit(10_000_000_000) + F.col("node")).alias(
         "rank"
     )
+    # The degree table is node-sized (orders of magnitude below the
+    # edge set); broadcasting it keeps BOTH rank-attach joins
+    # shuffle-free — the edge stream never moves until the wedge join.
     ranked = deg.select("node", rank)
     er = (
-        e.join(ranked.withColumnRenamed("node", "x"), "x")
+        e.join(F.broadcast(ranked.withColumnRenamed("node", "x")), "x")
         .withColumnRenamed("rank", "rank_x")
-        .join(ranked.withColumnRenamed("node", "y"), "y")
+        .join(F.broadcast(ranked.withColumnRenamed("node", "y")), "y")
         .withColumnRenamed("rank", "rank_y")
     )
     oriented = er.select(
@@ -192,7 +200,7 @@ def triangle_count(
         F.when(F.col("rank_x") < F.col("rank_y"), F.col("rank_y"))
         .otherwise(F.col("rank_x"))
         .alias("rank_v"),
-    )
+    ).localCheckpoint(eager=False)  # consumed 3× (both wedge sides + close)
     a = oriented.select(
         F.col("u"), F.col("v").alias("w1"), F.col("rank_v").alias("rw1")
     )
