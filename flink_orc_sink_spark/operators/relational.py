@@ -334,3 +334,28 @@ def scd2_history(
         .withColumn("effective_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("effective_to").isNull())
     )
+
+
+def sessionize_dynamic(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_minutes_col: Column,
+) -> DataFrame:
+    """Gaps-and-islands sessionization with a PER-ROW inactivity gap
+    (``F.session_window``'s dynamic-gap form as a plain column): a
+    new session starts when the time since the previous row reaches
+    the CURRENT row's gap — e.g. interactive event types tolerate
+    short silences, transactional ones long. Same single key-shuffle
+    window as :func:`sessionize`; integer-microsecond arithmetic
+    keeps the boundary comparison exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    t_us = F.unix_micros(F.col(time_col))
+    prev = F.lag(t_us).over(w)
+    gap_us = (gap_minutes_col * 60 * 1_000_000).cast("long")
+    is_new = (prev.isNull() | ((t_us - prev) >= gap_us)).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq", F.sum(is_new).over(wsum))

@@ -30,6 +30,10 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "stream_interval_join_full",
+    "events_sessionize_dynamic",
+    "profile_entropy",
+    "dq_benford_audit",
     "sales_yoy_growth",
     "emb_filtered_topk",
     "docs_bpe_encode",

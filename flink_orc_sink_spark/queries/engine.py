@@ -1026,6 +1026,107 @@ WHERE c.event_type = 'click'
 """
 
 
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join on the real runtime —
+    the rarest join mode and the hardest state contract: BOTH sides'
+    unmatched rows are null-padded, each only once its own watermark
+    proves no partner can still arrive. Clicks join views of the same
+    user within the preceding 10 minutes; the decidable region is cut
+    identically on both engines (each side's ts ≤ max(ts) − 3 h, with
+    NULL sides passing), so the value-hash compares exactly the rows
+    whose match/no-match verdict the final watermark has settled. A
+    hash match proves the runtime emits every match once AND every
+    unmatched row of either side once with the right nulls."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage_c = tempfile.mkdtemp(prefix="stream_foj_clicks_")
+    stage_v = tempfile.mkdtemp(prefix="stream_foj_views_")
+    os.symlink(src, os.path.join(stage_c, "events.parquet"))
+    os.symlink(src, os.path.join(stage_v, "events.parquet"))
+    clicks = (
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(stage_c))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(stage_v))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select("click_id", "click_ts", "view_id", "view_ts")
+    _STREAM_SEQ += 1
+    name = f"stream_interval_join_full_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_foj_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage_c, ignore_errors=True)
+    shutil.rmtree(stage_v, ignore_errors=True)
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    cutoff = F.col("m") - F.expr("INTERVAL 3 HOURS")
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(max_ts))
+        .filter(
+            (F.col("click_ts").isNull() | (F.col("click_ts") <= cutoff))
+            & (F.col("view_ts").isNull() | (F.col("view_ts") <= cutoff))
+        )
+        .select(
+            "click_id",
+            "view_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias(
+                "gap_us"
+            ),
+        )
+    )
+
+
+STREAM_INTERVAL_JOIN_FULL_SQL = """
+WITH mx AS (SELECT MAX(ts) AS maxts FROM events),
+c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+SELECT click_id, view_id,
+  epoch_us(click_ts) - epoch_us(view_ts) AS gap_us
+FROM c
+FULL JOIN v
+  ON c.user_id = v.user_id
+ AND v.view_ts <= c.click_ts
+ AND v.view_ts >= c.click_ts - INTERVAL 10 MINUTE
+WHERE (click_ts IS NULL
+       OR click_ts <= (SELECT maxts FROM mx) - INTERVAL 3 HOUR)
+  AND (view_ts IS NULL
+       OR view_ts <= (SELECT maxts FROM mx) - INTERVAL 3 HOUR)
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC broadcast enrichment on the real runtime: the
     events stream joined per micro-batch against the static nation
@@ -1699,6 +1800,7 @@ QUERIES = {
     "stream_topk_per_window": stream_topk_per_window,
     "stream_interval_join": stream_interval_join,
     "stream_interval_join_left": stream_interval_join_left,
+    "stream_interval_join_full": stream_interval_join_full,
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
@@ -1729,6 +1831,7 @@ ORACLES = {
     "stream_topk_per_window": STREAM_TOPK_WINDOW_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
     "stream_interval_join_left": STREAM_INTERVAL_JOIN_LEFT_SQL,
+    "stream_interval_join_full": STREAM_INTERVAL_JOIN_FULL_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,

@@ -135,6 +135,56 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def events_sessionize_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-GAP sessionization: the inactivity threshold depends
+    on the event type of the CURRENT row — interactive events
+    (click/view) start a new session after 5 quiet minutes,
+    everything else after 30 (``session_window``'s dynamic-gap form,
+    kept as a plain-SQL gaps-and-islands so the oracle can replicate
+    it exactly). Same single user-keyed window exchange as the fixed
+    10-minute sessionize."""
+    from flink_orc_sink_spark.operators.relational import (
+        sessionize_dynamic,
+    )
+
+    e = table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit(5)
+    ).otherwise(F.lit(30))
+    s = sessionize_dynamic(e, "user_id", "ts", gap)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SESSIONIZE_DYNAMIC_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                 >= (CASE WHEN event_type IN ('click', 'view')
+                          THEN 5 ELSE 30 END) * 60000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the props column + aggregation over
     the extracted value (SURVEY.md §2.4 scalar/json row)."""
@@ -1767,6 +1817,7 @@ FROM rows_ GROUP BY day
 
 
 QUERIES = {
+    "events_sessionize_dynamic": events_sessionize_dynamic,
     "events_twap_daily": events_twap_daily,
     "events_max_concurrency": events_max_concurrency,
     "events_experiment_lift": events_experiment_lift,
@@ -1802,6 +1853,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sessionize_dynamic": SESSIONIZE_DYNAMIC_SQL,
     "events_twap_daily": TWAP_SQL,
     "events_max_concurrency": MAX_CONCURRENCY_SQL,
     "events_experiment_lift": EXPERIMENT_LIFT_SQL,

@@ -2546,7 +2546,120 @@ WINDOW w AS (PARTITION BY mo ORDER BY yr)
 """
 
 
+def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON ENTROPY of categorical columns (bits) — the column-
+    profiling primitive behind key-candidate detection, skew
+    forecasting for join planning, and drift monitors. Counts are
+    exact; each column's −Σ p·log2 p runs over its handful of
+    category terms (≤ distinct values), rounded 6 dp.
+
+    Shape at 100 TB: one map-side-combined count aggregate per
+    column over a single scan (the two count tables union), then the
+    entropy folds over category-sized groups. No row-level float
+    math, no second scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority"]
+    counted = None
+    for c in cols:
+        cnt = o.groupBy(F.col(c).alias("val")).agg(
+            F.count("*").alias("n")
+        ).select(F.lit(c).alias("column"), "val", "n")
+        counted = cnt if counted is None else counted.unionAll(cnt)
+    tot = Window.partitionBy("column")
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    return (
+        counted.withColumn("term", -p * F.log2(p))
+        .groupBy("column")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+        )
+    )
+
+
+ENTROPY_SQL = """
+WITH counted AS (
+  SELECT 'o_orderstatus' AS "column", o_orderstatus AS val,
+         COUNT(*) AS n
+  FROM orders GROUP BY val
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority, COUNT(*)
+  FROM orders GROUP BY o_orderpriority
+),
+terms AS (
+  SELECT "column", n,
+    -(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY "column"))
+     * LOG2(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY "column"))
+     AS term
+  FROM counted
+)
+SELECT "column", COUNT(*) AS n_values,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  ROUND(SUM(term), 6) AS entropy_bits
+FROM terms GROUP BY "column"
+"""
+
+
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals — the classic
+    fabricated-numbers screen (forensic accounting, synthetic-data
+    detection). Observed digit counts are exact integers; each
+    digit's expected share is the closed-form log10(1 + 1/d), so
+    every float output is a per-row formula on exact inputs — no
+    cross-row float accumulation at all. One map-side-combined
+    aggregate over a single scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("o_totalprice"), 10), r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counted = (
+        o.select(digit.alias("d"))
+        .filter(F.col("d").between(1, 9))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counted.agg(F.sum("n").alias("total"))
+    exp_share = F.log10(1 + 1 / F.col("d").cast("double"))
+    obs_share = F.col("n").cast("double") / F.col("total").cast("double")
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(obs_share - exp_share, 6).alias("deviation"),
+    )
+
+
+BENFORD_SQL = """
+WITH counted AS (
+  SELECT CAST(SUBSTR(REGEXP_REPLACE(
+           FORMAT('{:.10f}', o_totalprice), '[0.,]', '', 'g'), 1, 1)
+         AS INTEGER) AS d,
+    COUNT(*) AS n
+  FROM orders
+  GROUP BY d
+),
+valid AS (SELECT * FROM counted WHERE d BETWEEN 1 AND 9),
+tot AS (SELECT SUM(n) AS total FROM valid)
+SELECT d, n,
+  ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+  ROUND(LOG10(1 + 1.0 / d), 6) AS benford_share,
+  ROUND(CAST(n AS DOUBLE) / total - LOG10(1 + 1.0 / d), 6)
+    AS deviation
+FROM valid CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "profile_entropy": profile_entropy,
+    "dq_benford_audit": dq_benford_audit,
     "sales_yoy_growth": sales_yoy_growth,
     "agg_spearman_corr": agg_spearman_corr,
     "part_association_rules": part_association_rules,
@@ -2623,6 +2736,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_entropy": ENTROPY_SQL,
+    "dq_benford_audit": BENFORD_SQL,
     "sales_yoy_growth": YOY_SQL,
     "agg_spearman_corr": SPEARMAN_SQL,
     "part_association_rules": _assoc_sql(),
