@@ -30,6 +30,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "docs_retrieval_eval",
     "stream_interval_join_full",
     "events_sessionize_dynamic",
     "profile_entropy",

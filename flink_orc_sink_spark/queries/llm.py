@@ -2803,6 +2803,104 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def docs_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION metrics for the BM25 ranking — MRR,
+    recall@10, precision@10 — the measurement half of a retrieval
+    stack (every RAG / corpus-search deployment tracks these).
+    Relevance is exact conjunctive match (docs containing ALL query
+    terms); the ranking is the shared BM25 scorer. Counts are exact;
+    the three ratios are single divisions on them, rounded 6 dp.
+
+    Shape at 100 TB: rank-of-first-relevant is computed WITHOUT any
+    global window — the best relevant doc is a 1-row broadcast and
+    its rank is 1 + COUNT(docs ordered before it), a map-side
+    predicate; the top-10 set is TakeOrderedAndProject. Everything
+    reduces to 1-row aggregates cross-joined at the end.
+    """
+    d = table(spark, sf_dir, "documents")
+    scored = _bm25_scored(d).localCheckpoint(eager=False)
+    rel = scored.filter(F.col("n_terms") == len(BM25_TERMS))
+    n_rel = rel.agg(F.count("*").alias("n_relevant"))
+    best = (
+        rel.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(1)
+        .select(F.col("bm25").alias("bb"), F.col("doc_id").alias("bd"))
+    )
+    first_rank = (
+        scored.crossJoin(F.broadcast(best))
+        .filter(
+            (F.col("bm25") > F.col("bb"))
+            | ((F.col("bm25") == F.col("bb")) & (F.col("doc_id") < F.col("bd")))
+        )
+        .agg((F.count("*") + 1).alias("first_rel_rank"))
+    )
+    top10 = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+    hits = top10.join(rel.select("doc_id"), "doc_id", "left_semi").agg(
+        F.count("*").alias("hits_at_10")
+    )
+    return (
+        n_rel.crossJoin(first_rank)
+        .crossJoin(hits)
+        .select(
+            "n_relevant",
+            "first_rel_rank",
+            "hits_at_10",
+            F.round(1.0 / F.col("first_rel_rank"), 6).alias("mrr"),
+            F.round(
+                F.col("hits_at_10") / F.col("n_relevant").cast("double"), 6
+            ).alias("recall_at_10"),
+            F.round(F.col("hits_at_10") / F.lit(10.0), 6).alias(
+                "precision_at_10"
+            ),
+        )
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+  WHERE token IN ({terms})
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+    ROUND(SUM(
+      LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * tf.tf * ({BM25_K1} + 1.0)
+      / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+           + {BM25_B} * dl.dl / stats.avgdl))
+    ), 6) AS bm25,
+    COUNT(*) AS n_terms
+  FROM tf JOIN dfreq USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), ranked AS (
+  SELECT doc_id, n_terms,
+    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM scored
+), rel AS (
+  SELECT * FROM ranked WHERE n_terms = {len(BM25_TERMS)}
+)
+SELECT
+  (SELECT COUNT(*) FROM rel) AS n_relevant,
+  (SELECT MIN(rnk) FROM rel) AS first_rel_rank,
+  (SELECT COUNT(*) FROM rel WHERE rnk <= 10) AS hits_at_10,
+  ROUND(1.0 / (SELECT MIN(rnk) FROM rel), 6) AS mrr,
+  ROUND((SELECT COUNT(*) FROM rel WHERE rnk <= 10)
+      / CAST((SELECT COUNT(*) FROM rel) AS DOUBLE), 6) AS recall_at_10,
+  ROUND((SELECT COUNT(*) FROM rel WHERE rnk <= 10) / 10.0, 6)
+    AS precision_at_10
+"""
+
+
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZATION end to end: merges trained on a bounded
     sample (first 100 docs by doc_id — tokenizer training is
@@ -2853,6 +2951,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "docs_retrieval_eval": docs_retrieval_eval,
     "docs_bpe_encode": docs_bpe_encode,
     "emb_filtered_topk": emb_filtered_topk,
     "docs_hash_classifier_score": docs_hash_classifier_score,
@@ -2916,6 +3015,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_retrieval_eval": _retrieval_eval_sql(),
     "emb_filtered_topk": FILTERED_TOPK_SQL,
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
     "docs_dsir_weights": DSIR_SQL,
