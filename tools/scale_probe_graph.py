@@ -79,6 +79,20 @@ def main() -> None:
         assert 0 <= leak < 3 * (n_real + 2 * n_nodes), (
             f"mass leak {leak} beyond truncation bound"
         )
+        # triangle count on the same graph (undirected view): the
+        # degree-ordered wedge join's fan-out must stay bounded as
+        # hubs grow — wall should scale ~with wedge count, and the
+        # count must be stable across runs (exact operator).
+        from flink_orc_sink_spark.operators.graph import triangle_count
+
+        t0 = time.time()
+        row = triangle_count(edges).first()
+        wall_t = time.time() - t0
+        print(
+            f"    triangles={row.n_triangles:>10,}  "
+            f"und_edges={row.n_edges:>9,}  wall={wall_t:6.2f}s"
+        )
+        assert row.n_triangles >= 0 and row.n_edges <= n_real
         edges.unpersist()
     spark.stop()
 
