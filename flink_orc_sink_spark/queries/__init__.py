@@ -30,6 +30,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "multimodal_decode_stats",
+    "multimodal_phash_neardup",
     "docs_retrieval_eval",
     "stream_interval_join_full",
     "events_sessionize_dynamic",

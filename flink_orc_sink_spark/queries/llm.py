@@ -2803,6 +2803,88 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode at value level: 200 planted PNGs — actual
+    zlib-compressed files, built executor-side — decoded by the
+    dependency-free codec (``functions/png.py``: IHDR walk, IDAT
+    inflate, filter reconstruction) into pixels whose statistics the
+    oracle computes FROM ARITHMETIC ALONE (the planted pixel is
+    ``(ax+by+cxy+id) mod 256`` with per-id frequencies — see
+    ``plant_png_pixels``). A hash match proves the whole pixel
+    path — encode, inflate, unfilter, sum — bit-exactly, with no
+    image library anywhere. Scale shape: column-pruned Arrow batches
+    through ``mapInPandas``, map-only, zero shuffle."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_png,
+        decode_image_stats,
+    )
+
+    ids = spark.range(200).select(F.col("id").alias("media_id"))
+    with_png = attach_planted_png(ids, "media_id")
+    return decode_image_stats(with_png, "media_id", "png")
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH ids AS (SELECT unnest(range(0, 200)) AS media_id),
+dims AS (
+  SELECT media_id, media_id % 24 + 8 AS w, media_id % 18 + 8 AS h,
+    3 + 2 * (media_id % 5) AS a, 7 + 5 * (media_id % 3) AS b,
+    media_id % 7 AS c
+  FROM ids
+),
+px AS (
+  SELECT d.media_id, d.w, d.h,
+    SUM((d.a * xs.x + d.b * ys.y + d.c * xs.x * ys.y + d.media_id)
+        % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.w)) AS x) xs,
+       LATERAL (SELECT unnest(range(0, d.h)) AS y) ys
+  GROUP BY d.media_id, d.w, d.h
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(s AS BIGINT) AS pixel_sum,
+  CAST(s * 10000 // (w * h) AS DOUBLE) / 10000 AS mean_gray
+FROM px
+"""
+
+
+def multimodal_phash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCEPTUAL image dedup on real pixels: 100 planted PNGs plus
+    100 visually-identical near-duplicates (two pixels perturbed ±1),
+    average-hashed (grey → 8×8 nearest resize → mean threshold,
+    integer arithmetic end to end) and paired by banded Hamming
+    search — the SimHash banding family applied to images, no
+    all-pairs comparison (``operators/multimodal.py::
+    ahash_neardup_pairs``). Rows-only in the driver gate (SQL cannot
+    decode PNG); planted-pair recall is asserted in
+    tests/test_multimodal.py."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_planted_png,
+        image_ahash,
+    )
+
+    base = spark.range(100).select(F.col("id").alias("media_id"))
+    clones = spark.range(100).select(
+        (F.col("id") + 1000).alias("media_id")
+    )
+    blobs = attach_planted_png(base, "media_id").unionByName(
+        # clone of image (id - 1000), perturbed
+        attach_planted_png(
+            clones.withColumn("src_id", F.col("media_id") - 1000)
+            .select(F.col("src_id").alias("plant_id"), "media_id"),
+            "plant_id",
+            perturb=True,
+        ).select("media_id", "png")
+    )
+    hashes = image_ahash(blobs, "media_id", "png")
+    return ahash_neardup_pairs(hashes, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def docs_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRIEVAL EVALUATION metrics for the BM25 ranking — MRR,
     recall@10, precision@10 — the measurement half of a retrieval
@@ -2951,6 +3033,8 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
     "docs_retrieval_eval": docs_retrieval_eval,
     "docs_bpe_encode": docs_bpe_encode,
     "emb_filtered_topk": emb_filtered_topk,
@@ -3015,6 +3099,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "docs_retrieval_eval": _retrieval_eval_sql(),
     "emb_filtered_topk": FILTERED_TOPK_SQL,
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
