@@ -31,6 +31,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
     "multimodal_decode_stats",
+    "multimodal_resize_stats",
     "multimodal_phash_neardup",
     "docs_retrieval_eval",
     "stream_interval_join_full",

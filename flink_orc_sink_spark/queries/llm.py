@@ -2848,6 +2848,51 @@ FROM px
 """
 
 
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize at value level: planted PNGs nearest-
+    neighbour-resized to 8×8 THROUGH re-encode (decode → integer
+    index map → encode → decode again), with the resized pixel sum
+    checked against an oracle that computes the same nearest-index
+    sampling arithmetically (``src = ⌊dst·len/8⌋`` — never touching a
+    byte of PNG). Proves the full decode→resize→encode→decode loop
+    is lossless and deterministic."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_png,
+        decode_image_stats,
+        resize_images,
+    )
+
+    ids = spark.range(100).select(F.col("id").alias("media_id"))
+    with_png = attach_planted_png(ids, "media_id")
+    resized = resize_images(with_png, "media_id", "png", 8, 8)
+    return decode_image_stats(resized, "media_id", "resized").select(
+        "media_id", "width", "height", "pixel_sum"
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH ids AS (SELECT unnest(range(0, 100)) AS media_id),
+dims AS (
+  SELECT media_id, media_id % 24 + 8 AS w, media_id % 18 + 8 AS h,
+    3 + 2 * (media_id % 5) AS a, 7 + 5 * (media_id % 3) AS b,
+    media_id % 7 AS c
+  FROM ids
+),
+px AS (
+  SELECT d.media_id,
+    SUM((d.a * ((xs.x * d.w) // 8) + d.b * ((ys.y * d.h) // 8)
+       + d.c * ((xs.x * d.w) // 8) * ((ys.y * d.h) // 8) + d.media_id)
+        % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, 8)) AS x) xs,
+       LATERAL (SELECT unnest(range(0, 8)) AS y) ys
+  GROUP BY d.media_id
+)
+SELECT media_id, 8 AS width, 8 AS height, CAST(s AS BIGINT) AS pixel_sum
+FROM px
+"""
+
+
 def multimodal_phash_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3034,6 +3079,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_resize_stats": multimodal_resize_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "docs_retrieval_eval": docs_retrieval_eval,
     "docs_bpe_encode": docs_bpe_encode,
@@ -3100,6 +3146,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
+    "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,
     "docs_retrieval_eval": _retrieval_eval_sql(),
     "emb_filtered_topk": FILTERED_TOPK_SQL,
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
