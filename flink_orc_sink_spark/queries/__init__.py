@@ -30,6 +30,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "agg_equidepth_histogram",
+    "profile_ols_regression",
+    "events_cumulative_distinct",
     "multimodal_decode_stats",
     "multimodal_resize_stats",
     "multimodal_phash_neardup",

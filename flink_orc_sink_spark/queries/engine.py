@@ -1571,9 +1571,11 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
     e = table(spark, sf_dir, "events").select("ts", "event_type")
-    max_ts = e.agg(F.max("ts")).collect()[0][0]  # one scalar, bounded
-    sentinel = e.limit(1).select(
-        (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+    # the sentinel only needs to outrun every real event so the final
+    # watermark flushes all real windows — a fixed far-future literal
+    # does that without a max(ts) scan
+    sentinel = spark.range(1).select(
+        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("ts"),
         F.lit("sentinel").alias("event_type"),
     )
     stage = tempfile.mkdtemp(prefix="stream_chain_src_")

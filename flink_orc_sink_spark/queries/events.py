@@ -1816,7 +1816,63 @@ FROM rows_ GROUP BY day
 """
 
 
+def events_cumulative_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user — how many distinct event
+    types each user has touched as of each event (the
+    breadth-of-engagement feature every behavioural model wants;
+    naive running COUNT(DISTINCT) isn't a window function anywhere).
+    Formulation: flag each (user, type)'s FIRST occurrence with one
+    partitioned row_number, cumulative-sum the flags with one
+    user-partitioned window — exact integers, two key-local windows,
+    no set-valued state.
+
+    Output is each user's trajectory sampled at every 50th event
+    (keyed rows stay value-checkable without emitting the full
+    event-grain result)."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_first",
+        (F.row_number().over(w_first) == 1).cast("int"),
+    )
+    out = flagged.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_seq).alias("event_seq"),
+        F.sum("is_first").over(w_user).alias("distinct_types_so_far"),
+    )
+    return out.filter(F.col("event_seq") % 50 == 0)
+
+
+CUMULATIVE_DISTINCT_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_seq,
+  CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS distinct_types_so_far
+FROM flagged
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY event_seq % 50 = 0
+"""
+
+
 QUERIES = {
+    "events_cumulative_distinct": events_cumulative_distinct,
     "events_sessionize_dynamic": events_sessionize_dynamic,
     "events_twap_daily": events_twap_daily,
     "events_max_concurrency": events_max_concurrency,
@@ -1853,6 +1909,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cumulative_distinct": CUMULATIVE_DISTINCT_SQL,
     "events_sessionize_dynamic": SESSIONIZE_DYNAMIC_SQL,
     "events_twap_daily": TWAP_SQL,
     "events_max_concurrency": MAX_CONCURRENCY_SQL,

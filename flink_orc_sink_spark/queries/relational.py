@@ -2657,7 +2657,159 @@ FROM valid CROSS JOIN tot
 """
 
 
+def agg_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EQUI-DEPTH (equal-frequency) histogram of order totals — the
+    optimizer-statistics / drift-monitoring primitive (equi-WIDTH is
+    ``agg_price_histogram``; equi-depth is what engines actually keep,
+    since it bounds per-bucket selectivity error). Bucket edges are
+    exact interpolated percentiles (broadcast — one tiny row), bucket
+    assignment is a map-side comparison, counts exact.
+
+    Shape at 100 TB: ``percentile_approx`` replaces the exact
+    percentile when the value set is too large to sort per group;
+    here the exact form is used so the oracle can value-check
+    assignment bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    edges = o.agg(
+        *[
+            F.expr(
+                f"percentile(o_totalprice, {q / 10})"
+            ).alias(f"p{q}")
+            for q in (2, 4, 6, 8)
+        ]
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("p2"), 0)
+        .when(F.col("o_totalprice") < F.col("p4"), 1)
+        .when(F.col("o_totalprice") < F.col("p6"), 2)
+        .when(F.col("o_totalprice") < F.col("p8"), 3)
+        .otherwise(4)
+    )
+    return (
+        o.crossJoin(F.broadcast(edges))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(
+                F.min(F.col("o_totalprice").cast("decimal(18,4)"))
+            ).alias("lo"),
+            money(
+                F.max(F.col("o_totalprice").cast("decimal(18,4)"))
+            ).alias("hi"),
+        )
+    )
+
+
+EQUIDEPTH_SQL = """
+WITH edges AS (
+  SELECT quantile_cont(o_totalprice, 0.2) AS p2,
+         quantile_cont(o_totalprice, 0.4) AS p4,
+         quantile_cont(o_totalprice, 0.6) AS p6,
+         quantile_cont(o_totalprice, 0.8) AS p8
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice < p2 THEN 0
+            WHEN o_totalprice < p4 THEN 1
+            WHEN o_totalprice < p6 THEN 2
+            WHEN o_totalprice < p8 THEN 3
+            ELSE 4 END AS bucket,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+    AS lo,
+  CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+    AS hi
+FROM orders CROSS JOIN edges
+GROUP BY bucket
+"""
+
+
+def profile_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS — ``l_extendedprice ~ l_quantity`` slope,
+    intercept, and R² from the SAME exact-decimal moment machinery as
+    ``profile_corr_matrix``: one map-side-combined scan computes the
+    five sums exactly; the closed form runs once in double on those
+    exact inputs, rounded 6 dp. The feature-screening regression
+    (price-per-unit sanity, leakage detection) without any ML
+    library, at any scale — moments are associative, so the single
+    aggregate IS the distributed algorithm."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,6)").alias("sx"),
+        F.sum(y).cast("decimal(38,6)").alias("sy"),
+        F.sum((x * x).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("syy"),
+        F.sum((x * y).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r * r, 6).alias("r_squared"),
+    )
+
+
+OLS_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS sxx,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,12)))
+      AS syy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,12)))
+      AS sxy
+  FROM lineitem
+),
+c AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+    CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+    CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy,
+    n AS n_raw
+  FROM m
+),
+r AS (
+  SELECT n_raw, n, sx, sy,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+    (n * sxy - sx * sy)
+      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS rr
+  FROM c
+)
+SELECT CAST(n_raw AS BIGINT) AS n,
+  ROUND(slope, 6) AS slope,
+  ROUND((sy - slope * sx) / n, 6) AS intercept,
+  ROUND(rr * rr, 6) AS r_squared
+FROM r
+"""
+
+
 QUERIES = {
+    "agg_equidepth_histogram": agg_equidepth_histogram,
+    "profile_ols_regression": profile_ols_regression,
     "profile_entropy": profile_entropy,
     "dq_benford_audit": dq_benford_audit,
     "sales_yoy_growth": sales_yoy_growth,
@@ -2736,6 +2888,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_equidepth_histogram": EQUIDEPTH_SQL,
+    "profile_ols_regression": OLS_SQL,
     "profile_entropy": ENTROPY_SQL,
     "dq_benford_audit": BENFORD_SQL,
     "sales_yoy_growth": YOY_SQL,
