@@ -1871,7 +1871,224 @@ QUALIFY event_seq % 50 = 0
 """
 
 
+def events_user_similarity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-SERIES SIMILARITY SEARCH over user activity profiles
+    (EDBT'19/'20 streaming-similarity family): each user's behaviour
+    is their daily event-count vector; find the top-3 most similar
+    OTHER users (cosine) for each query user (user_id < 5). Computed
+    the SPARSE way — never materializing dense vectors: the dot
+    product is a day-key equi-join of per-(user, day) counts
+    (query side broadcast), norms are per-user aggregates, and the
+    per-query top-k is a partitioned window. Exact integer dots and
+    norms; one double division, rounded 6 dp.
+
+    At 100 TB this is the inverted-index similarity join: cost scales
+    with nonzero (user, day) cells, not users × dims — the dense
+    formulation would be a users × days matrix nobody can build.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    norms = daily.groupBy("user_id").agg(
+        F.sum(F.col("n") * F.col("n")).alias("nn")
+    )
+    q = daily.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("qid"),
+        "day",
+        F.col("n").alias("qn"),
+    )
+    dots = (
+        daily.join(F.broadcast(q), "day")
+        .filter(F.col("user_id") != F.col("qid"))
+        .groupBy("qid", F.col("user_id").alias("cid"))
+        .agg(F.sum(F.col("n") * F.col("qn")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("user_id").alias("qid"),
+                             F.col("nn").alias("qnn"))
+            ),
+            "qid",
+        )
+        .join(
+            norms.select(F.col("user_id").alias("cid"),
+                         F.col("nn").alias("cnn")),
+            "cid",
+        )
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qnn").cast("double"))
+                   * F.sqrt(F.col("cnn").cast("double"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", "cos_sim", "rank")
+    )
+
+
+USER_SIMILARITY_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY user_id, day
+),
+norms AS (
+  SELECT user_id, SUM(n * n) AS nn FROM daily GROUP BY user_id
+),
+q AS (SELECT user_id AS qid, day, n AS qn FROM daily WHERE user_id < 5),
+dots AS (
+  SELECT q.qid, d.user_id AS cid, SUM(d.n * q.qn) AS dot
+  FROM daily d JOIN q USING (day)
+  WHERE d.user_id <> q.qid
+  GROUP BY q.qid, d.user_id
+),
+scored AS (
+  SELECT qid, cid,
+    ROUND(CAST(dot AS DOUBLE)
+        / (SQRT(CAST(nq.nn AS DOUBLE)) * SQRT(CAST(nc.nn AS DOUBLE))),
+      6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.user_id = qid
+  JOIN norms nc ON nc.user_id = cid
+),
+ranked AS (
+  SELECT qid, cid, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSEQUENCE SEARCH on the global hourly activity series (the
+    matrix-profile / "find a past period like this one" primitive):
+    the query pattern is the series' LAST 24 hours; score every
+    earlier 24-hour window by exact squared Euclidean distance and
+    return the 5 closest. Distance decomposes as ``Σx² + Σq² −
+    2Σxq``: the cross term is a 24-row broadcast join on aligned
+    hour offsets, the window energy another — no per-window
+    recomputation, no dense matrix, exact integers end to end.
+
+    At 100 TB (billions of series points) the same decomposition
+    holds per series key; the spine stays integer-indexed so window
+    alignment is an equi-join, never a range scan.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+        .cast("long")
+        .alias("h")
+    ).agg(F.count("*").alias("x"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    # dense integer spine (missing hours = 0) so offsets align
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+        )
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    q = (
+        spine.crossJoin(F.broadcast(bounds))
+        .filter(F.col("h") > F.col("h1") - 24)
+        .select((F.col("h") - (F.col("h1") - 23)).alias("i"),
+                F.col("x").alias("qx"))
+    )
+    sq = q.agg(F.sum(F.col("qx") * F.col("qx")).alias("qq"))
+    # windows start at w, cover w..w+23; exclude overlap with query
+    terms = (
+        spine.crossJoin(F.broadcast(q))
+        .select((F.col("h") - F.col("i")).alias("w"), "x", "qx",
+                (F.col("x") * F.col("qx")).alias("xq"),
+                (F.col("x") * F.col("x")).alias("xx"))
+    )
+    per_w = (
+        terms.groupBy("w")
+        .agg(
+            F.count("*").alias("n_aligned"),
+            F.sum("xq").alias("sxq"),
+            F.sum("xx").alias("sxx"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(sq))
+        .filter(
+            # a full window aligns exactly one spine row per query
+            # offset: 24 pairs — fewer means the window hangs off the
+            # series edge
+            (F.col("n_aligned") == 24)
+            & (F.col("w") >= F.col("h0"))
+            & (F.col("w") <= F.col("h1") - 47)  # no query overlap
+        )
+    )
+    dist2 = F.col("sxx") + F.col("qq") - 2 * F.col("sxq")
+    return (
+        per_w.select(
+            F.col("w").alias("window_start_hour"),
+            dist2.alias("dist2"),
+        )
+        .orderBy("dist2", "window_start_hour")
+        .limit(5)
+    )
+
+
+PATTERN_MATCH_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         COUNT(*) AS x
+  FROM events GROUP BY h
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT gs.h, COALESCE(hourly.x, 0) AS x
+  FROM (SELECT unnest(range((SELECT h0 FROM bounds),
+                            (SELECT h1 FROM bounds) + 1)) AS h) gs
+  LEFT JOIN hourly USING (h)
+),
+q AS (
+  SELECT h - ((SELECT h1 FROM bounds) - 23) AS i, x AS qx
+  FROM spine WHERE h > (SELECT h1 FROM bounds) - 24
+),
+sq AS (SELECT SUM(qx * qx) AS qq FROM q),
+terms AS (
+  SELECT s.h - q.i AS w, s.x, q.qx, s.x * q.qx AS xq, s.x * s.x AS xx
+  FROM spine s CROSS JOIN q
+),
+per_w AS (
+  SELECT w, COUNT(*) AS n_aligned, SUM(xq) AS sxq, SUM(xx) AS sxx
+  FROM terms GROUP BY w
+)
+SELECT w AS window_start_hour,
+  CAST(sxx + (SELECT qq FROM sq) - 2 * sxq AS BIGINT) AS dist2
+FROM per_w
+WHERE n_aligned = 24
+  AND w >= (SELECT h0 FROM bounds)
+  AND w <= (SELECT h1 FROM bounds) - 47
+ORDER BY dist2, window_start_hour
+LIMIT 5
+"""
+
+
 QUERIES = {
+    "events_user_similarity_topk": events_user_similarity_topk,
+    "events_pattern_match": events_pattern_match,
     "events_cumulative_distinct": events_cumulative_distinct,
     "events_sessionize_dynamic": events_sessionize_dynamic,
     "events_twap_daily": events_twap_daily,
@@ -1909,6 +2126,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_user_similarity_topk": USER_SIMILARITY_SQL,
+    "events_pattern_match": PATTERN_MATCH_SQL,
     "events_cumulative_distinct": CUMULATIVE_DISTINCT_SQL,
     "events_sessionize_dynamic": SESSIONIZE_DYNAMIC_SQL,
     "events_twap_daily": TWAP_SQL,
