@@ -188,16 +188,27 @@ def _minhash_sig_udf():
 
     @F.pandas_udf("array<long>")
     def sig(tokens: pd.Series) -> pd.Series:
+        # Shingles repeat heavily (Zipfian text), so hash each DISTINCT
+        # shingle once per executor process — the md5 call count drops
+        # from total-shingle-occurrences to vocabulary size. Bounded
+        # cache: cleared past 2M entries (~200 MB) to keep executor
+        # memory flat on adversarial vocabularies.
+        cache: dict[str, int] = {}
         out = []
         for toks in tokens:
             shingles = _py_shingles(toks, 3)
-            h = np.array(
-                [
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                    for s in shingles
-                ],
-                dtype=np.uint64,
-            ).reshape(1, -1)
+            hs = []
+            for s in shingles:
+                v = cache.get(s)
+                if v is None:
+                    v = int(
+                        hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16
+                    )
+                    if len(cache) > 2_000_000:
+                        cache.clear()
+                    cache[s] = v
+                hs.append(v)
+            h = np.array(hs, dtype=np.uint64).reshape(1, -1)
             out.append(((a * h + b) % p).min(axis=1).astype(np.int64))
         return pd.Series(out)
 
