@@ -91,3 +91,22 @@ def test_curation_pipeline_example(spark, sf_dir, tmp_path):
     assert counts["input"] >= counts["after_quality_gate"] >= counts["after_exact_dedup"]
     assert counts["after_exact_dedup"] >= counts["after_neardup_dedup"] > 0
     assert counts["written"] == counts["after_neardup_dedup"]
+
+
+def test_media_pipeline_example(spark, tmp_path):
+    """The media example end to end: real PNG decode, perceptual
+    dedup drops every planted clone, catalog lands as committed ORC."""
+    import examples.media_pipeline as mp
+
+    out = str(tmp_path / "catalog")
+    counts = mp.run(spark, out)
+    assert counts["ingested"] == 300
+    # every planted clone (ids 200-299) pairs with its source
+    assert counts["neardup_pairs"] >= 100
+    # survivors: clones dropped (plus a few honest cross-collisions)
+    assert 150 <= counts["survivors"] <= 200
+    got = spark.read.orc(out)
+    assert got.count() == counts["survivors"]
+    assert set(got.columns) == {
+        "media_id", "width", "height", "mean_gray", "byte_len", "sha256",
+    }
