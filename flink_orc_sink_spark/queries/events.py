@@ -2086,7 +2086,93 @@ LIMIT 5
 """
 
 
+def events_scd2_pointlookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POINT-IN-TIME dimension lookup against SCD Type-2 history —
+    the temporal star join every warehouse runs (fact row → the
+    dimension version valid AT the fact's event time, never the
+    current one): purchases joined to the user's browsing-status
+    history (SCD2 over non-purchase events) on
+    ``effective_from ≤ ts < effective_to``.
+
+    Shape at 100 TB: the join is EQUI on the entity key (one keyed
+    shuffle — the validity-interval predicate is a post-join filter
+    within the key's handful of versions, never a cross product);
+    history build reuses the same key partitioning. Purchases before
+    any status interval survive with NULL status (left join) — the
+    early-fact edge every temporal join must define."""
+    from flink_orc_sink_spark.operators.relational import scd2_history
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    dim = scd2_history(
+        e.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "event_type",
+        "ts_us",
+        order_cols=["ts_us", "event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "version",
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts_us") >= F.col("effective_from"))
+        & (F.col("is_current") | (F.col("ts_us") < F.col("effective_to"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("status").alias("status_at_purchase"),
+        F.col("version").alias("status_version"),
+    )
+
+
+SCD2_LOOKUP_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+),
+chg AS (
+  SELECT user_id, event_type AS status, ts_us, event_id FROM seq
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+hist AS (
+  SELECT user_id, status,
+    CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+    ts_us AS effective_from,
+    LEAD(ts_us) OVER w AS effective_to,
+    LEAD(ts_us) OVER w IS NULL AS is_current
+  FROM chg
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT f.event_id, f.user_id,
+  h.status AS status_at_purchase,
+  h.version AS status_version
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase') f
+LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND f.ts_us >= h.effective_from
+ AND (h.is_current OR f.ts_us < h.effective_to)
+"""
+
+
 QUERIES = {
+    "events_scd2_pointlookup": events_scd2_pointlookup,
     "events_user_similarity_topk": events_user_similarity_topk,
     "events_pattern_match": events_pattern_match,
     "events_cumulative_distinct": events_cumulative_distinct,
@@ -2126,6 +2212,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_scd2_pointlookup": SCD2_LOOKUP_SQL,
     "events_user_similarity_topk": USER_SIMILARITY_SQL,
     "events_pattern_match": PATTERN_MATCH_SQL,
     "events_cumulative_distinct": CUMULATIVE_DISTINCT_SQL,
