@@ -30,6 +30,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "orc_quarantine_write",
     "events_scd2_pointlookup",
     "events_user_similarity_topk",
     "events_pattern_match",

@@ -1783,7 +1783,52 @@ FROM events WHERE user_id NOT IN (3, 9, 27)
 """
 
 
+def orc_quarantine_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALIDATED INGESTION with a dead-letter path at value level:
+    events plus 50 planted-bad rows (negative values, NULL types)
+    written through ``write_orc_validated`` — good rows to the table,
+    bad rows UNCHANGED to quarantine. The oracle is plain
+    ``SELECT * FROM events``: a hash match proves the expectation
+    split admitted exactly the clean corpus and leaked nothing.
+    Quarantine completeness (all 50 bad rows present, replayable) is
+    pytest-asserted in tests/test_maintenance.py."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import write_orc_validated
+
+    e = table(spark, sf_dir, "events")
+    bad = spark.range(50).select(
+        (F.col("id") + 1_000_000_000).alias("event_id"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("click"))
+        .alias("event_type"),
+        F.lit(-1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_quar_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    expectation = (
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    )
+    write_orc_validated(
+        e.unionByName(bad),
+        os.path.join(base, "valid"),
+        os.path.join(base, "quarantine"),
+        expectation,
+    )
+    return spark.read.orc(os.path.join(base, "valid")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 QUERIES = {
+    "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
     "orc_bloom_pruned_read": orc_bloom_pruned_read,
     "orc_snapshot_expire": orc_snapshot_expire,
@@ -1815,6 +1860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
     "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,
     "orc_snapshot_expire": ORC_ROUNDTRIP_SQL,

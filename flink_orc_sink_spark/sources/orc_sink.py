@@ -31,7 +31,7 @@ files, which is what a 100 TB table wants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -677,3 +677,32 @@ def erase_keys_orc(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_orc_validated(
+    df: DataFrame,
+    valid_path: str,
+    quarantine_path: str,
+    expectation: Column,
+    compression: str = "zstd",
+) -> None:
+    """VALIDATED WRITE with a dead-letter path: rows satisfying
+    ``expectation`` land in ``valid_path``, the rest — unchanged, so
+    they can be inspected and replayed — in ``quarantine_path``. The
+    ingestion contract every production pipeline needs: a bad record
+    must never poison the table NOR disappear.
+
+    One scan feeds both writes (the filter is pushed into each
+    branch; at 100 TB the quarantine branch's selectivity makes its
+    write nearly free). Both writes use the same committed ORC path
+    as :func:`write_orc` — a crash mid-way leaves only invisible
+    temporaries on either side.
+    """
+    df.filter(expectation).write.mode("overwrite").format("orc").option(
+        "compression", compression
+    ).save(valid_path)
+    df.filter(~F.coalesce(expectation, F.lit(False))).write.mode(
+        "overwrite"
+    ).format("orc").option("compression", compression).save(
+        quarantine_path
+    )

@@ -272,3 +272,22 @@ def test_erase_keys_rewrites_only_touched_buckets(spark, tmp_path):
     )
     for p, m in untouched.items():
         assert os.path.getmtime(p) == m
+
+
+def test_quarantine_write_splits_exactly(spark, tmp_path):
+    """write_orc_validated: every row lands on exactly one side; bad
+    rows (including NULL-expectation rows) arrive unchanged."""
+    from flink_orc_sink_spark.sources.orc_sink import write_orc_validated
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 0.0)],
+        "id long, v double",
+    )
+    good, bad = str(tmp_path / "good"), str(tmp_path / "bad")
+    write_orc_validated(df, good, bad, F.col("v") >= 0)
+    g = {r.id for r in spark.read.orc(good).collect()}
+    b = {r.id for r in spark.read.orc(bad).collect()}
+    assert g == {1, 4}
+    assert b == {2, 3}  # NULL expectation rows must quarantine, not vanish
+    row = spark.read.orc(bad).filter("id = 2").collect()[0]
+    assert row.v == -3.0  # unchanged, replayable
