@@ -246,3 +246,53 @@ def test_stream_cdc_apply_incremental_and_restart(spark, tmp_path):
     after = bucket_mtimes()
     touched = {d for d in before if after[d] != before[d]}
     assert len(touched) == 1, f"expected 1 rewritten bucket, got {touched}"
+
+
+def test_socket_demo_pipeline_end_to_end(spark, tmp_path):
+    """The reference demo VERBATIM (OrcSinkTest.java:16-40): a live
+    TCP socket text source → CSV parse → exactly-once ORC sink —
+    driven against a real in-process localhost server (the sandbox
+    allows loopback sockets, so S1 is testable after all; a 1 s
+    commit cadence replaces the demo's 30 s). Committed rows must be
+    exactly the lines sent, and the manifest must hide nothing else."""
+    import socket
+    import threading
+    import time
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        demo_socket_to_orc,
+        read_committed_orc,
+    )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    sent = [(i, i * 10) for i in range(1, 21)]
+
+    def serve():
+        conn, _ = srv.accept()
+        for x, y in sent:
+            conn.sendall(f"{x},{y}\n".encode())
+        time.sleep(15)  # keep the connection up past the last commit
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = demo_socket_to_orc(
+        spark, "127.0.0.1", port, out, ckpt, trigger_seconds=1
+    )
+    deadline = time.time() + 60
+    got = []
+    while time.time() < deadline:
+        try:
+            got = read_committed_orc(spark, out).collect()
+        except Exception:
+            got = []
+        if len(got) >= len(sent):
+            break
+        time.sleep(1)
+    q.stop()
+    srv.close()
+    assert sorted((r.x, r.y) for r in got) == sent
