@@ -643,3 +643,77 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster_keeper"))
+
+
+def _deletion_variants_udf(max_deletes: int):
+    """Pandas UDF: string → array of all variants reachable by up to
+    ``max_deletes`` character deletions (the string itself included).
+    Variant counts are C(L,0)+C(L,1)+…: bounded by key length, not
+    corpus size."""
+
+    @F.pandas_udf("array<string>")
+    def variants(s: pd.Series) -> pd.Series:
+        def gen(x: str) -> list[str]:
+            seen = {x}
+            frontier = {x}
+            for _ in range(max_deletes):
+                nxt = set()
+                for w in frontier:
+                    for i in range(len(w)):
+                        nxt.add(w[:i] + w[i + 1 :])
+                nxt -= seen
+                seen |= nxt
+                frontier = nxt
+            return sorted(seen)
+
+        return s.map(gen)
+
+    return variants
+
+
+def symspell_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_edit: int = 2,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """FUZZY SELF-JOIN by SymSpell deletion-neighborhood blocking:
+    all string pairs within Levenshtein distance ``max_edit``,
+    WITHOUT the all-pairs comparison — two strings within edit
+    distance d always share a variant reachable by ≤ d deletions
+    from each (every edit op costs at most one deletion per side),
+    so the candidate set is an equi-join on exploded variants and
+    blocking has NO false negatives; the exact ``levenshtein``
+    verify removes false positives.
+
+    Scale shape: variants fan out per row by O(L^d) (key length, not
+    corpus size), candidates come from one bucket equi-join with the
+    same ``bucket_cap`` degenerate-bucket guard as the MinHash
+    banding, and verification touches candidates only. The classic
+    entity-resolution / noisy-key join at corpus scale.
+    """
+    base = df.select(F.col(text_col).alias("s")).distinct()
+    exploded = base.select(
+        "s", F.explode(_deletion_variants_udf(max_edit)("s")).alias("v")
+    )
+    grouped = (
+        exploded.groupBy("v")
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+        .filter((F.size("ss") >= 2) & (F.size("ss") <= bucket_cap))
+    )
+    cands = (
+        grouped.select("ss", F.posexplode("ss").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("ss", F.col("i") + 2, F.size("ss"))
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("a"), F.col("b"))
+    return cands.filter(dist <= max_edit).select(
+        F.col("a").alias(f"{text_col}_a"),
+        F.col("b").alias(f"{text_col}_b"),
+        dist.cast("int").alias("edit_dist"),
+    )

@@ -30,6 +30,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "part_fuzzy_name_pairs",
     "orc_quarantine_write",
     "events_scd2_pointlookup",
     "events_user_similarity_topk",

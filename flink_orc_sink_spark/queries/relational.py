@@ -2807,7 +2807,34 @@ FROM r
 """
 
 
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY JOIN without the quadratic scan: every pair of distinct
+    part names within Levenshtein distance 2, found by SymSpell
+    deletion-neighborhood blocking (``operators/dedup.py::
+    symspell_pairs``) — variants fan out by key LENGTH, candidates
+    come from one equi-join, and the exact ``levenshtein`` verify
+    touches candidates only. The oracle IS the all-pairs cross join,
+    so the hash match proves the blocking has zero false negatives —
+    the guarantee that makes the scale path trustworthy. Entity
+    resolution's core join at catalog scale (noisy product names,
+    typo'd identities)."""
+    from flink_orc_sink_spark.operators.dedup import symspell_pairs
+
+    p = table(spark, sf_dir, "part")
+    return symspell_pairs(p, "p_name", max_edit=2)
+
+
+FUZZY_PAIRS_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS p_name_a, b.p_name AS p_name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 QUERIES = {
+    "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "profile_ols_regression": profile_ols_regression,
     "profile_entropy": profile_entropy,
@@ -2888,6 +2915,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_fuzzy_name_pairs": FUZZY_PAIRS_SQL,
     "agg_equidepth_histogram": EQUIDEPTH_SQL,
     "profile_ols_regression": OLS_SQL,
     "profile_entropy": ENTROPY_SQL,
