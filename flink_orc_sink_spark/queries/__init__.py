@@ -30,6 +30,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "pyds_source_agg",
+    "stream_pyds_source",
     "part_fuzzy_name_pairs",
     "orc_quarantine_write",
     "events_scd2_pointlookup",
