@@ -2833,7 +2833,82 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def part_brand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form OLS — per-brand slope of extended price on
+    quantity (the price-sensitivity sweep run per segment): the same
+    exact-decimal moments as ``profile_ols_regression``, but grouped
+    by brand, so the WHOLE model fit is one map-side-combined
+    aggregate per group — regression over a million groups costs one
+    shuffle, which is why moment-form OLS (not gradient descent) is
+    the distributed tool for per-segment fits. Degenerate groups
+    (zero variance) surface as NULL slope rather than a crash."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == p.p_partkey,
+    )
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    m = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,6)").alias("sx"),
+        F.sum(y).cast("decimal(38,6)").alias("sy"),
+        F.sum((x * x).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("sxx"),
+        F.sum((x * y).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var = n * sxx - sx * sx
+    slope = F.when(var > 0, (n * sxy - sx * sy) / var)
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(var > 0, (sy - slope * sx) / n), 6
+        ).alias("intercept"),
+    )
+
+
+BRAND_ELASTICITY_SQL = """
+WITH m AS (
+  SELECT p.p_brand, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(38,12)))
+      AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+           * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,12)))
+      AS DOUBLE) AS sxy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+s AS (
+  SELECT p_brand, n, sx, sy,
+    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope
+  FROM m
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+  ROUND(slope, 6) AS slope,
+  ROUND(CASE WHEN slope IS NOT NULL
+    THEN (sy - slope * sx) / n END, 6) AS intercept
+FROM s
+"""
+
+
 QUERIES = {
+    "part_brand_elasticity": part_brand_elasticity,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "profile_ols_regression": profile_ols_regression,
@@ -2915,6 +2990,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_brand_elasticity": BRAND_ELASTICITY_SQL,
     "part_fuzzy_name_pairs": FUZZY_PAIRS_SQL,
     "agg_equidepth_histogram": EQUIDEPTH_SQL,
     "profile_ols_regression": OLS_SQL,
