@@ -2902,9 +2902,13 @@ def multimodal_phash_neardup(
     integer arithmetic end to end) and paired by banded Hamming
     search — the SimHash banding family applied to images, no
     all-pairs comparison (``operators/multimodal.py::
-    ahash_neardup_pairs``). Rows-only in the driver gate (SQL cannot
-    decode PNG); planted-pair recall is asserted in
-    tests/test_multimodal.py."""
+    ahash_neardup_pairs``). VALUE-CHECKED: the oracle re-derives
+    every 64-bit perceptual hash from pure arithmetic (sampled
+    planted pixels → mean threshold → bit packing, two's-complement
+    into BIGINT) and pairs them all-pairs — a hash match proves the
+    real decode+hash pipeline AND that 4-band blocking loses no
+    pair at Hamming ≤ 3 (pigeonhole). Planted-pair recall is also
+    asserted in tests/test_multimodal.py."""
     from flink_orc_sink_spark.operators.multimodal import (
         ahash_neardup_pairs,
         attach_planted_png,
@@ -2928,6 +2932,59 @@ def multimodal_phash_neardup(
     return ahash_neardup_pairs(hashes, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+PHASH_NEARDUP_SQL = """
+WITH ids AS (
+  SELECT unnest(range(0, 100)) AS media_id, false AS perturb
+  UNION ALL
+  SELECT unnest(range(1000, 1100)), true
+),
+par AS (
+  SELECT media_id, perturb,
+    CASE WHEN perturb THEN media_id - 1000 ELSE media_id END AS pid
+  FROM ids
+),
+dims AS (
+  SELECT media_id, perturb, pid,
+    pid % 24 + 8 AS w, pid % 18 + 8 AS h,
+    3 + 2 * (pid % 5) AS a, 7 + 5 * (pid % 3) AS b, pid % 7 AS c
+  FROM par
+),
+samples AS (
+  SELECT d.*, xs.x AS sx, ys.y AS sy,
+    (xs.x * d.w) // 8 AS px, (ys.y * d.h) // 8 AS py
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, 8)) AS x) xs,
+       LATERAL (SELECT unnest(range(0, 8)) AS y) ys
+),
+vals AS (
+  SELECT media_id, sx, sy,
+    CASE WHEN perturb AND ((px = 0 AND py = 0)
+                        OR (px = w // 2 AND py = h // 2))
+      THEN xor((a * px + b * py + c * px * py + pid) % 256, 1)
+      ELSE (a * px + b * py + c * px * py + pid) % 256 END AS g
+  FROM samples
+),
+means AS (SELECT media_id, SUM(g) // 64 AS m FROM vals GROUP BY media_id),
+bits AS (
+  SELECT v.media_id,
+    SUM(CASE WHEN g > m
+        THEN CAST(1 AS HUGEINT) << (sy * 8 + sx) ELSE 0 END) AS hu
+  FROM vals v JOIN means USING (media_id) GROUP BY v.media_id
+),
+hashes AS (
+  SELECT media_id,
+    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+      THEN hu - CAST(18446744073709551616 AS HUGEINT)
+      ELSE hu END AS BIGINT) AS ahash
+  FROM bits
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
 
 
 def docs_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3147,6 +3204,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,
+    "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
     "docs_retrieval_eval": _retrieval_eval_sql(),
     "emb_filtered_topk": FILTERED_TOPK_SQL,
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
