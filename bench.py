@@ -112,8 +112,12 @@ def main() -> None:
     queries = all_queries()
 
     # Warm the JVM/session on the smallest scale so per-query numbers
-    # measure the query, not one-time codegen/session init.
+    # measure the query, not one-time codegen/session init. The second
+    # warm-up primes the Python UDF daemon/worker pool — the first
+    # pandas-UDF stage of a session otherwise pays worker spin-up
+    # (measured: 12.9 s cold vs 2.8 s warm on docs_minhash_pairs).
     queries["q1_pricing_summary"](spark, sf_dir).count()
+    queries["docs_minhash_pairs"](spark, "/root/testdata/sf0.001").count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
