@@ -98,6 +98,14 @@ HEADLINE = [
     "orc_bloom_pruned_read",
     "orc_gdpr_erase",
     "stream_chained_windows",
+    "events_pattern_match",
+    "events_user_similarity_topk",
+    "part_fuzzy_name_pairs",
+    "pyds_source_agg",
+    "multimodal_decode_stats",
+    "multimodal_phash_neardup",
+    "docs_retrieval_eval",
+    "events_scd2_pointlookup",
 ]
 
 
