@@ -132,3 +132,108 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col], "proj": list(p)})
 
     return df.select(id_col, vec_col).mapInPandas(proj, schema=schema)
+
+
+def kmeans_fixedpoint(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1000,
+    shift: int = 10_000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means with BIT-EXACT integer arithmetic —
+    the iterative-ML-training-loop family (like ``pagerank_fixed``)
+    as a value-checkable operator: float k-means can never hash
+    stably across engines, so quantize (``floor(x·scale + 0.5)``),
+    SHIFT non-negative (floor division == truncation on both
+    engines), keep centroids in fixed point (``Σ·scale div n``), and
+    break distance ties toward the lowest centroid id. Every
+    iteration then produces identical assignments in any engine —
+    the distributed run hash-matches an unrolled SQL oracle.
+
+    Plan shape per iteration: one broadcast of the k centroids onto
+    the vector stream (assignment is map-side — ``min(struct(dist,
+    cid))`` needs no window), one explode + map-side-combined
+    groupBy(cluster, dim) for the update. Centroid count is the
+    broadcast bound; vectors never shuffle. Init = the first ``k``
+    vectors by id (deterministic seeding; k-means++ would sample).
+
+    Returns final ``(id, cluster)`` assignments after ``iterations``
+    assignment passes (``iterations − 1`` centroid updates).
+    """
+    q = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: (
+                F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+                + shift
+            ),
+        ).alias("qv"),
+    )
+    centroids = (
+        q.orderBy("vid")
+        .limit(k)
+        .select(
+            F.col("vid").cast("int").alias("cid"),
+            F.transform(F.col("qv"), lambda v: v * scale).alias("cv"),
+        )
+    )
+
+    def dist(qv, cv):
+        return F.aggregate(
+            F.zip_with(
+                qv, cv, lambda a, b: (a * scale - b) * (a * scale - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assign = None
+    for it in range(iterations):
+        assign = (
+            q.crossJoin(F.broadcast(centroids))
+            .groupBy("vid")
+            .agg(
+                F.min(
+                    F.struct(
+                        dist(F.col("qv"), F.col("cv")).alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("best")
+            )
+            .select("vid", F.col("best.cid").alias("cluster"))
+        )
+        if it == iterations - 1:
+            break
+        members = q.join(assign, "vid")
+        upd = (
+            members.select(
+                "cluster", F.posexplode("qv").alias("i", "val")
+            )
+            .groupBy("cluster", "i")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .withColumn("cvi", F.expr(f"(s * {scale}) DIV n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "cvi"))
+                    ),
+                    lambda x: x.getField("cvi"),
+                ).alias("cv_new")
+            )
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.join(
+                upd.withColumnRenamed("cluster", "cid"), "cid", "left"
+            )
+            .select(
+                "cid", F.coalesce("cv_new", "cv").alias("cv")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return assign.select(F.col("vid"), F.col("cluster"))

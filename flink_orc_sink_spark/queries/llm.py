@@ -2934,6 +2934,81 @@ def multimodal_phash_neardup(
     )
 
 
+def emb_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED K-MEANS with bit-exact fixed-point arithmetic
+    (``operators/linalg.py::kmeans_fixedpoint``): 2 Lloyd passes,
+    k=4, centroids in integer fixed point with deterministic
+    tie-breaks — the iterative ML-training-loop family (like the
+    fixed-point PageRank) made VALUE-CHECKABLE: the oracle unrolls
+    both iterations in SQL and every one of the 500 final
+    assignments must hash-match. Float k-means can never be checked
+    this way. Per iteration: k centroids broadcast onto the vector
+    stream (assignment map-side), one explode + combined groupBy for
+    the update — vectors never shuffle, so the loop scales to any
+    corpus the scan scales to."""
+    from flink_orc_sink_spark.operators.linalg import kmeans_fixedpoint
+
+    e = table(spark, sf_dir, "embeddings")
+    out = kmeans_fixedpoint(e, "vec_id", "embedding", k=4, iterations=2)
+    return out.select(
+        F.col("vid").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+    )
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (qv[i] * 1000 - cv[i]) * (qv[i] * 1000 - cv[i])))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS vid,
+    list_transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           + 10000) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vid AS INTEGER) AS cid,
+    list_transform(qv, v -> v * 1000) AS cv
+  FROM q WHERE vid < 4
+),
+a0 AS (
+  SELECT vid, cid FROM (
+    SELECT q.vid, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vid
+        ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c0 c)
+  WHERE rn = 1
+),
+upd AS (
+  SELECT a0.cid AS cluster, ix.i,
+    CAST((SUM(q.qv[ix.i]) * 1000) // COUNT(*) AS BIGINT) AS cvi
+  FROM q JOIN a0 USING (vid)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  GROUP BY a0.cid, ix.i
+),
+c1n AS (
+  SELECT cluster AS cid, list(cvi ORDER BY i) AS cv_new
+  FROM upd GROUP BY cluster
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(c1n.cv_new, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1n USING (cid)
+),
+a1 AS (
+  SELECT vid, cid FROM (
+    SELECT q.vid, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vid
+        ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c1 c)
+  WHERE rn = 1
+)
+SELECT vid AS vec_id, CAST(cid AS INTEGER) AS cluster FROM a1
+"""
+
+
 PHASH_NEARDUP_SQL = """
 WITH ids AS (
   SELECT unnest(range(0, 100)) AS media_id, false AS perturb
@@ -3135,6 +3210,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "emb_kmeans_cluster": emb_kmeans_cluster,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
@@ -3202,6 +3278,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_kmeans_cluster": _kmeans_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,

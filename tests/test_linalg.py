@@ -80,3 +80,52 @@ def test_projection_variance_is_eigenvalue(emb, emb_np):
     assert pc1.var(ddof=1) == pytest.approx(
         float(model.explained_variance[0]), rel=1e-6
     )
+
+
+def test_kmeans_fixedpoint_matches_numpy(spark):
+    """The distributed fixed-point Lloyd iteration must reproduce a
+    NumPy reference bit-for-bit (quantize → shift → integer
+    distances → floor-division centroid updates → lowest-id ties)."""
+    import numpy as np
+
+    from flink_orc_sink_spark.operators.linalg import kmeans_fixedpoint
+
+    rng = np.random.RandomState(3)
+    X = np.vstack(
+        [rng.normal(c, 0.3, size=(40, 8)) for c in (-2.0, 0.0, 2.0)]
+    )
+    # seed rows (ids 0..2) must come from distinct planted clusters —
+    # the operator seeds centroids from the first k ids
+    perm = np.concatenate([[0, 40, 80], np.delete(np.arange(120), [0, 40, 80])])
+    X = X[perm]
+    planted = np.repeat([0, 1, 2], 40)[perm]
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vid: r.cluster
+        for r in kmeans_fixedpoint(
+            df, "vec_id", "embedding", k=3, iterations=3
+        ).collect()
+    }
+
+    qv = np.floor(X * 1000 + 0.5).astype(np.int64) + 10_000
+    C = qv[:3] * 1000
+    assign = None
+    for it in range(3):
+        d = ((qv[:, None, :] * 1000 - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        if it == 2:
+            break
+        for j in range(3):
+            m = assign == j
+            if m.sum():
+                C[j] = (qv[m].sum(axis=0) * 1000) // m.sum()
+    want = dict(zip(ids.tolist(), assign.tolist()))
+    assert got == want
+    # the planted structure is actually recovered: three pure clusters
+    for p in (0, 1, 2):
+        members = [int(i) for i in ids[planted == p]]
+        assert len({got[i] for i in members}) == 1
