@@ -2171,7 +2171,106 @@ LEFT JOIN hist h
 """
 
 
+def events_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED SPLIT FINDING — the decision-tree / GBDT training
+    inner loop (XGBoost's histogram pass) as a value-checked
+    operator: the threshold on ``value`` that minimizes weighted
+    Gini impurity for predicting ``event_type = 'purchase'``.
+    Candidate thresholds are the DISTINCT quantized cents values;
+    left/right class counts fall out of one cumulative sum over that
+    value-domain table (the same distinct-value trick as the
+    Spearman ranks — the window runs over |V| rows, never the event
+    stream); the Gini expression is identical IEEE double on exact
+    integer counts in both engines, rounded, with threshold
+    tie-break. One scan, one combined aggregate, one tiny window.
+    """
+    e = table(spark, sf_dir, "events")
+    rows = e.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    per_val = rows.groupBy("cents").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("p")
+    )
+    tot = per_val.agg(
+        F.sum("n").alias("nt"), F.sum("p").alias("pt")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "cents",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    ).crossJoin(F.broadcast(tot))
+    nl = F.col("nl").cast("double")
+    pl = F.col("pl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    pr = (F.col("pt") - F.col("pl")).cast("double")
+    nt = F.col("nt").cast("double")
+    gini_l = 1 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    gini_r = 1 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    weighted = (nl / nt) * gini_l + (nr / nt) * gini_r
+    scored = cum.filter(F.col("nl") < F.col("nt")).select(
+        "cents",
+        "nl",
+        "pl",
+        F.round(weighted, 9).alias("gini"),
+    )
+    return (
+        scored.orderBy("gini", "cents")
+        .limit(1)
+        .select(
+            F.col("cents").alias("best_threshold_cents"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("gini").alias("weighted_gini"),
+        )
+    )
+
+
+BEST_SPLIT_SQL = """
+WITH rows_ AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+per_val AS (
+  SELECT cents, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM rows_ GROUP BY cents
+),
+tot AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM per_val),
+cum AS (
+  SELECT cents,
+    CAST(SUM(n) OVER w AS BIGINT) AS nl,
+    CAST(SUM(p) OVER w AS BIGINT) AS pl
+  FROM per_val
+  WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT cents, nl, pl,
+    ROUND(
+      (CAST(nl AS DOUBLE) / nt)
+        * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+             - (CAST(nl - pl AS DOUBLE) / nl)
+               * (CAST(nl - pl AS DOUBLE) / nl))
+      + (CAST(nt - nl AS DOUBLE) / nt)
+        * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl))
+               * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+             - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))
+               * (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))),
+      9) AS gini
+  FROM cum CROSS JOIN tot
+  WHERE nl < nt
+)
+SELECT cents AS best_threshold_cents, nl AS n_left, pl AS pos_left,
+  gini AS weighted_gini
+FROM scored ORDER BY gini, cents LIMIT 1
+"""
+
+
 QUERIES = {
+    "events_best_split": events_best_split,
     "events_scd2_pointlookup": events_scd2_pointlookup,
     "events_user_similarity_topk": events_user_similarity_topk,
     "events_pattern_match": events_pattern_match,
@@ -2212,6 +2311,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_best_split": BEST_SPLIT_SQL,
     "events_scd2_pointlookup": SCD2_LOOKUP_SQL,
     "events_user_similarity_topk": USER_SIMILARITY_SQL,
     "events_pattern_match": PATTERN_MATCH_SQL,

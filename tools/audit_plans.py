@@ -52,6 +52,9 @@ ALLOW_GLOBAL_WINDOW = {
     # rank assignment over the top-100 LIST (TakeOrderedAndProject
     # feeds it — the window input is bounded by the limit)
     "docs_rrf_hybrid",
+    # split finding: cumulative class counts over the DISTINCT-VALUE
+    # domain (≤ |V| rows — the histogram, not the event stream)
+    "events_best_split",
 }
 
 
