@@ -34,7 +34,10 @@ for t in ("orders", "lineitem", "events"):
 for name in ("events_tumbling_hourly", "events_hourly_anomaly",
              "date_funcs_showcase", "events_bitmap_distinct_rollup",
              "events_cdc_apply", "events_scd2_status",
-             "orc_incremental_agg"):
+             "orc_incremental_agg",
+             # round-3 timestamp-emitting additions
+             "events_max_concurrency", "events_twap_daily",
+             "events_sessionize_dynamic"):
     s = qs[name](spark, sf).toPandas()
     o = con.sql(os_[name]).df()
     assert len(s) == len(o), (name, len(s), len(o))
