@@ -2907,7 +2907,70 @@ FROM s
 """
 
 
+def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/20) CLASSIFICATION of customers by revenue —
+    the inventory/CRM segmentation staple: rank customers by exact
+    decimal revenue, take the running share of total, and classify
+    A (first 80% of revenue), B (next 15%), C (tail). Revenue and
+    the cumulative sums are exact decimals; the share thresholds
+    compare decimal-to-decimal via integer cross-multiplication
+    (cum·100 vs total·80) so no float ever decides a class boundary.
+
+    Shape at 100 TB: one map-side-combined per-customer aggregate,
+    then the running sum over the PER-CUSTOMER table (entity domain,
+    orders of magnitude below the fact stream — same honest global
+    window as RFM, with the approx_percentile-threshold alternative
+    documented there). Output: per-class counts and revenue.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_cust.agg(F.sum("rev").alias("total"))
+    ranked = per_cust.withColumn("cum", F.sum("rev").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum("rev")).alias("class_revenue"),
+        )
+    )
+
+
+ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(rev) AS total FROM per_cust),
+ranked AS (
+  SELECT o_custkey, rev,
+    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_cust
+)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+  COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
+FROM ranked CROSS JOIN tot
+GROUP BY abc_class
+"""
+
+
 QUERIES = {
+    "customer_abc_analysis": customer_abc_analysis,
     "part_brand_elasticity": part_brand_elasticity,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "agg_equidepth_histogram": agg_equidepth_histogram,
@@ -2990,6 +3053,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_abc_analysis": ABC_SQL,
     "part_brand_elasticity": BRAND_ELASTICITY_SQL,
     "part_fuzzy_name_pairs": FUZZY_PAIRS_SQL,
     "agg_equidepth_histogram": EQUIDEPTH_SQL,

@@ -236,3 +236,46 @@ def test_scd2_history_matches_reference(spark, rows):
         )
         for (f1, t1), (f2, _) in zip(spans, spans[1:]):
             assert t1 == f2
+
+
+def test_symspell_blocking_has_no_false_negatives():
+    """Property: any two strings within Levenshtein distance 2 share
+    a ≤2-deletion variant — the guarantee that makes the SymSpell
+    candidate join exact. Checked against a brute-force DP
+    Levenshtein on random short strings."""
+    import itertools
+    import random
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def variants(x: str, d: int) -> set:
+        seen, frontier = {x}, {x}
+        for _ in range(d):
+            nxt = set()
+            for w in frontier:
+                for i in range(len(w)):
+                    nxt.add(w[:i] + w[i + 1:])
+            nxt -= seen
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(120)
+    ]
+    checked = 0
+    for a, b in itertools.combinations(set(words), 2):
+        if lev(a, b) <= 2:
+            assert variants(a, 2) & variants(b, 2), (a, b)
+            checked += 1
+    assert checked > 50  # the corpus actually exercises the property

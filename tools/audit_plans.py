@@ -55,6 +55,9 @@ ALLOW_GLOBAL_WINDOW = {
     # split finding: cumulative class counts over the DISTINCT-VALUE
     # domain (≤ |V| rows — the histogram, not the event stream)
     "events_best_split",
+    # ABC classification: running revenue share over the PER-CUSTOMER
+    # aggregate (entity domain; approx-threshold alternative per RFM)
+    "customer_abc_analysis",
 }
 
 
