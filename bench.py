@@ -106,6 +106,9 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "docs_retrieval_eval",
     "events_scd2_pointlookup",
+    "customer_abc_analysis",
+    "events_best_split",
+    "emb_kmeans_cluster",
 ]
 
 

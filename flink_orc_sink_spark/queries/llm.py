@@ -2819,7 +2819,9 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_stats,
     )
 
-    ids = spark.range(200).select(F.col("id").alias("media_id"))
+    # 8 partitions: 200 tiny rows across the default 32+ creates
+    # more pandas-UDF task/worker churn than work
+    ids = spark.range(0, 200, 1, 8).select(F.col("id").alias("media_id"))
     with_png = attach_planted_png(ids, "media_id")
     return decode_image_stats(with_png, "media_id", "png")
 
@@ -2862,7 +2864,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    ids = spark.range(100).select(F.col("id").alias("media_id"))
+    ids = spark.range(0, 100, 1, 8).select(F.col("id").alias("media_id"))
     with_png = attach_planted_png(ids, "media_id")
     resized = resize_images(with_png, "media_id", "png", 8, 8)
     return decode_image_stats(resized, "media_id", "resized").select(
@@ -2915,8 +2917,8 @@ def multimodal_phash_neardup(
         image_ahash,
     )
 
-    base = spark.range(100).select(F.col("id").alias("media_id"))
-    clones = spark.range(100).select(
+    base = spark.range(0, 100, 1, 8).select(F.col("id").alias("media_id"))
+    clones = spark.range(0, 100, 1, 8).select(
         (F.col("id") + 1000).alias("media_id")
     )
     blobs = attach_planted_png(base, "media_id").unionByName(
