@@ -1933,7 +1933,78 @@ FROM g GROUP BY etype
 """
 
 
+def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEAD-LETTER QUEUE at value level: the events stream
+    plus 50 planted-bad rows (NULL types, negative values) replayed
+    through ``stream_quarantine_orc`` — per micro-batch, good rows to
+    the table, bad rows unchanged to quarantine, both sides
+    batch-id-idempotent. The oracle is plain ``SELECT * FROM
+    events``: a hash match proves the streaming split admitted
+    exactly the clean corpus across every micro-batch. Quarantine
+    completeness + NULL routing are pytest-asserted in
+    tests/test_streaming_sink.py."""
+    global _STREAM_SEQ
+    import glob
+    import shutil
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        stream_quarantine_orc,
+    )
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    e = table(spark, sf_dir, "events")
+    bad = spark.range(50).select(
+        (F.col("id") + 1_000_000_000).alias("event_id"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("click"))
+        .alias("event_type"),
+        F.lit(-1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    stage = tempfile.mkdtemp(prefix="stream_quar_src_")
+    tmp = os.path.join(stage, "_tmp")
+    e.unionByName(bad).coalesce(4).write.mode("overwrite").parquet(tmp)
+    for i, part in enumerate(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+        shutil.move(part, os.path.join(stage, f"{i}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_quar_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    valid, quar = os.path.join(base, "valid"), os.path.join(base, "dlq")
+    expectation = F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    _STREAM_SEQ += 1
+    with tempfile.TemporaryDirectory(prefix="stream_quar_ckpt_") as ckpt, stream_partitions(spark):
+        q = stream_quarantine_orc(
+            sdf,
+            valid,
+            quar,
+            ckpt,
+            expectation,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.orc(valid).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 QUERIES = {
+    "stream_quarantine": stream_quarantine,
     "pyds_source_agg": pyds_source_agg,
     "stream_pyds_source": stream_pyds_source,
     "orc_quarantine_write": orc_quarantine_write,
@@ -1968,6 +2039,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_quarantine": ORC_ROUNDTRIP_SQL,
     "pyds_source_agg": PYDS_AGG_SQL,
     "stream_pyds_source": STREAM_PYDS_SQL,
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,

@@ -193,6 +193,51 @@ def stream_cdc_apply_orc(
     return writer.start()
 
 
+def stream_quarantine_orc(
+    df: DataFrame,
+    valid_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    expectation,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """STREAMING validated ingestion with a dead-letter path — the
+    ``foreachBatch`` composition of ``write_orc_validated``'s
+    contract with batch-id-keyed idempotent writes: per micro-batch,
+    rows satisfying ``expectation`` land under ``valid_path``, the
+    rest UNCHANGED under ``quarantine_path`` (inspectable,
+    replayable), each in its own ``batch_id=<id>`` partition so a
+    crash-replayed batch rewrites instead of duplicating — on BOTH
+    sides. NULL-expectation rows quarantine rather than vanish. The
+    production DLQ shape: a bad record must never poison the table,
+    stall the stream, nor disappear.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = batch_df.localCheckpoint(eager=True)  # split reads it twice
+        for target, pred in (
+            (valid_path, expectation),
+            (quarantine_path, ~F.coalesce(expectation, F.lit(False))),
+        ):
+            (
+                staged.filter(pred)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("batch_id")
+                .orc(target)
+            )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def read_committed_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read back ONLY committed files.
 

@@ -296,3 +296,44 @@ def test_socket_demo_pipeline_end_to_end(spark, tmp_path):
     q.stop()
     srv.close()
     assert sorted((r.x, r.y) for r in got) == sent
+
+
+def test_stream_quarantine_splits_and_replays(spark, tmp_path):
+    """Streaming DLQ: every input row lands on exactly one side
+    (NULL-expectation rows quarantine), and both sides are batch-id
+    partitioned for idempotent replay."""
+    import glob
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        stream_quarantine_orc,
+    )
+
+    src = str(tmp_path / "in")
+    (
+        spark.createDataFrame(
+            [(1, 10.0), (2, -3.0), (3, None), (4, 0.0)],
+            "id long, v double",
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    sdf = spark.readStream.schema("id long, v double").parquet(src)
+    valid, quar = str(tmp_path / "valid"), str(tmp_path / "dlq")
+    q = stream_quarantine_orc(
+        sdf,
+        valid,
+        quar,
+        str(tmp_path / "ckpt"),
+        F.col("v") >= 0,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    g = {r.id for r in spark.read.orc(valid).collect()}
+    b = spark.read.orc(quar).collect()
+    assert g == {1, 4}
+    assert {r.id for r in b} == {2, 3}
+    assert {r.v for r in b if r.id == 2} == {-3.0}  # unchanged
+    # batch-id partitioning present on both sides
+    assert glob.glob(f"{valid}/batch_id=*") and glob.glob(
+        f"{quar}/batch_id=*"
+    )
