@@ -2969,7 +2969,67 @@ GROUP BY abc_class
 """
 
 
+def sales_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-REPORT: each nation's revenue as a share of its
+    region's total (TPC-DS's ratio-to-parent reporting family).
+    Revenue rides exact decimals; the region total is a window over
+    the PER-NATION aggregate partitioned by region (25 rows — the
+    dimension domain), so the share division is the only float,
+    rounded 6 dp.
+
+    Shape at 100 TB: dimensions broadcast onto the fact scan, one
+    map-side-combined aggregate to nation grain, then window + share
+    on dimension-sized data. The fact stream shuffles once.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    per_nation = j.groupBy("r_name", "n_name").agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        money(F.col("rev")).alias("nation_revenue"),
+        money(F.sum("rev").over(w)).alias("region_revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )
+
+
+SHARE_OF_REGION_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+    SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+  CAST(ROUND(rev, 2) AS DOUBLE) AS nation_revenue,
+  CAST(ROUND(SUM(rev) OVER (PARTITION BY r_name), 2) AS DOUBLE)
+    AS region_revenue,
+  ROUND(CAST(rev AS DOUBLE)
+      / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+    AS share_of_region
+FROM per_nation
+"""
+
+
 QUERIES = {
+    "sales_share_of_region": sales_share_of_region,
     "customer_abc_analysis": customer_abc_analysis,
     "part_brand_elasticity": part_brand_elasticity,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
@@ -3053,6 +3113,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sales_share_of_region": SHARE_OF_REGION_SQL,
     "customer_abc_analysis": ABC_SQL,
     "part_brand_elasticity": BRAND_ELASTICITY_SQL,
     "part_fuzzy_name_pairs": FUZZY_PAIRS_SQL,
