@@ -343,19 +343,25 @@ def sessionize_dynamic(
     gap_minutes_col: Column,
 ) -> DataFrame:
     """Gaps-and-islands sessionization with a PER-ROW inactivity gap
-    (``F.session_window``'s dynamic-gap form as a plain column): a
-    new session starts when the time since the previous row reaches
-    the CURRENT row's gap — e.g. interactive event types tolerate
-    short silences, transactional ones long. Same single key-shuffle
-    window as :func:`sessionize`; integer-microsecond arithmetic
-    keeps the boundary comparison exact cross-engine.
+    (``F.session_window``'s dynamic-gap form as a plain column): each
+    event keeps its session alive for ITS OWN gap, and — exactly as
+    ``session_window`` merges overlapping extensions — a session
+    stays open as long as the running MAX of ``t_i + gap_i`` reaches
+    the next event (a long-gap event keeps the session alive through
+    later short-gap ones; the previous-event-gap rule alone
+    under-merges). New session iff ``t ≥ max_{i<t}(t_i + gap_i)``:
+    one running-max window, so batch and streaming forms agree
+    event-for-event. Integer-microsecond arithmetic keeps every
+    boundary exact cross-engine.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(time_col)
     t_us = F.unix_micros(F.col(time_col))
-    prev = F.lag(t_us).over(w)
     gap_us = (gap_minutes_col * 60 * 1_000_000).cast("long")
-    is_new = (prev.isNull() | ((t_us - prev) >= gap_us)).cast("int")
+    prev_reach = F.max(t_us + gap_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (prev_reach.isNull() | (t_us >= prev_reach)).cast("int")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(is_new).over(wsum))

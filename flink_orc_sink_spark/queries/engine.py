@@ -2003,7 +2003,89 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionize_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-GAP session windows ON THE STREAMING RUNTIME:
+    ``session_window`` with a per-event gap EXPRESSION (click/view
+    keep the session alive 5 minutes, everything else 30) — the
+    session-store merge now depends on each event's type, the
+    hardest built-in session shape. The batch
+    ``events_sessionize_dynamic`` uses the identical
+    previous-event-gap semantics, so the streaming state-store
+    result must hash-match the batch gaps-and-islands SQL aggregated
+    to (user, session) rows."""
+    global _STREAM_SEQ
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_dsess_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    sdf = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    )
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        sdf.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_sessionize_dynamic_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_dsess_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+STREAM_SESSIONIZE_DYNAMIC_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN MAX(EPOCH_US(ts)
+                  + (CASE WHEN event_type IN ('click', 'view')
+                          THEN 5 ELSE 30 END) * 60000000)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             IS NULL
+              OR EPOCH_US(ts) >= MAX(EPOCH_US(ts)
+                  + (CASE WHEN event_type IN ('click', 'view')
+                          THEN 5 ELSE 30 END) * 60000000)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
+    "stream_sessionize_dynamic": stream_sessionize_dynamic,
     "stream_quarantine": stream_quarantine,
     "pyds_source_agg": pyds_source_agg,
     "stream_pyds_source": stream_pyds_source,
@@ -2039,6 +2121,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_sessionize_dynamic": STREAM_SESSIONIZE_DYNAMIC_SQL,
     "stream_quarantine": ORC_ROUNDTRIP_SQL,
     "pyds_source_agg": PYDS_AGG_SQL,
     "stream_pyds_source": STREAM_PYDS_SQL,

@@ -138,13 +138,18 @@ FROM sessions GROUP BY user_id, session_seq
 def events_sessionize_dynamic(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """DYNAMIC-GAP sessionization: the inactivity threshold depends
-    on the event type of the CURRENT row — interactive events
-    (click/view) start a new session after 5 quiet minutes,
-    everything else after 30 (``session_window``'s dynamic-gap form,
-    kept as a plain-SQL gaps-and-islands so the oracle can replicate
-    it exactly). Same single user-keyed window exchange as the fixed
-    10-minute sessionize."""
+    """DYNAMIC-GAP sessionization: each event keeps the session
+    alive for a gap set by ITS type — interactive events
+    (click/view) for 5 minutes, everything else 30 — with
+    ``session_window``'s exact merge semantics: the session stays
+    open while the running MAX of ``t_i + gap_i`` reaches the next
+    event (a long-gap event keeps it alive through later short-gap
+    ones). Kept as plain-SQL gaps-and-islands so the oracle
+    replicates it, and so the streaming form
+    ``stream_sessionize_dynamic`` agrees event-for-event — the
+    value gate caught that the naive previous-event-gap rule
+    under-merges by exactly the long-reach cases. Same single
+    user-keyed window exchange as the fixed 10-minute sessionize."""
     from flink_orc_sink_spark.operators.relational import (
         sessionize_dynamic,
     )
@@ -164,10 +169,17 @@ def events_sessionize_dynamic(
 SESSIONIZE_DYNAMIC_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,
-    CASE WHEN LAG(ts) OVER w IS NULL
-              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
-                 >= (CASE WHEN event_type IN ('click', 'view')
-                          THEN 5 ELSE 30 END) * 60000000
+    CASE WHEN MAX(EPOCH_US(ts)
+                  + (CASE WHEN event_type IN ('click', 'view')
+                          THEN 5 ELSE 30 END) * 60000000)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             IS NULL
+              OR EPOCH_US(ts) >= MAX(EPOCH_US(ts)
+                  + (CASE WHEN event_type IN ('click', 'view')
+                          THEN 5 ELSE 30 END) * 60000000)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
