@@ -109,6 +109,8 @@ HEADLINE = [
     "customer_abc_analysis",
     "events_best_split",
     "emb_kmeans_cluster",
+    "stream_quarantine",
+    "stream_sessionize_dynamic",
 ]
 
 
