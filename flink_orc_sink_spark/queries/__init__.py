@@ -30,6 +30,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # driver-green rows on these specifically).
 _PRIORITY = (
     # round-3 additions first — newest surface gets driver-green rows
+    "orders_lead_time_sla",
     "stream_sessionize_dynamic",
     "sales_share_of_region",
     "stream_quarantine",

@@ -3028,7 +3028,62 @@ FROM per_nation
 """
 
 
+def orders_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA LATENCY PERCENTILES — order-to-ship lead time p50/p90/p99
+    per order priority (the fulfillment/latency reporting primitive;
+    the same shape monitors API latencies and pipeline lag). Lead
+    times are exact integer days (timestamp difference in whole
+    days); percentiles use the shared exact-interpolation convention.
+
+    Shape at 100 TB: one fact-fact join shuffles once on orderkey
+    (AQE may broadcast the filtered side), then a per-priority
+    aggregate — exact percentiles sort within the handful of
+    priority groups; at extreme scale swap ``percentile_approx`` in
+    per the histogram convention."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    # integer DIV (lead times are non-negative, so trunc == floor ==
+    # DuckDB's //) — no float division anywhere near the day math
+    days = F.expr(
+        "(unix_micros(cast(l_shipdate as timestamp))"
+        " - unix_micros(cast(o_orderdate as timestamp)))"
+        " DIV 86400000000"
+    )
+    d = j.select("o_orderpriority", days.alias("lead_days"))
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(F.percentile("lead_days", F.lit(0.5)), 4)
+        .cast("double")
+        .alias("p50_days"),
+        F.round(F.percentile("lead_days", F.lit(0.9)), 4)
+        .cast("double")
+        .alias("p90_days"),
+        F.round(F.percentile("lead_days", F.lit(0.99)), 4)
+        .cast("double")
+        .alias("p99_days"),
+        F.max("lead_days").alias("max_days"),
+    )
+
+
+LEAD_TIME_SQL = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+      AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+  CAST(ROUND(quantile_cont(lead_days, 0.5), 4) AS DOUBLE) AS p50_days,
+  CAST(ROUND(quantile_cont(lead_days, 0.9), 4) AS DOUBLE) AS p90_days,
+  CAST(ROUND(quantile_cont(lead_days, 0.99), 4) AS DOUBLE) AS p99_days,
+  CAST(MAX(lead_days) AS BIGINT) AS max_days
+FROM d GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "orders_lead_time_sla": orders_lead_time_sla,
     "sales_share_of_region": sales_share_of_region,
     "customer_abc_analysis": customer_abc_analysis,
     "part_brand_elasticity": part_brand_elasticity,
@@ -3113,6 +3168,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_lead_time_sla": LEAD_TIME_SQL,
     "sales_share_of_region": SHARE_OF_REGION_SQL,
     "customer_abc_analysis": ABC_SQL,
     "part_brand_elasticity": BRAND_ELASTICITY_SQL,
