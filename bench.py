@@ -1,10 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs each headline query end-to-end (plan + execute + collect-count)
-on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] and prints ONE SHORT JSON line:
 
     {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {<per-family wall sums>}, "n_queries": 90,
+     "detail_file": "BENCH_DETAIL.json", "sf": 0.1}
+
+The full per-query map is deliberately NOT on the printed line: at
+90 headline queries it overflowed the driver's tail capture in round
+3 (BENCH_r03.json parsed=null). It goes to ``BENCH_DETAIL.json`` at
+the repo root instead (same flat shape, committed per round as
+``BENCH_DETAIL_r{N}.json``); ``tools/bench_regression.py`` follows
+the ``detail_file`` pointer automatically.
 
 The headline set covers every operator family: scan-agg, multi-join,
 window, events (sessionize/as-of), dedup (minhash), similarity
@@ -130,7 +138,12 @@ def main() -> None:
     # pandas-UDF stage of a session otherwise pays worker spin-up
     # (measured: 12.9 s cold vs 2.8 s warm on docs_minhash_pairs).
     queries["q1_pricing_summary"](spark, sf_dir).count()
-    queries["docs_minhash_pairs"](spark, "/root/testdata/sf0.001").count()
+    # Prefer the smallest available scale for the UDF-daemon warm-up;
+    # fall back to the bench dir itself on hosts without /root/testdata.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    queries["docs_minhash_pairs"](spark, warm_dir).count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
@@ -148,12 +161,35 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_wall_sec",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Per-family wall sums keep the printed line short enough for the
+    # driver's tail capture (round-3 lesson: 90 per-query entries
+    # overflowed it and the official artifact lost its parsed form).
+    families: dict[str, float] = {}
+    for name, sec in per_query.items():
+        fam = "tpch" if name[0] == "q" and name[1].isdigit() else name.split("_")[0]
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    out = {
+        "metric": "headline_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": families,
+        "n_queries": len(per_query),
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": sf_val,
     }
     print(json.dumps(out))
 

@@ -682,9 +682,17 @@ def symspell_pairs(
     WITHOUT the all-pairs comparison — two strings within edit
     distance d always share a variant reachable by ≤ d deletions
     from each (every edit op costs at most one deletion per side),
-    so the candidate set is an equi-join on exploded variants and
-    blocking has NO false negatives; the exact ``levenshtein``
-    verify removes false positives.
+    so the candidate set is an equi-join on exploded variants; the
+    exact ``levenshtein`` verify removes false positives.
+
+    Recall caveat: the blocking itself has no false negatives, but the
+    ``bucket_cap`` degenerate-bucket guard drops variant buckets larger
+    than ``bucket_cap`` outright, so a pair whose ONLY shared deletion
+    variants live in capped buckets is lost — the same bounded-recall
+    trade-off MinHash banding makes for skew safety. Corpora of many
+    short or near-identical keys are the risk case; raise
+    ``bucket_cap`` (or pre-dedup exact keys) if full recall matters
+    more than skew protection.
 
     Scale shape: variants fan out per row by O(L^d) (key length, not
     corpus size), candidates come from one bucket equi-join with the

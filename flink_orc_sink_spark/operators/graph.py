@@ -161,10 +161,9 @@ def triangle_count(
         .filter(F.col("x") < F.col("y"))
         .distinct()
         # the canonical edge set feeds degrees, orientation, and the
-        # edge count — materialize once instead of re-running the
-        # dedup join per consumer (same bounded-lineage pattern as
-        # the connected-components iteration)
-        .localCheckpoint(eager=False)
+        # edge count — materialize once (eagerly: three consumers
+        # would otherwise each trigger the dedup on first touch)
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -172,9 +171,11 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    # Total order on vertices: (degree, id). rank is comparable as a
-    # single BIGINT because ids are bounded (shift leaves headroom).
-    rank = (F.col("deg") * F.lit(10_000_000_000) + F.col("node")).alias(
+    # Total order on vertices: (degree, id) as a STRUCT — struct
+    # comparison is lexicographic, so this is safe for any id range
+    # (arithmetic packing would silently corrupt the order for ids
+    # ≥ the shift base or negative ids).
+    rank = F.struct(F.col("deg").alias("d"), F.col("node").alias("n")).alias(
         "rank"
     )
     # The degree table is node-sized (orders of magnitude below the
@@ -200,7 +201,13 @@ def triangle_count(
         F.when(F.col("rank_x") < F.col("rank_y"), F.col("rank_y"))
         .otherwise(F.col("rank_x"))
         .alias("rank_v"),
-    ).localCheckpoint(eager=False)  # consumed 3× (both wedge sides + close)
+    )
+    # Consumed 3× (both wedge sides + the close probe). Pre-partition
+    # on the wedge pivot THEN checkpoint eagerly: LogicalRDD keeps the
+    # hash partitioning, so the wedge self-join needs no exchange on
+    # either side, and the eager materialization means the orientation
+    # pipeline runs once instead of once per consumer.
+    oriented = oriented.repartition("u").localCheckpoint(eager=True)
     a = oriented.select(
         F.col("u"), F.col("v").alias("w1"), F.col("rank_v").alias("rw1")
     )

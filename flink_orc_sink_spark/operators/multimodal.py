@@ -635,16 +635,27 @@ def ahash_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
     hash_col: str = "ahash",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     n_bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash Hamming distance,
     found the scale-safe way (same banding family as
     ``operators/dedup.py``'s SimHash): split the 64-bit hash into
     ``n_bands`` 16-bit bands — any pair within ``max_hamming ≤
-    n_bands − 1`` bits must agree on ≥ 1 band — bucket-join per band,
-    dedup candidates, verify with ``bit_count(xor)``. No all-pairs
-    comparison anywhere."""
+    n_bands − 1`` bits must agree on ≥ 1 band (pigeonhole) —
+    bucket-join per band, dedup candidates, verify with
+    ``bit_count(xor)``. No all-pairs comparison anywhere.
+
+    Completeness requires ``max_hamming <= n_bands - 1``; violating it
+    would silently miss pairs whose differing bits spread one-per-band,
+    so we refuse rather than return incomplete results.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is only complete for max_hamming <= n_bands - 1 "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}); "
+            f"raise n_bands or lower max_hamming"
+        )
     band_bits = 64 // n_bands
     bands = hashes.select(
         F.col(id_col).alias("mid"),

@@ -31,6 +31,7 @@ files, which is what a 100 TB table wants.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -612,24 +613,56 @@ def bloom_pruned_read(
     """Point lookup ``col == key`` reading ONLY the files whose bloom
     admits the key. Blooms have no false negatives, so the result is
     identical to a full-scan filter; false positives cost one extra
-    file open each, removed by the exact filter. Driver-side work is
-    bounded: one bitset probe per FILE."""
-    import pandas as pd
+    file open each, removed by the exact filter.
 
-    from flink_orc_sink_spark.functions.bloom import might_contain
-
-    idx = spark.read.parquet(index_path).collect()
-    probe = pd.Series([key])
+    The bitset probes run ON EXECUTORS (a pandas UDF filter over the
+    index DataFrame, :func:`bloom_admitted_files`); only the admitted
+    file NAMES cross to the driver. This matters at scale: the index
+    is one row per file but each row's bitset is ~1.2 bytes per
+    distinct key, so total index bytes grow with table cardinality,
+    not file count — collecting the bitsets to the driver (the
+    round-3 shape) would be a multi-GB pull per lookup on a 100 TB
+    high-cardinality key. The admitted-name list is genuinely
+    driver-sized: it is the read plan.
+    """
     files = [
-        r.file
-        for r in idx
-        if bool(
-            might_contain(r.bitset, r.n_bits, r.n_hashes, probe).iloc[0]
-        )
+        r.file for r in bloom_admitted_files(spark, index_path, key).collect()
     ]
     if not files:
         return spark.read.orc(path).filter(F.lit(False))
     return spark.read.orc(files).filter(F.col(col) == F.lit(key))
+
+
+def bloom_admitted_files(
+    spark: SparkSession, index_path: str, key: int
+) -> DataFrame:
+    """The distributed half of :func:`bloom_pruned_read`: a
+    single-column ``file`` DataFrame of index rows whose bloom admits
+    ``key``. The probe is a pandas UDF filter, so bitsets are read,
+    probed, and discarded executor-side; the driver only ever sees
+    names. One Python invocation per FILE (not per data row) — the
+    index is Arrow-batched through the UDF in one map stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    from flink_orc_sink_spark.functions.bloom import might_contain
+
+    @pandas_udf("boolean")
+    def admits(
+        bitset: pd.Series, n_bits: pd.Series, n_hashes: pd.Series
+    ) -> pd.Series:
+        probe = pd.Series([key])
+        return pd.Series(
+            [
+                bool(might_contain(b, int(nb), int(nh), probe).iloc[0])
+                for b, nb, nh in zip(bitset, n_bits, n_hashes)
+            ]
+        )
+
+    return (
+        spark.read.parquet(index_path)
+        .filter(admits("bitset", "n_bits", "n_hashes"))
+        .select("file")
+    )
 
 
 def erase_keys_orc(

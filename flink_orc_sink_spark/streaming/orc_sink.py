@@ -216,19 +216,26 @@ def stream_quarantine_orc(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         staged = batch_df.localCheckpoint(eager=True)  # split reads it twice
-        for target, pred in (
-            (valid_path, expectation),
-            (quarantine_path, ~F.coalesce(expectation, F.lit(False))),
-        ):
-            (
-                staged.filter(pred)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("compression", compression)
-                .partitionBy("batch_id")
-                .orc(target)
-            )
+        try:
+            for target, pred in (
+                (valid_path, expectation),
+                (quarantine_path, ~F.coalesce(expectation, F.lit(False))),
+            ):
+                (
+                    staged.filter(pred)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .option("compression", compression)
+                    .partitionBy("batch_id")
+                    .orc(target)
+                )
+        finally:
+            # Checkpointed blocks otherwise linger until the JVM
+            # ContextCleaner notices — on a long-running stream that
+            # is unbounded executor storage growth, one batch per
+            # trigger. Release them as soon as both writes land.
+            staged.unpersist()
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

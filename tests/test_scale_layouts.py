@@ -262,3 +262,35 @@ def test_bloom_index_prunes_file_opens(spark, sf_dir, tmp_path):
     # the exact filter must return nothing
     missing = bloom_pruned_read(spark, data, idx, "o_custkey", 10**12)
     assert missing.count() == 0
+
+
+def test_bloom_probe_runs_on_executors(spark, sf_dir, tmp_path):
+    """The bitset probe must be a pandas-UDF FILTER in the index read
+    plan — bitsets probed and discarded executor-side — and the frame
+    that reaches the driver must carry ONLY file names. Guards the
+    scale property: index bytes grow with table cardinality (≈1.2
+    bytes per distinct key), so collecting bitsets to the driver
+    (the round-3 shape this replaced) would be a multi-GB pull per
+    point lookup at 100 TB."""
+    from flink_orc_sink_spark.sources.catalog import table
+    from flink_orc_sink_spark.sources.orc_sink import (
+        bloom_admitted_files,
+        build_bloom_index,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    o.repartition(8, "o_custkey").write.format("orc").save(data)
+    build_bloom_index(spark, data, "o_custkey", idx)
+
+    key = o.select("o_custkey").first().o_custkey
+    admitted = bloom_admitted_files(spark, idx, key)
+    # only names cross the collect boundary
+    assert admitted.columns == ["file"]
+    plan = admitted._jdf.queryExecution().executedPlan().toString()
+    # the probe is an Arrow-batched Python eval feeding a Filter,
+    # upstream of the final name-only projection
+    assert "ArrowEvalPython" in plan, plan[:4000]
+    assert "Filter" in plan, plan[:4000]
+    assert 1 <= admitted.count() <= 3

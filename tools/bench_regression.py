@@ -44,6 +44,16 @@ def main() -> int:
             fresh = json.load(f)
     else:
         fresh = json.loads(sys.stdin.read().strip().splitlines()[-1])
+    # bench.py's printed line now carries per-FAMILY sums plus a
+    # pointer to the full per-query map; follow it for the real gate.
+    if "detail_file" in fresh:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            fresh["detail_file"],
+        )
+        if os.path.exists(detail_path):
+            with open(detail_path) as f:
+                fresh = json.load(f)
 
     base_path = (
         sys.argv[2]
