@@ -119,6 +119,8 @@ HEADLINE = [
     "emb_kmeans_cluster",
     "stream_quarantine",
     "stream_sessionize_dynamic",
+    # round-4 session additions
+    "multimodal_jpeg_stats",
 ]
 
 

@@ -303,29 +303,46 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def decode_pixels(raw: bytes):
+    """Dispatch on container magic to a REAL stdlib-only codec:
+    PNG (``functions/png.py``) or baseline JPEG
+    (``functions/jpeg.py`` — Huffman + IDCT, grey/4:4:4/4:2:0,
+    restart markers). Returns a uint8 array (h, w) or (h, w, ch).
+    Formats without a pure-Python codec (video/audio) keep their
+    injectable seams below."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        from flink_orc_sink_spark.functions.png import png_decode
+
+        return png_decode(raw)
+    if raw[:2] == b"\xff\xd8":
+        from flink_orc_sink_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(raw)
+    raise NotImplementedError(
+        "no stdlib codec for this format (PNG and baseline JPEG are"
+        " real; video/audio need external libs not in this runtime)"
+    )
+
+
 def decode_image_kernel(raw: bytes) -> tuple[int, int, list[float]]:
     """Decode + feature-extract one image. REAL for PNG (stdlib-zlib
-    codec, ``functions/png.py`` — 8-bit grey/RGB/RGBA, all filters):
+    codec, ``functions/png.py`` — 8-bit grey/RGB/RGBA, all filters)
+    and baseline JPEG (``functions/jpeg.py`` — Huffman + IDCT):
     returns (width, height, features) where features is the 8-bin
     grey histogram as fractions — exact integer counts divided once,
-    so the output is deterministic. Other formats still need
-    PIL/torchvision and keep the stubbed seam."""
-    if raw[:8] == b"\x89PNG\r\n\x1a\n":
-        import numpy as np
+    so the output is deterministic. Video frames / audio still need
+    external codecs and keep the stubbed seam."""
+    import numpy as np
 
-        from flink_orc_sink_spark.functions.png import png_decode, to_grey
+    from flink_orc_sink_spark.functions.png import to_grey
 
-        px = png_decode(raw)
-        g = to_grey(px)
-        h, w = g.shape
-        counts = np.bincount((g >> 5).reshape(-1), minlength=8)
-        n = int(g.size)
-        feats = [float(int(c) * 10000 // n) / 10000 for c in counts]
-        return int(w), int(h), feats
-    raise NotImplementedError(
-        "non-PNG decode requires PIL/torchvision, not present in this"
-        " runtime"
-    )
+    px = decode_pixels(raw)
+    g = to_grey(px)
+    h, w = g.shape
+    counts = np.bincount((g >> 5).reshape(-1), minlength=8)
+    n = int(g.size)
+    feats = [float(int(c) * 10000 // n) / 10000 for c in counts]
+    return int(w), int(h), feats
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(
@@ -376,20 +393,16 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image_kernel(raw: bytes, width: int, height: int) -> bytes:
-    """Resize one image to (width, height). REAL for PNG:
-    deterministic nearest-neighbour index mapping + stdlib re-encode
-    (``functions/png.py``). Other formats keep the PIL seam."""
-    if raw[:8] == b"\x89PNG\r\n\x1a\n":
-        from flink_orc_sink_spark.functions.png import (
-            png_decode,
-            png_encode,
-            resize_nearest,
-        )
+    """Resize one image to (width, height): deterministic
+    nearest-neighbour index mapping over real decoded pixels (PNG or
+    baseline JPEG input — ``decode_pixels``), re-encoded as PNG.
+    Output is ALWAYS PNG: the resize tier feeds hashing/training
+    stages that need lossless, deterministic bytes, which a JPEG
+    re-encode (lossy) would break. Video frames keep the ffmpeg
+    seam."""
+    from flink_orc_sink_spark.functions.png import png_encode, resize_nearest
 
-        return png_encode(resize_nearest(png_decode(raw), width, height))
-    raise NotImplementedError(
-        "non-PNG resize requires PIL, not present in this runtime"
-    )
+    return png_encode(resize_nearest(decode_pixels(raw), width, height))
 
 
 def resize_images(
@@ -546,6 +559,44 @@ def attach_planted_png(
     return df.withColumn("png", blob_of(F.col(id_col)))
 
 
+def plant_jpeg_pixels(media_id: int) -> bytes:
+    """A REAL decodable baseline JPEG whose pixels are pure
+    ``media_id`` arithmetic. JPEG is lossy in general, so the plant
+    exploits the one exactness window the codec guarantees
+    (``functions/jpeg.py``): under FLAT (all-ones) quantisation a
+    CONSTANT 8×8 block round-trips bit-exactly (DC = 8·(c−128),
+    AC ≡ 0). The canvas is a ``(id%4+2) × (id%5+3)`` grid of 8×8
+    blocks, block (bx, by) filled with ``(a·bx + b·by + c·bx·by + id)
+    mod 256`` and per-id frequencies ``a = 11 + 2(id%5)``,
+    ``b = 23 + 5(id%3)``, ``c = id%7`` — so a SQL oracle can compute
+    decoded-pixel statistics by summing the block grid arithmetically
+    (64 pixels per block) without touching a byte of JPEG, while the
+    encoded file still exercises the full real path: Huffman DC
+    magnitude coding, EOB runs, byte stuffing, IDCT."""
+    import numpy as np
+
+    from flink_orc_sink_spark.functions.jpeg import jpeg_encode
+
+    bw, bh = media_id % 5 + 3, media_id % 4 + 2
+    a, b, c = 11 + 2 * (media_id % 5), 23 + 5 * (media_id % 3), media_id % 7
+    bx = np.arange(bw, dtype=np.int64)[None, :]
+    by = np.arange(bh, dtype=np.int64)[:, None]
+    blocks = (a * bx + b * by + c * bx * by + media_id) % 256
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return jpeg_encode(px, flat_quant=True)
+
+
+def attach_planted_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach the planted REAL JPEG per id (Arrow-batched, built
+    executor-side)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_jpeg_pixels(int(i)))
+
+    return df.withColumn("jpeg", blob_of(F.col(id_col)))
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -560,17 +611,19 @@ IMAGE_STATS_SCHEMA = T.StructType(
 def decode_image_stats(
     df: DataFrame, id_col: str, binary_col: str
 ) -> DataFrame:
-    """REAL pixel statistics from PNG bytes: width, height, exact
-    integer pixel sum, and a fixed-point mean (``sum·10⁴ div n``) —
-    every output value integer-derived, so the whole decode path is
-    value-checkable cross-engine."""
-    from flink_orc_sink_spark.functions.png import png_decode, to_grey
+    """REAL pixel statistics from PNG or baseline-JPEG bytes: width,
+    height, exact integer pixel sum, and a fixed-point mean
+    (``sum·10⁴ div n``) — every output value integer-derived, so the
+    whole decode path is value-checkable cross-engine (for JPEG the
+    oracle plants constant 8×8 blocks under flat quantisation, which
+    round-trip bit-exactly — see ``functions/jpeg.py``)."""
+    from flink_orc_sink_spark.functions.png import to_grey
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[binary_col]):
-                g = to_grey(png_decode(bytes(raw)))
+                g = to_grey(decode_pixels(bytes(raw)))
                 h, w = g.shape
                 s = int(g.astype("int64").sum())
                 rows.append(
@@ -607,9 +660,10 @@ AHASH_SCHEMA = T.StructType(
 
 
 def image_ahash(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
-    """Perceptual average-hash per image (REAL pixels; integer
-    arithmetic end to end — ``functions/png.py::average_hash``)."""
-    from flink_orc_sink_spark.functions.png import average_hash, png_decode
+    """Perceptual average-hash per image (REAL pixels, PNG or baseline
+    JPEG; integer arithmetic end to end —
+    ``functions/png.py::average_hash``)."""
+    from flink_orc_sink_spark.functions.png import average_hash
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -619,7 +673,7 @@ def image_ahash(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
                     # store the uint64 hash in int64 (two's complement)
                     int(
                         pd.array(
-                            [average_hash(png_decode(bytes(raw)))],
+                            [average_hash(decode_pixels(bytes(raw)))],
                             dtype="UInt64",
                         ).astype("Int64")[0]
                     ),

@@ -2895,6 +2895,59 @@ FROM px
 """
 
 
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode at value level: 200 planted baseline JPEGs —
+    actual Huffman-coded files with DQT/DHT/SOF0/SOS segments, built
+    executor-side — decoded by the dependency-free codec
+    (``functions/jpeg.py``: marker walk, Huffman entropy decode,
+    dequantise, IDCT) into pixels whose statistics the oracle computes
+    FROM ARITHMETIC ALONE. The plant uses the codec's exactness
+    window: constant 8×8 blocks under flat quantisation round-trip
+    bit-exactly (DC = 8·(c−128), AC ≡ 0), so the oracle just sums the
+    planted block grid (``operators/multimodal.py::
+    plant_jpeg_pixels``). A hash match proves the entire JPEG path —
+    header walk, Huffman tables, magnitude decode, dequantise, IDCT,
+    level shift — with no image library anywhere. Scale shape:
+    column-pruned Arrow batches through ``mapInPandas``, map-only,
+    zero shuffle."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_jpeg,
+        decode_image_stats,
+    )
+
+    # 8 partitions: 200 tiny rows across the default 32+ creates
+    # more pandas-UDF task/worker churn than work
+    ids = spark.range(0, 200, 1, 8).select(F.col("id").alias("media_id"))
+    with_jpeg = attach_planted_jpeg(ids, "media_id")
+    return decode_image_stats(with_jpeg, "media_id", "jpeg")
+
+
+MULTIMODAL_JPEG_SQL = """
+WITH ids AS (SELECT unnest(range(0, 200)) AS media_id),
+dims AS (
+  SELECT media_id, media_id % 5 + 3 AS bw, media_id % 4 + 2 AS bh,
+    11 + 2 * (media_id % 5) AS a, 23 + 5 * (media_id % 3) AS b,
+    media_id % 7 AS c
+  FROM ids
+),
+blocks AS (
+  SELECT d.media_id, d.bw, d.bh,
+    64 * SUM((d.a * xs.bx + d.b * ys.by + d.c * xs.bx * ys.by
+              + d.media_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.bw)) AS bx) xs,
+       LATERAL (SELECT unnest(range(0, d.bh)) AS by) ys
+  GROUP BY d.media_id, d.bw, d.bh
+)
+SELECT media_id,
+  CAST(bw * 8 AS INTEGER) AS width,
+  CAST(bh * 8 AS INTEGER) AS height,
+  CAST(s AS BIGINT) AS pixel_sum,
+  CAST(s * 10000 // (bw * 8 * bh * 8) AS DOUBLE) / 10000 AS mean_gray
+FROM blocks
+"""
+
+
 def multimodal_phash_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3214,6 +3267,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "emb_kmeans_cluster": emb_kmeans_cluster,
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_jpeg_stats": multimodal_jpeg_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "docs_retrieval_eval": docs_retrieval_eval,
@@ -3282,6 +3336,7 @@ QUERIES = {
 ORACLES = {
     "emb_kmeans_cluster": _kmeans_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
+    "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
     "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
     "docs_retrieval_eval": _retrieval_eval_sql(),

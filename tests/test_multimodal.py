@@ -56,12 +56,13 @@ def test_decode_images_with_injected_kernel(spark):
     assert rows[2].features[0] == float(JPEG[0])
 
 
-def test_decode_images_stub_raises_for_non_png(spark):
-    # PNG decode is REAL now (functions/png.py); the codec seam only
-    # remains for formats that genuinely need PIL/ffmpeg
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    df = spark.createDataFrame([(1, jpeg)], "media_id long, blob binary")
-    with pytest.raises(Exception, match="PIL|NotImplemented"):
+def test_decode_images_stub_raises_for_non_image(spark):
+    # PNG and baseline JPEG decode are REAL now (functions/png.py,
+    # functions/jpeg.py); the codec seam only remains for formats
+    # that genuinely need ffmpeg-class libs
+    wav = b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 16
+    df = spark.createDataFrame([(1, wav)], "media_id long, blob binary")
+    with pytest.raises(Exception, match="codec|NotImplemented"):
         decode_images(df, "media_id", "blob", kernel=decode_image_kernel).collect()
 
 
