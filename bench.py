@@ -121,6 +121,7 @@ HEADLINE = [
     "stream_sessionize_dynamic",
     # round-4 session additions
     "multimodal_jpeg_stats",
+    "stream_pyds_partitioned",
 ]
 
 

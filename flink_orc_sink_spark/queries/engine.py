@@ -1933,6 +1933,89 @@ FROM g GROUP BY etype
 """
 
 
+def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector with KAFKA-SHAPED offsets at value level:
+    3 independent source partitions, each with its own cursor in the
+    committed ``{partition: offset}`` map, advancing at deliberately
+    skewed rates (p0 advances at a third of p2's rate — real topic
+    partitions are never balanced), each owning a disjoint id
+    namespace (``id = p·10⁶ + k``). Drained to exhaustion and
+    aggregated per (partition, etype); the arithmetic oracle
+    reproduces every cursor's full range, so the hash match proves
+    per-partition offset tracking covered all three namespaces
+    exactly once — no partition starved, none replayed. The restart/
+    rebalance half of the contract (resume cursors, add a partition
+    mid-stream) is pytest-pinned in tests/test_pydatasource.py."""
+    import time
+
+    from flink_orc_sink_spark.sources.pydatasource import register
+
+    global _STREAM_SEQ
+    register(spark)
+    per_part, stride = 10_000, 1_000_000
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", per_part)
+        .option("n_users", 100)
+        .option("rows_per_batch", 6_000)
+        .option("n_stream_parts", 3)
+        .option("id_stride", stride)
+        .load()
+    )
+    agg = (
+        sdf.groupBy(
+            (F.col("event_id") / stride).cast("long").alias("partition"),
+            F.col("etype"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_pyds_part_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(prefix="stream_pydsp_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = spark.sql(
+                f"SELECT COALESCE(SUM(n_events), 0) AS t FROM {name}"
+            ).collect()[0].t
+            if done >= 3 * per_part:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+STREAM_PYDS_PART_SQL = """
+WITH g AS (
+  SELECT p.p * 1000000 + k.k AS event_id, p.p AS partition
+  FROM (SELECT unnest(range(0, 3)) AS p) p,
+       (SELECT unnest(range(0, 10000)) AS k) k
+),
+e AS (
+  SELECT partition,
+    ['view', 'click', 'purchase', 'signup', 'error']
+      [(event_id % 5) + 1] AS etype,
+    (event_id * 37 + 11) % 10000 AS value_cents
+  FROM g
+)
+SELECT CAST(partition AS BIGINT) AS partition, etype,
+  COUNT(*) AS n_events,
+  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY partition, etype
+"""
+
+
 def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING DEAD-LETTER QUEUE at value level: the events stream
     plus 50 planted-bad rows (NULL types, negative values) replayed
@@ -2089,6 +2172,7 @@ QUERIES = {
     "stream_quarantine": stream_quarantine,
     "pyds_source_agg": pyds_source_agg,
     "stream_pyds_source": stream_pyds_source,
+    "stream_pyds_partitioned": stream_pyds_partitioned,
     "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
     "orc_bloom_pruned_read": orc_bloom_pruned_read,
@@ -2125,6 +2209,7 @@ ORACLES = {
     "stream_quarantine": ORC_ROUNDTRIP_SQL,
     "pyds_source_agg": PYDS_AGG_SQL,
     "stream_pyds_source": STREAM_PYDS_SQL,
+    "stream_pyds_partitioned": STREAM_PYDS_PART_SQL,
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
     "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,

@@ -19,10 +19,26 @@ arithmetic-oracle trick as the planted-PNG pixel tier):
 - ``value_cents`` = (event_id * 37 + 11) % 10000
 
 Batch reads split the id range into ``n_partitions`` independent
-partitions (real parallel scan). The streaming reader exposes the
-row index as the OFFSET — replayable, exactly-once-compatible, the
-S2 contract (`README.md:22`: rewind to the checkpointed offset) in
-~40 lines of Python.
+partitions (real parallel scan). The streaming reader is
+KAFKA-SHAPED: ``n_stream_parts`` independent source partitions, each
+with its own replayable cursor — the committed offset is a
+``{partition: cursor}`` map, exactly the shape of a Kafka consumer
+position, not one global counter. Each partition owns a disjoint id
+namespace (``id = partition · id_stride + k``) and partitions advance
+at deliberately SKEWED rates per micro-batch (real partitions are
+never balanced). Restart semantics:
+
+- a fresh reader fast-forwards every cursor it recognises to the
+  WAL-replayed offsets in ``partitions()``/``commit()`` (a rewound
+  ``latestOffset`` would let Spark re-plan a covered window);
+- a partition ADDED across restart (count 2 → 3) starts from cursor
+  0 — the offset map simply lacks its key;
+- a partition REMOVED across restart keeps its committed rows and
+  stops advancing.
+
+That is the full S2 rewind contract (`README.md:22`) in the real
+per-partition shape; swapping in ``format("kafka")`` changes the
+line that names the source, nothing downstream.
 """
 
 from __future__ import annotations
@@ -72,44 +88,90 @@ class _Reader(DataSourceReader):
             yield _row(i, partition.n_users)
 
 
+@dataclass
+class _PartRange(InputPartition):
+    part: int
+    start: int
+    end: int
+    n_users: int
+    stride: int
+
+
 class _StreamReader(DataSourceStreamReader):
-    """Replayable micro-batch source: the offset is the row index.
-    ``latestOffset`` advances by ``rows_per_batch`` until ``n_rows``
-    is exhausted; a restart resumes from the checkpointed offset —
-    the exactly-once replay contract the reference assumes of Kafka."""
+    """Replayable micro-batch source with PER-PARTITION offsets (the
+    Kafka consumer-position shape). ``n_rows`` is the cap PER
+    partition; partition ``p`` emits ids ``p·id_stride + (0..k)`` so
+    namespaces never collide and a SQL oracle can reproduce any
+    cursor state arithmetically. ``latestOffset`` advances each
+    cursor at a skewed per-partition rate until exhausted; a restart
+    resumes every cursor from the checkpointed map — the
+    exactly-once replay contract the reference assumes of Kafka,
+    per partition."""
 
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 100_000))
         self.n_users = int(options.get("n_users", 100))
         self.per_batch = int(options.get("rows_per_batch", 20_000))
-        self._current = 0
+        self.n_parts = int(options.get("n_stream_parts", 1))
+        self.stride = int(options.get("id_stride", 1_000_000))
+        if self.n_rows > self.stride:
+            raise ValueError(
+                f"n_rows ({self.n_rows}) must fit the id namespace"
+                f" (id_stride={self.stride}) or partition ids collide"
+            )
+        self._cur = {p: 0 for p in range(self.n_parts)}
+
+    def _step(self, p: int) -> int:
+        # Skewed on purpose: real topic partitions never advance in
+        # lockstep. Partition p gets ~(p+1)/n of the batch budget.
+        if self.n_parts == 1:
+            return self.per_batch
+        return max(1, self.per_batch * (p + 1) // self.n_parts)
 
     def initialOffset(self):
-        return {"idx": 0}
+        return {str(p): 0 for p in range(self.n_parts)}
 
-    def latestOffset(self):
-        self._current = min(self._current + self.per_batch, self.n_rows)
-        return {"idx": self._current}
-
-    def partitions(self, start, end):
+    def _fast_forward(self, *offsets) -> None:
         # RESTART SAFETY: a fresh reader instance knows nothing about
         # the checkpoint, and a rewound latestOffset would let Spark
         # plan an already-covered window again (measured: exactly one
         # per_batch window duplicated). The WAL replay calls
-        # partitions() with the checkpointed offsets before any new
-        # batch is planned — fast-forward the generator to the
-        # highest offset Spark has ever named.
-        self._current = max(self._current, start["idx"], end["idx"])
-        if end["idx"] <= start["idx"]:
-            return []
-        return [_Range(start["idx"], end["idx"], self.n_users)]
+        # partitions()/commit() with the checkpointed offsets before
+        # any new batch is planned — fast-forward every cursor we
+        # recognise to the highest offset Spark has ever named.
+        # Unknown keys (a partition removed across restart) are left
+        # alone: their rows are already committed and they simply
+        # stop advancing.
+        for off in offsets:
+            for key, v in off.items():
+                p = int(key)
+                if p in self._cur:
+                    self._cur[p] = max(self._cur[p], int(v))
 
-    def read(self, partition: _Range):
-        for i in range(partition.start, partition.end):
-            yield _row(i, partition.n_users)
+    def latestOffset(self):
+        for p in range(self.n_parts):
+            self._cur[p] = min(self._cur[p] + self._step(p), self.n_rows)
+        return {str(p): self._cur[p] for p in range(self.n_parts)}
+
+    def partitions(self, start, end):
+        self._fast_forward(start, end)
+        out = []
+        for p in range(self.n_parts):
+            # a partition ADDED across restart is absent from the
+            # checkpointed start map: it begins at cursor 0
+            lo = int(start.get(str(p), 0))
+            hi = int(end.get(str(p), lo))
+            if hi > lo:
+                out.append(_PartRange(p, lo, hi, self.n_users, self.stride))
+        return out
+
+    def read(self, partition: _PartRange):
+        base = partition.part * partition.stride
+        for k in range(partition.start, partition.end):
+            yield _row(base + k, partition.n_users)
 
     def commit(self, end):
-        self._current = max(self._current, end["idx"])
+        self._fast_forward(end)
 
 
 class SyntheticEventsDataSource(DataSource):

@@ -90,3 +90,84 @@ def test_stream_restart_exactly_once(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_rows
     s = got.agg(F.sum("value_cents").alias("s")).collect()[0].s
     assert s == sum((i * 37 + 11) % 10000 for i in range(n_rows))
+
+
+def test_stream_partitioned_offsets_rebalance_restart(spark, tmp_path):
+    """Kafka-shaped offsets: run with 2 source partitions (skewed
+    advance rates), kill mid-stream, restart the SAME checkpoint with
+    3 partitions. Surviving partitions must resume from their own
+    cursors (no replay, no gap) and the added partition must start
+    from 0 — the committed output holds every id of every partition
+    EXACTLY once."""
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        read_committed_orc,
+        stream_write_orc,
+    )
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    per_part, stride = 1500, 1_000_000
+
+    def start(n_parts):
+        sdf = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", per_part)
+            .option("rows_per_batch", 500)
+            .option("n_stream_parts", n_parts)
+            .option("id_stride", stride)
+            .load()
+        )
+        return stream_write_orc(
+            sdf,
+            out,
+            ckpt,
+            trigger={"processingTime": "0 seconds"},
+            query_name="pyds_rebalance",
+        )
+
+    q = start(2)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if read_committed_orc(spark, out).count() >= 1200:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    mid = read_committed_orc(spark, out).count()
+    assert 500 <= mid < 2 * per_part  # genuinely mid-stream
+
+    q2 = start(3)  # REBALANCE: one partition added across restart
+    total = 3 * per_part
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if read_committed_orc(spark, out).count() >= total:
+            break
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = read_committed_orc(spark, out)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+    per_ns = {
+        r.p: r.n
+        for r in got.groupBy(
+            (F.col("event_id") / stride).cast("long").alias("p")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every partition — survivors AND the added one — fully drained,
+    # exactly once
+    assert per_ns == {0: per_part, 1: per_part, 2: per_part}
+    s = got.agg(F.sum("value_cents").alias("s")).collect()[0].s
+    want = sum(
+        ((p * stride + k) * 37 + 11) % 10000
+        for p in range(3)
+        for k in range(per_part)
+    )
+    assert s == want
