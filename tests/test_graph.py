@@ -87,3 +87,33 @@ def test_bfs_hops_respects_max_hops_and_cycles(spark):
         for r in bfs_hops(edges, seeds, max_hops=2).collect()
     }
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; undirected duplicates and
+    self-loops must not change the count."""
+    from flink_orc_sink_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(0, 0), (1, 1)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_extreme_ids_fallback(spark):
+    """Node ids >= the packing shift base (1e10) and negative ids
+    must route to the struct-ordered fallback and still count
+    correctly — the arithmetic packing would silently corrupt the
+    vertex order here (round-3 advisory)."""
+    from flink_orc_sink_spark.operators.graph import triangle_count
+
+    big = 10_000_000_000_007
+    nodes = [-5, 0, big, big + 1]
+    k4 = [
+        (nodes[a], nodes[b]) for a in range(4) for b in range(4) if a < b
+    ]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)

@@ -10,7 +10,13 @@ pairs are still found. A quadratic blow-up here is the classic dedup
 scale failure (hot shingle / degenerate bucket), capped by ``df_cap``
 and ``bucket_cap``.
 
+Planted-pair RECALL is measured at every size: doc ``i`` with
+``i % 100 == 99`` is a 3-token perturbation of doc ``i-1``, so the
+expected pair set is known exactly and recall is a join, not an
+estimate.
+
 Usage: python tools/scale_probe.py [sizes ...]   (default: 5000 25000 50000)
+100× probe: python tools/scale_probe.py 5000 50000 500000
 """
 
 from __future__ import annotations
@@ -79,11 +85,30 @@ def main() -> None:
             n_pairs = pairs.count()
             t_full = time.time() - t0
 
-            planted = n // 100
+            # exact planted recall: pair (i-1, i) for every i%100==99
+            from pyspark.sql import functions as F
+
+            planted_df = (
+                spark.range(n)
+                .filter((F.col("id") % 100) == 99)
+                .select(
+                    (F.col("id") - 1).alias("doc_a"),
+                    F.col("id").alias("doc_b"),
+                )
+            )
+            n_planted = planted_df.count()
+            found = planted_df.join(
+                pairs.select(
+                    F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b"),
+                ),
+                ["doc_a", "doc_b"],
+                "left_semi",
+            ).count()
             print(
                 f"docs={n:6d}  sig={t_sig:5.1f}s  sig+cand={t_cand:5.1f}s "
                 f"full={t_full:5.1f}s  cands={n_cands}  pairs={n_pairs} "
-                f"(planted≈{planted})",
+                f"planted_recall={found}/{n_planted}",
                 flush=True,
             )
     finally:
