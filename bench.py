@@ -121,6 +121,8 @@ HEADLINE = [
     "stream_sessionize_dynamic",
     # round-4 session additions
     "multimodal_jpeg_stats",
+    "multimodal_audio_features",
+    "multimodal_frame_sample_stats",
     "stream_pyds_partitioned",
 ]
 

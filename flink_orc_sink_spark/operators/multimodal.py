@@ -355,8 +355,26 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_frames_kernel(raw: bytes, every_n: int) -> list[tuple[int, bytes]]:
-    """Sample every-n-th video frame. STUB: requires ffmpeg."""
-    raise NotImplementedError("frame sampling requires ffmpeg bindings")
+    """Sample every-n-th video frame. REAL for MJPEG-AVI
+    (``functions/avi.py`` chunk walk + ``functions/jpeg.py`` pixel
+    decode, stdlib-only): sampled frames are decoded and re-encoded
+    as lossless PNG, the deterministic bytes downstream hash/train
+    stages need. Codec-compressed video (H.264/VP9/…) genuinely
+    requires ffmpeg and keeps the injectable seam."""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        from flink_orc_sink_spark.functions.avi import avi_extract_frames
+        from flink_orc_sink_spark.functions.jpeg import jpeg_decode
+        from flink_orc_sink_spark.functions.png import png_encode
+
+        return [
+            (idx, png_encode(jpeg_decode(frame)))
+            for idx, frame in enumerate(avi_extract_frames(raw))
+            if idx % every_n == 0
+        ]
+    raise NotImplementedError(
+        "non-MJPEG video requires ffmpeg bindings, not present in"
+        " this runtime"
+    )
 
 
 def decode_images(
@@ -475,11 +493,22 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_audio_kernel(raw: bytes) -> tuple[int, int, list[float]]:
-    """Decode one audio blob → (duration_ms, sample_rate, features
-    e.g. mel-band energies). STUB: requires soundfile/librosa, not
-    present in this runtime."""
+    """Decode one audio blob → (duration_ms, sample_rate, features).
+    REAL for PCM WAV (``functions/wav.py``: RIFF chunk walk, 8/16-bit
+    PCM, integer-exact features [peak, zero_crossings, mean_square,
+    mean_abs_fp]). Compressed audio (mp3/aac/flac) genuinely requires
+    soundfile/librosa and keeps the injectable seam."""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        from flink_orc_sink_spark.functions.wav import (
+            wav_decode,
+            waveform_features,
+        )
+
+        sr, x = wav_decode(raw)
+        return waveform_features(sr, x)
     raise NotImplementedError(
-        "audio decode requires soundfile/librosa, not present in this runtime"
+        "compressed-audio decode requires soundfile/librosa, not"
+        " present in this runtime"
     )
 
 
@@ -595,6 +624,78 @@ def attach_planted_jpeg(df: DataFrame, id_col: str) -> DataFrame:
         return ids.map(lambda i: plant_jpeg_pixels(int(i)))
 
     return df.withColumn("jpeg", blob_of(F.col(id_col)))
+
+
+def plant_wav_samples(media_id: int) -> bytes:
+    """A REAL PCM WAV whose samples are pure ``media_id`` arithmetic:
+    ``s(k) = ((a·k + b) mod 2001) − 1000`` (a bounded sawtooth,
+    |s| ≤ 1000 so every feature stays integer-exact through the
+    float32 feature column) over ``n = 1000 + id%500`` samples at
+    ``sr = 8000·(1 + id%3)`` Hz, with per-id slope ``a = 13 + id%7``
+    and phase ``b = id mod 2001``. A SQL oracle reproduces peak /
+    zero-crossing / mean-square / mean-|x| features from the formula
+    alone — no WAV byte ever parsed oracle-side."""
+    import numpy as np
+
+    from flink_orc_sink_spark.functions.wav import wav_encode
+
+    n = 1000 + media_id % 500
+    sr = 8000 * (1 + media_id % 3)
+    a, b = 13 + media_id % 7, media_id % 2001
+    k = np.arange(n, dtype=np.int64)
+    s = ((a * k + b) % 2001) - 1000
+    return wav_encode(s.astype(np.int16), sr)
+
+
+def attach_planted_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach the planted REAL WAV per id (Arrow-batched, built
+    executor-side)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_wav_samples(int(i)))
+
+    return df.withColumn("wav", blob_of(F.col(id_col)))
+
+
+def plant_mjpeg_avi(media_id: int, n_frames: int = 6) -> bytes:
+    """A REAL MJPEG-AVI clip: ``n_frames`` constant-block JPEG frames
+    (the ``plant_jpeg_pixels`` exactness window — flat quantisation,
+    so every frame decodes bit-exactly) on a ``(id%3+2) × 2`` block
+    grid, block (bx, by) of frame f valued ``(a·bx + b·by + 17·f +
+    id) mod 256`` with ``a = 5 + id%5``, ``b = 9 + id%3``. Frame
+    statistics after container walk + JPEG decode are therefore pure
+    arithmetic for a SQL oracle."""
+    import numpy as np
+
+    from flink_orc_sink_spark.functions.avi import avi_encode_mjpeg
+    from flink_orc_sink_spark.functions.jpeg import jpeg_encode
+
+    bw, bh = media_id % 3 + 2, 2
+    a, b = 5 + media_id % 5, 9 + media_id % 3
+    bx = np.arange(bw, dtype=np.int64)[None, :]
+    by = np.arange(bh, dtype=np.int64)[:, None]
+    frames = []
+    for f in range(n_frames):
+        blocks = (a * bx + b * by + 17 * f + media_id) % 256
+        px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        frames.append(jpeg_encode(px, flat_quant=True))
+    return avi_encode_mjpeg(frames, bw * 8, bh * 8, fps=10)
+
+
+def attach_planted_avi(
+    df: DataFrame, id_col: str, n_frames: int = 6
+) -> DataFrame:
+    """Attach the planted REAL MJPEG-AVI per id (Arrow-batched, built
+    executor-side)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_mjpeg_avi(int(i), n_frames))
+
+    return df.withColumn("avi", blob_of(F.col(id_col)))
 
 
 IMAGE_STATS_SCHEMA = T.StructType(

@@ -2948,6 +2948,137 @@ FROM blocks
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode at value level: 200 planted PCM WAVs —
+    actual RIFF files built executor-side — decoded by the
+    dependency-free codec (``functions/wav.py``: chunk walk, PCM
+    int16) into waveforms whose features the oracle computes FROM THE
+    SAMPLE FORMULA ALONE (``s(k) = ((a·k+b) mod 2001) − 1000`` — see
+    ``plant_wav_samples``). Features are integer-exact end to end
+    (peak, strict zero crossings, Σx² div n, Σ|x|·100 div n), so a
+    hash match proves header parse, PCM extraction, and every feature
+    kernel with no audio library anywhere. Scale shape: column-pruned
+    Arrow batches through ``mapInPandas``, map-only, zero shuffle."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_wav,
+        extract_audio_features,
+    )
+
+    ids = spark.range(0, 200, 1, 8).select(F.col("id").alias("media_id"))
+    feats = extract_audio_features(
+        attach_planted_wav(ids, "media_id"), "media_id", "wav"
+    )
+    return feats.select(
+        "media_id",
+        "duration_ms",
+        "sample_rate",
+        F.element_at("features", 1).cast("long").alias("peak"),
+        F.element_at("features", 2).cast("long").alias("zero_crossings"),
+        F.element_at("features", 3).cast("long").alias("mean_square"),
+        F.element_at("features", 4).cast("long").alias("mean_abs_fp"),
+    )
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH ids AS (SELECT unnest(range(0, 200)) AS media_id),
+dims AS (
+  SELECT media_id, 1000 + media_id % 500 AS n,
+    8000 * (1 + media_id % 3) AS sr,
+    13 + media_id % 7 AS a, media_id % 2001 AS b
+  FROM ids
+),
+s AS (
+  SELECT d.media_id, k.k, ((d.a * k.k + d.b) % 2001) - 1000 AS v
+  FROM dims d, LATERAL (SELECT unnest(range(0, d.n)) AS k) k
+),
+z AS (
+  SELECT media_id, v,
+    lag(v) OVER (PARTITION BY media_id ORDER BY k) AS pv
+  FROM s
+),
+f AS (
+  SELECT media_id,
+    MAX(ABS(v)) AS peak,
+    SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+      AS zero_crossings,
+    SUM(v * v) // COUNT(*) AS mean_square,
+    SUM(ABS(v)) * 100 // COUNT(*) AS mean_abs_fp
+  FROM z GROUP BY media_id
+)
+SELECT d.media_id,
+  CAST(d.n * 1000 // d.sr AS INTEGER) AS duration_ms,
+  CAST(d.sr AS INTEGER) AS sample_rate,
+  CAST(f.peak AS BIGINT) AS peak,
+  CAST(f.zero_crossings AS BIGINT) AS zero_crossings,
+  CAST(f.mean_square AS BIGINT) AS mean_square,
+  CAST(f.mean_abs_fp AS BIGINT) AS mean_abs_fp
+FROM dims d JOIN f USING (media_id)
+"""
+
+
+def multimodal_frame_sample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video frame sampling at value level: 50 planted MJPEG-AVI
+    clips (6 constant-block JPEG frames each — the flat-quantisation
+    exactness window) walked by the dependency-free container parser
+    (``functions/avi.py``), every 2nd frame JPEG-decoded to lossless
+    PNG (``sample_frames_kernel``), then pixel-summed. The oracle
+    reproduces each sampled frame's statistics from the planted block
+    formula — a hash match proves the RIFF walk, the frame chunk
+    extraction, the per-frame JPEG decode, and the sampling stride.
+    Scale shape: frame fan-out stays inside the partition
+    (``mapInPandas``), no shuffle of raw media; the stats stage is a
+    second map."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_avi,
+        decode_image_stats,
+        sample_frames,
+    )
+
+    ids = spark.range(0, 50, 1, 8).select(F.col("id").alias("media_id"))
+    frames = sample_frames(
+        attach_planted_avi(ids, "media_id"), "media_id", "avi", every_n=2
+    )
+    # composite (media_id, frame_idx) key for the shared stats stage
+    keyed = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("key"),
+        "frame_png",
+    )
+    stats = decode_image_stats(keyed, "key", "frame_png")
+    return stats.select(
+        F.expr("media_id DIV 10").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "pixel_sum",
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH ids AS (SELECT unnest(range(0, 50)) AS media_id),
+fr AS (SELECT unnest([0, 2, 4]) AS frame_idx),
+dims AS (
+  SELECT media_id, media_id % 3 + 2 AS bw,
+    5 + media_id % 5 AS a, 9 + media_id % 3 AS b
+  FROM ids
+),
+px AS (
+  SELECT d.media_id, f.frame_idx, d.bw,
+    64 * SUM((d.a * xs.bx + d.b * ys.by + 17 * f.frame_idx
+              + d.media_id) % 256) AS s
+  FROM dims d, fr f,
+       LATERAL (SELECT unnest(range(0, d.bw)) AS bx) xs,
+       LATERAL (SELECT unnest(range(0, 2)) AS by) ys
+  GROUP BY d.media_id, f.frame_idx, d.bw
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(bw * 8 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+  CAST(s AS BIGINT) AS pixel_sum
+FROM px
+"""
+
+
 def multimodal_phash_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3268,6 +3399,8 @@ QUERIES = {
     "emb_kmeans_cluster": emb_kmeans_cluster,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_frame_sample_stats": multimodal_frame_sample_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "docs_retrieval_eval": docs_retrieval_eval,
@@ -3337,6 +3470,8 @@ ORACLES = {
     "emb_kmeans_cluster": _kmeans_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
+    "multimodal_frame_sample_stats": MULTIMODAL_FRAMES_SQL,
     "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
     "docs_retrieval_eval": _retrieval_eval_sql(),
