@@ -121,6 +121,7 @@ HEADLINE = [
     "stream_sessionize_dynamic",
     # round-4 session additions
     "multimodal_jpeg_stats",
+    "multimodal_gif_stats",
     "multimodal_audio_features",
     "multimodal_frame_sample_stats",
     "stream_pyds_partitioned",

@@ -318,9 +318,14 @@ def decode_pixels(raw: bytes):
         from flink_orc_sink_spark.functions.jpeg import jpeg_decode
 
         return jpeg_decode(raw)
+    if raw[:4] == b"GIF8":
+        from flink_orc_sink_spark.functions.gif import gif_decode
+
+        return gif_decode(raw)
     raise NotImplementedError(
-        "no stdlib codec for this format (PNG and baseline JPEG are"
-        " real; video/audio need external libs not in this runtime)"
+        "no stdlib codec for this format (PNG, baseline JPEG, and GIF"
+        " are real; other formats need external libs not in this"
+        " runtime)"
     )
 
 
@@ -624,6 +629,37 @@ def attach_planted_jpeg(df: DataFrame, id_col: str) -> DataFrame:
         return ids.map(lambda i: plant_jpeg_pixels(int(i)))
 
     return df.withColumn("jpeg", blob_of(F.col(id_col)))
+
+
+def plant_gif_pixels(media_id: int) -> bytes:
+    """A REAL decodable greyscale GIF whose pixels are pure
+    ``media_id`` arithmetic — ``pixel(y, x) = (a·x + b·y + c·x·y + 3·id)
+    mod 256`` with ``a = 2 + id%6``, ``b = 5 + id%4``, ``c = id%5`` on
+    a ``(id%20+9) × (id%14+9)`` canvas. GIF is LOSSLESS (LZW over an
+    indexed palette), so like PNG the decode statistics are exactly
+    the planted arithmetic — no exactness window needed, unlike
+    JPEG."""
+    import numpy as np
+
+    from flink_orc_sink_spark.functions.gif import gif_encode
+
+    w, h = media_id % 20 + 9, media_id % 14 + 9
+    a, b, c = 2 + media_id % 6, 5 + media_id % 4, media_id % 5
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = ((a * x + b * y + c * x * y + 3 * media_id) % 256).astype(np.uint8)
+    return gif_encode(px)
+
+
+def attach_planted_gif(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach the planted REAL GIF per id (Arrow-batched, built
+    executor-side)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_gif_pixels(int(i)))
+
+    return df.withColumn("gif", blob_of(F.col(id_col)))
 
 
 def plant_wav_samples(media_id: int) -> bytes:

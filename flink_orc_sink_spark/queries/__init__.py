@@ -42,6 +42,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
     "multimodal_jpeg_stats",
+    "multimodal_gif_stats",
     "multimodal_audio_features",
     "multimodal_frame_sample_stats",
     "stream_pyds_partitioned",

@@ -2948,6 +2948,52 @@ FROM blocks
 """
 
 
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode at value level: 200 planted GIFs — actual
+    LZW-compressed indexed-palette files built executor-side — decoded
+    by the dependency-free codec (``functions/gif.py``: variable-width
+    LZW with dictionary resets, palette mapping) into pixels whose
+    statistics the oracle computes FROM ARITHMETIC ALONE (GIF is
+    lossless, so the planted formula IS the decoded image — see
+    ``plant_gif_pixels``). A hash match proves the LZW stream,
+    sub-block reassembly, and palette path bit-exactly. Scale shape:
+    column-pruned Arrow batches through ``mapInPandas``, map-only,
+    zero shuffle."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        attach_planted_gif,
+        decode_image_stats,
+    )
+
+    ids = spark.range(0, 200, 1, 8).select(F.col("id").alias("media_id"))
+    return decode_image_stats(
+        attach_planted_gif(ids, "media_id"), "media_id", "gif"
+    )
+
+
+MULTIMODAL_GIF_SQL = """
+WITH ids AS (SELECT unnest(range(0, 200)) AS media_id),
+dims AS (
+  SELECT media_id, media_id % 20 + 9 AS w, media_id % 14 + 9 AS h,
+    2 + media_id % 6 AS a, 5 + media_id % 4 AS b,
+    media_id % 5 AS c
+  FROM ids
+),
+px AS (
+  SELECT d.media_id, d.w, d.h,
+    SUM((d.a * xs.x + d.b * ys.y + d.c * xs.x * ys.y
+         + 3 * d.media_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.w)) AS x) xs,
+       LATERAL (SELECT unnest(range(0, d.h)) AS y) ys
+  GROUP BY d.media_id, d.w, d.h
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(s AS BIGINT) AS pixel_sum,
+  CAST(s * 10000 // (w * h) AS DOUBLE) / 10000 AS mean_gray
+FROM px
+"""
+
+
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode at value level: 200 planted PCM WAVs —
     actual RIFF files built executor-side — decoded by the
@@ -3399,6 +3445,7 @@ QUERIES = {
     "emb_kmeans_cluster": emb_kmeans_cluster,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
+    "multimodal_gif_stats": multimodal_gif_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_frame_sample_stats": multimodal_frame_sample_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
@@ -3470,6 +3517,7 @@ ORACLES = {
     "emb_kmeans_cluster": _kmeans_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
+    "multimodal_gif_stats": MULTIMODAL_GIF_SQL,
     "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "multimodal_frame_sample_stats": MULTIMODAL_FRAMES_SQL,
     "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,

@@ -1,0 +1,79 @@
+"""Unit tests for the dependency-free GIF codec (functions/gif.py)."""
+
+import numpy as np
+import pytest
+
+from flink_orc_sink_spark.functions.gif import gif_decode, gif_encode
+
+
+def test_roundtrip_noise_exercises_width_growth():
+    """Random pixels push the LZW dictionary through every code width
+    (9→12 bits) — any encoder/decoder width-handshake slip corrupts
+    the stream immediately."""
+    px = np.random.RandomState(3).randint(0, 256, (64, 80)).astype(np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+def test_roundtrip_large_noise_exercises_dictionary_reset():
+    """60k noise pixels overflow the 4095-entry table repeatedly —
+    the clear-code reset path must resynchronise both sides."""
+    px = np.random.RandomState(4).randint(0, 256, (200, 300)).astype(np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+def test_roundtrip_repetitive_data_kwkwk():
+    """Long runs produce the KwKwK case (a code referencing the entry
+    being defined)."""
+    px = np.tile(np.array([5, 5, 5, 9, 9], np.uint8), (40, 50))[:40, :250]
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+def test_gradient_and_constant():
+    x, y = np.arange(80), np.arange(48)
+    grad = ((3 * x[None, :] + 5 * y[:, None]) % 256).astype(np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(grad)), grad)
+    const = np.full((20, 30), 77, np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(const)), const)
+
+
+def test_decoder_skips_extensions():
+    """GIF89a files carry graphic-control extensions before the image
+    descriptor — the block walk must skip them by sub-block size."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    raw = bytearray(gif_encode(px))
+    # splice a Graphic Control Extension after the palette
+    # (header 13 bytes + 768-byte palette)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    at = 13 + 768
+    spliced = bytes(raw[:at]) + gce + bytes(raw[at:])
+    assert np.array_equal(gif_decode(spliced), px)
+
+
+def test_rejects_non_gif():
+    with pytest.raises(ValueError):
+        gif_decode(b"NOTAGIF" + b"\x00" * 20)
+
+
+def test_planted_gif_matches_arithmetic():
+    from flink_orc_sink_spark.operators.multimodal import plant_gif_pixels
+
+    for mid in (0, 1, 42, 123, 199):
+        px = gif_decode(plant_gif_pixels(mid))
+        w, h = mid % 20 + 9, mid % 14 + 9
+        assert px.shape == (h, w)
+        a, b, c = 2 + mid % 6, 5 + mid % 4, mid % 5
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        want = ((a * xs + b * ys + c * xs * ys + 3 * mid) % 256).astype(
+            np.uint8
+        )
+        assert np.array_equal(px, want), mid
+
+
+def test_decode_kernel_dispatches_gif():
+    from flink_orc_sink_spark.operators.multimodal import decode_image_kernel
+
+    px = np.random.RandomState(5).randint(0, 256, (12, 20)).astype(np.uint8)
+    w, h, feats = decode_image_kernel(gif_encode(px))
+    assert (w, h) == (20, 12)
+    assert len(feats) == 8 and abs(sum(feats) - 1.0) < 0.01
