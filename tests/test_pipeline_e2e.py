@@ -94,8 +94,10 @@ def test_curation_pipeline_example(spark, sf_dir, tmp_path):
 
 
 def test_media_pipeline_example(spark, tmp_path):
-    """The media example end to end: real PNG decode, perceptual
-    dedup drops every planted clone, catalog lands as committed ORC."""
+    """The media example end to end: real decode across PNG + JPEG +
+    GIF in ONE corpus, perceptual dedup drops every planted clone,
+    WAV audio features and MJPEG frame sampling run, catalog lands as
+    committed ORC."""
     import examples.media_pipeline as mp
 
     out = str(tmp_path / "catalog")
@@ -105,6 +107,8 @@ def test_media_pipeline_example(spark, tmp_path):
     assert counts["neardup_pairs"] >= 100
     # survivors: clones dropped (plus a few honest cross-collisions)
     assert 150 <= counts["survivors"] <= 200
+    assert counts["audio_clips"] == 40
+    assert counts["video_frames"] == 20 * 3  # 6 frames, every 2nd
     got = spark.read.orc(out)
     assert got.count() == counts["survivors"]
     assert set(got.columns) == {
