@@ -1957,7 +1957,12 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("synthetic_events")
         .option("n_rows", per_part)
         .option("n_users", 100)
-        .option("rows_per_batch", 6_000)
+        # skewed steps 4k/8k/12k per batch: the slowest partition
+        # (p0) drains in 3 micro-batches — enough to prove multi-batch
+        # per-partition cursor tracking without paying 5+ rounds of
+        # micro-batch overhead (the restart/rebalance contract is
+        # pytest-pinned separately)
+        .option("rows_per_batch", 12_000)
         .option("n_stream_parts", 3)
         .option("id_stride", stride)
         .load()
@@ -1990,7 +1995,7 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0].t
             if done >= 3 * per_part:
                 break
-            time.sleep(0.5)
+            time.sleep(0.25)
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)

@@ -3082,7 +3082,55 @@ FROM d GROUP BY o_orderpriority
 """
 
 
+def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (``WITH RECURSIVE``, Spark 4.x) — the iterative
+    hierarchy walk as declarative SQL, the §2.4 recursion row. A
+    synthetic forest is derived from the part table itself
+    (``parent(p) = p DIV 10``, roots 1–9 — every key reaches a root
+    in ≤ ⌈log₁₀ N⌉ steps), then ancestors are expanded recursively
+    and rolled up per root: subtree size, max depth, integer size
+    sum. Catalyst executes the recursion as a bounded union-loop —
+    one hash join per level against the ever-smaller frontier, depth
+    ≤ 7 even at 10⁷ parts, so the 100 TB story is ``O(log N)``
+    small joins, not an unbounded iteration. All outputs integer ⇒
+    value-hash-exact against DuckDB's own WITH RECURSIVE."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(root, partkey, depth, psize) AS (
+          SELECT p_partkey, p_partkey, 0, p_size FROM part_rc
+          WHERE p_partkey <= 9
+          UNION ALL
+          SELECT a.root, p.p_partkey, a.depth + 1, p.p_size
+          FROM part_rc p JOIN anc a ON p.p_partkey DIV 10 = a.partkey
+          WHERE p.p_partkey >= 10
+        )
+        SELECT root, COUNT(*) AS n_parts,
+          CAST(MAX(depth) AS INT) AS max_depth,
+          CAST(SUM(psize) AS BIGINT) AS sum_size
+        FROM anc GROUP BY root
+        """
+    )
+
+
+PARTS_HIERARCHY_SQL = """
+WITH RECURSIVE anc(root, partkey, depth, psize) AS (
+  SELECT p_partkey, p_partkey, 0, p_size FROM part
+  WHERE p_partkey <= 9
+  UNION ALL
+  SELECT a.root, p.p_partkey, a.depth + 1, p.p_size
+  FROM part p JOIN anc a ON p.p_partkey // 10 = a.partkey
+  WHERE p.p_partkey >= 10
+)
+SELECT root, COUNT(*) AS n_parts,
+  CAST(MAX(depth) AS INTEGER) AS max_depth,
+  CAST(SUM(psize) AS BIGINT) AS sum_size
+FROM anc GROUP BY root
+"""
+
+
 QUERIES = {
+    "parts_hierarchy_rollup": parts_hierarchy_rollup,
     "orders_lead_time_sla": orders_lead_time_sla,
     "sales_share_of_region": sales_share_of_region,
     "customer_abc_analysis": customer_abc_analysis,
@@ -3168,6 +3216,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "parts_hierarchy_rollup": PARTS_HIERARCHY_SQL,
     "orders_lead_time_sla": LEAD_TIME_SQL,
     "sales_share_of_region": SHARE_OF_REGION_SQL,
     "customer_abc_analysis": ABC_SQL,
