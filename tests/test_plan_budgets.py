@@ -55,6 +55,13 @@ BUDGETS = {
     "events_rfm_segments": (3, 1),   # user agg, global ntile, segment agg
     "events_windowed_funnel": (2, 0),  # all 3 stages share ONE user window
     "agg_mode_per_group": (2, 0),    # count agg + shared ranking window
+    # round-4 surface: the stdlib media codecs are MAP-ONLY stages —
+    # plant → decode → stats with zero shuffle of raw media bytes
+    "multimodal_jpeg_stats": (0, 0),
+    "multimodal_gif_stats": (0, 0),
+    "multimodal_audio_features": (0, 0),
+    "multimodal_decode_stats": (0, 0),
+    "multimodal_frame_sample_stats": (0, 0),  # frame fan-out in-partition
 }
 
 
