@@ -120,6 +120,7 @@ HEADLINE = [
     "stream_quarantine",
     "stream_sessionize_dynamic",
     # round-4 session additions
+    "docs_index_probe_dedup",
     "parts_hierarchy_rollup",
     "multimodal_jpeg_stats",
     "multimodal_gif_stats",

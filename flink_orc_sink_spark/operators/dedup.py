@@ -725,3 +725,143 @@ def symspell_pairs(
         F.col("b").alias(f"{text_col}_b"),
         dist.cast("int").alias("edit_dist"),
     )
+
+
+def _shingle_hashes_udf(k: int):
+    """Arrow-batched DISTINCT shingle hash32 set per doc (sorted
+    array<long>) — the md5-based 32-bit hash the MinHash signatures
+    already use, so the persisted index and the signature path share
+    one hash universe."""
+
+    @F.pandas_udf("array<long>")
+    def sh(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            hs = {
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                for s in _py_shingles(toks, k)
+            }
+            out.append(sorted(hs))
+        return pd.Series(out)
+
+    return sh
+
+
+def shingle_hash_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc, hs) — each doc's distinct shingle hash32 values, sorted.
+    Exact Jaccard between two docs is then pure JVM array arithmetic
+    (``array_intersect``/``array_union``), no text needed."""
+    from flink_orc_sink_spark.functions.text import tokens
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        _shingle_hashes_udf(k)(tokens(text_col)).alias("hs"),
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 3,
+) -> None:
+    """PERSIST the corpus dedup index — the production shape
+    :func:`minhash_incremental_pairs`'s docstring promises. Two
+    tables under ``index_path``:
+
+    - ``bands/``: (doc, bkey) parquet PARTITIONED BY band (16 dirs,
+      each sorted by bkey) — the LSH inverted index. One map pass
+      over the corpus, written once at ingest.
+    - ``shingles/``: (doc, hs array<long>) — each doc's distinct
+      shingle hash32 set, for EXACT verification of candidates
+      without ever touching corpus text again.
+
+    Index bytes ≈ corpus token count × 8 B (hashes) + 16 band rows
+    per doc — an order of magnitude below the text it indexes, and
+    the only thing an incremental ingest ever reads.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    (
+        band_rows(sigs)
+        .repartition("band")
+        .sortWithinPartitions("bkey")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{index_path}/bands")
+    )
+    (
+        shingle_hash_sets(df, id_col, text_col, k)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/shingles")
+    )
+
+
+def minhash_probe_index(
+    spark,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL ingest dedup against a PERSISTED index: near-dup
+    matches ``(new_doc, match_doc, jaccard ≥ threshold)`` of a new
+    batch vs the indexed corpus — corpus TEXT is never read, only the
+    index. The cost profile at 100 TB:
+
+    - signature + shingle-hash the NEW batch: map-only, batch-sized
+    - hot-bucket discovery: one agg over the band index (index-sized,
+      broadcast back — the same ``bucket_cap`` skew guard as
+      :func:`banded_pairs`)
+    - candidates: one equi-join of the batch's 16 band rows/doc
+      against the partitioned band index
+    - verification: the candidate set semi-join-prunes the shingle
+      table, then exact Jaccard runs as JVM ``array_intersect``/
+      ``array_union`` — candidates only, no Python, no text
+
+    Nothing scales with corpus size except the (pre-bucketed,
+    partition-laid-out) index probe itself.
+    """
+    new_bands = band_rows(minhash_signatures(new_docs, id_col, text_col, k))
+    bn = new_bands.select(F.col("doc").alias("new_doc"), "band", "bkey")
+    corpus_bands = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("doc").alias("match_doc"), "band", "bkey"
+    )
+    hot = (
+        corpus_bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bkey")
+    )
+    cands = (
+        bn.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+        .join(corpus_bands, ["band", "bkey"])
+        .select("new_doc", "match_doc")
+        .distinct()
+    )
+    new_sh = shingle_hash_sets(new_docs, id_col, text_col, k).select(
+        F.col("doc").alias("new_doc"), F.col("hs").alias("ha")
+    )
+    corpus_sh = (
+        spark.read.parquet(f"{index_path}/shingles")
+        .select(F.col("doc").alias("match_doc"), F.col("hs").alias("hb"))
+        # candidates bound which corpus sets are ever deserialized
+        .join(cands.select("match_doc").distinct(), "match_doc", "left_semi")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ha", "hb"))
+        / F.size(F.array_union("ha", "hb")),
+        6,
+    )
+    return (
+        cands.join(new_sh, "new_doc")
+        .join(corpus_sh, "match_doc")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "match_doc", "jaccard")
+    )

@@ -18,6 +18,9 @@ the engine's extension surface for 100 TB training-data pipelines.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1180,6 +1183,54 @@ WHERE doc_id % 10 = 0
     UNION
     SELECT doc_b FROM verified WHERE doc_b % 10 = 0
   )
+"""
+
+
+def docs_index_probe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash index — the
+    production shape made real (``operators/dedup.py::
+    build_minhash_index`` / ``minhash_probe_index``): the corpus
+    (doc_id % 10 ≠ 0) is indexed ONCE into a band-partitioned parquet
+    inverted index plus per-doc shingle-hash sets; the new batch
+    (doc_id % 10 = 0) is then matched by probing ONLY the index —
+    corpus text is never re-read, verification is JVM
+    ``array_intersect`` over hash sets, candidates only. The oracle
+    recomputes everything from text (the full banding + exact-Jaccard
+    CTE chain), so a hash match proves the persisted round trip —
+    write index, read index, probe, verify — loses nothing vs the
+    from-scratch computation. The never-touches-text property is
+    pytest-pinned (tests/test_dedup.py: probe runs after the corpus
+    frame is unpersisted and its source deleted)."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_minhash_idx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_minhash_index(corpus, "doc_id", "text", idx)
+    return minhash_probe_index(
+        spark, new, "doc_id", "text", idx, threshold=0.7
+    )
+
+
+INDEX_PROBE_SQL = f"""
+WITH {_minhash_ctes(0.7)}
+SELECT
+  CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS match_doc,
+  jaccard
+FROM verified
+WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
 """
 
 
@@ -3497,6 +3548,7 @@ QUERIES = {
     "docs_url_domains": docs_url_domains,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_index_probe_dedup": docs_index_probe_dedup,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_centroids_by_label": emb_centroids_by_label,
     "emb_knn_label_accuracy": emb_knn_label_accuracy,
@@ -3568,6 +3620,7 @@ ORACLES = {
     "docs_url_domains": URL_DOMAINS_SQL,
     "docs_curation_pipeline": CURATION_PIPELINE_SQL,
     "docs_incremental_dedup": INCREMENTAL_DEDUP_SQL,
+    "docs_index_probe_dedup": INDEX_PROBE_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_centroids_by_label": EMB_CENTROIDS_SQL,
     "emb_knn_label_accuracy": EMB_KNN_ACCURACY_SQL,

@@ -142,3 +142,52 @@ def test_minhash_incremental_pairs_semantics(spark):
     assert (12, 10) in pairs         # within-batch, earlier id only
     assert (10, 12) not in pairs     # never matches a LATER new doc
     assert not any(a == 11 for a, _ in pairs)  # disjoint doc is clean
+
+
+def test_minhash_index_probe_never_touches_corpus_text(spark, tmp_path):
+    """The persisted-index probe must answer from the INDEX alone:
+    build the index, then DELETE the corpus parquet — the probe still
+    finds every planted near-dup with exact Jaccard. Pins the
+    production property docs_index_probe_dedup claims: incremental
+    ingest never re-reads corpus text."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different words entirely here right now"),
+            (3, base + " appended tail words"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+
+    idx = str(tmp_path / "idx")
+    corpus = spark.read.parquet(corpus_path)
+    build_minhash_index(corpus, "doc_id", "text", idx)
+
+    # the probe's only allowed source of corpus knowledge is the index
+    shutil.rmtree(corpus_path)
+
+    new = spark.createDataFrame(
+        [
+            (10, base + " lambda"),  # near-dup of corpus docs 1 and 3
+            (11, "unrelated fresh content nobody wrote before today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_probe_index(
+        spark, new, "doc_id", "text", idx, threshold=0.5
+    ).collect()
+    pairs = {(r.new_doc, r.match_doc) for r in rows}
+    assert (10, 1) in pairs
+    assert not any(nd == 11 for nd, _ in pairs)
+    # exact verification survived the round trip through hash sets
+    for r in rows:
+        assert 0.5 <= r.jaccard <= 1.0
