@@ -865,3 +865,33 @@ def minhash_probe_index(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "match_doc", "jaccard")
     )
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    k: int = 3,
+) -> None:
+    """The other half of the incremental-ingest lifecycle: after a new
+    batch is probed (:func:`minhash_probe_index`) and its survivors
+    admitted, APPEND those survivors into the persisted index so the
+    next batch dedups against them too. Batch-sized map work + an
+    append write into the same band-partitioned layout — the corpus
+    is still never re-read, and the index stays the single source of
+    dedup truth across ingests."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    (
+        band_rows(sigs)
+        .repartition("band")
+        .sortWithinPartitions("bkey")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{index_path}/bands")
+    )
+    (
+        shingle_hash_sets(df, id_col, text_col, k)
+        .write.mode("append")
+        .parquet(f"{index_path}/shingles")
+    )

@@ -191,3 +191,55 @@ def test_minhash_index_probe_never_touches_corpus_text(spark, tmp_path):
     # exact verification survived the round trip through hash sets
     for r in rows:
         assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_minhash_index_append_lifecycle(spark, tmp_path):
+    """Full incremental-ingest lifecycle: index corpus -> probe batch 1
+    -> append its survivors -> probe batch 2. Batch 2 must match docs
+    admitted in batch 1 (via the appended index rows), and the whole
+    two-step state must equal a from-scratch index over
+    corpus + admitted batch 1."""
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, "completely different words entirely here right now")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, "doc_id", "text", idx)
+
+    batch1 = spark.createDataFrame(
+        [(10, base)], "doc_id long, text string"
+    )
+    assert (
+        minhash_probe_index(
+            spark, batch1, "doc_id", "text", idx, threshold=0.5
+        ).count()
+        == 0
+    )  # novel -> admitted
+    append_to_minhash_index(batch1, "doc_id", "text", idx)
+
+    batch2 = spark.createDataFrame(
+        [(20, base + " lambda")], "doc_id long, text string"
+    )
+    rows = minhash_probe_index(
+        spark, batch2, "doc_id", "text", idx, threshold=0.5
+    ).collect()
+    assert {(r.new_doc, r.match_doc) for r in rows} == {(20, 10)}
+
+    # equivalence with a from-scratch index over corpus + batch1
+    idx2 = str(tmp_path / "idx2")
+    build_minhash_index(
+        corpus.unionByName(batch1), "doc_id", "text", idx2
+    )
+    rows2 = minhash_probe_index(
+        spark, batch2, "doc_id", "text", idx2, threshold=0.5
+    ).collect()
+    assert {(r.new_doc, r.match_doc, r.jaccard) for r in rows} == {
+        (r.new_doc, r.match_doc, r.jaccard) for r in rows2
+    }
