@@ -41,6 +41,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
+    "stream_minhash_index_ingest",
     "docs_index_probe_dedup",
     "parts_hierarchy_rollup",
     "multimodal_jpeg_stats",

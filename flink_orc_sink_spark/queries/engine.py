@@ -2001,6 +2001,129 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS near-dup discovery ON the streaming runtime against
+    the PERSISTED MinHash index: the documents corpus arrives as
+    micro-batches (file source, one id-range file per trigger);
+    each ``foreachBatch`` (1) finds within-batch pairs with the
+    standard LSH pipeline, (2) probes the persisted band index for
+    matches against everything already ingested (corpus text never
+    re-read — ``operators/dedup.py::minhash_probe_index``), (3)
+    appends the batch into the index (``append_to_minhash_index``)
+    so later batches dedup against it, and (4) lands both pair sets
+    in a batch-id-partitioned result table (idempotent under
+    crash-replay). Because every pair is discovered exactly once —
+    when its LATER member arrives — the accumulated pair set is
+    INDEPENDENT of batch order and equals the one-shot batch answer:
+    the oracle is the very same full-corpus MinHash SQL as
+    ``docs_minhash_pairs``, so the hash match proves the streamed
+    index accumulates to exactly the batch computation. The 100 TB
+    shape of continuous training-data ingest: per-trigger cost is
+    batch-sized, index probe cost is pre-bucketed, nothing ever
+    rescans the corpus."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_dedup_pairs,
+        minhash_probe_index,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_ranges = 4
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = -(-hi // n_ranges)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_mhidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, idx, results = (
+        os.path.join(base, "feed"),
+        os.path.join(base, "idx"),
+        os.path.join(base, "results"),
+    )
+    # range 0 bootstraps the index (build); ranges 1..3 arrive as the
+    # stream — one file each, so each micro-batch is one id range
+    boot = d.filter(F.col("doc_id") < step)
+    build_minhash_index(boot, "doc_id", "text", idx)
+    # pairs wholly inside the bootstrap range still need discovering
+    (
+        minhash_dedup_pairs(boot, "doc_id", "text", threshold=0.7)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(results)
+    )
+    for i in range(1, n_ranges):
+        (
+            d.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 3×
+        try:
+            within = minhash_dedup_pairs(
+                batch_df, "doc_id", "text", threshold=0.7
+            ).select("doc_a", "doc_b", "jaccard")
+            cross = minhash_probe_index(
+                spark, batch_df, "doc_id", "text", idx, threshold=0.7
+            ).select(
+                F.least("new_doc", "match_doc").alias("doc_a"),
+                F.greatest("new_doc", "match_doc").alias("doc_b"),
+                "jaccard",
+            )
+            (
+                within.unionByName(cross)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results)
+            )
+            append_to_minhash_index(batch_df, "doc_id", "text", idx)
+        finally:
+            batch_df.unpersist()
+
+    with tempfile.TemporaryDirectory(prefix="stream_mhidx_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    return (
+        spark.read.parquet(results)
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+    )
+
+
+def _stream_minhash_ingest_sql() -> str:
+    # the ONE-SHOT batch oracle: identical pair set, because each pair
+    # is discovered exactly once (when its later member arrives)
+    from flink_orc_sink_spark.queries.llm import _minhash_sql
+
+    return _minhash_sql(0.7)
+
+
+STREAM_MINHASH_INGEST_SQL = _stream_minhash_ingest_sql()
+
+
 STREAM_PYDS_PART_SQL = """
 WITH g AS (
   SELECT p.p * 1000000 + k.k AS event_id, p.p AS partition
@@ -2178,6 +2301,7 @@ QUERIES = {
     "pyds_source_agg": pyds_source_agg,
     "stream_pyds_source": stream_pyds_source,
     "stream_pyds_partitioned": stream_pyds_partitioned,
+    "stream_minhash_index_ingest": stream_minhash_index_ingest,
     "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
     "orc_bloom_pruned_read": orc_bloom_pruned_read,
@@ -2215,6 +2339,7 @@ ORACLES = {
     "pyds_source_agg": PYDS_AGG_SQL,
     "stream_pyds_source": STREAM_PYDS_SQL,
     "stream_pyds_partitioned": STREAM_PYDS_PART_SQL,
+    "stream_minhash_index_ingest": STREAM_MINHASH_INGEST_SQL,
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
     "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,
