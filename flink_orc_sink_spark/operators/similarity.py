@@ -372,6 +372,7 @@ def build_ivf_index(
     nlist: int = 64,
     sample_size: int = 20_000,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Materialize an IVF index on disk: the corpus written as parquet
     PARTITIONED BY cell (one directory per inverted list) plus the
@@ -382,13 +383,17 @@ def build_ivf_index(
     afterwards reads ONLY the ``nprobe`` probed cell directories —
     real partition pruning at the file listing, not a filter after a
     full scan. Rebuild cadence is a data-freshness decision (the same
-    trade every IVF system makes).
+    trade every IVF system makes). Pass ``centroids`` to pin a known
+    coarse quantizer instead of training one (e.g. when rebuilding
+    for comparison against an incrementally-appended index).
     """
     import os
 
-    centroids = train_centroids(
-        corpus, corpus_vec, nlist=nlist, sample_size=sample_size, seed=seed
-    )
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, corpus_vec, nlist=nlist, sample_size=sample_size,
+            seed=seed,
+        )
     assign_cell, _ = make_cell_udfs(centroids, nprobe=1)
     assigned = corpus.select(
         F.col(corpus_id).alias("cid"),
@@ -998,3 +1003,40 @@ def filtered_topk(
         k,
         rank_col="rank",
     ).select("qid", filter_col, "cid", "cos_sim", "rank")
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+) -> None:
+    """Incremental-ingest half of the IVF lifecycle: assign a new
+    batch of vectors to the EXISTING coarse quantizer (centroids read
+    from the index — never retrained here) and append them into the
+    same cell-partitioned parquet layout. Batch-sized map work + an
+    append write; searches immediately see the new vectors through
+    the same partition-pruned probe. Centroid drift is a rebuild
+    decision (`build_ivf_index`), exactly as in any production IVF
+    system."""
+    import os
+
+    spark = new_vectors.sparkSession
+    cent_pdf = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .orderBy("cell")
+        .toPandas()
+    )
+    centroids = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    assign_cell, _ = make_cell_udfs(centroids, nprobe=1)
+    (
+        new_vectors.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            assign_cell(F.col(vec_col)).alias("cell"),
+        )
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "data"))
+    )

@@ -278,3 +278,39 @@ def test_ivf_pq_topk_recall_on_clustered(spark, clustered):
     total = sum(len(v) for v in exact.values())
     recall = hits / total
     assert recall >= 0.85, f"IVF-PQ recall {recall:.3f} < 0.85"
+
+
+def test_ivf_append_equals_rebuild(spark, clustered, tmp_path):
+    """Incremental IVF lifecycle: build on half the corpus, append the
+    other half against the SAME coarse quantizer — searches must
+    return exactly what a from-scratch rebuild with those centroids
+    returns (assignment is deterministic given the centroids, so the
+    only difference is file layout)."""
+    from flink_orc_sink_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    first = clustered.filter("vec_id % 2 = 0")
+    second = clustered.filter("vec_id % 2 = 1")
+    cents = train_centroids(first, "embedding", nlist=20)
+
+    idx_inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(first, "vec_id", "embedding", idx_inc, centroids=cents)
+    append_to_ivf_index(second, "vec_id", "embedding", idx_inc)
+
+    idx_full = str(tmp_path / "ivf_full")
+    build_ivf_index(
+        clustered, "vec_id", "embedding", idx_full, centroids=cents
+    )
+
+    queries = clustered.filter("vec_id < 30")
+    a = ivf_search(spark, queries, idx_inc, "vec_id", "embedding",
+                   k=5, nprobe=4)
+    b = ivf_search(spark, queries, idx_full, "vec_id", "embedding",
+                   k=5, nprobe=4)
+    rows_a = {(r.qid, r.cid, r.cos_sim, r.rank) for r in a.collect()}
+    rows_b = {(r.qid, r.cid, r.cos_sim, r.rank) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) > 0
