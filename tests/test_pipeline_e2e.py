@@ -114,3 +114,32 @@ def test_media_pipeline_example(spark, tmp_path):
     assert set(got.columns) == {
         "media_id", "width", "height", "mean_gray", "byte_len", "sha256",
     }
+
+
+def test_streaming_ingest_pipeline_example(spark, sf_dir, tmp_path):
+    """The continuous-ingest example end to end on the real streaming
+    runtime: three arriving shards, per-batch quality gate +
+    index-probe dedup + append, idempotent ORC landing. Invariant:
+    an admitted doc has no verified near-dup among the seed corpus or
+    earlier-id admitted docs (the greedy-ingest guarantee)."""
+    import examples.streaming_ingest_pipeline as sip
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "corpus")
+    counts = sip.run(spark, sf_dir, out)
+    assert counts["batches"] == 3
+    assert 0 < counts["admitted"] <= counts["arrived"]
+
+    landed = spark.read.orc(out)
+    assert landed.count() == counts["admitted"]
+    # only arriving shards land (the seed is index-only)
+    assert landed.agg(F.min("doc_id")).collect()[0][0] >= counts[
+        "seed_indexed"
+    ]
+    # PII scrub ran on the landed text
+    assert (
+        landed.filter(
+            F.col("text").rlike(r"[\w.+-]+@[\w-]+\.[\w.]+")
+        ).count()
+        == 0
+    )
