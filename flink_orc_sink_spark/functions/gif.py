@@ -89,14 +89,52 @@ def gif_encode(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def gif_encode_animated(
+    frames: "list[np.ndarray]", delay_cs: int = 10
+) -> bytes:
+    """Encode (h, w) uint8 greyscale frames as a real animated GIF89a
+    (full-canvas frames, one Graphic Control Extension per frame,
+    shared greyscale palette). Every frame must share the first
+    frame's dimensions."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = np.asarray(frames[0]).shape
+    first = gif_encode(np.asarray(frames[0], dtype=np.uint8))
+    # header + LSD + palette from the single-frame encoder
+    head_len = 13 + 3 * 256
+    out = bytearray(first[:head_len])
+    for f in frames:
+        px = np.asarray(f, dtype=np.uint8)
+        if px.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        body = gif_encode(px)[head_len:-1]  # descriptor..data, no trailer
+        out += gce + body
+    out += b"\x3b"
+    return bytes(out)
+
+
 def gif_decode(raw: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF to a uint8 array — (h, w) when
+    """Decode the FIRST frame of a GIF to a uint8 array — (h, w) when
     the palette is pure grey, else (h, w, 3) RGB. Handles local and
     global palettes, interlacing, and extension blocks."""
+    return gif_decode_frames(raw, max_frames=1)[0]
+
+
+def gif_decode_frames(
+    raw: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Decode every frame of a (possibly animated) GIF. Scope: FULL-
+    CANVAS frames only (each image descriptor covers the whole
+    logical screen — what :func:`gif_encode_animated` writes and what
+    screen-capture/synthetic GIFs use); partial-patch frames would
+    need disposal-method compositing and raise ``NotImplementedError``
+    instead of returning wrong pixels."""
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
     pos = 13
+    frames: list[np.ndarray] = []
     palette = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
@@ -116,6 +154,10 @@ def gif_decode(raw: bytes) -> np.ndarray:
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         _x, _y, w, h, iflags = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
+        if (_x, _y, w, h) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                "partial-canvas GIF frame (needs disposal compositing)"
+            )
         pos += 10
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -197,6 +239,11 @@ def gif_decode(raw: bytes) -> np.ndarray:
         if (rgb[..., 0] == rgb[..., 1]).all() and (
             rgb[..., 1] == rgb[..., 2]
         ).all():
-            return rgb[..., 0].copy()
-        return rgb
-    raise ValueError("no image frame in GIF")
+            frames.append(rgb[..., 0].copy())
+        else:
+            frames.append(rgb)
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+    if not frames:
+        raise ValueError("no image frame in GIF")
+    return frames

@@ -360,25 +360,35 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_frames_kernel(raw: bytes, every_n: int) -> list[tuple[int, bytes]]:
-    """Sample every-n-th video frame. REAL for MJPEG-AVI
+    """Sample every-n-th video/animation frame. REAL for MJPEG-AVI
     (``functions/avi.py`` chunk walk + ``functions/jpeg.py`` pixel
-    decode, stdlib-only): sampled frames are decoded and re-encoded
+    decode) and animated GIF (``functions/gif.py`` full-canvas
+    frames), stdlib-only: sampled frames are decoded and re-encoded
     as lossless PNG, the deterministic bytes downstream hash/train
     stages need. Codec-compressed video (H.264/VP9/…) genuinely
     requires ffmpeg and keeps the injectable seam."""
+    from flink_orc_sink_spark.functions.png import png_encode
+
     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
         from flink_orc_sink_spark.functions.avi import avi_extract_frames
         from flink_orc_sink_spark.functions.jpeg import jpeg_decode
-        from flink_orc_sink_spark.functions.png import png_encode
 
         return [
             (idx, png_encode(jpeg_decode(frame)))
             for idx, frame in enumerate(avi_extract_frames(raw))
             if idx % every_n == 0
         ]
+    if raw[:4] == b"GIF8":
+        from flink_orc_sink_spark.functions.gif import gif_decode_frames
+
+        return [
+            (idx, png_encode(frame))
+            for idx, frame in enumerate(gif_decode_frames(raw))
+            if idx % every_n == 0
+        ]
     raise NotImplementedError(
-        "non-MJPEG video requires ffmpeg bindings, not present in"
-        " this runtime"
+        "non-MJPEG/non-GIF video requires ffmpeg bindings, not present"
+        " in this runtime"
     )
 
 

@@ -77,3 +77,40 @@ def test_decode_kernel_dispatches_gif():
     w, h, feats = decode_image_kernel(gif_encode(px))
     assert (w, h) == (20, 12)
     assert len(feats) == 8 and abs(sum(feats) - 1.0) < 0.01
+
+
+def test_animated_gif_roundtrip_and_sampling():
+    from flink_orc_sink_spark.functions.gif import (
+        gif_decode_frames,
+        gif_encode_animated,
+    )
+    from flink_orc_sink_spark.functions.png import png_decode
+    from flink_orc_sink_spark.operators.multimodal import (
+        sample_frames_kernel,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (12, 18)).astype(np.uint8) for _ in range(6)]
+    raw = gif_encode_animated(frames, delay_cs=5)
+    dec = gif_decode_frames(raw)
+    assert len(dec) == 6
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    sampled = sample_frames_kernel(raw, 2)
+    assert [i for i, _ in sampled] == [0, 2, 4]
+    for i, png in sampled:
+        assert np.array_equal(png_decode(png), frames[i])
+
+
+def test_partial_canvas_frame_rejected():
+    """A frame not covering the full logical screen needs disposal
+    compositing — refuse rather than return wrong pixels."""
+    import struct
+
+    from flink_orc_sink_spark.functions.gif import gif_decode
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    raw = bytearray(gif_encode(px))
+    # enlarge the logical screen so the frame becomes partial
+    raw[6:8] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError):
+        gif_decode(bytes(raw))
