@@ -41,13 +41,17 @@ def test_png_roundtrip_lossless(px):
 @SETTINGS
 @given(grey_images())
 def test_jpeg_flat_quant_bounded_error(px):
-    """Flat quantisation: the only loss is DCT float rounding, which
-    is bounded by ±1 per pixel for ANY image."""
+    """Flat quantisation: the only loss is coefficient rounding
+    (≤ 0.5 per quantised coefficient), which can COMPOUND across the
+    64 coefficients touching a pixel — hypothesis found real inputs
+    at error 2, so the honest bound is a few counts, not ±1. (Bit
+    exactness holds only in the constant-block window the oracles
+    use, where AC ≡ 0.)"""
     from flink_orc_sink_spark.functions.jpeg import jpeg_decode, jpeg_encode
 
     dec = jpeg_decode(jpeg_encode(px, flat_quant=True))
     assert dec.shape == px.shape
-    assert np.abs(px.astype(int) - dec.astype(int)).max() <= 1
+    assert np.abs(px.astype(int) - dec.astype(int)).max() <= 4
 
 
 @SETTINGS
@@ -56,7 +60,7 @@ def test_jpeg_restart_interval_any_stride(px, dri):
     from flink_orc_sink_spark.functions.jpeg import jpeg_decode, jpeg_encode
 
     dec = jpeg_decode(jpeg_encode(px, flat_quant=True, restart_interval=dri))
-    assert np.abs(px.astype(int) - dec.astype(int)).max() <= 1
+    assert np.abs(px.astype(int) - dec.astype(int)).max() <= 4
 
 
 @st.composite
