@@ -8,7 +8,11 @@ from __future__ import annotations
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-SETTINGS = settings(max_examples=40, deadline=None)
+# derandomize: the exploration already happened during development
+# (incl. the error-2 flat-quant counterexample); CI runs the same
+# example corpus every time so a gate run can never flake on a fresh
+# random draw.
+SETTINGS = settings(max_examples=40, deadline=None, derandomize=True)
 
 dims = st.integers(min_value=1, max_value=40)
 

@@ -17,9 +17,13 @@ from flink_orc_sink_spark.operators.dedup import _py_shingles
 from flink_orc_sink_spark.operators.relational import asof_join, topk_per_group
 from pyspark.sql import functions as F
 
+# derandomize: CI replays the same example corpus every run — a gate
+# run can never flake on a fresh random draw (exploration happens when
+# a developer temporarily flips it off).
 SETTINGS = settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -135,7 +139,7 @@ def test_py_shingles_reference(spark, toks, k):
 
 
 @given(st.binary(max_size=256))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 def test_parse_media_dims_total_on_arbitrary_bytes(raw):
     """The header parser is TOTAL: any byte string yields a 5-tuple
     (no exception, no negative dims), since at 100 TB some blobs WILL
@@ -149,7 +153,7 @@ def test_parse_media_dims_total_on_arbitrary_bytes(raw):
 
 
 @given(st.integers(min_value=0, max_value=2**31 - 1))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_plant_parse_roundtrip_any_id(mid):
     from flink_orc_sink_spark.operators.multimodal import (
         parse_media_dims,
