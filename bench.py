@@ -124,6 +124,7 @@ HEADLINE = [
     "parts_hierarchy_rollup",
     "multimodal_jpeg_stats",
     "multimodal_gif_stats",
+    "multimodal_crossformat_neardup",
     "multimodal_audio_features",
     "multimodal_frame_sample_stats",
     "stream_pyds_partitioned",

@@ -603,6 +603,34 @@ def attach_planted_png(
     return df.withColumn("png", blob_of(F.col(id_col)))
 
 
+def _blockgrid_pixels(media_id: int):
+    """The shared constant-8×8-block pixel pattern behind the JPEG
+    plant (and its cross-format PNG twin): a ``(id%4+2) × (id%5+3)``
+    grid of blocks, block (bx, by) = ``(a·bx + b·by + c·bx·by + id)
+    mod 256``."""
+    import numpy as np
+
+    bw, bh = media_id % 5 + 3, media_id % 4 + 2
+    a, b, c = 11 + 2 * (media_id % 5), 23 + 5 * (media_id % 3), media_id % 7
+    bx = np.arange(bw, dtype=np.int64)[None, :]
+    by = np.arange(bh, dtype=np.int64)[:, None]
+    blocks = (a * bx + b * by + c * bx * by + media_id) % 256
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def plant_blockgrid_png(media_id: int) -> bytes:
+    """The SAME pixel pattern as :func:`plant_jpeg_pixels`, stored as
+    PNG — the cross-container duplicate every web-scale image corpus
+    contains (one image saved under two formats). Because the JPEG
+    plant sits in the codec's exactness window, both files decode to
+    IDENTICAL pixels through completely different code paths
+    (Huffman+IDCT vs inflate+unfilter), so their perceptual hashes
+    match bit-for-bit."""
+    from flink_orc_sink_spark.functions.png import png_encode
+
+    return png_encode(_blockgrid_pixels(media_id))
+
+
 def plant_jpeg_pixels(media_id: int) -> bytes:
     """A REAL decodable baseline JPEG whose pixels are pure
     ``media_id`` arithmetic. JPEG is lossy in general, so the plant
@@ -617,17 +645,20 @@ def plant_jpeg_pixels(media_id: int) -> bytes:
     (64 pixels per block) without touching a byte of JPEG, while the
     encoded file still exercises the full real path: Huffman DC
     magnitude coding, EOB runs, byte stuffing, IDCT."""
-    import numpy as np
-
     from flink_orc_sink_spark.functions.jpeg import jpeg_encode
 
-    bw, bh = media_id % 5 + 3, media_id % 4 + 2
-    a, b, c = 11 + 2 * (media_id % 5), 23 + 5 * (media_id % 3), media_id % 7
-    bx = np.arange(bw, dtype=np.int64)[None, :]
-    by = np.arange(bh, dtype=np.int64)[:, None]
-    blocks = (a * bx + b * by + c * bx * by + media_id) % 256
-    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
-    return jpeg_encode(px, flat_quant=True)
+    return jpeg_encode(_blockgrid_pixels(media_id), flat_quant=True)
+
+
+def attach_planted_blockgrid_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach the PNG twin of the JPEG block-grid plant per id
+    (Arrow-batched, built executor-side)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def blob_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: plant_blockgrid_png(int(i)))
+
+    return df.withColumn("png", blob_of(F.col(id_col)))
 
 
 def attach_planted_jpeg(df: DataFrame, id_col: str) -> DataFrame:

@@ -42,6 +42,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
     "stream_minhash_index_ingest",
+    "multimodal_crossformat_neardup",
     "docs_index_probe_dedup",
     "parts_hierarchy_rollup",
     "multimodal_jpeg_stats",

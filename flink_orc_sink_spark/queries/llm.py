@@ -3345,6 +3345,103 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
 
+def multimodal_crossformat_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-CONTAINER perceptual dedup: the same image stored once as
+    baseline JPEG (ids 0–99) and once as PNG (ids 1000–1099) — the
+    duplicate class every web-scale image corpus contains. Both files
+    decode through completely different real code paths (Huffman+IDCT
+    vs inflate+unfilter) to IDENTICAL pixels (the JPEG plant sits in
+    the flat-quantisation constant-block exactness window), so each
+    cross-format pair lands at Hamming 0 in the banded average-hash
+    search. The oracle re-derives every 64-bit hash from the block
+    formula and pairs all-pairs — the hash match proves both decoders,
+    the shared hash pipeline, AND that format never leaks into the
+    perceptual signature. Scale shape: identical to
+    ``multimodal_phash_neardup`` — map-only hashing, banded bucket
+    join, no all-pairs comparison."""
+    from flink_orc_sink_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_planted_blockgrid_png,
+        attach_planted_jpeg,
+        image_ahash,
+    )
+
+    jp = (
+        attach_planted_jpeg(
+            spark.range(0, 100, 1, 8).select(F.col("id").alias("media_id")),
+            "media_id",
+        )
+        .select("media_id", F.col("jpeg").alias("blob"))
+    )
+    pg = (
+        attach_planted_blockgrid_png(
+            spark.range(0, 100, 1, 8).select(F.col("id").alias("pid")),
+            "pid",
+        )
+        .select(
+            (F.col("pid") + 1000).alias("media_id"),
+            F.col("png").alias("blob"),
+        )
+    )
+    corpus = jp.unionByName(pg)
+    return ahash_neardup_pairs(
+        image_ahash(corpus, "media_id", "blob"), max_hamming=3
+    )
+
+
+MULTIMODAL_CROSSFORMAT_SQL = """
+WITH ids AS (
+  SELECT unnest(range(0, 100)) AS media_id
+  UNION ALL
+  SELECT unnest(range(1000, 1100))
+),
+par AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 1000 THEN media_id - 1000 ELSE media_id END
+      AS pid
+  FROM ids
+),
+dims AS (
+  SELECT media_id, pid,
+    (pid % 5 + 3) * 8 AS w, (pid % 4 + 2) * 8 AS h,
+    11 + 2 * (pid % 5) AS a, 23 + 5 * (pid % 3) AS b, pid % 7 AS c
+  FROM par
+),
+samples AS (
+  SELECT d.*, xs.x AS sx, ys.y AS sy,
+    ((xs.x * d.w) // 8) // 8 AS bx, ((ys.y * d.h) // 8) // 8 AS by
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, 8)) AS x) xs,
+       LATERAL (SELECT unnest(range(0, 8)) AS y) ys
+),
+vals AS (
+  SELECT media_id, sx, sy,
+    (a * bx + b * by + c * bx * by + pid) % 256 AS g
+  FROM samples
+),
+means AS (SELECT media_id, SUM(g) // 64 AS m FROM vals GROUP BY media_id),
+bits AS (
+  SELECT v.media_id,
+    SUM(CASE WHEN g > m
+        THEN CAST(1 AS HUGEINT) << (sy * 8 + sx) ELSE 0 END) AS hu
+  FROM vals v JOIN means USING (media_id) GROUP BY v.media_id
+),
+hashes AS (
+  SELECT media_id,
+    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+      THEN hu - CAST(18446744073709551616 AS HUGEINT)
+      ELSE hu END AS BIGINT) AS ahash
+  FROM bits
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
 def docs_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRIEVAL EVALUATION metrics for the BM25 ranking — MRR,
     recall@10, precision@10 — the measurement half of a retrieval
@@ -3501,6 +3598,7 @@ QUERIES = {
     "multimodal_frame_sample_stats": multimodal_frame_sample_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
     "multimodal_phash_neardup": multimodal_phash_neardup,
+    "multimodal_crossformat_neardup": multimodal_crossformat_neardup,
     "docs_retrieval_eval": docs_retrieval_eval,
     "docs_bpe_encode": docs_bpe_encode,
     "emb_filtered_topk": emb_filtered_topk,
@@ -3574,6 +3672,7 @@ ORACLES = {
     "multimodal_frame_sample_stats": MULTIMODAL_FRAMES_SQL,
     "multimodal_resize_stats": MULTIMODAL_RESIZE_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
+    "multimodal_crossformat_neardup": MULTIMODAL_CROSSFORMAT_SQL,
     "docs_retrieval_eval": _retrieval_eval_sql(),
     "emb_filtered_topk": FILTERED_TOPK_SQL,
     "docs_hash_classifier_score": HASH_CLASSIFIER_SQL,
