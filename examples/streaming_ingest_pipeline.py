@@ -105,9 +105,15 @@ def run(spark, sf_dir: str, out: str) -> dict[str, int]:
                         .partitionBy("batch_id")
                         .orc(out)
                     )
-                    append_to_minhash_index(
-                        admitted, "doc_id", "text", idx
+                    # marker makes the index append replay-idempotent
+                    marker = os.path.join(
+                        idx, "appended", f"batch_{batch_id}"
                     )
+                    if not os.path.exists(marker):
+                        append_to_minhash_index(
+                            admitted, "doc_id", "text", idx
+                        )
+                        os.makedirs(marker, exist_ok=True)
                 finally:
                     admitted.unpersist()
             finally:

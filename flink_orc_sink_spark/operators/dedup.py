@@ -841,6 +841,11 @@ def minhash_probe_index(
     cands = (
         bn.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
         .join(corpus_bands, ["band", "bkey"])
+        # a doc must never match ITSELF: after a crash-replayed
+        # append the probed batch can already be IN the index, and
+        # without this guard every replayed doc would emit a
+        # jaccard-1.0 self-pair
+        .filter(F.col("new_doc") != F.col("match_doc"))
         .select("new_doc", "match_doc")
         .distinct()
     )

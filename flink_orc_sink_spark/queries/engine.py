@@ -2090,7 +2090,15 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .partitionBy("batch_id")
                 .parquet(results)
             )
-            append_to_minhash_index(batch_df, "doc_id", "text", idx)
+            # crash-replay idempotence: a marker per appended batch —
+            # a replayed batch recomputes (and overwrites) its pair
+            # partition but never re-appends the index. (The probe's
+            # self-match guard covers the crash window between append
+            # and marker.)
+            marker = os.path.join(idx, "appended", f"batch_{batch_id}")
+            if not os.path.exists(marker):
+                append_to_minhash_index(batch_df, "doc_id", "text", idx)
+                os.makedirs(marker, exist_ok=True)
         finally:
             batch_df.unpersist()
 

@@ -243,3 +243,28 @@ def test_minhash_index_append_lifecycle(spark, tmp_path):
     assert {(r.new_doc, r.match_doc, r.jaccard) for r in rows} == {
         (r.new_doc, r.match_doc, r.jaccard) for r in rows2
     }
+
+
+def test_minhash_probe_never_self_matches(spark, tmp_path):
+    """Crash-replay shape: a batch probed against an index that
+    already CONTAINS it (append ran, marker write didn't) must not
+    emit jaccard-1.0 self-pairs — only genuine cross-doc matches."""
+    from flink_orc_sink_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "totally other words here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(docs, "doc_id", "text", idx)
+    rows = minhash_probe_index(
+        spark, docs, "doc_id", "text", idx, threshold=0.5
+    ).collect()
+    assert all(r.new_doc != r.match_doc for r in rows)
+    # the genuine near-dup pair is still found (both directions,
+    # since both docs probe)
+    assert {(r.new_doc, r.match_doc) for r in rows} == {(1, 2), (2, 1)}
