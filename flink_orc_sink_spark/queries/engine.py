@@ -2094,7 +2094,9 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a replayed batch recomputes (and overwrites) its pair
             # partition but never re-appends the index. (The probe's
             # self-match guard covers the crash window between append
-            # and marker.)
+            # and marker.) Local-FS os.path here because the demo
+            # index is local; on a cluster the marker is the same
+            # one-element write against the DFS the index lives on.
             marker = os.path.join(idx, "appended", f"batch_{batch_id}")
             if not os.path.exists(marker):
                 append_to_minhash_index(batch_df, "doc_id", "text", idx)
