@@ -72,7 +72,11 @@ def wav_decode(raw: bytes) -> tuple[int, np.ndarray]:
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
     if bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.int16)
+        # a truncated file can leave an odd byte count; drop the
+        # partial sample rather than crash in frombuffer
+        x = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.int16)
     elif bits == 8:
         x = (
             np.frombuffer(data, dtype=np.uint8).astype(np.int32) * 256

@@ -114,3 +114,21 @@ def test_partial_canvas_frame_rejected():
     raw[6:8] = struct.pack("<H", 16)
     with pytest.raises(NotImplementedError):
         gif_decode(bytes(raw))
+
+
+def test_interlaced_gif_decodes():
+    """Interlace flag: rows arrive in the 8/8/4/2 pass order; the
+    decoder must reorder them back."""
+    px = np.random.RandomState(12).randint(0, 256, (16, 10)).astype(np.uint8)
+    h = px.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    raw = bytearray(gif_encode(px[order]))  # rows stored in pass order
+    desc_at = 13 + 768  # header + palette -> image descriptor
+    assert raw[desc_at] == 0x2C
+    raw[desc_at + 9] |= 0x40  # set the interlace flag
+    assert np.array_equal(gif_decode(bytes(raw)), px)

@@ -141,3 +141,23 @@ def test_decode_kernel_and_resize_dispatch_jpeg():
     assert len(feats) == 8 and abs(sum(feats) - 1.0) < 0.01
     small = png_decode(resize_image_kernel(raw, 8, 8))
     assert small.shape == (8, 8)
+
+
+def test_16bit_quant_tables_decode():
+    """DQT with pq=1 (16-bit entries) is legal baseline JPEG; rewrite
+    a flat 8-bit table as 16-bit and the decode must be unchanged."""
+    import struct
+
+    px = _checker(16, 24, seed=11)
+    raw = jpeg_encode(px, flat_quant=True)
+    i = raw.find(b"\xff\xdb")
+    (length,) = struct.unpack(">H", raw[i + 2 : i + 4])
+    assert length == 2 + 1 + 64  # one 8-bit table
+    tq = raw[i + 4] & 0x0F
+    vals = raw[i + 5 : i + 5 + 64]
+    wide = struct.pack(">H", 2 + 1 + 128) + bytes([0x10 | tq]) + b"".join(
+        struct.pack(">H", v) for v in vals
+    )
+    patched = raw[: i + 2] + wide + raw[i + 4 + 1 + 64 :]
+    ref = jpeg_decode(raw)
+    assert np.array_equal(jpeg_decode(patched), ref)

@@ -150,3 +150,45 @@ def test_audio_features_distributed(spark):
         r = rows[mid]
         assert (r.duration_ms, r.sample_rate) == (dur, sr)
         assert [float(v) for v in r.features] == feats
+
+
+def test_wav_truncated_data_chunk_drops_partial_frame():
+    """A data chunk whose declared size exceeds the file must not
+    crash: the payload slice truncates and a trailing partial frame
+    (odd byte count for 16-bit stereo) is dropped."""
+    import struct
+
+    from flink_orc_sink_spark.functions.wav import wav_decode, wav_encode
+
+    x = np.stack(
+        [np.arange(10, dtype=np.int16), np.arange(10, dtype=np.int16)], 1
+    )
+    raw = bytearray(wav_encode(x, 8000))
+    # inflate the data chunk's declared size and chop 3 real bytes
+    raw[-7:] = b""  # drop into the final frame
+    sr, d = wav_decode(bytes(raw))
+    assert sr == 8000 and d.shape[1] == 2 and d.shape[0] <= 9
+
+
+def test_avi_decoder_tolerates_missing_idx1():
+    """The frame walk trusts the movi LIST only — a file with its
+    idx1 stripped (some muxers omit it) must still yield frames."""
+    import struct
+
+    from flink_orc_sink_spark.functions.avi import (
+        avi_encode_mjpeg,
+        avi_extract_frames,
+    )
+    from flink_orc_sink_spark.functions.jpeg import jpeg_encode
+
+    frames = [
+        jpeg_encode(np.full((8, 8), v, np.uint8), flat_quant=True)
+        for v in (10, 200)
+    ]
+    raw = bytearray(avi_encode_mjpeg(frames, 8, 8))
+    i = raw.find(b"idx1")
+    stripped = bytes(raw[: i - 0 - 0][: raw.find(b"idx1")])
+    # fix the RIFF size field for the shorter file
+    stripped = bytearray(stripped)
+    struct.pack_into("<I", stripped, 4, len(stripped) - 8)
+    assert avi_extract_frames(bytes(stripped)) == frames
