@@ -416,12 +416,25 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
     scan_comps = None
     pos = 2
     entropy_start = None
-    while pos + 4 <= len(raw):
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # Spec-legal 0xFF fill bytes may pad before any marker
+        # (ITU-T T.81 §B.1.1.2); skip them so JPEGs from other
+        # encoders don't misparse.
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         if marker == 0xD9:
             break
+        # Standalone (zero-payload) markers outside the entropy
+        # stream: TEM (0x01) and RSTn (0xD0-0xD7) carry no length
+        # field — skip the 2 marker bytes and continue the walk.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(raw):
+            raise ValueError(f"truncated marker segment at {pos}")
         (length,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         payload = raw[pos + 4 : pos + 2 + length]
         pos += 2 + length

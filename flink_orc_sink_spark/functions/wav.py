@@ -67,6 +67,11 @@ def wav_decode(raw: bytes) -> tuple[int, np.ndarray]:
                 raise NotImplementedError(
                     f"only PCM WAV supported (format tag {audio_fmt})"
                 )
+            if channels < 1 or sample_rate <= 0:
+                raise ValueError(
+                    f"malformed fmt chunk: channels={channels}, "
+                    f"sample_rate={sample_rate}"
+                )
         elif cid == b"data":
             data = payload
     if sample_rate is None or data is None:

@@ -35,6 +35,7 @@ from flink_orc_sink_spark.functions.text import (
     hash32,
     hash64,
 )
+from flink_orc_sink_spark.session import release_local_checkpoint
 
 # --- MinHash parameters (shared with the SQL oracle generator) -------
 MINHASH_PERMS = 64
@@ -639,9 +640,18 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("n.label") < F.col("o.label"))
             .count()
         )
+        # The count above materialized new_labels' checkpoint, so the
+        # PREVIOUS round's label blocks are now superseded — release
+        # them instead of holding O(rounds) block sets until the
+        # ContextCleaner notices. (The final labels checkpoint stays:
+        # the returned DataFrame reads from it.)
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    # edges fed every round's join but the converged labels are
+    # already materialized — the result no longer needs them.
+    release_local_checkpoint(edges)
     return labels.select("doc", F.col("label").alias("cluster_keeper"))
 
 
@@ -857,6 +867,11 @@ def minhash_probe_index(
         .select(F.col("doc").alias("match_doc"), F.col("hs").alias("hb"))
         # candidates bound which corpus sets are ever deserialized
         .join(cands.select("match_doc").distinct(), "match_doc", "left_semi")
+        # a crash between append_to_minhash_index's two writes +
+        # replay can double-append a doc's (identical) shingle row;
+        # dedup by doc at read time so a replay-duplicated index can
+        # never duplicate probe output rows
+        .dropDuplicates(["match_doc"])
     )
     jac = F.round(
         F.size(F.array_intersect("ha", "hb"))

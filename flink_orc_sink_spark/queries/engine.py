@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.queries.events import SLIDING_SQL, TUMBLING_SQL
+from flink_orc_sink_spark.session import release_local_checkpoint
 from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
 from flink_orc_sink_spark.sources.orc_sink import read_orc, write_orc
 
@@ -1989,6 +1990,7 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         deadline = time.time() + 120
+        done = 0
         while time.time() < deadline:
             done = spark.sql(
                 f"SELECT COALESCE(SUM(n_events), 0) AS t FROM {name}"
@@ -1998,6 +2000,14 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.25)
         q.stop()
         q.awaitTermination(30)
+        if done < 3 * per_part:
+            # Fail loudly: a partial complete-mode aggregate would
+            # otherwise surface as a confusing oracle hash mismatch
+            # instead of the real problem (slow/stuck stream).
+            raise TimeoutError(
+                f"stream_pyds_partitioned drained {done}/{3 * per_part} "
+                "rows within 120s"
+            )
     return spark.table(name)
 
 
@@ -2102,7 +2112,7 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 append_to_minhash_index(batch_df, "doc_id", "text", idx)
                 os.makedirs(marker, exist_ok=True)
         finally:
-            batch_df.unpersist()
+            release_local_checkpoint(batch_df)
 
     with tempfile.TemporaryDirectory(prefix="stream_mhidx_ckpt_") as ckpt, stream_partitions(spark):
         q = (

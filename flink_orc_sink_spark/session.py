@@ -94,3 +94,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the executor-storage blocks held by a DataFrame returned
+    from ``localCheckpoint``.
+
+    ``Dataset.unpersist`` goes through the CacheManager, which tracks
+    only ``persist()`` caches — it silently NO-OPS on checkpoint
+    blocks (verified on Spark 4.1: ``getRDDStorageInfo`` still lists
+    the RDD after ``df.unpersist()``). The blocks belong to the RDD
+    inside the plan's ``LogicalRDD`` node, so release THAT RDD. On a
+    long-running stream one leaked block set per trigger is unbounded
+    executor storage growth — every ``foreachBatch`` body that
+    checkpoints must call this once the batch's writes land
+    (``tools/audit_plans.py`` enforces the pairing).
+
+    Only call on a MATERIALIZED checkpoint (``eager=True``, or lazy
+    after an action ran): unpersisting a never-materialized lazy
+    checkpoint would strip the storage level its later
+    materialization depends on. No-op when the plan isn't the
+    checkpoint root (nothing safely freeable) or on any py4j
+    hiccup — releasing storage must never fail the query itself.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
+from flink_orc_sink_spark.session import release_local_checkpoint
+
 
 def stream_write_orc(
     df: DataFrame,
@@ -177,13 +179,21 @@ def stream_cdc_apply_orc(
             .drop("_rn")
             .localCheckpoint(eager=True)
         )
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", compression)
-            .partitionBy("kp")
-            .orc(state_path)
-        )
+        try:
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("kp")
+                .orc(state_path)
+            )
+        finally:
+            # Checkpointed blocks otherwise linger until the JVM
+            # ContextCleaner notices — one leaked block per trigger
+            # is unbounded executor storage growth on a long-running
+            # stream. Release as soon as the overwrite lands (same
+            # hygiene as stream_quarantine_orc below).
+            release_local_checkpoint(merged)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -235,7 +245,7 @@ def stream_quarantine_orc(
             # ContextCleaner notices — on a long-running stream that
             # is unbounded executor storage growth, one batch per
             # trigger. Release them as soon as both writes land.
-            staged.unpersist()
+            release_local_checkpoint(staged)
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

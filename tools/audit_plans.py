@@ -61,6 +61,80 @@ ALLOW_GLOBAL_WINDOW = {
 }
 
 
+# Functions where an in-function unpersist is IMPOSSIBLE or unsafe,
+# each with the reason; everything else that localCheckpoints must
+# release. Two legitimate shapes:
+# - "terminal": the RETURNED DataFrame reads from the checkpointed
+#   blocks, so the caller owns the lifecycle (unpersisting before the
+#   caller consumes would fail the query — localCheckpoint truncates
+#   lineage, blocks are not recomputable).
+# - "lazy-loop": bounded-iteration batch loops using lazy
+#   checkpoints that only materialize at the caller's first action;
+#   no safe point inside the function exists to release a
+#   predecessor (it may not be materialized yet). Block count is
+#   bounded by iterations/checkpoint_every per CALL (not per
+#   trigger), reclaimed by the ContextCleaner — unlike a foreachBatch
+#   body, this is not unbounded growth.
+ALLOW_CHECKPOINT_NO_UNPERSIST = {
+    "triangle_count",       # terminal: result reads e + oriented
+    "docs_retrieval_eval",  # terminal: result reads scored
+    "bfs_hops",             # lazy-loop (fixed max_hops)
+    "pagerank_fixed",       # lazy-loop (fixed iterations)
+    "kmeans_fixedpoint",    # lazy-loop (fixed iterations)
+}
+
+
+def _audit_checkpoint_hygiene(pkg_root: str) -> list[str]:
+    """Static sweep (round-4 verdict #7): every function that calls
+    ``localCheckpoint`` must also call ``unpersist`` — a checkpointed
+    block with no explicit release leaks one executor-storage block
+    per invocation (per TRIGGER in a foreachBatch body), which is
+    unbounded growth on a long-running stream. AST-based so a
+    commented mention can't satisfy the check."""
+    import ast
+
+    findings: list[str] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if not isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    continue
+                calls = {
+                    n.func.attr
+                    for n in ast.walk(node)
+                    if isinstance(n, ast.Call)
+                    and isinstance(n.func, ast.Attribute)
+                }
+                releases = calls | {
+                    n.func.id
+                    for n in ast.walk(node)
+                    if isinstance(n, ast.Call)
+                    and isinstance(n.func, ast.Name)
+                }
+                if (
+                    "localCheckpoint" in calls
+                    # raw Dataset.unpersist() NO-OPS on checkpoint
+                    # blocks — only the helper actually releases them
+                    and "release_local_checkpoint" not in releases
+                    and node.name not in ALLOW_CHECKPOINT_NO_UNPERSIST
+                ):
+                    rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                    findings.append(
+                        f"{rel}:{node.lineno} {node.name}: localCheckpoint"
+                        " without paired unpersist (executor storage leak)"
+                    )
+    return findings
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -68,7 +142,11 @@ def main() -> int:
     from flink_orc_sink_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    findings: list[str] = []
+    pkg_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flink_orc_sink_spark",
+    )
+    findings: list[str] = _audit_checkpoint_hygiene(pkg_root)
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, sf_dir)
