@@ -120,7 +120,12 @@ HEADLINE = [
     "stream_quarantine",
     "stream_sessionize_dynamic",
     # round-4 session additions
-    "docs_index_probe_dedup",
+    # docs_index_probe_dedup splits into build + probe (round-4
+    # verdict #3): the one-time ingest and the steady-state probe get
+    # separate regression-gated numbers — build must run first, the
+    # probe reads the index it persisted.
+    "docs_index_build",
+    "docs_index_probe",
     "parts_hierarchy_rollup",
     "multimodal_jpeg_stats",
     "multimodal_gif_stats",
@@ -139,7 +144,9 @@ def main() -> None:
     from flink_orc_sink_spark.session import get_spark
 
     spark = get_spark("bench")
-    queries = all_queries()
+    from flink_orc_sink_spark.queries.llm import BENCH_ONLY
+
+    queries = {**all_queries(), **BENCH_ONLY}
 
     # Warm the JVM/session on the smallest scale so per-query numbers
     # measure the query, not one-time codegen/session init. The second

@@ -1223,6 +1223,58 @@ def docs_index_probe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bench_index_path(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_minhash_idx_bench_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+def bench_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY split of ``docs_index_probe_dedup`` (round-4 verdict
+    #3): the registered query must rebuild the index inside itself to
+    stay a self-contained oracle, but that conflates ONE-TIME ingest
+    cost with the steady-state probe — a probe-path regression would
+    hide inside the build number. This callable times the build alone;
+    :func:`bench_index_probe` (run right after it in the headline
+    list) times the probe against the index this one persisted."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import build_minhash_index
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    idx = _bench_index_path(sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    build_minhash_index(corpus, "doc_id", "text", idx)
+    return spark.range(1)
+
+
+def bench_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: probe the index :func:`bench_index_build` persisted
+    — the steady-state incremental-ingest cost ("probe scales with
+    batch, not corpus"), regression-gated on its own number."""
+    from flink_orc_sink_spark.operators.dedup import minhash_probe_index
+
+    idx = _bench_index_path(sf_dir)
+    if not os.path.isdir(idx):
+        raise RuntimeError("bench_index_build must run before the probe")
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    return minhash_probe_index(spark, new, "doc_id", "text", idx, threshold=0.7)
+
+
+# Bench-only callables: same (spark, sf_dir) -> DataFrame contract as
+# registry queries, but NOT registered (no self-contained oracle — the
+# probe depends on the build's side effect; the registered
+# docs_index_probe_dedup covers the value oracle for the same path).
+BENCH_ONLY = {
+    "docs_index_build": bench_index_build,
+    "docs_index_probe": bench_index_probe,
+}
+
+
 INDEX_PROBE_SQL = f"""
 WITH {_minhash_ctes(0.7)}
 SELECT
