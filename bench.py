@@ -133,6 +133,12 @@ HEADLINE = [
     "multimodal_audio_features",
     "multimodal_frame_sample_stats",
     "stream_pyds_partitioned",
+    # round-5 session additions: the skew pair (same oracle, AQE vs
+    # explicit salting) and the ANN recall evals
+    "join_skewed_hot_key",
+    "join_skewed_salted",
+    "emb_lsh_recall_eval",
+    "emb_ivf_recall_eval",
 ]
 
 

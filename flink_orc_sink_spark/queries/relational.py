@@ -1874,6 +1874,87 @@ GROUP BY price_bucket
 """
 
 
+def _skewed_fact_dim(spark: SparkSession, sf_dir: str):
+    """Deterministic 50%-hot-key join inputs from lineitem: every
+    even orderkey maps to key 0 (half the fact table on ONE key), odd
+    keys spread uniformly over 10k; the dimension covers all keys.
+    The pathological shuffle-skew shape, derived from the parquet
+    tables so it scales with SF and stays DuckDB-reproducible (plain
+    modulo, no engine-specific hash)."""
+    l = table(spark, sf_dir, "lineitem")
+    fact = l.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), F.lit(10_000)))
+        .cast("long")
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+    return fact, dim
+
+
+def join_skewed_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed join, AQE form (round-4 verdict #6): the 50%-hot fact
+    joins the 10k-key dimension through a FORCED sort-merge join
+    (merge hint — a broadcast would dissolve the skew and measure
+    nothing), then aggregates. Under AQE the oversized post-shuffle
+    partition is split at runtime (``skewJoin.enabled`` is on in
+    session.py; the split firing is plan-asserted in
+    tests/test_plan_budgets.py — on a MULTI-MAPPER fact, because AQE
+    splits a skewed partition into mapper-range slices and the
+    one-row-group local parquet fixture yields a single unsplittable
+    map output; production scans have thousands of mappers).
+    Benchmarked head-to-head with :func:`join_skewed_salted` — same
+    oracle, different mitigation."""
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    return (
+        fact.join(dim.hint("merge"), "k")
+        .groupBy("w")
+        .agg(
+            money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed join, explicit-salting form: the same 50%-hot inputs
+    through ``operators/relational.py::salted_join`` — the shuffle
+    key becomes (k, salt) so the hot key spreads over 16 tasks even
+    where AQE can't see the skew. Identical results to the AQE form
+    (same oracle proves it); the bench pair quantifies the
+    mitigation trade."""
+    from flink_orc_sink_spark.operators.relational import salted_join
+
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    return (
+        salted_join(fact, dim.hint("merge"), "k")
+        .groupBy("w")
+        .agg(
+            money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+JOIN_SKEWED_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+              ELSE l_orderkey % 10000 END AS k,
+         l_quantity
+  FROM lineitem
+),
+dim AS (SELECT k, k % 7 AS w FROM range(10000) t(k))
+SELECT w,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM fact JOIN dim USING (k)
+GROUP BY w
+"""
+
+
 def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-mitigation path through the correctness gate: revenue
     per market segment via :func:`operators.relational.salted_join`
@@ -3148,6 +3229,8 @@ QUERIES = {
     "part_pareto_frontier": part_pareto_frontier,
     "dq_audit_orders": dq_audit_orders,
     "join_not_in_nulls": join_not_in_nulls,
+    "join_skewed_hot_key": join_skewed_hot_key,
+    "join_skewed_salted": join_skewed_salted,
     "window_percent_rank": window_percent_rank,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3234,6 +3317,8 @@ ORACLES = {
     "part_pareto_frontier": PARETO_SQL,
     "dq_audit_orders": DQ_AUDIT_SQL,
     "join_not_in_nulls": NOT_IN_NULLS_SQL,
+    "join_skewed_hot_key": JOIN_SKEWED_SQL,
+    "join_skewed_salted": JOIN_SKEWED_SQL,
     "window_percent_rank": PERCENT_RANK_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -92,3 +92,67 @@ def test_shuffle_budget(spark, sf_dir, name):
 def test_sort_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(entry.queries()["sort_global_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # never global sort + limit
+
+
+def test_skewed_join_aqe_split_fires(spark):
+    """The AQE skew-join split must actually FIRE on the 50%-hot-key
+    join shape (round-4 verdict #6) — the executed adaptive plan
+    marks the sort-merge join skew=true. Two scalings make the
+    mechanism observable at test size: (a) the 256 MiB production
+    threshold shrinks to this probe's KiB-sized shuffle, and (b) the
+    fact side must arrive from MULTIPLE map tasks — AQE splits a
+    skewed partition into (mapper-range, reducer) slices, so a
+    single-mapper input (like the one-row-group local parquet
+    fixtures) is UNSPLITTABLE no matter how skewed; production scans
+    have thousands of mappers. The registered query's plan shape is
+    asserted separately below."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the registered query's exact shape (50% hot key 0, uniform
+        # tail, 10k-key dim, forced SMJ) with an 8-mapper fact
+        fact = spark.range(60_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(10_000)))
+            .cast("long")
+            .alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        )
+        df = (
+            fact.join(dim.hint("merge"), "k")
+            .groupBy("w")
+            .agg(F.sum("v").alias("sv"))
+        )
+        df.collect()  # AQE decisions only exist in the EXECUTED plan
+        executed = df._jdf.queryExecution().toString()
+        assert "skew=true" in executed, executed[-4000:]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_skewed_join_salted_spreads_hot_key(spark, sf_dir):
+    """The salted form must (a) shuffle on (k, __salt) — the plan's
+    join keys include the salt — and (b) never broadcast the hot-side
+    fact table."""
+    df = entry.queries()["join_skewed_salted"](spark, sf_dir)
+    plan = _plan(df)
+    assert "__salt" in plan
+    assert "SortMergeJoin" in plan
+    # same answer as the AQE form: the mitigation must not change results
+    aqe = {
+        tuple(r)
+        for r in entry.queries()["join_skewed_hot_key"](spark, sf_dir).collect()
+    }
+    assert {tuple(r) for r in df.collect()} == aqe

@@ -303,6 +303,74 @@ def test_stream_cdc_apply_no_storage_leak(spark, tmp_path):
     assert rows == {(k, 200 + k) for k in range(5)}
 
 
+def test_backfill_to_live_handoff_exactly_once(spark, tmp_path):
+    """The reference's replay story (README.md:19-22: rebuild state,
+    rewind Kafka offsets) as the Spark-native BACKFILL → LIVE handoff:
+    drain the historical backlog with trigger=availableNow, then
+    reopen the SAME checkpoint under a continuous processingTime
+    trigger for live data. The source WAL must carry the file cursor
+    across the trigger-mode switch — committed rows stay exactly the
+    union of backlog + live, no replays, no gaps, manifest hides
+    nothing else."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.streaming import (
+        read_committed_orc,
+        stream_from_files,
+        stream_write_orc,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 10).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # phase 1: 3-file backlog, drained under availableNow (backfill)
+    feed(0, 40)
+    feed(40, 70)
+    feed(70, 100)
+    q = stream_write_orc(
+        stream_from_files(spark, src, "id LONG, v LONG"),
+        out,
+        checkpoint=ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert read_committed_orc(spark, out).count() == 100
+
+    # phase 2: SAME checkpoint, continuous trigger — live rows arrive
+    # while the query runs; the cursor must resume past the backlog.
+    q = stream_write_orc(
+        stream_from_files(spark, src, "id LONG, v LONG"),
+        out,
+        checkpoint=ckpt,
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        feed(100, 130)
+        feed(130, 150)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if read_committed_orc(spark, out).count() >= 150:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = read_committed_orc(spark, out)
+    assert got.count() == 150  # no replays of the backlog, no gaps
+    ids = sorted(r.id for r in got.select("id").collect())
+    assert ids == list(range(150))
+    assert got.filter(F.col("v") != F.col("id") * 10).count() == 0
+
+
 def test_socket_demo_pipeline_end_to_end(spark, tmp_path):
     """The reference demo VERBATIM (OrcSinkTest.java:16-40): a live
     TCP socket text source → CSV parse → exactly-once ORC sink —
