@@ -268,3 +268,39 @@ def test_minhash_probe_never_self_matches(spark, tmp_path):
     # the genuine near-dup pair is still found (both directions,
     # since both docs probe)
     assert {(r.new_doc, r.match_doc) for r in rows} == {(1, 2), (2, 1)}
+
+
+def test_minhash_probe_replay_double_append_no_duplicate_rows(spark, tmp_path):
+    """Crash-replay shape #2 (round-4 advisory): a crash between
+    append_to_minhash_index's two writes plus replay can double-append
+    a doc's band AND shingle rows. The probe must still emit each
+    (new_doc, match_doc) pair exactly once — the shingle table is
+    deduped by doc at read time."""
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, "completely different words entirely here right now")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, "doc_id", "text", idx)
+    batch1 = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    append_to_minhash_index(batch1, "doc_id", "text", idx)
+    append_to_minhash_index(batch1, "doc_id", "text", idx)  # the replay
+
+    rows = minhash_probe_index(
+        spark,
+        spark.createDataFrame(
+            [(20, base + " lambda")], "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+        idx,
+        threshold=0.5,
+    ).collect()
+    assert [(r.new_doc, r.match_doc) for r in rows] == [(20, 10)]

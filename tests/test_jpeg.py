@@ -161,3 +161,22 @@ def test_16bit_quant_tables_decode():
     patched = raw[: i + 2] + wide + raw[i + 4 + 1 + 64 :]
     ref = jpeg_decode(raw)
     assert np.array_equal(jpeg_decode(patched), ref)
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """Spec-legal variations other encoders emit (round-4 advisory):
+    0xFF fill bytes may pad before any marker (T.81 B.1.1.2), and
+    standalone TEM (0xFF01) markers carry no length field. Both must
+    be skipped by the header walk, leaving pixels bit-identical."""
+    blocks = np.random.RandomState(11).randint(0, 256, (2, 2))
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    raw = jpeg_encode(px, flat_quant=True)
+    assert np.array_equal(jpeg_decode(raw), px)
+    # insert fill bytes + a TEM marker after SOI, before the first
+    # real marker segment
+    patched = raw[:2] + b"\xff\xff\xff" + b"\xff\x01" + raw[2:]
+    assert np.array_equal(jpeg_decode(patched), px)
+    # fill bytes alone, deeper in the header: before the SOS marker
+    sos = raw.index(b"\xff\xda")
+    patched2 = raw[:sos] + b"\xff\xff" + raw[sos:]
+    assert np.array_equal(jpeg_decode(patched2), px)

@@ -192,3 +192,20 @@ def test_avi_decoder_tolerates_missing_idx1():
     stripped = bytearray(stripped)
     struct.pack_into("<I", stripped, 4, len(stripped) - 8)
     assert avi_extract_frames(bytes(stripped)) == frames
+
+
+def test_wav_rejects_zero_channels_and_zero_rate():
+    """A malformed fmt chunk declaring channels=0 (or sample_rate=0)
+    must raise the module's ValueError for bad input, not leak a
+    ZeroDivisionError from the frame math (round-4 advisory)."""
+    import struct
+
+    for ch, rate in ((0, 8000), (1, 0)):
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, 16000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+        )
+        raw = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError):
+            wav_decode(raw)
