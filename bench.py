@@ -166,6 +166,15 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     queries["docs_minhash_pairs"](spark, warm_dir).count()
+    # ... and the streaming runtime: the first streaming query of a
+    # session pays ~5 s of state-store/session init (RocksDB provider,
+    # streaming-source codegen) that is one-time cost, not query cost.
+    # Warm it on the smallest scale so the stream_* headline numbers
+    # measure steady-state micro-batch work.
+    try:
+        queries["stream_running_totals"](spark, warm_dir).count()
+    except Exception:
+        pass  # warm-up must never fail the bench
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}

@@ -314,3 +314,38 @@ def test_ivf_append_equals_rebuild(spark, clustered, tmp_path):
     rows_a = {(r.qid, r.cid, r.cos_sim, r.rank) for r in a.collect()}
     rows_b = {(r.qid, r.cid, r.cos_sim, r.rank) for r in b.collect()}
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_lsh_sql_oracle_signatures_match_udf(spark):
+    """The round-5 LSH value oracles stand on DuckDB reproducing the
+    sign-LSH signatures BIT-FOR-BIT (queries/llm.py::_lsh_sigs_sql
+    serializes the same seeded plane matrix into SQL). Pin that
+    equivalence: if anyone changes the seed, plane shape, or hash
+    layout on either side, this fails in pytest instead of as a
+    driver hash mismatch."""
+    import duckdb
+
+    from flink_orc_sink_spark.operators.similarity import (
+        make_signature_udf,
+    )
+    from flink_orc_sink_spark.queries.llm import _lsh_sigs_sql
+    from flink_orc_sink_spark.sources.catalog import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = table(spark, sf_dir, "embeddings")
+    sig = make_signature_udf(dims=64)
+    spark_rows = {
+        (r.vec_id, tbl): bucket
+        for r in e.select("vec_id", sig("embedding").alias("s")).collect()
+        for tbl, bucket in enumerate(r.s)
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    sql = f"WITH {_lsh_sigs_sql('embeddings')} SELECT vec_id, tbl, bucket FROM sigs"
+    duck_rows = {
+        (vid, tbl): bucket for vid, tbl, bucket in con.execute(sql).fetchall()
+    }
+    assert spark_rows == duck_rows
