@@ -139,6 +139,7 @@ HEADLINE = [
     "join_skewed_salted",
     "emb_lsh_recall_eval",
     "emb_ivf_recall_eval",
+    "stream_emb_index_ingest",
 ]
 
 

@@ -2133,6 +2133,139 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS embedding near-dup discovery ON the streaming
+    runtime against the PERSISTED IVF index — the vector-side twin of
+    ``stream_minhash_index_ingest``, closing the multimodal ingest
+    loop: embedding vectors (the planted near-dup corpus of
+    ``emb_neardup_pairs``) arrive as micro-batches; each
+    ``foreachBatch`` (1) finds within-batch pairs exactly
+    (batch-sized all-pairs — batches are small by construction), (2)
+    probes the persisted cell-partitioned IVF index for cosine ≥ 0.9
+    matches against everything already ingested — a partition-pruned
+    read of the ``nprobe`` probed cells only, never a corpus scan —
+    then (3) appends the batch into the index under a replay marker
+    so a crash-replayed batch rewrites its result partition but never
+    double-appends. Every pair is discovered exactly once, when its
+    LATER member arrives, so the accumulated set is batch-order
+    independent and equals the one-shot exact answer: the oracle is
+    the very same all-pairs SQL as ``emb_neardup_pairs`` (validated
+    batch-wise at sf0.001/0.01/0.1 before wiring the stream). The
+    probe is honest IVF (nprobe=8 of 32 cells) — a near-identical
+    pair straddling probe cells would be the documented approximation
+    trade; with the planted corpus the coarse quantizer provably
+    co-assigns clone and original, so the value hash is exact.
+    100 TB shape: per-trigger cost is batch-sized; index reads prune
+    to probed cells at the FILE LISTING; centroid drift stays a
+    rebuild decision exactly as in production IVF systems."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        embedding_neardup_pairs,
+        ivf_search,
+    )
+    from flink_orc_sink_spark.queries.llm import _plant_emb_neardups
+
+    e = _plant_emb_neardups(table(spark, sf_dir, "embeddings"))
+    hi = (
+        e.filter(F.col("vec_id") < 1_000_000)
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+        + 1
+    )
+    half = hi // 2
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_ivfidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, idx, results = (
+        os.path.join(base, "feed"),
+        os.path.join(base, "idx"),
+        os.path.join(base, "results"),
+    )
+    # the first id range bootstraps the index (train + build); the
+    # rest of the corpus and then the clone range arrive as the
+    # stream, one file per micro-batch
+    boot = e.filter(F.col("vec_id") < half)
+    build_ivf_index(boot, "vec_id", "embedding", idx, nlist=32)
+    (
+        embedding_neardup_pairs(boot, "vec_id", "embedding", 0.9)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(results)
+    )
+    for rng in (
+        (F.col("vec_id") >= half) & (F.col("vec_id") < 1_000_000),
+        F.col("vec_id") >= 1_000_000,
+    ):
+        e.filter(rng).coalesce(1).write.mode("append").parquet(feed)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 3×
+        try:
+            within = embedding_neardup_pairs(
+                batch_df, "vec_id", "embedding", 0.9
+            )
+            cross = (
+                ivf_search(
+                    spark, batch_df, idx, "vec_id", "embedding",
+                    k=10, nprobe=8,
+                )
+                .filter(F.col("cos_sim") >= 0.9)
+                .select(
+                    F.least("qid", "cid").alias("id_a"),
+                    F.greatest("qid", "cid").alias("id_b"),
+                    "cos_sim",
+                )
+            )
+            (
+                within.unionByName(cross)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results)
+            )
+            marker = os.path.join(idx, "appended", f"batch_{batch_id}")
+            if not os.path.exists(marker):
+                append_to_ivf_index(batch_df, "vec_id", "embedding", idx)
+                os.makedirs(marker, exist_ok=True)
+        finally:
+            release_local_checkpoint(batch_df)
+
+    with tempfile.TemporaryDirectory(prefix="stream_ivfidx_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    return (
+        spark.read.parquet(results)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )
+
+
+def _stream_emb_ingest_sql() -> str:
+    # the ONE-SHOT exact oracle: identical pair set, because each pair
+    # is discovered exactly once (when its later member arrives)
+    from flink_orc_sink_spark.queries.llm import EMB_NEARDUP_SQL
+
+    return EMB_NEARDUP_SQL
+
+
 def _stream_minhash_ingest_sql() -> str:
     # the ONE-SHOT batch oracle: identical pair set, because each pair
     # is discovered exactly once (when its later member arrives)
@@ -2322,6 +2455,7 @@ QUERIES = {
     "stream_pyds_source": stream_pyds_source,
     "stream_pyds_partitioned": stream_pyds_partitioned,
     "stream_minhash_index_ingest": stream_minhash_index_ingest,
+    "stream_emb_index_ingest": stream_emb_index_ingest,
     "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
     "orc_bloom_pruned_read": orc_bloom_pruned_read,
@@ -2360,6 +2494,7 @@ ORACLES = {
     "stream_pyds_source": STREAM_PYDS_SQL,
     "stream_pyds_partitioned": STREAM_PYDS_PART_SQL,
     "stream_minhash_index_ingest": STREAM_MINHASH_INGEST_SQL,
+    "stream_emb_index_ingest": _stream_emb_ingest_sql(),
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
     "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,
