@@ -449,8 +449,15 @@ def ivf_search(
     probed = sorted(
         {int(r.cell) for r in q.select("cell").distinct().collect()}
     )
-    idx = spark.read.parquet(os.path.join(index_path, "data")).filter(
-        F.col("cell").isin(probed)
+    idx = (
+        spark.read.parquet(os.path.join(index_path, "data"))
+        .filter(F.col("cell").isin(probed))
+        # a crash between append_to_ivf_index's write and its caller's
+        # replay marker can double-append a batch; dedup by id at read
+        # time (on the probed subset only) so replayed index rows can
+        # never duplicate results or crowd genuine neighbors out of
+        # the top-k — same replay hygiene as minhash_probe_index.
+        .dropDuplicates(["cid"])
     )
     scored = (
         q.withColumn("_qn", norm("qvec"))

@@ -349,3 +349,39 @@ def test_lsh_sql_oracle_signatures_match_udf(spark):
         (vid, tbl): bucket for vid, tbl, bucket in con.execute(sql).fetchall()
     }
     assert spark_rows == duck_rows
+
+
+def test_ivf_index_replay_double_append_no_duplicates(spark, tmp_path):
+    """Crash-replay shape for the persisted IVF index: append ran but
+    the caller's replay marker didn't land, so the batch appends AGAIN
+    on replay. ivf_search must still return each neighbor once, with
+    the duplicate rows unable to crowd genuine neighbors out of the
+    top-k."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+    from flink_orc_sink_spark.queries.llm import _plant_emb_neardups
+    from flink_orc_sink_spark.sources.catalog import table
+
+    e = _plant_emb_neardups(table(spark, "/root/testdata/sf0.001", "embeddings"))
+    corpus = e.filter(F.col("vec_id") < 1_000_000)
+    clones = e.filter(F.col("vec_id") >= 1_000_000)
+    idx = str(tmp_path / "ivfidx")
+    build_ivf_index(corpus, "vec_id", "embedding", idx, nlist=32)
+    append_to_ivf_index(clones, "vec_id", "embedding", idx)
+    append_to_ivf_index(clones, "vec_id", "embedding", idx)  # the replay
+
+    res = ivf_search(
+        spark, clones, idx, "vec_id", "embedding", k=10, nprobe=8
+    ).collect()
+    seen = [(r.qid, r.cid) for r in res]
+    assert len(seen) == len(set(seen))  # no duplicated neighbors
+    # and every planted clone still finds its original at cosine >= 0.9
+    hits = {
+        (r.qid, r.cid) for r in res if r.cos_sim >= 0.9 and r.cid < 1_000_000
+    }
+    assert {(i + 1_000_000, i) for i in range(5)} <= hits
