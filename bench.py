@@ -140,6 +140,7 @@ HEADLINE = [
     "emb_lsh_recall_eval",
     "emb_ivf_recall_eval",
     "stream_emb_index_ingest",
+    "stream_media_index_ingest",
 ]
 
 

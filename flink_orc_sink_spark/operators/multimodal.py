@@ -928,3 +928,134 @@ def ahash_neardup_pairs(
             F.col("hamming").cast("int").alias("hamming"),
         )
     )
+
+
+def _ahash_band_rows(
+    hashes: DataFrame, id_col: str, hash_col: str, n_bands: int
+) -> DataFrame:
+    """(mid, hh, band, key) rows: the 64-bit hash split into
+    ``n_bands`` equal bands — the shared blocking representation of
+    :func:`ahash_neardup_pairs` and the persisted index below."""
+    band_bits = 64 // n_bands
+    return hashes.select(
+        F.col(id_col).alias("mid"),
+        F.col(hash_col).alias("hh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), i * band_bits
+                        )
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "mid", "hh", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+
+
+def build_ahash_index(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    path: str,
+    n_bands: int = 4,
+) -> None:
+    """PERSIST the perceptual-hash dedup index — the media twin of
+    ``operators/dedup.py::build_minhash_index``: band rows written as
+    parquet PARTITIONED BY band (the banded inverted index; probes
+    prune to matching band directories) plus the flat (mid, hh) hash
+    table for exact Hamming verification. Index bytes are ~24 B per
+    image — negligible next to the media it indexes, and the only
+    thing a continuous ingest ever reads."""
+    (
+        _ahash_band_rows(hashes, id_col, hash_col, n_bands)
+        .repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    (
+        hashes.select(F.col(id_col).alias("mid"), F.col(hash_col).alias("hh"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/hashes")
+    )
+
+
+def ahash_probe_index(
+    spark,
+    new_hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    path: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """INCREMENTAL media dedup against a PERSISTED index:
+    ``(new_id, match_id, hamming ≤ max_hamming)`` of a new batch vs
+    the indexed corpus — media bytes are never re-decoded, only the
+    index is read. Banding is pigeonhole-COMPLETE for
+    ``max_hamming ≤ n_bands − 1`` (enforced like
+    :func:`ahash_neardup_pairs`), so unlike the IVF probe this path
+    is exact, not approximate. Replay hygiene: a crash between the
+    caller's append and its replay marker can double-append a batch,
+    so candidates are deduped and self-matches dropped."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is only complete for max_hamming <= n_bands - 1 "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}); "
+            f"raise n_bands or lower max_hamming"
+        )
+    nb = _ahash_band_rows(new_hashes, id_col, hash_col, n_bands).select(
+        F.col("mid").alias("new_id"), F.col("hh").alias("hh"), "band", "key"
+    )
+    corpus = spark.read.parquet(f"{path}/bands").select(
+        F.col("mid").alias("match_id"), F.col("hh").alias("hh2"), "band", "key"
+    )
+    cand = (
+        nb.join(corpus, ["band", "key"])
+        # a replayed batch can already be IN the index: never match
+        # a media item against itself
+        .filter(F.col("new_id") != F.col("match_id"))
+        .select("new_id", "match_id", "hh", "hh2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hh").bitwiseXOR(F.col("hh2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "match_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def append_to_ahash_index(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    path: str,
+    n_bands: int = 4,
+) -> None:
+    """Append a probed-and-admitted batch into the persisted hash
+    index so later batches dedup against it — batch-sized map work +
+    an append write, the same lifecycle contract as
+    ``append_to_minhash_index`` / ``append_to_ivf_index``."""
+    (
+        _ahash_band_rows(hashes, id_col, hash_col, n_bands)
+        .repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    (
+        hashes.select(F.col(id_col).alias("mid"), F.col(hash_col).alias("hh"))
+        .write.mode("append")
+        .parquet(f"{path}/hashes")
+    )

@@ -2258,6 +2258,134 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS perceptual-dedup ingest for MEDIA — the third leg of
+    the persisted-index triad (text: ``stream_minhash_index_ingest``,
+    embeddings: ``stream_emb_index_ingest``): real planted PNGs (the
+    ``multimodal_phash_neardup`` corpus — 100 originals + 100
+    two-pixel-perturbed clones) arrive as micro-batches of binary
+    blobs; each ``foreachBatch`` (1) DECODES and average-hashes the
+    batch (the only pass that ever touches pixels), (2) finds
+    within-batch pairs by banded Hamming search, (3) probes the
+    PERSISTED band-partitioned hash index for matches against
+    everything already ingested — hashes only, media bytes never
+    re-decoded — and (4) appends the batch under a replay marker.
+    Unlike the IVF probe, banding at Hamming ≤ 3 over 4 bands is
+    pigeonhole-COMPLETE, so the accumulated pair set is EXACTLY the
+    one-shot answer and the oracle is the very same arithmetic SQL as
+    ``multimodal_phash_neardup``. The 100 TB shape of a media
+    curation pipeline: per-trigger decode cost is batch-sized, the
+    index carries ~24 B/image, and dedup cost scales with the batch,
+    never the corpus of stored media."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        ahash_probe_index,
+        append_to_ahash_index,
+        attach_planted_png,
+        build_ahash_index,
+        image_ahash,
+    )
+
+    base_ids = spark.range(0, 100, 1, 8).select(F.col("id").alias("media_id"))
+    clone_ids = spark.range(0, 100, 1, 8).select(
+        (F.col("id") + 1000).alias("media_id")
+    )
+    blobs = attach_planted_png(base_ids, "media_id").unionByName(
+        attach_planted_png(
+            clone_ids.withColumn("src_id", F.col("media_id") - 1000)
+            .select(F.col("src_id").alias("plant_id"), "media_id"),
+            "plant_id",
+            perturb=True,
+        ).select("media_id", "png")
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_mediaidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, idx, results = (
+        os.path.join(base, "feed"),
+        os.path.join(base, "idx"),
+        os.path.join(base, "results"),
+    )
+    # first half of the originals bootstraps the index; the rest of
+    # the originals and then the clone wave arrive as the stream
+    boot = image_ahash(
+        blobs.filter(F.col("media_id") < 50), "media_id", "png"
+    )
+    build_ahash_index(boot, "media_id", "ahash", idx)
+    (
+        ahash_neardup_pairs(boot, max_hamming=3)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(results)
+    )
+    for rng in (
+        (F.col("media_id") >= 50) & (F.col("media_id") < 1000),
+        F.col("media_id") >= 1000,
+    ):
+        blobs.filter(rng).coalesce(1).write.mode("append").parquet(feed)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hashes = image_ahash(batch_df, "media_id", "png").localCheckpoint(
+            eager=True  # decode ONCE; consumed by pairs + probe + append
+        )
+        try:
+            within = ahash_neardup_pairs(hashes, max_hamming=3)
+            cross = ahash_probe_index(
+                spark, hashes, "media_id", "ahash", idx, max_hamming=3
+            ).select(
+                F.least("new_id", "match_id").alias("id_a"),
+                F.greatest("new_id", "match_id").alias("id_b"),
+                "hamming",
+            )
+            (
+                within.unionByName(cross)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results)
+            )
+            marker = os.path.join(idx, "appended", f"batch_{batch_id}")
+            if not os.path.exists(marker):
+                append_to_ahash_index(hashes, "media_id", "ahash", idx)
+                os.makedirs(marker, exist_ok=True)
+        finally:
+            release_local_checkpoint(hashes)
+
+    with tempfile.TemporaryDirectory(prefix="stream_mediaidx_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema("media_id long, png binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    return (
+        spark.read.parquet(results)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def _stream_media_ingest_sql() -> str:
+    # pigeonhole-complete banding ⇒ the streamed accumulation IS the
+    # one-shot answer; reuse the planted-arithmetic oracle verbatim
+    from flink_orc_sink_spark.queries.llm import PHASH_NEARDUP_SQL
+
+    return PHASH_NEARDUP_SQL
+
+
 def _stream_emb_ingest_sql() -> str:
     # the ONE-SHOT exact oracle: identical pair set, because each pair
     # is discovered exactly once (when its later member arrives)
@@ -2456,6 +2584,7 @@ QUERIES = {
     "stream_pyds_partitioned": stream_pyds_partitioned,
     "stream_minhash_index_ingest": stream_minhash_index_ingest,
     "stream_emb_index_ingest": stream_emb_index_ingest,
+    "stream_media_index_ingest": stream_media_index_ingest,
     "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
     "orc_bloom_pruned_read": orc_bloom_pruned_read,
@@ -2495,6 +2624,7 @@ ORACLES = {
     "stream_pyds_partitioned": STREAM_PYDS_PART_SQL,
     "stream_minhash_index_ingest": STREAM_MINHASH_INGEST_SQL,
     "stream_emb_index_ingest": _stream_emb_ingest_sql(),
+    "stream_media_index_ingest": _stream_media_ingest_sql(),
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
     "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,

@@ -344,3 +344,70 @@ def test_phash_neardup_finds_planted_clones(spark):
     }
     for i in range(40):
         assert (i, i + 1000) in pairs, i
+
+
+def test_ahash_index_lifecycle_and_replay(spark, tmp_path):
+    """Persisted perceptual-hash index: build → probe → append →
+    probe again must equal the one-shot banded search (pigeonhole-
+    complete, so exact), and a replay double-append must not
+    duplicate probe rows or self-match."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        ahash_probe_index,
+        append_to_ahash_index,
+        attach_planted_png,
+        build_ahash_index,
+        image_ahash,
+    )
+
+    base = spark.range(0, 30, 1, 4).select(F.col("id").alias("media_id"))
+    clones = spark.range(0, 30, 1, 4).select(
+        (F.col("id") + 1000).alias("media_id")
+    )
+    blobs = attach_planted_png(base, "media_id").unionByName(
+        attach_planted_png(
+            clones.withColumn("src_id", F.col("media_id") - 1000)
+            .select(F.col("src_id").alias("plant_id"), "media_id"),
+            "plant_id",
+            perturb=True,
+        ).select("media_id", "png")
+    )
+    hashes = image_ahash(blobs, "media_id", "png").localCheckpoint()
+    orig_h = hashes.filter(F.col("media_id") < 1000)
+    clone_h = hashes.filter(F.col("media_id") >= 1000)
+
+    idx = str(tmp_path / "ahashidx")
+    build_ahash_index(orig_h, "media_id", "ahash", idx)
+    probed = ahash_probe_index(
+        spark, clone_h, "media_id", "ahash", idx, max_hamming=3
+    )
+    got = {(r.new_id, r.match_id, r.hamming) for r in probed.collect()}
+    # one-shot reference over the full corpus, restricted to
+    # cross(clone, original) pairs
+    ref = {
+        (r.id_b, r.id_a, r.hamming)
+        for r in ahash_neardup_pairs(hashes, max_hamming=3).collect()
+        if r.id_b >= 1000 and r.id_a < 1000
+    }
+    assert got == ref and len(got) >= 30  # every planted pair found
+
+    # replay: append the clone batch TWICE, then probe it again —
+    # rows must not duplicate, and self-matches must not appear
+    append_to_ahash_index(clone_h, "media_id", "ahash", idx)
+    append_to_ahash_index(clone_h, "media_id", "ahash", idx)
+    rows = ahash_probe_index(
+        spark, clone_h, "media_id", "ahash", idx, max_hamming=3
+    ).collect()
+    keys = [(r.new_id, r.match_id) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(a != b for a, b in keys)
+
+    # pigeonhole guard carries over to the index probe
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ahash_probe_index(
+            spark, clone_h, "media_id", "ahash", idx, max_hamming=4
+        )
