@@ -2153,8 +2153,13 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-wise at sf0.001/0.01/0.1 before wiring the stream). The
     probe is honest IVF (nprobe=8 of 32 cells) — a near-identical
     pair straddling probe cells would be the documented approximation
-    trade; with the planted corpus the coarse quantizer provably
-    co-assigns clone and original, so the value hash is exact.
+    trade. For the planted corpus the original's cell lands in every
+    clone's probe set (EMPIRICALLY pinned at sf0.001/0.01/0.1 with
+    the fixed seed — near-identical vectors sit far from Voronoi
+    boundaries in practice, but this is a measured property, not a
+    theorem), so the value hash is exact; contrast
+    ``stream_media_index_ingest`` where banding makes the same claim
+    pigeonhole-PROVABLE.
     100 TB shape: per-trigger cost is batch-sized; index reads prune
     to probed cells at the FILE LISTING; centroid drift stays a
     rebuild decision exactly as in production IVF systems."""
