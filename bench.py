@@ -141,6 +141,7 @@ HEADLINE = [
     "emb_ivf_recall_eval",
     "stream_emb_index_ingest",
     "stream_media_index_ingest",
+    "stream_backfill_live_handoff",
 ]
 
 

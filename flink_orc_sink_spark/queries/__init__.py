@@ -32,13 +32,14 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #   r3: the 50 newest surfaces (engine runtime, round-3 additions)
 #   r4: 8 new/changed round-4 surfaces, the 6 lost r3 gate rows,
 #       then longest-never-verified
-#   r5 (this round): the 10 new/changed round-5 surfaces (4 ANN
+#   r5 (this round): the 11 new/changed round-5 surfaces (4 ANN
 #       recall evals, the skew-join pair, the two LSH queries whose
 #       oracles upgraded rows-only -> value-hash, the streaming IVF
-#       and media index ingests), then the 40 longest-never-driver-
-#       verified entries in registry order (round-4 verdict #1:
-#       engine-runtime, ORC and LLM-core families). ~38
-#       never-verified entries remain for the r6 window.
+#       and media index ingests, the backfill->live handoff), then
+#       the 39 longest-never-driver-verified entries in registry
+#       order (round-4 verdict #1: engine-runtime, ORC and LLM-core
+#       families). ~39 never-verified entries remain for the r6
+#       window.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
@@ -53,6 +54,7 @@ _PRIORITY = (
     "emb_lsh_neardup_pairs",
     "stream_emb_index_ingest",
     "stream_media_index_ingest",
+    "stream_backfill_live_handoff",
     "docs_contamination_bloom",
     "dq_audit_orders",
     "events_cdc_apply",
@@ -92,7 +94,6 @@ _PRIORITY = (
     "docs_pack_sequences",
     "docs_contamination",
     "docs_hash_sample",
-    "docs_stratified_sample",
 )
 
 

@@ -2383,6 +2383,93 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's replay contract (``README.md:19-22``: rebuild
+    state, rewind Kafka offsets) as the Spark-native BACKFILL → LIVE
+    handoff, pushed through the VALUE gate: the historical backlog
+    (¾ of events, two files) drains under ``trigger=availableNow``
+    into the exactly-once ORC sink; then the SAME checkpoint reopens
+    under a continuous ``processingTime`` trigger and the live tail
+    (the remaining ¼) arrives while the query runs. The source WAL
+    must carry the file cursor across the trigger-mode switch — the
+    oracle is the plain full-table SELECT, so the hash match proves
+    no row was lost, duplicated, or altered crossing the handoff.
+    This is how a production pipeline bootstraps: batch-drain years
+    of history, then flip the same checkpoint to live ingestion
+    (the trigger-switch twin of ``stream_orc_pipeline_events``;
+    crash/restart idempotence and the pytest variant live in
+    tests/test_streaming_sink.py)."""
+    global _STREAM_SEQ
+    import shutil
+    import time
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        read_committed_orc,
+        stream_from_files,
+        stream_write_orc,
+    )
+
+    d = table(spark, sf_dir, "events")  # normalized µs ts, UTC
+    total = d.count()
+    _STREAM_SEQ += 1
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_handoff_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, out = os.path.join(base, "feed"), os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for part in (0, 1):  # the backlog: two files, multi-batch drain
+        d.filter(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    d.filter(F.col("event_id") % 4 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    with stream_partitions(spark):
+        q = stream_write_orc(
+            stream_from_files(
+                spark, feed, d.schema, max_files_per_trigger=1
+            ),
+            out,
+            checkpoint=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+        # live phase: SAME checkpoint, continuous trigger; the tail
+        # arrives while the query runs
+        q = stream_write_orc(
+            stream_from_files(spark, feed, d.schema),
+            out,
+            checkpoint=ckpt,
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            d.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+            deadline = time.time() + 120
+            done = 0
+            while time.time() < deadline:
+                done = read_committed_orc(spark, out).count()
+                if done >= total:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        if done < total:
+            raise TimeoutError(
+                f"handoff drained {done}/{total} rows within 120s"
+            )
+    return read_committed_orc(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def _stream_media_ingest_sql() -> str:
     # pigeonhole-complete banding ⇒ the streamed accumulation IS the
     # one-shot answer; reuse the planted-arithmetic oracle verbatim
@@ -2590,6 +2677,7 @@ QUERIES = {
     "stream_minhash_index_ingest": stream_minhash_index_ingest,
     "stream_emb_index_ingest": stream_emb_index_ingest,
     "stream_media_index_ingest": stream_media_index_ingest,
+    "stream_backfill_live_handoff": stream_backfill_live_handoff,
     "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
     "orc_bloom_pruned_read": orc_bloom_pruned_read,
@@ -2630,6 +2718,7 @@ ORACLES = {
     "stream_minhash_index_ingest": STREAM_MINHASH_INGEST_SQL,
     "stream_emb_index_ingest": _stream_emb_ingest_sql(),
     "stream_media_index_ingest": _stream_media_ingest_sql(),
+    "stream_backfill_live_handoff": ORC_ROUNDTRIP_SQL,
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
     "orc_bloom_pruned_read": ORC_BLOOM_PRUNED_SQL,
