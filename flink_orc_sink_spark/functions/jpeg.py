@@ -424,6 +424,10 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
         # encoders don't misparse.
         while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(raw):
+            # stream truncated inside a fill run — malformed input,
+            # not an index error
+            raise ValueError(f"truncated marker at {pos}")
         marker = raw[pos + 1]
         if marker == 0xD9:
             break

@@ -844,7 +844,12 @@ def minhash_probe_index(
     )
     hot = (
         corpus_bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("n"))
+        # DISTINCT docs, not raw rows: a crash-replayed double-append
+        # duplicates band rows, and a raw count would push genuine
+        # buckets over the cap — silently suppressing real matches
+        # (the replay must never change probe results in either
+        # direction)
+        .agg(F.count_distinct("match_doc").alias("n"))
         .filter(F.col("n") > bucket_cap)
         .select("band", "bkey")
     )

@@ -970,9 +970,9 @@ def build_ahash_index(
     """PERSIST the perceptual-hash dedup index — the media twin of
     ``operators/dedup.py::build_minhash_index``: band rows written as
     parquet PARTITIONED BY band (the banded inverted index; probes
-    prune to matching band directories) plus the flat (mid, hh) hash
-    table for exact Hamming verification. Index bytes are ~24 B per
-    image — negligible next to the media it indexes, and the only
+    prune to matching band directories). Each band row carries the
+    full 64-bit hash, so exact Hamming verification needs no second
+    table. Index bytes are ~24 B per image — negligible next to the media it indexes, and the only
     thing a continuous ingest ever reads."""
     (
         _ahash_band_rows(hashes, id_col, hash_col, n_bands)
@@ -981,11 +981,6 @@ def build_ahash_index(
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(f"{path}/bands")
-    )
-    (
-        hashes.select(F.col(id_col).alias("mid"), F.col(hash_col).alias("hh"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/hashes")
     )
 
 
@@ -1053,9 +1048,4 @@ def append_to_ahash_index(
         .write.mode("append")
         .partitionBy("band")
         .parquet(f"{path}/bands")
-    )
-    (
-        hashes.select(F.col(id_col).alias("mid"), F.col(hash_col).alias("hh"))
-        .write.mode("append")
-        .parquet(f"{path}/hashes")
     )

@@ -416,21 +416,21 @@ def build_ivf_index(
     )
 
 
-def ivf_search(
+def _ivf_probe_scored(
     spark,
     queries: DataFrame,
     index_path: str,
     query_id: str,
     query_vec: str,
-    k: int = 5,
-    nprobe: int = 8,
+    nprobe: int,
 ) -> DataFrame:
-    """Top-``k`` against a :func:`build_ivf_index` index.
+    """Shared probe machinery of :func:`ivf_search` and
+    :func:`ivf_threshold_matches`: (qid, cid, cos_sim) for every
+    query × corpus row in the probed cells.
 
     The probed cell set (≤ ``nlist`` ints, driver-side by design —
     the one bounded collect in the path) becomes an ``isin`` partition
-    filter, so the scan lists only the probed directories. Everything
-    after is the same score + per-group top-k as the inline path.
+    filter, so the scan lists only the probed directories.
     """
     import os
 
@@ -459,7 +459,7 @@ def ivf_search(
         # the top-k — same replay hygiene as minhash_probe_index.
         .dropDuplicates(["cid"])
     )
-    scored = (
+    return (
         q.withColumn("_qn", norm("qvec"))
         .join(idx.withColumn("_cn", norm("cvec")), "cell")
         .filter(F.col("qid") != F.col("cid"))
@@ -472,6 +472,22 @@ def ivf_search(
             ).alias("cos_sim"),
         )
     )
+
+
+def ivf_search(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Top-``k`` against a :func:`build_ivf_index` index: the shared
+    probe + the same per-group top-k as the inline path."""
+    scored = _ivf_probe_scored(
+        spark, queries, index_path, query_id, query_vec, nprobe
+    )
     from flink_orc_sink_spark.operators.relational import topk_per_group
 
     return topk_per_group(
@@ -481,6 +497,26 @@ def ivf_search(
         k,
         rank_col="rank",
     ).select("qid", "cid", "cos_sim", "rank")
+
+
+def ivf_threshold_matches(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    query_id: str,
+    query_vec: str,
+    threshold: float,
+    nprobe: int = 8,
+) -> DataFrame:
+    """ALL matches with ``cos_sim ≥ threshold`` against the index —
+    no top-k cap. The dedup-ingest shape: near-dup semantics are
+    "every pair above the line", and a top-k cap would silently drop
+    matches for any query with more than k true neighbors (the only
+    remaining approximation is cell-straddling, bounded by
+    ``nprobe``)."""
+    return _ivf_probe_scored(
+        spark, queries, index_path, query_id, query_vec, nprobe
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def ivf_topk(

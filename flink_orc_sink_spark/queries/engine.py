@@ -2124,7 +2124,14 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            # stop BEFORE the checkpoint tempdir is torn down and
+            # fail loudly — a silently partial ingest would surface
+            # as a confusing oracle mismatch (and the still-running
+            # query would leak into later bench queries)
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError("index-ingest stream did not drain in 180s")
 
     return (
         spark.read.parquet(results)
@@ -2169,7 +2176,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_ivf_index,
         build_ivf_index,
         embedding_neardup_pairs,
-        ivf_search,
+        ivf_threshold_matches,
     )
     from flink_orc_sink_spark.queries.llm import _plant_emb_neardups
 
@@ -2217,17 +2224,16 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             within = embedding_neardup_pairs(
                 batch_df, "vec_id", "embedding", 0.9
             )
-            cross = (
-                ivf_search(
-                    spark, batch_df, idx, "vec_id", "embedding",
-                    k=10, nprobe=8,
-                )
-                .filter(F.col("cos_sim") >= 0.9)
-                .select(
-                    F.least("qid", "cid").alias("id_a"),
-                    F.greatest("qid", "cid").alias("id_b"),
-                    "cos_sim",
-                )
+            # threshold-complete probe (no top-k cap): near-dup
+            # semantics are "every pair above the line", so a query
+            # with >k true neighbors must not silently lose matches
+            cross = ivf_threshold_matches(
+                spark, batch_df, idx, "vec_id", "embedding",
+                threshold=0.9, nprobe=8,
+            ).select(
+                F.least("qid", "cid").alias("id_a"),
+                F.greatest("qid", "cid").alias("id_b"),
+                "cos_sim",
             )
             (
                 within.unionByName(cross)
@@ -2254,7 +2260,14 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            # stop BEFORE the checkpoint tempdir is torn down and
+            # fail loudly — a silently partial ingest would surface
+            # as a confusing oracle mismatch (and the still-running
+            # query would leak into later bench queries)
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError("index-ingest stream did not drain in 180s")
 
     return (
         spark.read.parquet(results)
@@ -2374,7 +2387,14 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            # stop BEFORE the checkpoint tempdir is torn down and
+            # fail loudly — a silently partial ingest would surface
+            # as a confusing oracle mismatch (and the still-running
+            # query would leak into later bench queries)
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError("index-ingest stream did not drain in 180s")
 
     return (
         spark.read.parquet(results)
@@ -2387,7 +2407,8 @@ def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's replay contract (``README.md:19-22``: rebuild
     state, rewind Kafka offsets) as the Spark-native BACKFILL → LIVE
     handoff, pushed through the VALUE gate: the historical backlog
-    (¾ of events, two files) drains under ``trigger=availableNow``
+    (¾ of events, three files — a multi-batch drain) arrives under
+    ``trigger=availableNow``
     into the exactly-once ORC sink; then the SAME checkpoint reopens
     under a continuous ``processingTime`` trigger and the live tail
     (the remaining ¼) arrives while the query runs. The source WAL
@@ -2420,13 +2441,10 @@ def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     feed, out = os.path.join(base, "feed"), os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
-    for part in (0, 1):  # the backlog: two files, multi-batch drain
+    for part in (0, 1, 2):  # the backlog: one file per id class
         d.filter(F.col("event_id") % 4 == part).coalesce(1).write.mode(
             "append"
         ).parquet(feed)
-    d.filter(F.col("event_id") % 4 == 2).coalesce(1).write.mode(
-        "append"
-    ).parquet(feed)
 
     with stream_partitions(spark):
         q = stream_write_orc(
@@ -2437,7 +2455,10 @@ def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=ckpt,
             trigger={"availableNow": True},
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError("backfill drain did not finish in 120s")
 
         # live phase: SAME checkpoint, continuous trigger; the tail
         # arrives while the query runs
