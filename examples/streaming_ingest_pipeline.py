@@ -131,7 +131,12 @@ def run(spark, sf_dir: str, out: str) -> dict[str, int]:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # fail loudly rather than report a silently partial pair set
+        # (and never tear the checkpoint down under a live query)
+        q.stop()
+        q.awaitTermination(30)
+        raise TimeoutError("ingest stream did not drain in 180s")
 
     landed = spark.read.orc(out)
     counts = {

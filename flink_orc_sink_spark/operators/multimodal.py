@@ -972,7 +972,9 @@ def build_ahash_index(
     parquet PARTITIONED BY band (the banded inverted index; probes
     prune to matching band directories). Each band row carries the
     full 64-bit hash, so exact Hamming verification needs no second
-    table. Index bytes are ~24 B per image — negligible next to the media it indexes, and the only
+    table. Raw index bytes are ~70 B per image (4 band rows, each
+    carrying the full hash) — negligible next to the media it
+    indexes, and the only
     thing a continuous ingest ever reads."""
     (
         _ahash_band_rows(hashes, id_col, hash_col, n_bands)

@@ -67,6 +67,25 @@ def stream_partitions(spark: SparkSession, n: int | None = None):
 _STREAM_SEQ = 0
 
 
+
+def _drain_or_fail(q, secs: int, what: str) -> None:
+    """``awaitTermination`` with LOUD failure: a silently partial
+    drain would surface as a confusing oracle mismatch, and a
+    still-running query would leak past its checkpoint tempdir and
+    into later (exclusively-timed) bench queries. Shared by every
+    bounded availableNow drain in this module."""
+    if q.awaitTermination(secs):
+        return
+    try:
+        q.stop()
+        q.awaitTermination(30)
+    except Exception:
+        # a query that died with its own error between the timeout
+        # and stop() must not mask the primary diagnostic below
+        pass
+    raise TimeoutError(f"{what} did not drain in {secs}s")
+
+
 def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC (zstd, vectorized writer) → read back, unchanged.
 
@@ -2124,14 +2143,7 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(180):
-            # stop BEFORE the checkpoint tempdir is torn down and
-            # fail loudly — a silently partial ingest would surface
-            # as a confusing oracle mismatch (and the still-running
-            # query would leak into later bench queries)
-            q.stop()
-            q.awaitTermination(30)
-            raise TimeoutError("index-ingest stream did not drain in 180s")
+        _drain_or_fail(q, 180, "index-ingest stream")
 
     return (
         spark.read.parquet(results)
@@ -2260,14 +2272,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(180):
-            # stop BEFORE the checkpoint tempdir is torn down and
-            # fail loudly — a silently partial ingest would surface
-            # as a confusing oracle mismatch (and the still-running
-            # query would leak into later bench queries)
-            q.stop()
-            q.awaitTermination(30)
-            raise TimeoutError("index-ingest stream did not drain in 180s")
+        _drain_or_fail(q, 180, "index-ingest stream")
 
     return (
         spark.read.parquet(results)
@@ -2293,7 +2298,7 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot answer and the oracle is the very same arithmetic SQL as
     ``multimodal_phash_neardup``. The 100 TB shape of a media
     curation pipeline: per-trigger decode cost is batch-sized, the
-    index carries ~24 B/image, and dedup cost scales with the batch,
+    index carries ~70 B/image, and dedup cost scales with the batch,
     never the corpus of stored media."""
     import shutil
 
@@ -2387,14 +2392,7 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(180):
-            # stop BEFORE the checkpoint tempdir is torn down and
-            # fail loudly — a silently partial ingest would surface
-            # as a confusing oracle mismatch (and the still-running
-            # query would leak into later bench queries)
-            q.stop()
-            q.awaitTermination(30)
-            raise TimeoutError("index-ingest stream did not drain in 180s")
+        _drain_or_fail(q, 180, "index-ingest stream")
 
     return (
         spark.read.parquet(results)
@@ -2455,10 +2453,7 @@ def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=ckpt,
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(120):
-            q.stop()
-            q.awaitTermination(30)
-            raise TimeoutError("backfill drain did not finish in 120s")
+        _drain_or_fail(q, 120, "backfill drain")
 
         # live phase: SAME checkpoint, continuous trigger; the tail
         # arrives while the query runs
