@@ -796,8 +796,11 @@ def build_minhash_index(
     sigs = minhash_signatures(df, id_col, text_col, k)
     (
         band_rows(sigs)
-        .repartition("band")
-        .sortWithinPartitions("bkey")
+        # range-partition on (band, bkey): band dirs preserved via
+        # partitionBy while write parallelism scales past the 16-band
+        # cap a repartition("band") would impose
+        .repartitionByRange("band", "bkey")
+        .sortWithinPartitions("band", "bkey")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(f"{index_path}/bands")
@@ -909,8 +912,11 @@ def append_to_minhash_index(
     sigs = minhash_signatures(df, id_col, text_col, k)
     (
         band_rows(sigs)
-        .repartition("band")
-        .sortWithinPartitions("bkey")
+        # range-partition on (band, bkey): band dirs preserved via
+        # partitionBy while write parallelism scales past the 16-band
+        # cap a repartition("band") would impose
+        .repartitionByRange("band", "bkey")
+        .sortWithinPartitions("band", "bkey")
         .write.mode("append")
         .partitionBy("band")
         .parquet(f"{index_path}/bands")

@@ -888,24 +888,7 @@ def ahash_neardup_pairs(
             f"(got max_hamming={max_hamming}, n_bands={n_bands}); "
             f"raise n_bands or lower max_hamming"
         )
-    band_bits = 64 // n_bands
-    bands = hashes.select(
-        F.col(id_col).alias("mid"),
-        F.col(hash_col).alias("hh"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col(hash_col), i * band_bits
-                        ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("mid", "hh", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    bands = _ahash_band_rows(hashes, id_col, hash_col, n_bands)
     other = bands.select(
         F.col("band"),
         F.col("key"),
@@ -978,8 +961,13 @@ def build_ahash_index(
     thing a continuous ingest ever reads."""
     (
         _ahash_band_rows(hashes, id_col, hash_col, n_bands)
-        .repartition("band")
-        .sortWithinPartitions("key")
+        # range-partition on (band, key): band grouping is preserved
+        # (partitionBy still routes rows to band directories) while
+        # write parallelism scales with the cluster instead of being
+        # capped at n_bands tasks — each task writes one sorted file
+        # per band range it holds
+        .repartitionByRange("band", "key")
+        .sortWithinPartitions("band", "key")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(f"{path}/bands")
@@ -1045,8 +1033,13 @@ def append_to_ahash_index(
     ``append_to_minhash_index`` / ``append_to_ivf_index``."""
     (
         _ahash_band_rows(hashes, id_col, hash_col, n_bands)
-        .repartition("band")
-        .sortWithinPartitions("key")
+        # range-partition on (band, key): band grouping is preserved
+        # (partitionBy still routes rows to band directories) while
+        # write parallelism scales with the cluster instead of being
+        # capped at n_bands tasks — each task writes one sorted file
+        # per band range it holds
+        .repartitionByRange("band", "key")
+        .sortWithinPartitions("band", "key")
         .write.mode("append")
         .partitionBy("band")
         .parquet(f"{path}/bands")

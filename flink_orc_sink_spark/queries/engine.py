@@ -2020,6 +2020,13 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
         if done < 3 * per_part:
+            # the last poll can be one interval stale and stop()
+            # lets an in-flight batch land in the memory sink —
+            # re-read once before declaring failure
+            done = spark.sql(
+                f"SELECT COALESCE(SUM(n_events), 0) AS t FROM {name}"
+            ).collect()[0].t
+        if done < 3 * per_part:
             # Fail loudly: a partial complete-mode aggregate would
             # otherwise surface as a confusing oracle hash mismatch
             # instead of the real problem (slow/stuck stream).
@@ -2477,6 +2484,12 @@ def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination(30)
+        if done < total:
+            # the last poll can be up to one interval stale, and
+            # stop() lets an in-flight batch commit — re-read once
+            # before declaring failure so a drain finishing in the
+            # final window is not misreported
+            done = read_committed_orc(spark, out).count()
         if done < total:
             raise TimeoutError(
                 f"handoff drained {done}/{total} rows within 120s"
