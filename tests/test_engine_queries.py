@@ -28,3 +28,65 @@ def test_stream_tumbling_matches_batch(spark):
     streamed = stream_tumbling_hourly(spark, SF_DIR)
     batch = events_tumbling_hourly(spark, SF_DIR)
     assert _rowset(streamed) == _rowset(batch)
+
+
+def test_drain_or_fail_contract(spark):
+    """_drain_or_fail: returns on a clean drain, raises TimeoutError on
+    a stuck query (stopping it first), and the TimeoutError survives a
+    query whose own failure surfaces during the stop path."""
+    import pytest
+
+    from flink_orc_sink_spark.queries.engine import _drain_or_fail
+
+    class Fake:
+        def __init__(self, drained, stop_raises=False):
+            self._drained = drained
+            self._stop_raises = stop_raises
+            self.stopped = False
+
+        def awaitTermination(self, secs=None):
+            if self._stop_raises and self.stopped:
+                raise RuntimeError("query died with its own error")
+            return self._drained
+
+        def stop(self):
+            self.stopped = True
+
+    _drain_or_fail(Fake(True), 1, "ok stream")  # no raise
+
+    stuck = Fake(False)
+    with pytest.raises(TimeoutError, match="stuck stream"):
+        _drain_or_fail(stuck, 1, "stuck stream")
+    assert stuck.stopped  # stopped BEFORE the checkpoint dir goes away
+
+    # a failure raised while stopping must not mask the diagnostic
+    with pytest.raises(TimeoutError, match="dying stream"):
+        _drain_or_fail(Fake(False, stop_raises=True), 1, "dying stream")
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """release_local_checkpoint must actually free the blocks
+    (Dataset.unpersist silently no-ops on checkpoint blocks — the bug
+    class round 5 fixed) and must no-op safely on a derived frame."""
+    import time
+
+    from flink_orc_sink_spark.session import release_local_checkpoint
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    ch = spark.range(10_000).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    assert n_cached() > base  # blocks exist
+    release_local_checkpoint(ch)
+    deadline = time.time() + 10
+    while n_cached() > base and time.time() < deadline:
+        time.sleep(0.2)
+    assert n_cached() == base
+
+    # derived plan (not the LogicalRDD root): must be a harmless no-op
+    ch2 = spark.range(100).localCheckpoint()
+    derived = ch2.filter("id > 10")
+    release_local_checkpoint(derived)  # no exception, nothing freed
+    assert derived.count() == 89
+    release_local_checkpoint(ch2)
