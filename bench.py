@@ -142,6 +142,7 @@ HEADLINE = [
     "stream_emb_index_ingest",
     "stream_media_index_ingest",
     "stream_backfill_live_handoff",
+    "multimodal_binaryfile_ingest",
 ]
 
 

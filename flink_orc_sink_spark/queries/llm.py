@@ -3151,6 +3151,55 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(with_png, "media_id", "png")
 
 
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media arriving as FILES — the production ingest shape — through
+    Spark's ``binaryFile`` source: the 200 planted PNGs are written to
+    disk as individual ``img_<id>.png`` files (fixture generation is
+    pure per-id arithmetic — ``plant_png_pixels`` — no Spark data ever
+    collected), read back as ``(path, content)`` rows with a glob
+    filter, the media id parsed FROM THE PATH (``regexp_extract`` —
+    the path-derived-key pattern every file-based media ingest uses),
+    and decoded by the real codec. The oracle is the same
+    pure-arithmetic stats SQL as ``multimodal_decode_stats``, so the
+    hash match proves the whole file-source round trip: encode → file
+    → binaryFile scan → path parse → inflate/unfilter → stats. Scale
+    shape: binaryFile splits by file; decode is map-only Arrow
+    batches; at 100 TB the only extra cost vs in-row blobs is the
+    file listing, which partition-pruned object-store layouts
+    (date/shard prefixes) bound."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_orc_sink_spark.operators.multimodal import (
+        decode_image_stats,
+        plant_png_pixels,
+    )
+
+    media_dir = _os.path.join(
+        _tf.gettempdir(),
+        "spark_graft_binaryfile_media_"
+        f"{_os.path.basename(_os.path.normpath(sf_dir))}",
+    )
+    if not _os.path.isdir(media_dir) or len(_os.listdir(media_dir)) != 200:
+        _os.makedirs(media_dir, exist_ok=True)
+        for i in range(200):
+            with open(_os.path.join(media_dir, f"img_{i}.png"), "wb") as f:
+                f.write(plant_png_pixels(i))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(media_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("png"),
+        )
+        .repartition(8)  # 200 tiny files; avoid per-file task churn
+    )
+    return decode_image_stats(files, "media_id", "png")
+
+
 MULTIMODAL_DECODE_SQL = """
 WITH ids AS (SELECT unnest(range(0, 200)) AS media_id),
 dims AS (
@@ -3870,6 +3919,7 @@ QUERIES = {
     "emb_ivfpq_recall_eval": emb_ivfpq_recall_eval,
     "emb_kmeans_cluster": emb_kmeans_cluster,
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_binaryfile_ingest": multimodal_binaryfile_ingest,
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
     "multimodal_gif_stats": multimodal_gif_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -3950,6 +4000,7 @@ ORACLES = {
     "emb_ivfpq_recall_eval": PLANTED_RECALL_SQL,
     "emb_kmeans_cluster": _kmeans_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
+    "multimodal_binaryfile_ingest": MULTIMODAL_DECODE_SQL,
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,
     "multimodal_gif_stats": MULTIMODAL_GIF_SQL,
     "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
