@@ -840,11 +840,19 @@ def minhash_probe_index(
     Nothing scales with corpus size except the (pre-bucketed,
     partition-laid-out) index probe itself.
     """
+    from flink_orc_sink_spark.operators.retention import subtract_tombstones
+
     new_bands = band_rows(minhash_signatures(new_docs, id_col, text_col, k))
     bn = new_bands.select(F.col("doc").alias("new_doc"), "band", "bkey")
-    corpus_bands = spark.read.parquet(f"{index_path}/bands").select(
-        F.col("doc").alias("match_doc"), "band", "bkey"
-    )
+    corpus_bands = subtract_tombstones(
+        # forgotten docs drop out BEFORE the hot-bucket count, so a
+        # tombstoned probe is exactly the probe of a rebuilt
+        # corpus-minus-forgotten index (bucket-cap decisions included)
+        spark.read.parquet(f"{index_path}/bands"),
+        "doc",
+        spark,
+        index_path,
+    ).select(F.col("doc").alias("match_doc"), "band", "bkey")
     hot = (
         corpus_bands.groupBy("band", "bkey")
         # DISTINCT docs, not raw rows: a crash-replayed double-append
@@ -926,3 +934,32 @@ def append_to_minhash_index(
         .write.mode("append")
         .parquet(f"{index_path}/shingles")
     )
+
+
+def forget_from_minhash_index(doc_ids: DataFrame, index_path: str) -> None:
+    """DELETE docs from the persisted index (GDPR/takedown/retention —
+    the index-side completion of the table-side erase,
+    ``queries/events.py::orc_gdpr_erase``): tombstone the ids so every
+    subsequent :func:`minhash_probe_index` behaves exactly as if the
+    index had been rebuilt without them — forgotten docs never match
+    again, AND their band rows stop counting toward bucket-cap
+    decisions. O(deleted) work (``operators/retention.py``); run
+    :func:`compact_minhash_index` periodically to drop the rows
+    physically."""
+    from flink_orc_sink_spark.operators.retention import forget_ids
+
+    forget_ids(doc_ids, index_path)
+
+
+def compact_minhash_index(spark, index_path: str) -> None:
+    """Copy-on-write retention pass: rewrite ``bands/`` + ``shingles/``
+    without tombstoned docs (band partition layout and (band, bkey)
+    clustering preserved), then clear the tombstones. Probe results
+    are IDENTICAL before and after (pytest-pinned); the swap is
+    crash-recoverable (``operators/retention.py``)."""
+    from flink_orc_sink_spark.operators.retention import (
+        MINHASH_TABLES,
+        compact_index,
+    )
+
+    compact_index(spark, index_path, MINHASH_TABLES)

@@ -1001,7 +1001,15 @@ def ahash_probe_index(
     nb = _ahash_band_rows(new_hashes, id_col, hash_col, n_bands).select(
         F.col("mid").alias("new_id"), F.col("hh").alias("hh"), "band", "key"
     )
-    corpus = spark.read.parquet(f"{path}/bands").select(
+    from flink_orc_sink_spark.operators.retention import subtract_tombstones
+
+    corpus = subtract_tombstones(
+        # forgotten media (forget_from_ahash_index) must never match
+        spark.read.parquet(f"{path}/bands"),
+        "mid",
+        spark,
+        path,
+    ).select(
         F.col("mid").alias("match_id"), F.col("hh").alias("hh2"), "band", "key"
     )
     cand = (
@@ -1044,3 +1052,29 @@ def append_to_ahash_index(
         .partitionBy("band")
         .parquet(f"{path}/bands")
     )
+
+
+def forget_from_ahash_index(media_ids: DataFrame, path: str) -> None:
+    """DELETE media from the persisted perceptual-hash index
+    (takedown/GDPR — the media twin of
+    ``dedup.py::forget_from_minhash_index``): tombstone the ids so
+    every subsequent :func:`ahash_probe_index` behaves exactly as if
+    the index had been rebuilt without them. O(deleted) work;
+    :func:`compact_ahash_index` drops the rows physically."""
+    from flink_orc_sink_spark.operators.retention import forget_ids
+
+    forget_ids(media_ids, path)
+
+
+def compact_ahash_index(spark, path: str) -> None:
+    """Copy-on-write retention pass: rewrite ``bands/`` without
+    tombstoned media (band partition layout and (band, key) clustering
+    preserved), then clear the tombstones. Probe results are identical
+    before and after; the swap is crash-recoverable
+    (``operators/retention.py``)."""
+    from flink_orc_sink_spark.operators.retention import (
+        AHASH_TABLES,
+        compact_index,
+    )
+
+    compact_index(spark, path, AHASH_TABLES)

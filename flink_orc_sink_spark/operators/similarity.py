@@ -449,7 +449,9 @@ def _ivf_probe_scored(
     probed = sorted(
         {int(r.cell) for r in q.select("cell").distinct().collect()}
     )
-    idx = (
+    from flink_orc_sink_spark.operators.retention import subtract_tombstones
+
+    idx = subtract_tombstones(
         spark.read.parquet(os.path.join(index_path, "data"))
         .filter(F.col("cell").isin(probed))
         # a crash between append_to_ivf_index's write and its caller's
@@ -457,7 +459,12 @@ def _ivf_probe_scored(
         # time (on the probed subset only) so replayed index rows can
         # never duplicate results or crowd genuine neighbors out of
         # the top-k — same replay hygiene as minhash_probe_index.
-        .dropDuplicates(["cid"])
+        .dropDuplicates(["cid"]),
+        # forgotten vectors (forget_from_ivf_index) must neither match
+        # nor crowd genuine neighbors out of the top-k
+        "cid",
+        spark,
+        index_path,
     )
     return (
         q.withColumn("_qn", norm("qvec"))
@@ -1083,3 +1090,29 @@ def append_to_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "data"))
     )
+
+
+def forget_from_ivf_index(vec_ids: DataFrame, index_path: str) -> None:
+    """DELETE vectors from the persisted IVF index: tombstone the ids
+    (``operators/retention.py``) so every subsequent probe — top-k,
+    threshold matches, streaming ingest — behaves exactly as if the
+    index had been rebuilt without them: forgotten vectors never
+    match, and never crowd genuine neighbors out of a top-k. O(deleted)
+    work; :func:`compact_ivf_index` drops the rows physically."""
+    from flink_orc_sink_spark.operators.retention import forget_ids
+
+    forget_ids(vec_ids, index_path)
+
+
+def compact_ivf_index(spark, index_path: str) -> None:
+    """Copy-on-write retention pass over the inverted lists: rewrite
+    ``data/`` without tombstoned vectors (cell partition layout
+    preserved — probe pruning is unchanged), then clear the
+    tombstones. Centroids are untouched: removal never moves the
+    coarse quantizer, exactly as in production IVF systems."""
+    from flink_orc_sink_spark.operators.retention import (
+        IVF_TABLES,
+        compact_index,
+    )
+
+    compact_index(spark, index_path, IVF_TABLES)

@@ -32,14 +32,16 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #   r3: the 50 newest surfaces (engine runtime, round-3 additions)
 #   r4: 8 new/changed round-4 surfaces, the 6 lost r3 gate rows,
 #       then longest-never-verified
-#   r5 (this round): the 12 new/changed round-5 surfaces (4 ANN
+#   r5 (this round): the 15 new/changed round-5 surfaces (4 ANN
 #       recall evals, the skew-join pair, the two LSH queries whose
 #       oracles upgraded rows-only -> value-hash, the streaming IVF
 #       and media index ingests, the backfill->live handoff, the
-#       binaryFile media source), then the 38 longest-never-driver-
+#       binaryFile media source, the index-deletion triad
+#       docs_index_forget_dedup / emb_index_forget_matches /
+#       multimodal_index_forget), then the 35 longest-never-driver-
 #       verified entries in registry order (round-4 verdict #1:
-#       engine-runtime, ORC and LLM-core families). ~40
-#       never-verified entries remain for the r6 window.
+#       engine-runtime, ORC and LLM-core families). The remaining
+#       never-verified entries rotate into the r6 window.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
@@ -56,6 +58,9 @@ _PRIORITY = (
     "stream_media_index_ingest",
     "stream_backfill_live_handoff",
     "multimodal_binaryfile_ingest",
+    "docs_index_forget_dedup",
+    "emb_index_forget_matches",
+    "multimodal_index_forget",
     "docs_contamination_bloom",
     "dq_audit_orders",
     "events_cdc_apply",

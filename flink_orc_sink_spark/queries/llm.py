@@ -1289,6 +1289,70 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.9)
 
 
+def emb_index_forget_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION in the persisted IVF lifecycle — the vector twin of
+    ``docs_index_forget_dedup``: the corpus (with the planted near-dup
+    originals) is indexed into cell-partitioned inverted lists, the
+    EVEN planted originals (vec_id 0, 2, 4) are forgotten
+    (``operators/similarity.py::forget_from_ivf_index``), then the
+    clone batch probes with the threshold-complete match (cos ≥ 0.9,
+    no top-k cap). Forgotten vectors must stop matching their clones;
+    the surviving planted pairs must still surface. The oracle is the
+    exact all-pairs SQL over corpus-minus-forgotten — the value hash
+    inherits the same empirically-pinned property as
+    ``stream_emb_index_ingest`` (every ≥ 0.9 cross pair on this corpus
+    is clone↔original and co-probes with its original's cell; measured
+    at sf0.001/0.01/0.1, not a theorem). Compaction equivalence for
+    this family is pytest-pinned (tests/test_retention.py); the
+    MinHash twin carries the driver-level compaction hash."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.similarity import (
+        build_ivf_index,
+        forget_from_ivf_index,
+        ivf_threshold_matches,
+    )
+
+    e = _plant_emb_neardups(table(spark, sf_dir, "embeddings"))
+    corpus = e.filter(F.col("vec_id") < 1_000_000)
+    clones = e.filter(F.col("vec_id") >= 1_000_000)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_fidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(corpus, "vec_id", "embedding", idx, nlist=32)
+    forget_from_ivf_index(
+        corpus.filter(
+            (F.col("vec_id") < 5) & (F.col("vec_id") % 2 == 0)
+        ).select("vec_id"),
+        idx,
+    )
+    return ivf_threshold_matches(
+        spark, clones, idx, "vec_id", "embedding", threshold=0.9, nprobe=8
+    )
+
+
+EMB_INDEX_FORGET_SQL = f"""
+WITH corpus AS ({EMB_PLANT_SQL}),
+a AS (SELECT vec_id AS qid, embedding AS va FROM corpus
+      WHERE vec_id >= 1000000),
+b AS (SELECT vec_id AS cid, embedding AS vb FROM corpus
+      WHERE vec_id < 1000000 AND NOT (vec_id < 5 AND vec_id % 2 = 0)),
+scored AS (
+  SELECT qid, cid,
+    ROUND(
+      CASE WHEN sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')}) > 0
+           THEN {_dot_sql('va', 'vb')}
+                / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')}))
+           ELSE 0.0 END, 6) AS cos_sim
+  FROM a, b
+)
+SELECT qid, cid, cos_sim FROM scored WHERE cos_sim >= 0.9
+"""
+
+
 # --- multimodal plumbing ----------------------------------------------
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1505,6 +1569,77 @@ SELECT
   jaccard
 FROM verified
 WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+"""
+
+
+def docs_index_forget_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION in the persisted-index lifecycle (GDPR/takedown — the
+    index-side completion of ``orc_gdpr_erase``): the corpus
+    (doc_id % 10 ≠ 0) is indexed, then every corpus doc with
+    doc_id % 7 = 3 is FORGOTTEN (``operators/dedup.py::
+    forget_from_minhash_index`` — O(deleted) tombstone append), and
+    the new batch (doc_id % 10 = 0) is probed twice: once merge-on-read
+    (tombstone anti-join at probe time) and once after
+    ``compact_minhash_index`` physically rewrote the index copy-on-write
+    (crash-recoverable swap, tombstones cleared). BOTH paths must equal
+    the from-scratch oracle over corpus-minus-forgotten — one value
+    hash proves forgotten docs never match again, bucket-cap decisions
+    exclude them, and compaction changes nothing but bytes on disk.
+    100 TB shape: deletes are O(deleted) appends; probe overhead is one
+    anti-join bounded by deletes-since-compaction; compaction is the
+    same rewrite cadence every merge-on-read table format schedules."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        forget_from_minhash_index,
+        minhash_probe_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_minhash_fidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = os.path.join(base, "idx")
+    build_minhash_index(corpus, "doc_id", "text", idx)
+    forget_from_minhash_index(
+        corpus.filter(F.col("doc_id") % 7 == 3).select("doc_id"), idx
+    )
+    # materialize the merge-on-read probe BEFORE compaction swaps the
+    # index directories out from under its (lazy) plan
+    tomb_path = os.path.join(base, "probe_tombstoned")
+    (
+        minhash_probe_index(spark, new, "doc_id", "text", idx, threshold=0.7)
+        .withColumn("path", F.lit("tombstoned"))
+        .write.parquet(tomb_path)
+    )
+    compact_minhash_index(spark, idx)
+    compacted = minhash_probe_index(
+        spark, new, "doc_id", "text", idx, threshold=0.7
+    ).withColumn("path", F.lit("compacted"))
+    return spark.read.parquet(tomb_path).unionByName(compacted)
+
+
+INDEX_FORGET_SQL = f"""
+WITH {_minhash_ctes(0.7)},
+probe AS (
+  SELECT
+    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS match_doc,
+    jaccard
+  FROM verified
+  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+)
+SELECT new_doc, match_doc, jaccard, t.path
+FROM probe
+CROSS JOIN (SELECT unnest(['tombstoned', 'compacted']) AS path) t
+WHERE match_doc % 7 <> 3
 """
 
 
@@ -3615,8 +3750,10 @@ SELECT vid AS vec_id, CAST(cid AS INTEGER) AS cluster FROM a1
 """
 
 
-PHASH_NEARDUP_SQL = """
-WITH ids AS (
+# The planted-corpus aHash derivation (pure arithmetic: sampled
+# planted pixels -> mean threshold -> bit packing), shared by the
+# neardup oracle and the index-forget oracle below.
+_PHASH_HASHES_CTES = """ids AS (
   SELECT unnest(range(0, 100)) AS media_id, false AS perturb
   UNION ALL
   SELECT unnest(range(1000, 1100)), true
@@ -3660,11 +3797,82 @@ hashes AS (
       THEN hu - CAST(18446744073709551616 AS HUGEINT)
       ELSE hu END AS BIGINT) AS ahash
   FROM bits
-)
+)"""
+
+PHASH_NEARDUP_SQL = f"""
+WITH {_PHASH_HASHES_CTES}
 SELECT a.media_id AS id_a, b.media_id AS id_b,
   CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
 FROM hashes a JOIN hashes b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+def multimodal_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION in the persisted perceptual-hash lifecycle — the media
+    leg of the forget triad (text: ``docs_index_forget_dedup``,
+    vectors: ``emb_index_forget_matches``): the 100 planted PNG
+    originals are decoded, average-hashed, and indexed; every fifth
+    original (media_id % 5 = 0) is then FORGOTTEN
+    (``operators/multimodal.py::forget_from_ahash_index`` — the
+    takedown shape of a media corpus), and the 100 perturbed clones
+    arrive as the probe batch. Unlike the IVF twin this probe is EXACT
+    (4-band blocking is pigeonhole-complete at Hamming ≤ 3), so the
+    oracle — the same pure-arithmetic hash derivation as
+    ``multimodal_phash_neardup``, cross pairs only, minus the
+    forgotten — certifies bit-for-bit that forgotten media never match
+    again while every surviving pair still surfaces. Compaction
+    equivalence is pytest-pinned (tests/test_retention.py)."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.multimodal import (
+        ahash_probe_index,
+        attach_planted_png,
+        build_ahash_index,
+        forget_from_ahash_index,
+        image_ahash,
+    )
+
+    base = spark.range(0, 100, 1, 8).select(F.col("id").alias("media_id"))
+    clones = spark.range(0, 100, 1, 8).select(
+        (F.col("id") + 1000).alias("media_id")
+    )
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ahash_fidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    originals = image_ahash(
+        attach_planted_png(base, "media_id"), "media_id", "png"
+    )
+    build_ahash_index(originals, "media_id", "ahash", idx)
+    forget_from_ahash_index(
+        base.filter(F.col("media_id") % 5 == 0).select("media_id"), idx
+    )
+    probe = image_ahash(
+        attach_planted_png(
+            clones.withColumn("src_id", F.col("media_id") - 1000)
+            .select(F.col("src_id").alias("plant_id"), "media_id"),
+            "plant_id",
+            perturb=True,
+        ).select("media_id", "png"),
+        "media_id",
+        "png",
+    )
+    return ahash_probe_index(
+        spark, probe, "media_id", "ahash", idx, max_hamming=3
+    )
+
+
+MULTIMODAL_INDEX_FORGET_SQL = f"""
+WITH {_PHASH_HASHES_CTES}
+SELECT b.media_id AS new_id, a.media_id AS match_id,
+  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.media_id < 1000 AND b.media_id >= 1000
+WHERE a.media_id % 5 <> 0
+  AND bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
 
@@ -3975,6 +4183,9 @@ QUERIES = {
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_index_probe_dedup": docs_index_probe_dedup,
+    "docs_index_forget_dedup": docs_index_forget_dedup,
+    "emb_index_forget_matches": emb_index_forget_matches,
+    "multimodal_index_forget": multimodal_index_forget,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_centroids_by_label": emb_centroids_by_label,
     "emb_knn_label_accuracy": emb_knn_label_accuracy,
@@ -4055,6 +4266,9 @@ ORACLES = {
     "docs_curation_pipeline": CURATION_PIPELINE_SQL,
     "docs_incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "docs_index_probe_dedup": INDEX_PROBE_SQL,
+    "docs_index_forget_dedup": INDEX_FORGET_SQL,
+    "emb_index_forget_matches": EMB_INDEX_FORGET_SQL,
+    "multimodal_index_forget": MULTIMODAL_INDEX_FORGET_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,
     "emb_centroids_by_label": EMB_CENTROIDS_SQL,
     "emb_knn_label_accuracy": EMB_KNN_ACCURACY_SQL,
