@@ -934,6 +934,12 @@ def append_to_minhash_index(
         .write.mode("append")
         .parquet(f"{index_path}/shingles")
     )
+    # re-ingesting a previously forgotten doc readmits it: a forget
+    # covers rows ingested before it, exactly as a rebuild-without-
+    # them would (no-op when nothing is tombstoned)
+    from flink_orc_sink_spark.operators.retention import readmit_ids
+
+    readmit_ids(df.select(id_col), index_path)
 
 
 def forget_from_minhash_index(doc_ids: DataFrame, index_path: str) -> None:

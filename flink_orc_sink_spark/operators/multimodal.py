@@ -1052,6 +1052,11 @@ def append_to_ahash_index(
         .partitionBy("band")
         .parquet(f"{path}/bands")
     )
+    # re-ingesting previously forgotten media readmits it (no-op when
+    # nothing is tombstoned)
+    from flink_orc_sink_spark.operators.retention import readmit_ids
+
+    readmit_ids(hashes.select(id_col), path)
 
 
 def forget_from_ahash_index(media_ids: DataFrame, path: str) -> None:

@@ -14,19 +14,39 @@ Two-phase shape, the same trade every merge-on-read table format makes
   table; every probe anti-joins it at read time. No index rewrite on
   the delete path, so deletes are cheap and immediate at any scale.
 - :func:`compact_index` — periodic copy-on-write rewrite that drops
-  tombstoned rows physically and clears the tombstone table, bounding
-  probe-side anti-join cost between compactions.
+  tombstoned rows physically and retires the applied tombstones,
+  bounding probe-side anti-join cost between compactions.
+- :func:`readmit_ids` — remove ids from the tombstone set again. The
+  per-family ``append_to_*`` functions call this for their batch ids,
+  so re-ingesting a previously forgotten id (GDPR re-consent, restored
+  content) makes it live again: a forget covers rows ingested BEFORE
+  it, exactly like a rebuild-without-them would.
 
-The compaction swap follows the reference sink's commit protocol
-(``RowOrcBucketingSink.java:153-213``: write to a pending name, rename
-into place only when complete): each table is fully rewritten to
-``<subdir>__compacting`` first, and only then swapped in. A crash
-leaves either the old table intact (before the swap) or a complete new
-copy recoverable by :func:`recover_index` (between delete and rename);
-a crash before the tombstone clear is idempotent, since subtracting
-already-removed ids is a no-op. Compaction is an exclusive maintenance
-operation: probes must not run concurrently with the swap, exactly as
-with any parquet-directory overwrite.
+Ordering/concurrency contract: index mutations (append, forget,
+readmit, compact) are SINGLE-WRITER — the caller serializes them, the
+same way the reference sink funnels all commits through one checkpoint
+thread (``RowOrcBucketingSink.java:153-213``). Probes may run
+concurrently with forgets (append-only) but not with a compaction
+swap, exactly as with any parquet-directory overwrite. Within that
+contract every step is still CRASH-SAFE (a killed job, not a
+concurrent one):
+
+- compaction snapshots the tombstone data files up front, applies
+  exactly that snapshot to every table, and deletes only those files
+  at the end — a forget that lands mid-compaction survives into the
+  next cycle instead of being silently dropped;
+- each table is fully rewritten to ``<subdir>__compacting`` first and
+  only then swapped in (write-pending-then-rename, the reference
+  sink's protocol). A crash leaves either the old table intact or a
+  complete new copy recoverable by :func:`recover_index`; re-running
+  compaction heals and resumes;
+- a compaction that would leave a table EMPTY (every row tombstoned)
+  aborts the swap and keeps serving merge-on-read — a zero-row
+  partitioned parquet write has no readable footer, so swapping it in
+  would brick the index. The tombstones simply stay until new rows
+  are appended;
+- the tombstone rewrite in :func:`readmit_ids` uses the same
+  pending-then-rename swap, healed on the next read.
 """
 
 from __future__ import annotations
@@ -38,6 +58,7 @@ from pyspark.sql import functions as F
 
 _TOMBSTONES = "tombstones"
 _PENDING_SUFFIX = "__compacting"
+_REWRITE_SUFFIX = "__rewriting"
 
 
 @dataclass(frozen=True)
@@ -82,6 +103,31 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(p)
 
 
+def _data_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive list of the parquet DATA files under ``path`` (part
+    files only — markers like _SUCCESS don't count). Empty when the
+    directory is missing or holds no data."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        if f.getName().startswith("part-"):
+            out.append(f.toString())
+    return out
+
+
+def _anti(df: DataFrame, ts: DataFrame, id_col: str) -> DataFrame:
+    """THE tombstone anti-join — one definition shared by merge-on-read
+    probes and compaction so the two paths can never diverge. Build
+    side is the tombstone set — bounded by deletes since the last
+    compaction, not by the index (AQE picks a broadcast for the usual
+    small case)."""
+    return df.join(ts.select(F.col("id").alias(id_col)), id_col, "left_anti")
+
+
 def forget_ids(ids: DataFrame, index_path: str) -> None:
     """Tombstone ids (single-column DataFrame, any name/integer type)
     so every subsequent probe of the index excludes them. O(deleted)
@@ -95,28 +141,68 @@ def forget_ids(ids: DataFrame, index_path: str) -> None:
     )
 
 
+def _recover_tombstones(spark: SparkSession, index_path: str) -> None:
+    """Heal a crashed :func:`readmit_ids` swap: a complete rewrite
+    pending with no live table is renamed into place. No-op otherwise."""
+    live = f"{index_path}/{_TOMBSTONES}"
+    pending = live + _REWRITE_SUFFIX
+    if _exists(spark, pending) and not _exists(spark, live):
+        fs, live_p = _fs(spark, live)
+        _, pend_p = _fs(spark, pending)
+        if not fs.rename(pend_p, live_p):
+            raise IOError(f"tombstone recovery rename failed: {pending}")
+
+
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """The tombstone set, or None when nothing was ever forgotten
+    """The tombstone set, or None when nothing is currently forgotten
     (the common case — probes skip the anti-join entirely)."""
-    path = f"{index_path}/{_TOMBSTONES}"
-    if not _exists(spark, path):
+    _recover_tombstones(spark, index_path)
+    files = _data_files(spark, f"{index_path}/{_TOMBSTONES}")
+    if not files:
         return None
-    return spark.read.parquet(path).select("id").distinct()
+    return spark.read.parquet(*files).select("id").distinct()
 
 
 def subtract_tombstones(
     df: DataFrame, id_col: str, spark: SparkSession, index_path: str
 ) -> DataFrame:
-    """Merge-on-read: drop tombstoned rows from an index scan. The
-    anti-join's build side is the tombstone table — bounded by the
-    deletes since the last compaction, not by the index (AQE picks a
-    broadcast for the usual small case)."""
+    """Merge-on-read: drop tombstoned rows from an index scan."""
     ts = read_tombstones(spark, index_path)
     if ts is None:
         return df
-    return df.join(
-        ts.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    return _anti(df, ts, id_col)
+
+
+def readmit_ids(ids: DataFrame, index_path: str) -> None:
+    """Remove ids from the tombstone set — they become matchable again
+    (to the extent their rows still exist or are re-appended). Called
+    by every ``append_to_*`` for its batch ids, so re-ingesting a
+    forgotten id readmits it; also public for explicit un-forgets.
+    O(tombstones) work on a deletes-since-compaction-sized table;
+    no-op when nothing is forgotten."""
+    spark = ids.sparkSession
+    ts = read_tombstones(spark, index_path)
+    if ts is None:
+        return
+    (id_col,) = ids.columns
+    rid = (
+        ids.select(F.col(id_col).cast("long").alias("id")).distinct()
     )
+    live = f"{index_path}/{_TOMBSTONES}"
+    pending = live + _REWRITE_SUFFIX
+    remaining = ts.join(rid, "id", "left_anti")
+    fs, live_p = _fs(spark, live)
+    if remaining.isEmpty():
+        # nothing remains forgotten: drop the table entirely rather
+        # than writing a zero-row copy (probes treat absent as "no
+        # tombstones" and skip the anti-join)
+        fs.delete(live_p, True)
+        return
+    remaining.write.mode("overwrite").parquet(pending)
+    _, pend_p = _fs(spark, pending)
+    fs.delete(live_p, True)
+    if not fs.rename(pend_p, live_p):
+        raise IOError(f"tombstone rewrite swap failed: {pending}")
 
 
 def recover_index(
@@ -142,19 +228,24 @@ def compact_index(
 ) -> None:
     """Copy-on-write: physically drop tombstoned rows from every table
     of the index, preserving each table's partition layout and range
-    clustering, then clear the tombstone table. See the module
-    docstring for the crash-safety protocol."""
+    clustering, then retire exactly the tombstone files that were
+    applied. See the module docstring for the crash-safety protocol
+    and the empty-table abort."""
     recover_index(spark, index_path, tables)
-    ts = read_tombstones(spark, index_path)
-    if ts is None:
+    _recover_tombstones(spark, index_path)
+    # snapshot: the tombstone files applied to EVERY table below, and
+    # the only ones deleted at the end — a forget_ids landing while
+    # compaction runs stays pending for the next cycle instead of
+    # being applied to some tables and then dropped.
+    snapshot = _data_files(spark, f"{index_path}/{_TOMBSTONES}")
+    if not snapshot:
         return
+    ts = spark.read.parquet(*snapshot).select("id").distinct()
     pending: list[tuple[str, str]] = []
     for t in tables:
         live = f"{index_path}/{t.subdir}"
         out = live + _PENDING_SUFFIX
-        df = spark.read.parquet(live).join(
-            ts.select(F.col("id").alias(t.id_col)), t.id_col, "left_anti"
-        )
+        df = _anti(spark.read.parquet(live), ts, t.id_col)
         if t.range_cols:
             df = df.repartitionByRange(*t.range_cols).sortWithinPartitions(
                 *t.range_cols
@@ -165,6 +256,16 @@ def compact_index(
         if t.partition_cols:
             w = w.partitionBy(*t.partition_cols)
         w.parquet(out)
+        if not _data_files(spark, out):
+            # every row of this table is tombstoned: swapping in a
+            # zero-row partitioned write would leave no readable
+            # parquet footer and brick the index. Abort the whole
+            # swap and keep serving merge-on-read (probes stay
+            # correct; tombstones stay until rows are appended).
+            for _, p in pending + [(live, out)]:
+                fs, pp = _fs(spark, p)
+                fs.delete(pp, True)
+            return
         pending.append((live, out))
     # every new copy is complete on disk — now swap. A crash mid-loop
     # leaves each table either old (recoverable: pending copy still
@@ -176,5 +277,13 @@ def compact_index(
         fs.delete(live_p, True)
         if not fs.rename(out_p, live_p):
             raise IOError(f"compaction swap failed: {out} -> {live}")
-    fs, ts_p = _fs(spark, f"{index_path}/{_TOMBSTONES}")
-    fs.delete(ts_p, True)
+    fs, _ = _fs(spark, index_path)
+    for f in snapshot:
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f), False)
+    if not _data_files(spark, f"{index_path}/{_TOMBSTONES}"):
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/{_TOMBSTONES}"
+            ),
+            True,
+        )

@@ -1090,6 +1090,11 @@ def append_to_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "data"))
     )
+    # re-ingesting a previously forgotten vector readmits it (no-op
+    # when nothing is tombstoned)
+    from flink_orc_sink_spark.operators.retention import readmit_ids
+
+    readmit_ids(new_vectors.select(id_col), index_path)
 
 
 def forget_from_ivf_index(vec_ids: DataFrame, index_path: str) -> None:

@@ -40,8 +40,11 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       docs_index_forget_dedup / emb_index_forget_matches /
 #       multimodal_index_forget), then the 35 longest-never-driver-
 #       verified entries in registry order (round-4 verdict #1:
-#       engine-runtime, ORC and LLM-core families). The remaining
-#       never-verified entries rotate into the r6 window.
+#       engine-runtime, ORC and LLM-core families) — exactly 50 in
+#       total, matching the driver cap. The remaining never-verified
+#       entries (docs_repetition_ratio, docs_pack_sequences,
+#       docs_contamination, the emb/multimodal/events tails) rotate
+#       into the r6 window.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
@@ -96,9 +99,6 @@ _PRIORITY = (
     "docs_minhash_pairs",
     "docs_neardup_clusters",
     "docs_neardup_survivors",
-    "docs_repetition_ratio",
-    "docs_pack_sequences",
-    "docs_contamination",
 )
 
 

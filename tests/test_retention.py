@@ -21,6 +21,7 @@ from flink_orc_sink_spark.operators.retention import (
     compact_index,
     forget_ids,
     read_tombstones,
+    readmit_ids,
     recover_index,
     subtract_tombstones,
 )
@@ -197,6 +198,83 @@ def test_forget_ids_is_o_deleted_append(spark, tmp_path):
         assert os.path.getmtime(os.path.join(idx, sub)) == mt
     ts = read_tombstones(spark, idx)
     assert ts is not None and [r.id for r in ts.collect()] == [1]
+
+
+def test_forget_everything_compact_keeps_index_alive(spark, minhash_world):
+    """Tombstoning EVERY indexed doc and compacting must not brick the
+    index: a zero-row partitioned rewrite has no readable footer, so
+    the swap aborts and the index keeps serving merge-on-read (empty
+    results), with tombstones intact until rows are appended again."""
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        forget_from_minhash_index,
+    )
+
+    corpus, new, idx = minhash_world
+    forget_from_minhash_index(corpus.select("doc_id"), idx)
+    compact_minhash_index(spark, idx)
+    # probe still answers (empty), tombstones still present
+    assert _probe_pairs(spark, new, idx) == set()
+    assert read_tombstones(spark, idx) is not None
+    # the lifecycle continues: append fresh docs, probe, compact
+    append_to_minhash_index(
+        spark.createDataFrame(
+            [(50, BASE + " mu nu")], "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+        idx,
+    )
+    got = _probe_pairs(spark, new, idx)
+    assert {(nd, md) for nd, md, _ in got} == {(10, 50)}
+    compact_minhash_index(spark, idx)
+    assert _probe_pairs(spark, new, idx) == got
+    assert read_tombstones(spark, idx) is None
+
+
+def test_reappend_readmits_forgotten_doc(spark, minhash_world):
+    """GDPR re-consent: re-ingesting a forgotten id makes it live
+    again (appends readmit their batch ids), and compaction must NOT
+    physically erase the re-appended rows."""
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        forget_from_minhash_index,
+    )
+
+    corpus, new, idx = minhash_world
+    forget_from_minhash_index(_ids(spark, [1, 2], "doc_id"), idx)
+    assert not any(
+        md in (1, 2) for _, md, _ in _probe_pairs(spark, new, idx)
+    )
+    append_to_minhash_index(
+        corpus.filter("doc_id = 1"), "doc_id", "text", idx
+    )
+    after = _probe_pairs(spark, new, idx)
+    assert any(md == 1 for _, md, _ in after)
+    assert not any(md == 2 for _, md, _ in after)
+    compact_minhash_index(spark, idx)
+    assert _probe_pairs(spark, new, idx) == after
+    # doc 2's rows are physically gone, doc 1's are physically back
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    assert bands.filter(F.col("doc") == 2).count() == 0
+    assert bands.filter(F.col("doc") == 1).count() > 0
+
+
+def test_explicit_readmit_ids(spark, minhash_world):
+    """readmit_ids removes exactly the given ids from the tombstone
+    set; readmitting the last one drops the table entirely."""
+    _, new, idx = minhash_world
+    forget_ids(_ids(spark, [1, 2]), idx)
+    readmit_ids(_ids(spark, [1]), idx)
+    got = _probe_pairs(spark, new, idx)
+    assert any(md == 1 for _, md, _ in got)
+    assert not any(md == 2 for _, md, _ in got)
+    assert {r.id for r in read_tombstones(spark, idx).collect()} == {2}
+    readmit_ids(_ids(spark, [2]), idx)
+    assert read_tombstones(spark, idx) is None
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
 
 
 # --- IVF ---------------------------------------------------------------
