@@ -121,11 +121,18 @@ def _data_files(spark: SparkSession, path: str) -> list[str]:
 
 def _anti(df: DataFrame, ts: DataFrame, id_col: str) -> DataFrame:
     """THE tombstone anti-join — one definition shared by merge-on-read
-    probes and compaction so the two paths can never diverge. Build
-    side is the tombstone set — bounded by deletes since the last
-    compaction, not by the index (AQE picks a broadcast for the usual
-    small case)."""
-    return df.join(ts.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    probes and compaction so the two paths can never diverge. The
+    tombstone build side is BROADCAST explicitly: it is bounded by
+    deletes-since-last-compaction (the compaction cadence is exactly
+    the knob that keeps it broadcastable), and without the hint the
+    aggregate-free size estimate can fall back to a sort-merge join
+    that shuffles the whole index — measured 2x probe wall at 100k
+    docs (tools/scale_probe_retention.py)."""
+    return df.join(
+        F.broadcast(ts.select(F.col("id").alias(id_col))),
+        id_col,
+        "left_anti",
+    )
 
 
 def forget_ids(ids: DataFrame, index_path: str) -> None:
@@ -155,12 +162,16 @@ def _recover_tombstones(spark: SparkSession, index_path: str) -> None:
 
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The tombstone set, or None when nothing is currently forgotten
-    (the common case — probes skip the anti-join entirely)."""
+    (the common case — probes skip the anti-join entirely). May hold
+    duplicate ids across forget batches — every consumer (anti-joins,
+    the readmit rewrite) is duplicate-insensitive, and skipping the
+    distinct keeps the scan's size stats visible so the probe-side
+    anti-join stays a broadcast, not an index-wide shuffle."""
     _recover_tombstones(spark, index_path)
     files = _data_files(spark, f"{index_path}/{_TOMBSTONES}")
     if not files:
         return None
-    return spark.read.parquet(*files).select("id").distinct()
+    return spark.read.parquet(*files).select("id")
 
 
 def subtract_tombstones(
@@ -240,7 +251,7 @@ def compact_index(
     snapshot = _data_files(spark, f"{index_path}/{_TOMBSTONES}")
     if not snapshot:
         return
-    ts = spark.read.parquet(*snapshot).select("id").distinct()
+    ts = spark.read.parquet(*snapshot).select("id")
     pending: list[tuple[str, str]] = []
     for t in tables:
         live = f"{index_path}/{t.subdir}"
