@@ -43,6 +43,7 @@ HEADLINE = [
     "docs_minhash_pairs",
     "docs_simhash_pairs",
     "docs_winnow_fingerprints",
+    "docs_dup_ngram_spans",
     "docs_token_stats",
     "docs_pii_scrub",
     "docs_lm_score",

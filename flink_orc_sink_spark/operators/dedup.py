@@ -27,7 +27,7 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.functions.text import (
@@ -653,6 +653,86 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # already materialized — the result no longer needs them.
     release_local_checkpoint(edges)
     return labels.select("doc", F.col("label").alias("cluster_keeper"))
+
+
+def dup_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """EXACT substring-level duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    token-level): every token ``n``-gram occurring ≥ 2 times ANYWHERE
+    in the corpus (within a doc or across docs) marks its positions;
+    overlapping/adjacent marks merge into MAXIMAL duplicated spans.
+    One row per span: ``(doc, span_start, span_end)`` — inclusive
+    0-based token indexes, ready for span excision or per-doc
+    duplication scoring (complementary to whole-doc MinHash: it
+    catches boilerplate/quote duplication inside otherwise-unique
+    docs, the case document-level Jaccard misses).
+
+    100 TB shape — everything is linear in token count, JVM-side:
+
+    - gram stream: per-doc ``transform`` + ``posexplode`` → one row
+      per token position (no Python, no quadratic pairs); grams are
+      ``xxhash64`` (64-bit — at 10^10 grams the expected collision
+      count is ~0.003, vs thousands for a 32-bit hash)
+    - duplicate detection: ONE count aggregation keyed by gram hash
+      (map-side partials absorb hot boilerplate grams) + a semi join
+      back — occurrence rows survive at most once, so a
+      million-document boilerplate gram costs its occurrence count,
+      never a pairwise blowup (contrast all-pairs substring matching)
+    - span merge: per-doc window (partitioned — never global),
+      classic gaps-and-islands; state bounded by doc length
+    """
+    from flink_orc_sink_spark.functions.text import tokens
+
+    d = (
+        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
+        .withColumn("ntok", F.size("tk"))
+        .filter(F.col("ntok") >= n)
+    )
+    occ = d.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("ntok") - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("tk", i + 1, n))
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gh")
+    )
+    marked = occ.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc").orderBy("pos")
+    return (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        # spans [prev, prev+n-1] and [pos, pos+n-1] merge while
+        # pos <= prev + n (overlap or contiguous tokens)
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select("doc", "span_start", "span_end")
+    )
 
 
 def _deletion_variants_udf(max_deletes: int):

@@ -472,6 +472,60 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_SQL = _simhash_sql(3)
 
 
+def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication spans (the Lee et al. 2022
+    training-data dedup shape, token-level): maximal spans of token
+    positions covered by 8-grams that occur ≥ 2 times anywhere in the
+    corpus — the boilerplate/quotation duplication document-level
+    MinHash can't see. One row per (doc_id, span_start, span_end),
+    inclusive 0-based token indexes, ready for span excision. All
+    JVM-side and linear in token count: gram stream via transform +
+    posexplode, one count agg + semi join, per-doc windowed
+    gaps-and-islands merge (``operators/dedup.py::dup_ngram_spans``)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.dup_ngram_spans(d, "doc_id", "text", n=8).select(
+        F.col("doc").alias("doc_id"), "span_start", "span_end"
+    )
+
+
+DUP_NGRAM_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, tk, len(tk) AS ntok FROM toks WHERE len(tk) >= 8
+),
+occ AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(tk[g.i + 1 : g.i + 8], ' ') AS gram
+  FROM base, LATERAL (
+    SELECT unnest(range(0, ntok - 7)) AS i
+  ) g
+),
+dup AS (
+  SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+),
+marked AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gram)
+),
+marks AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+         THEN 1 ELSE 0 END AS brk
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS g
+  FROM marks
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + 7 AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: the substring-level
     document fingerprint set (any shared run ≥ k+w−1 chars yields a
@@ -4184,6 +4238,7 @@ QUERIES = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_index_probe_dedup": docs_index_probe_dedup,
     "docs_index_forget_dedup": docs_index_forget_dedup,
+    "docs_dup_ngram_spans": docs_dup_ngram_spans,
     "emb_index_forget_matches": emb_index_forget_matches,
     "multimodal_index_forget": multimodal_index_forget,
     "emb_cosine_topk": emb_cosine_topk,
@@ -4267,6 +4322,7 @@ ORACLES = {
     "docs_incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "docs_index_probe_dedup": INDEX_PROBE_SQL,
     "docs_index_forget_dedup": INDEX_FORGET_SQL,
+    "docs_dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
     "emb_index_forget_matches": EMB_INDEX_FORGET_SQL,
     "multimodal_index_forget": MULTIMODAL_INDEX_FORGET_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,

@@ -304,3 +304,57 @@ def test_minhash_probe_replay_double_append_no_duplicate_rows(spark, tmp_path):
         threshold=0.5,
     ).collect()
     assert [(r.new_doc, r.match_doc) for r in rows] == [(20, 10)]
+
+
+def test_dup_ngram_spans_hand_computed(spark):
+    """Exact substring spans on a corpus small enough to verify by
+    hand: cross-doc duplication, within-doc repetition, overlapping
+    gram merging, and the no-duplicates case."""
+    from flink_orc_sink_spark.operators.dedup import dup_ngram_spans
+
+    boiler = "all rights reserved by the original author"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1 & 2 share the 7-token boilerplate prefix (one
+            # 3-gram at every position 0..4 -> one merged span 0..6)
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            # doc 3 repeats a 3-gram WITHIN itself: positions 0 and 5
+            # are separate spans (gap of 2 uncovered tokens)
+            (3, "x y z a b x y z c d"),
+            # doc 4 shares nothing
+            (4, "totally unique words nobody else ever wrote here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc, r.span_start, r.span_end)
+        for r in dup_ngram_spans(docs, "doc_id", "text", n=3).collect()
+    }
+    assert rows == {
+        (1, 0, 6),
+        (2, 0, 6),
+        (3, 0, 2),
+        (3, 5, 7),
+    }
+
+
+def test_dup_ngram_spans_adjacent_spans_merge(spark):
+    """Two duplicated grams whose spans touch end-to-start merge into
+    one maximal span (pos2 == pos1 + n)."""
+    from flink_orc_sink_spark.operators.dedup import dup_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" dup at pos 0, "d e f" dup at pos 3: spans [0,2]
+            # and [3,5] are contiguous -> one span [0,5]
+            (1, "a b c d e f tail1 x1"),
+            (2, "a b c left pad d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc, r.span_start, r.span_end)
+        for r in dup_ngram_spans(docs, "doc_id", "text", n=3).collect()
+    }
+    assert rows == {(1, 0, 5), (2, 0, 2), (2, 5, 7)}
