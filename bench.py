@@ -44,6 +44,7 @@ HEADLINE = [
     "docs_simhash_pairs",
     "docs_winnow_fingerprints",
     "docs_dup_ngram_spans",
+    "stream_index_forget_ingest",
     "docs_token_stats",
     "docs_pii_scrub",
     "docs_lm_score",

@@ -199,6 +199,10 @@ def readmit_ids(ids: DataFrame, index_path: str) -> None:
     rid = (
         ids.select(F.col(id_col).cast("long").alias("id")).distinct()
     )
+    if ts.join(rid, "id", "left_semi").isEmpty():
+        # the batch readmits nothing — skip the rewrite (the common
+        # case: ordinary appends while unrelated ids are tombstoned)
+        return
     live = f"{index_path}/{_TOMBSTONES}"
     pending = live + _REWRITE_SUFFIX
     remaining = ts.join(rid, "id", "left_anti")

@@ -32,20 +32,22 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #   r3: the 50 newest surfaces (engine runtime, round-3 additions)
 #   r4: 8 new/changed round-4 surfaces, the 6 lost r3 gate rows,
 #       then longest-never-verified
-#   r5 (this round): the 16 new/changed round-5 surfaces (4 ANN
+#   r5 (this round): the 17 new/changed round-5 surfaces (4 ANN
 #       recall evals, the skew-join pair, the two LSH queries whose
 #       oracles upgraded rows-only -> value-hash, the streaming IVF
 #       and media index ingests, the backfill->live handoff, the
 #       binaryFile media source, the index-deletion triad
 #       docs_index_forget_dedup / emb_index_forget_matches /
-#       multimodal_index_forget, the exact-substring span detector
-#       docs_dup_ngram_spans), then the 34 longest-never-driver-
+#       multimodal_index_forget, the in-stream takedown capstone
+#       stream_index_forget_ingest, the exact-substring span detector
+#       docs_dup_ngram_spans), then the 33 longest-never-driver-
 #       verified entries in registry order (round-4 verdict #1:
 #       engine-runtime, ORC and LLM-core families) — exactly 50 in
 #       total, matching the driver cap. The remaining never-verified
-#       entries (docs_neardup_survivors, docs_repetition_ratio,
-#       docs_pack_sequences, docs_contamination, the
-#       emb/multimodal/events tails) rotate into the r6 window.
+#       entries (docs_neardup_clusters, docs_neardup_survivors,
+#       docs_repetition_ratio, docs_pack_sequences,
+#       docs_contamination, the emb/multimodal/events tails) rotate
+#       into the r6 window.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
@@ -65,6 +67,7 @@ _PRIORITY = (
     "docs_index_forget_dedup",
     "emb_index_forget_matches",
     "multimodal_index_forget",
+    "stream_index_forget_ingest",
     "docs_dup_ngram_spans",
     "docs_contamination_bloom",
     "dq_audit_orders",
@@ -99,7 +102,6 @@ _PRIORITY = (
     "docs_dedup_exact",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    "docs_neardup_clusters",
 )
 
 

@@ -2408,6 +2408,116 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWNS ARRIVING IN-STREAM: the persisted MinHash index is
+    maintained by a command stream of adds AND deletes — the
+    production shape where GDPR/erasure requests interleave with
+    ingest (the streaming capstone of the retention family,
+    ``operators/retention.py``). The corpus's %3==0 docs bootstrap the
+    index; two micro-batches append the rest; a third CONTROL batch
+    carries ``op='del'`` rows tombstoning every boot doc with
+    doc_id%7==3 (``forget_from_minhash_index`` — O(deleted), no index
+    rewrite mid-stream) and then RE-ADDS the odd half of them in the
+    same trigger (appends readmit their ids — GDPR re-consent). Batch
+    effects are order-independent by construction: add batches touch
+    ids disjoint from the control batch, and the control batch's
+    del→add ordering is internal to one ``foreachBatch``. After the
+    stream drains, the %10==0 batch probes the index merge-on-read;
+    the value oracle is the from-scratch probe SQL over corpus minus
+    the still-forgotten ids (%3==0 ∧ %7==3 ∧ even) — one hash proves
+    in-stream deletes stop matching immediately, re-added docs match
+    again, and the readmit-duplicated index rows change nothing
+    (read-time dedup). 100 TB shape: per-trigger cost is batch-sized
+    for adds and deleted-sized for tombstones; the probe's
+    merge-on-read tax is one broadcast anti-join."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        forget_from_minhash_index,
+        minhash_probe_index,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_fidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, idx = os.path.join(base, "feed"), os.path.join(base, "idx")
+
+    boot = corpus.filter(F.col("doc_id") % 3 == 0)
+    build_minhash_index(boot, "doc_id", "text", idx)
+
+    add = F.lit("add")
+    for i in (1, 2):
+        (
+            corpus.filter(F.col("doc_id") % 3 == i)
+            .select(add.alias("op"), "doc_id", "text")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+    # control batch: forget boot∩(%7==3), re-add its odd members —
+    # one trigger, so the del→add order is ours, not the scheduler's
+    forget = boot.filter(F.col("doc_id") % 7 == 3)
+    (
+        forget.select(
+            F.lit("del").alias("op"), "doc_id", F.lit(None).cast("string").alias("text")
+        )
+        .unionByName(
+            forget.filter(F.col("doc_id") % 2 == 1).select(
+                add.alias("op"), "doc_id", "text"
+            )
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(feed)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 2×
+        try:
+            dels = batch_df.filter(F.col("op") == "del").select("doc_id")
+            if not dels.isEmpty():
+                # deletes FIRST: within one command batch a del of id
+                # X and a re-add of X must leave X live
+                forget_from_minhash_index(dels, idx)
+            adds = batch_df.filter(F.col("op") == "add").select(
+                "doc_id", "text"
+            )
+            marker = os.path.join(idx, "appended", f"batch_{batch_id}")
+            if not os.path.exists(marker) and not adds.isEmpty():
+                # appends readmit their ids (retention.py), so a
+                # re-added forgotten doc goes live again here
+                append_to_minhash_index(adds, "doc_id", "text", idx)
+            os.makedirs(marker, exist_ok=True)
+        finally:
+            release_local_checkpoint(batch_df)
+
+    schema = "op string, doc_id long, text string"
+    with tempfile.TemporaryDirectory(prefix="stream_fidx_ckpt_") as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_fail(q, 180, "forget-ingest stream")
+
+    return minhash_probe_index(
+        spark, new, "doc_id", "text", idx, threshold=0.7
+    )
+
+
 def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's replay contract (``README.md:19-22``: rebuild
     state, rewind Kafka offsets) as the Spark-native BACKFILL → LIVE
@@ -2524,6 +2634,31 @@ def _stream_minhash_ingest_sql() -> str:
 
 
 STREAM_MINHASH_INGEST_SQL = _stream_minhash_ingest_sql()
+
+
+def _stream_index_forget_sql() -> str:
+    # from-scratch probe over corpus minus the STILL-forgotten ids:
+    # tombstoned in the control batch (%3==0 ∧ %7==3) and not
+    # re-added (re-adds are the odd half)
+    from flink_orc_sink_spark.queries.llm import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes(0.7)}
+SELECT
+  CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS match_doc,
+  jaccard
+FROM verified
+WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+  AND NOT (
+    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END % 3 = 0
+    AND CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END % 7 = 3
+    AND CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END % 2 = 0
+  )
+"""
+
+
+STREAM_INDEX_FORGET_SQL = _stream_index_forget_sql()
 
 
 STREAM_PYDS_PART_SQL = """
@@ -2706,6 +2841,7 @@ QUERIES = {
     "stream_minhash_index_ingest": stream_minhash_index_ingest,
     "stream_emb_index_ingest": stream_emb_index_ingest,
     "stream_media_index_ingest": stream_media_index_ingest,
+    "stream_index_forget_ingest": stream_index_forget_ingest,
     "stream_backfill_live_handoff": stream_backfill_live_handoff,
     "orc_quarantine_write": orc_quarantine_write,
     "orc_gdpr_erase": orc_gdpr_erase,
@@ -2747,6 +2883,7 @@ ORACLES = {
     "stream_minhash_index_ingest": STREAM_MINHASH_INGEST_SQL,
     "stream_emb_index_ingest": _stream_emb_ingest_sql(),
     "stream_media_index_ingest": _stream_media_ingest_sql(),
+    "stream_index_forget_ingest": STREAM_INDEX_FORGET_SQL,
     "stream_backfill_live_handoff": ORC_ROUNDTRIP_SQL,
     "orc_quarantine_write": ORC_ROUNDTRIP_SQL,
     "orc_gdpr_erase": ORC_GDPR_SQL,
