@@ -15,8 +15,12 @@ Four families, all shuffle-planned for 100 TB (SURVEY.md §7.2 step 5):
 - **SimHash**: 60-bit signatures from token-frequency-weighted bit
   votes; Hamming-≤k pairs via banded prefix buckets + bit_count(xor).
 
-Every hash here derives from md5 so the DuckDB oracles in
-``__spark_entry__.py`` reproduce signatures bit-for-bit.
+Every signature hash here derives from md5 so the DuckDB oracles in
+``__spark_entry__.py`` reproduce signatures bit-for-bit. The one
+exception is :func:`dup_ngram_spans`, whose grams use 64-bit
+``xxhash64`` (DuckDB cannot replicate it); its oracle instead replays
+the span algebra over LITERAL gram strings, so the hashed path is
+checked against a collision-free reference rather than reproduced.
 """
 
 from __future__ import annotations

@@ -86,6 +86,30 @@ def _drain_or_fail(q, secs: int, what: str) -> None:
     raise TimeoutError(f"{what} did not drain in {secs}s")
 
 
+def _run_feed_stream(
+    spark: SparkSession, feed: str, schema, on_batch, what: str
+) -> None:
+    """The shared harness of every index-ingest stream: one
+    ``availableNow`` ``foreachBatch`` pass over a parquet feed
+    directory, one file per trigger, loud on a stuck drain. Keeping
+    it single-sourced keeps the replay contract (checkpointed batch
+    ids driving per-batch markers inside ``on_batch``) from drifting
+    between the four ingest queries."""
+    with tempfile.TemporaryDirectory(
+        prefix="stream_feed_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_fail(q, 180, what)
+
+
 def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC (zstd, vectorized writer) → read back, unchanged.
 
@@ -2140,17 +2164,7 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             release_local_checkpoint(batch_df)
 
-    with tempfile.TemporaryDirectory(prefix="stream_mhidx_ckpt_") as ckpt, stream_partitions(spark):
-        q = (
-            spark.readStream.schema(d.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain_or_fail(q, 180, "index-ingest stream")
+    _run_feed_stream(spark, feed, d.schema, on_batch, "index-ingest stream")
 
     return (
         spark.read.parquet(results)
@@ -2269,17 +2283,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             release_local_checkpoint(batch_df)
 
-    with tempfile.TemporaryDirectory(prefix="stream_ivfidx_ckpt_") as ckpt, stream_partitions(spark):
-        q = (
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain_or_fail(q, 180, "index-ingest stream")
+    _run_feed_stream(spark, feed, e.schema, on_batch, "index-ingest stream")
 
     return (
         spark.read.parquet(results)
@@ -2389,23 +2393,56 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             release_local_checkpoint(hashes)
 
-    with tempfile.TemporaryDirectory(prefix="stream_mediaidx_ckpt_") as ckpt, stream_partitions(spark):
-        q = (
-            spark.readStream.schema("media_id long, png binary")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain_or_fail(q, 180, "index-ingest stream")
+    _run_feed_stream(
+        spark, feed, "media_id long, png binary", on_batch,
+        "index-ingest stream",
+    )
 
     return (
         spark.read.parquet(results)
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def _apply_index_commands(
+    spark: SparkSession, idx: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Apply one ``(op, doc_id, text)`` command batch (adds + deletes)
+    to the persisted MinHash index, IDEMPOTENT under crash-replay:
+
+    - deletes run first and always (tombstone appends are
+      duplicate-insensitive), so within one batch a del of X followed
+      by a re-add of X leaves X live;
+    - the append is guarded by a per-batch marker (a replayed batch
+      must never double-append — read-time dedup would hide row
+      duplicates, but bucket-cap decisions count distinct docs and
+      the index should not grow unboundedly under replay);
+    - on REPLAY of a committed batch (marker present) the adds'
+      readmission is re-applied anyway: the replayed deletes above
+      just re-tombstoned any re-added ids, and skipping the readmit
+      would leave them forgotten — changing probe results, the one
+      thing a replay must never do.
+    """
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        forget_from_minhash_index,
+    )
+    from flink_orc_sink_spark.operators.retention import readmit_ids
+
+    dels = batch_df.filter(F.col("op") == "del").select("doc_id")
+    if not dels.isEmpty():
+        forget_from_minhash_index(dels, idx)
+    adds = batch_df.filter(F.col("op") == "add").select("doc_id", "text")
+    if adds.isEmpty():
+        return
+    marker = os.path.join(idx, "appended", f"batch_{batch_id}")
+    if not os.path.exists(marker):
+        # appends readmit their ids internally (retention.py)
+        append_to_minhash_index(adds, "doc_id", "text", idx)
+        os.makedirs(marker, exist_ok=True)
+    else:
+        readmit_ids(adds.select("doc_id"), idx)
 
 
 def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2433,9 +2470,7 @@ def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from flink_orc_sink_spark.operators.dedup import (
-        append_to_minhash_index,
         build_minhash_index,
-        forget_from_minhash_index,
         minhash_probe_index,
     )
 
@@ -2483,35 +2518,14 @@ def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)  # consumed 2×
         try:
-            dels = batch_df.filter(F.col("op") == "del").select("doc_id")
-            if not dels.isEmpty():
-                # deletes FIRST: within one command batch a del of id
-                # X and a re-add of X must leave X live
-                forget_from_minhash_index(dels, idx)
-            adds = batch_df.filter(F.col("op") == "add").select(
-                "doc_id", "text"
-            )
-            marker = os.path.join(idx, "appended", f"batch_{batch_id}")
-            if not os.path.exists(marker) and not adds.isEmpty():
-                # appends readmit their ids (retention.py), so a
-                # re-added forgotten doc goes live again here
-                append_to_minhash_index(adds, "doc_id", "text", idx)
-            os.makedirs(marker, exist_ok=True)
+            _apply_index_commands(spark, idx, batch_df, batch_id)
         finally:
             release_local_checkpoint(batch_df)
 
-    schema = "op string, doc_id long, text string"
-    with tempfile.TemporaryDirectory(prefix="stream_fidx_ckpt_") as ckpt, stream_partitions(spark):
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-            .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain_or_fail(q, 180, "forget-ingest stream")
+    _run_feed_stream(
+        spark, feed, "op string, doc_id long, text string", on_batch,
+        "forget-ingest stream",
+    )
 
     return minhash_probe_index(
         spark, new, "doc_id", "text", idx, threshold=0.7

@@ -483,23 +483,32 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode, one count agg + semi join, per-doc windowed
     gaps-and-islands merge (``operators/dedup.py::dup_ngram_spans``)."""
     d = table(spark, sf_dir, "documents")
-    return dd.dup_ngram_spans(d, "doc_id", "text", n=8).select(
-        F.col("doc").alias("doc_id"), "span_start", "span_end"
-    )
+    return dd.dup_ngram_spans(
+        d, "doc_id", "text", n=_DUP_NGRAM_N
+    ).select(F.col("doc").alias("doc_id"), "span_start", "span_end")
 
 
-DUP_NGRAM_SPANS_SQL = f"""
+_DUP_NGRAM_N = 8
+
+
+def _dup_ngram_spans_sql(n: int) -> str:
+    """Oracle generated from the SAME gram length the Spark side is
+    called with (the module's generator pattern — a single n feeds
+    both sides, so they cannot desynchronize). The SQL replays the
+    span algebra over LITERAL gram strings, checking the Spark path's
+    xxhash64 grams against a collision-free reference."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
 ),
 base AS (
-  SELECT doc_id, tk, len(tk) AS ntok FROM toks WHERE len(tk) >= 8
+  SELECT doc_id, tk, len(tk) AS ntok FROM toks WHERE len(tk) >= {n}
 ),
 occ AS (
   SELECT doc_id, g.i AS pos,
-         array_to_string(tk[g.i + 1 : g.i + 8], ' ') AS gram
+         array_to_string(tk[g.i + 1 : g.i + {n}], ' ') AS gram
   FROM base, LATERAL (
-    SELECT unnest(range(0, ntok - 7)) AS i
+    SELECT unnest(range(0, ntok - {n - 1})) AS i
   ) g
 ),
 dup AS (
@@ -510,7 +519,7 @@ marked AS (
 ),
 marks AS (
   SELECT doc_id, pos,
-    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n}
          THEN 1 ELSE 0 END AS brk
   FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
@@ -521,9 +530,12 @@ isl AS (
   FROM marks
 )
 SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
-       CAST(MAX(pos) + 7 AS INTEGER) AS span_end
+       CAST(MAX(pos) + {n - 1} AS INTEGER) AS span_end
 FROM isl GROUP BY doc_id, g
 """
+
+
+DUP_NGRAM_SPANS_SQL = _dup_ngram_spans_sql(_DUP_NGRAM_N)
 
 
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

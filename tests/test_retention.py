@@ -439,3 +439,31 @@ def test_ahash_recover_after_crash(spark, tmp_path):
     os.rename(live, live + "__compacting")
     recover_index(spark, idx, AHASH_TABLES)
     assert spark.read.parquet(live).count() == n
+
+
+def test_stream_command_batch_replay_idempotent(spark, minhash_world):
+    """Crash-replay of a mixed del+add command batch
+    (queries/engine.py::_apply_index_commands): the replayed deletes
+    re-tombstone ids whose re-add is marker-skipped, so the replay
+    path must re-apply the adds' readmission — probe results must be
+    IDENTICAL after the replay."""
+    from flink_orc_sink_spark.queries.engine import _apply_index_commands
+
+    corpus, new, idx = minhash_world
+    batch = (
+        spark.createDataFrame(
+            [("del", 1, None), ("del", 2, None)],
+            "op string, doc_id long, text string",
+        ).unionByName(
+            corpus.filter("doc_id = 1").select(
+                F.lit("add").alias("op"), "doc_id", "text"
+            )
+        )
+    )
+    _apply_index_commands(spark, idx, batch, 7)
+    once = _probe_pairs(spark, new, idx)
+    assert any(md == 1 for _, md, _ in once)  # re-added: live
+    assert not any(md == 2 for _, md, _ in once)  # forgotten: gone
+    # the batch commits, the process dies, the batch replays verbatim
+    _apply_index_commands(spark, idx, batch, 7)
+    assert _probe_pairs(spark, new, idx) == once
