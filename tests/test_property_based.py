@@ -283,3 +283,60 @@ def test_symspell_blocking_has_no_false_negatives():
             assert variants(a, 2) & variants(b, 2), (a, b)
             checked += 1
     assert checked > 50  # the corpus actually exercises the property
+
+
+def _ref_dup_spans(docs: list[tuple[int, str]], n: int):
+    """Brute-force reference: literal n-gram strings, global
+    occurrence counting, per-doc island merge."""
+    from collections import Counter
+
+    toks = {d: t.lower().split() for d, t in docs}
+    grams: dict[int, list[str]] = {
+        d: [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        for d, tk in toks.items()
+        if len(tk) >= n
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    spans = set()
+    for d, gs in grams.items():
+        marked = [i for i, g in enumerate(gs) if counts[g] >= 2]
+        start = prev = None
+        for p in marked:
+            if start is None:
+                start = prev = p
+            elif p > prev + n:
+                spans.add((d, start, prev + n - 1))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            spans.add((d, start, prev + n - 1))
+    return spans
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["wa", "wb", "wc", "wd", "we"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_dup_ngram_spans_matches_reference(spark, token_lists, n):
+    """dup_ngram_spans == the brute-force literal-string reference on
+    random corpora — duplicated grams within AND across docs, empty
+    docs, docs shorter than n, all-duplicate corpora."""
+    from flink_orc_sink_spark.operators.dedup import dup_ngram_spans
+
+    docs = [(i, " ".join(tks)) for i, tks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc, r.span_start, r.span_end)
+        for r in dup_ngram_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _ref_dup_spans(docs, n)

@@ -84,6 +84,16 @@ FLAGSHIPS = {
         "map-side-combined monthly aggregate; lag partitioned by "
         "calendar month — no global sort"
     ),
+    "docs_dup_ngram_spans": (
+        "linear gram stream (transform+posexplode, no Python), one "
+        "count agg + semi join — occurrence rows survive once, no "
+        "pairwise blowup; per-doc partitioned islands window"
+    ),
+    "docs_index_forget_dedup": (
+        "merge-on-read tombstone anti-join BROADCAST on the probe "
+        "side; forget is O(deleted); compaction preserves band "
+        "partition layout"
+    ),
 }
 
 
