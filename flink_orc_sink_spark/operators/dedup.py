@@ -687,36 +687,58 @@ def dup_ngram_spans(
     - span merge: per-doc window (partitioned — never global),
       classic gaps-and-islands; state bounded by doc length
     """
-    from flink_orc_sink_spark.functions.text import tokens
-
-    d = (
-        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("tk"))
-        .withColumn("ntok", F.size("tk"))
-        .filter(F.col("ntok") >= n)
-    )
-    occ = d.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("ntok") - n),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice("tk", i + 1, n))
-                ),
-            )
-        ).alias("pos", "gh"),
-    )
+    occ = _gram_occurrences(df, id_col, text_col, n)
     dup = (
         occ.groupBy("gh")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
         .select("gh")
     )
-    marked = occ.join(dup, "gh", "left_semi")
+    return _merge_marked_spans(occ.join(dup, "gh", "left_semi"), n)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc, tk, ntok)`` under the package's canonical tokenizer."""
+    from flink_orc_sink_spark.functions.text import tokens
+
+    return df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("tk")
+    ).withColumn("ntok", F.size("tk"))
+
+
+def _gram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One row per token ``n``-gram occurrence: ``(doc, pos, gh)``
+    with ``gh`` the gram's 64-bit ``xxhash64``. Linear gram stream —
+    per-doc ``transform`` + ``posexplode``, no Python."""
+    return (
+        _tokenized(df, id_col, text_col)
+        .filter(F.col("ntok") >= n)
+        .select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("ntok") - n),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("tk", i + 1, n))
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+
+
+def _merge_marked_spans(marked: DataFrame, n: int) -> DataFrame:
+    """Merge marked gram START positions ``(doc, pos)`` into maximal
+    covered spans ``(doc, span_start, span_end)`` — classic per-doc
+    gaps-and-islands (partitioned window, never global). Two start
+    positions merge while ``pos <= prev + n``: extents
+    ``[prev, prev+n-1]`` and ``[pos, pos+n-1]`` overlap or touch, so
+    the island union is EXACTLY the set of covered token positions."""
     w = Window.partitionBy("doc").orderBy("pos")
     return (
         marked.withColumn("prev", F.lag("pos").over(w))
-        # spans [prev, prev+n-1] and [pos, pos+n-1] merge while
-        # pos <= prev + n (overlap or contiguous tokens)
         .withColumn(
             "brk",
             F.when(
@@ -736,6 +758,119 @@ def dup_ngram_spans(
             (F.max("pos") + F.lit(n - 1)).alias("span_end"),
         )
         .select("doc", "span_start", "span_end")
+    )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Span-level train/eval decontamination: maximal spans of
+    training-doc token positions covered by an ``n``-gram that occurs
+    ANYWHERE in the held-out eval set. Where ``docs_contamination``
+    counts shared shingles per doc (drop-the-doc policy), this
+    returns the positions themselves — the surgical policy every
+    modern pretraining pipeline prefers (cut the leaked benchmark
+    quote, keep the rest of the document).
+
+    100 TB shape: the eval gram set is tiny next to the corpus (eval
+    benchmarks are fixed, curated sets) — distinct-hash it and
+    BROADCAST; the training gram stream is map-only through the semi
+    join, then the per-doc islands window. Nothing corpus-pairwise;
+    for an eval set too big to broadcast, the same Bloom prefilter as
+    ``docs_contamination_bloom`` applies unchanged.
+    """
+    eval_grams = (
+        _gram_occurrences(eval_df, id_col, text_col, n)
+        .select("gh")
+        .distinct()
+    )
+    occ = _gram_occurrences(train, id_col, text_col, n)
+    marked = occ.join(F.broadcast(eval_grams), "gh", "left_semi")
+    return _merge_marked_spans(marked, n)
+
+
+def cut_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Span EXCISION with the Lee et al. 2022 keep-first policy: for
+    every token ``n``-gram occurring ≥ 2 times in the corpus, the
+    globally-first occurrence (min ``(doc, pos)``) survives and every
+    other occurrence's tokens are cut; each doc is re-emitted as the
+    space-join of its surviving tokens. An exact-duplicate doc that
+    sorts after its twin loses every token (``clean_text = ''``) —
+    whole-doc dedup falls out as the degenerate case, while partial
+    boilerplate/quotes are cut in place and the unique remainder of
+    the doc survives (what doc-level dedup would have thrown away).
+
+    Output: ``(doc, clean_text, n_kept, n_removed)`` for EVERY input
+    doc — docs shorter than ``n`` (or empty) pass through whole.
+
+    100 TB shape, all JVM-side and linear in token count:
+
+    - first-occurrence selection rides the SAME count aggregation
+      that detects duplication (``min(struct(doc, pos))`` merges in
+      map-side partials) — no per-gram sort, no skewed row_number
+      window under a million-occurrence boilerplate gram
+    - marked occurrences explode into their ≤ n covered positions,
+      de-duplicated by ``(doc, pos)`` — volume bounded by n × the
+      duplicated region, not the corpus
+    - reassembly: token stream anti-joins the removed positions and
+      regroups per doc (``collect_list`` bounded by doc length — a
+      doc must fit an executor anyway)
+    """
+    toks = _tokenized(df, id_col, text_col)
+    occ = _gram_occurrences(df, id_col, text_col, n)
+    dup = (
+        occ.groupBy("gh")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("gh", "first")
+    )
+    marked = occ.join(dup, "gh").filter(
+        F.struct("doc", "pos") != F.col("first")
+    )
+    removed = marked.select(
+        "doc",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("rpos"),
+    ).distinct()
+    tokpos = toks.select(
+        "doc", F.posexplode("tk").alias("pos", "tok")
+    )
+    kept = tokpos.join(
+        removed,
+        (tokpos["doc"] == removed["doc"])
+        & (tokpos["pos"] == removed["rpos"]),
+        "left_anti",
+    )
+    clean = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        toks.join(clean, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("ntok") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
     )
 
 

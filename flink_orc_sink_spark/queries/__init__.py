@@ -69,6 +69,8 @@ _PRIORITY = (
     "multimodal_index_forget",
     "stream_index_forget_ingest",
     "docs_dup_ngram_spans",
+    "docs_cut_dup_spans",
+    "docs_contamination_spans",
     "docs_contamination_bloom",
     "dq_audit_orders",
     "events_cdc_apply",

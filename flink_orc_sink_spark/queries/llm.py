@@ -538,6 +538,150 @@ FROM isl GROUP BY doc_id, g
 DUP_NGRAM_SPANS_SQL = _dup_ngram_spans_sql(_DUP_NGRAM_N)
 
 
+def docs_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION — the output half of the Lee et al. 2022
+    token-level dedup (``docs_dup_ngram_spans`` finds the regions;
+    this emits the cleaned corpus): keep-first policy over 8-grams,
+    every other occurrence's tokens cut, docs re-emitted as the join
+    of surviving tokens. Exact-dup docs collapse to '' (whole-doc
+    dedup as the degenerate case); partially-duplicated docs keep
+    their unique remainder — the content document-level dedup throws
+    away. All JVM-side, linear in token count; first-occurrence
+    selection rides the duplicate-count aggregation (min struct, no
+    per-gram sort) — ``operators/dedup.py::cut_dup_spans``."""
+    d = table(spark, sf_dir, "documents")
+    return dd.cut_dup_spans(d, "doc_id", "text", n=_DUP_NGRAM_N).select(
+        F.col("doc").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
+def _cut_dup_spans_sql(n: int) -> str:
+    """Oracle over LITERAL gram strings (collision-free check of the
+    xxhash64 path), same single-``n`` generator pattern as
+    ``_dup_ngram_spans_sql``. Removal set = positions covered by any
+    non-first occurrence of a duplicated gram; span merging is
+    unnecessary here because the island union equals the coverage
+    union — the oracle removes coverage directly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, tk, len(tk) AS ntok FROM toks
+),
+occ AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(tk[g.i + 1 : g.i + {n}], ' ') AS gram
+  FROM base, LATERAL (
+    SELECT unnest(range(0, ntok - {n - 1})) AS i
+  ) g
+  WHERE ntok >= {n}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+           AS rn,
+         count(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + d.i AS rpos
+  FROM ranked, LATERAL (SELECT unnest(range(0, {n})) AS i) d
+  WHERE cnt >= 2 AND rn >= 2
+),
+tokpos AS (
+  SELECT doc_id, g.i AS pos, tk[g.i + 1] AS tok
+  FROM base, LATERAL (SELECT unnest(range(0, ntok)) AS i) g
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.pos = r.rpos
+  WHERE r.rpos IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
+       CAST(coalesce(c.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(b.ntok - coalesce(c.n_kept, 0) AS INTEGER) AS n_removed
+FROM base b LEFT JOIN clean c USING (doc_id)
+"""
+
+
+CUT_DUP_SPANS_SQL = _cut_dup_spans_sql(_DUP_NGRAM_N)
+
+
+def docs_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: maximal token spans in TRAINING
+    docs covered by an 8-gram occurring anywhere in the held-out eval
+    set (source 'src0', the ``docs_contamination`` convention).
+    Doc-level contamination says which docs to drop; this says which
+    POSITIONS leaked — the surgical cut-the-quote policy. Eval gram
+    hashes are distinct + BROADCAST (eval benchmarks are small by
+    nature); the training gram stream passes map-only through the
+    semi join, then a per-doc islands window —
+    ``operators/dedup.py::contamination_spans``."""
+    d = table(spark, sf_dir, "documents")
+    return dd.contamination_spans(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=_DUP_NGRAM_N,
+    ).select(F.col("doc").alias("doc_id"), "span_start", "span_end")
+
+
+def _contamination_spans_sql(n: int) -> str:
+    """Same islands algebra as ``_dup_ngram_spans_sql``, marks from
+    the eval gram set instead of a global occurrence count."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {TOKENS_SQL} AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, source, tk, len(tk) AS ntok FROM toks
+  WHERE len(tk) >= {n}
+),
+occ AS (
+  SELECT doc_id, source, g.i AS pos,
+         array_to_string(tk[g.i + 1 : g.i + {n}], ' ') AS gram
+  FROM base, LATERAL (
+    SELECT unnest(range(0, ntok - {n - 1})) AS i
+  ) g
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM occ WHERE source = 'src0'
+),
+marked AS (
+  SELECT o.doc_id, o.pos FROM occ o
+  JOIN eval_grams USING (gram)
+  WHERE o.source <> 'src0'
+),
+marks AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n}
+         THEN 1 ELSE 0 END AS brk
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS g
+  FROM marks
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {n - 1} AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, g
+"""
+
+
+CONTAMINATION_SPANS_SQL = _contamination_spans_sql(_DUP_NGRAM_N)
+
+
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: the substring-level
     document fingerprint set (any shared run ≥ k+w−1 chars yields a
@@ -4251,6 +4395,8 @@ QUERIES = {
     "docs_index_probe_dedup": docs_index_probe_dedup,
     "docs_index_forget_dedup": docs_index_forget_dedup,
     "docs_dup_ngram_spans": docs_dup_ngram_spans,
+    "docs_cut_dup_spans": docs_cut_dup_spans,
+    "docs_contamination_spans": docs_contamination_spans,
     "emb_index_forget_matches": emb_index_forget_matches,
     "multimodal_index_forget": multimodal_index_forget,
     "emb_cosine_topk": emb_cosine_topk,
@@ -4335,6 +4481,8 @@ ORACLES = {
     "docs_index_probe_dedup": INDEX_PROBE_SQL,
     "docs_index_forget_dedup": INDEX_FORGET_SQL,
     "docs_dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
+    "docs_cut_dup_spans": CUT_DUP_SPANS_SQL,
+    "docs_contamination_spans": CONTAMINATION_SPANS_SQL,
     "emb_index_forget_matches": EMB_INDEX_FORGET_SQL,
     "multimodal_index_forget": MULTIMODAL_INDEX_FORGET_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,

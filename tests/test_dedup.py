@@ -358,3 +358,57 @@ def test_dup_ngram_spans_adjacent_spans_merge(spark):
         for r in dup_ngram_spans(docs, "doc_id", "text", n=3).collect()
     }
     assert rows == {(1, 0, 5), (2, 0, 2), (2, 5, 7)}
+
+
+def test_cut_dup_spans_keep_first_policy(spark):
+    """Keep-first excision: the globally-first occurrence (min
+    (doc, pos)) of each duplicated gram survives; later copies are
+    cut; an exact-duplicate doc that sorts after its twin collapses
+    to ''; short and empty docs pass through whole."""
+    from flink_orc_sink_spark.operators.dedup import cut_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "x y a b c d e other words here"),
+            (3, "x y a b c d e other words here"),  # exact dup of 2
+            (4, "short"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc: (r.clean_text, r.n_kept, r.n_removed)
+        for r in cut_dup_spans(docs, "doc_id", "text", n=3).collect()
+    }
+    assert got == {
+        1: ("a b c d e unique tail one", 8, 0),  # first occurrence kept
+        2: ("x y other words here", 5, 5),  # shared run cut in place
+        3: ("", 0, 10),  # whole-doc dedup as the degenerate case
+        4: ("short", 1, 0),
+        5: ("", 0, 0),
+    }
+
+
+def test_contamination_spans_marks_eval_grams(spark):
+    """Positions covered by an eval-set gram are returned as merged
+    spans; docs with no eval overlap produce no rows."""
+    from flink_orc_sink_spark.operators.dedup import contamination_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, "intro words c d e closing remark"),
+            (2, "nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "c d e")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc, r.span_start, r.span_end)
+        for r in contamination_spans(
+            train, eval_df, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert rows == {(1, 2, 4)}

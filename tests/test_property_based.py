@@ -340,3 +340,57 @@ def test_dup_ngram_spans_matches_reference(spark, token_lists, n):
         for r in dup_ngram_spans(df, "doc_id", "text", n=n).collect()
     }
     assert got == _ref_dup_spans(docs, n)
+
+
+def _ref_cut_docs(docs: list[tuple[int, str]], n: int):
+    """Brute-force keep-first excision reference: literal grams,
+    global (doc, pos) occurrence order, coverage removal."""
+    from collections import defaultdict
+
+    toks = {d: t.lower().split() for d, t in docs}
+    occs: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for d in sorted(toks):
+        tk = toks[d]
+        for i in range(len(tk) - n + 1):
+            occs[" ".join(tk[i : i + n])].append((d, i))
+    removed: dict[int, set[int]] = defaultdict(set)
+    for lst in occs.values():
+        if len(lst) >= 2:
+            for d, i in lst[1:]:
+                removed[d].update(range(i, i + n))
+    return {
+        d: (
+            " ".join(t for i, t in enumerate(tk) if i not in removed[d]),
+            len(tk) - len(removed[d]),
+            len(removed[d]),
+        )
+        for d, tk in toks.items()
+    }
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["wa", "wb", "wc", "wd", "we"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_cut_dup_spans_matches_reference(spark, token_lists, n):
+    """cut_dup_spans == the brute-force keep-first reference on random
+    corpora — exact-dup docs collapse to '', the globally-first
+    occurrence survives, short/empty docs pass through whole."""
+    from flink_orc_sink_spark.operators.dedup import cut_dup_spans
+
+    docs = [(i, " ".join(tks)) for i, tks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc: (r.clean_text, r.n_kept, r.n_removed)
+        for r in cut_dup_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _ref_cut_docs(docs, n)

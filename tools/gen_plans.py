@@ -89,6 +89,17 @@ FLAGSHIPS = {
         "count agg + semi join — occurrence rows survive once, no "
         "pairwise blowup; per-doc partitioned islands window"
     ),
+    "docs_cut_dup_spans": (
+        "keep-first selection rides the duplicate-count agg (min "
+        "struct, map-side partials — no per-gram sort under hot "
+        "boilerplate); removal volume bounded by n x duplicated "
+        "region; reassembly collect_list bounded by doc length"
+    ),
+    "docs_contamination_spans": (
+        "eval gram hashes distinct + BROADCAST (eval sets are small "
+        "by nature); training gram stream map-only through the semi "
+        "join; per-doc islands window — nothing corpus-pairwise"
+    ),
     "docs_index_forget_dedup": (
         "merge-on-read tombstone anti-join BROADCAST on the probe "
         "side; forget is O(deleted); compaction preserves band "
