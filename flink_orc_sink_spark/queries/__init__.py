@@ -68,6 +68,7 @@ _PRIORITY = (
     "emb_index_forget_matches",
     "multimodal_index_forget",
     "stream_index_forget_ingest",
+    "stream_fanout_atomic",
     "docs_dup_ngram_spans",
     "docs_cut_dup_spans",
     "docs_contamination_spans",

@@ -1347,6 +1347,120 @@ def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_fanout_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MULTI-TABLE FAN-OUT through the value gate: one event
+    stream feeds TWO ORC tables (per-event-type and per-user partial
+    aggregates), three micro-batches, each batch made visible by a
+    SINGLE commit marker written only after BOTH tables landed
+    (``streaming/orc_sink.py::stream_fanout_orc`` — the reference's
+    2-phase rename commit generalized to N tables; a crash between
+    table writes leaves the torn batch invisible in ALL of them,
+    pytest-pinned in tests/test_streaming_sink.py). Readback goes
+    through ``read_committed_fanout`` and reaggregates the per-batch
+    decimal partials, so the result must equal the whole-input batch
+    aggregate exactly."""
+    global _STREAM_SEQ
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        read_committed_fanout,
+        stream_fanout_orc,
+    )
+
+    import shutil
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    raw = normalize_events_ts(spark.read.parquet(src))
+    feed = tempfile.mkdtemp(prefix="stream_fan_feed_")
+    # three replayable micro-batches (flat part files, one per
+    # trigger — the module's feed-staging convention)
+    for part in range(3):
+        raw.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    _STREAM_SEQ += 1
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_fan_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    by_type = os.path.join(base, "by_type")
+    by_user = os.path.join(base, "by_user")
+    commits = os.path.join(base, "_commits")
+
+    def agg_type(d: DataFrame) -> DataFrame:
+        return d.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+
+    def agg_user(d: DataFrame) -> DataFrame:
+        return d.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+
+    schema = raw.schema
+    with tempfile.TemporaryDirectory(
+        prefix="stream_fan_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        q = stream_fanout_orc(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed),
+            {
+                "by_type": (by_type, agg_type),
+                "by_user": (by_user, agg_user),
+            },
+            commits,
+            ckpt,
+            trigger={"availableNow": True},
+        )
+        _drain_or_fail(q, 180, "stream_fanout_atomic")
+    shutil.rmtree(feed, ignore_errors=True)
+    # per-batch decimal partials reaggregate EXACTLY to the global sum
+    t = (
+        read_committed_fanout(spark, by_type, commits)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sv"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.lit("etype").alias("side"),
+            F.col("event_type").alias("key"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    u = (
+        read_committed_fanout(spark, by_user, commits)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sv"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.lit("user").alias("side"),
+            F.col("user_id").cast("string").alias("key"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return t.unionByName(u)
+
+
+FANOUT_ATOMIC_SQL = """
+SELECT 'etype' AS side, event_type AS key, COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'user' AS side, CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARK LATE-DATA SEMANTICS at value level (SURVEY §2.3 T6):
     three micro-batches in forced order — (a) every event older than
@@ -2880,6 +2994,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
+    "stream_fanout_atomic": stream_fanout_atomic,
     "stream_cdc_apply": stream_cdc_apply,
     "orc_time_travel": orc_time_travel,
     "orc_zorder_layout": orc_zorder_layout,
@@ -2922,6 +3037,7 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
+    "stream_fanout_atomic": FANOUT_ATOMIC_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,

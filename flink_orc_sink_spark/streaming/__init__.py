@@ -5,8 +5,10 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     WatermarkTracker,
     csv_parse,
     demo_socket_to_orc,
+    read_committed_fanout,
     read_committed_orc,
     stream_cdc_apply_orc,
+    stream_fanout_orc,
     stream_from_files,
     stream_write_orc,
     stream_write_orc_foreachbatch,
@@ -16,8 +18,10 @@ __all__ = [
     "WatermarkTracker",
     "csv_parse",
     "demo_socket_to_orc",
+    "read_committed_fanout",
     "read_committed_orc",
     "stream_cdc_apply_orc",
+    "stream_fanout_orc",
     "stream_from_files",
     "stream_write_orc",
     "stream_write_orc_foreachbatch",

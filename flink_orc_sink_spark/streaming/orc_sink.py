@@ -125,6 +125,84 @@ def stream_write_orc_foreachbatch(
     return writer.start()
 
 
+def stream_fanout_orc(
+    df: DataFrame,
+    outputs: dict,
+    commit_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """ATOMIC MULTI-TABLE fan-out: one stream feeding several ORC
+    tables (raw + per-source stats, accepted + audit, …) with a
+    SINGLE commit point per micro-batch — the reference's 2-phase
+    rename protocol (`RowOrcBucketingSink.java:153-213` commits all
+    of a checkpoint's buckets together) generalized to N tables.
+
+    ``outputs`` maps table name → ``(path, transform)``; each
+    micro-batch writes ``transform(batch)`` (identity when ``None``)
+    into every table's ``batch_id=<id>`` partition via dynamic
+    overwrite, THEN appends one marker row for the batch under
+    ``commit_path`` — strictly after every table landed.
+    ``read_committed_fanout`` filters any table to marked batches, so
+    a crash between table writes leaves the half-written batch
+    invisible in ALL tables (no cross-table torn snapshot — the
+    failure mode per-table idempotence alone cannot exclude), and the
+    checkpoint replay rewrites the same partitions (transforms must
+    be deterministic) and only then re-marks. A replay that crashed
+    after the tables but before/after the marker can at worst
+    duplicate MARKER ROWS, which read-time ``distinct`` absorbs —
+    result rows are never duplicated.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = batch_df.localCheckpoint(eager=True)
+        try:
+            for _name, (path, transform) in outputs.items():
+                out = transform(staged) if transform is not None else staged
+                (
+                    out.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .option("compression", compression)
+                    .partitionBy("batch_id")
+                    .orc(path)
+                )
+            # the commit point: one tiny append AFTER all tables —
+            # the only write whose visibility readers trust
+            (
+                staged.sparkSession.createDataFrame(
+                    [(batch_id,)], "batch_id long"
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(commit_path)
+            )
+        finally:
+            release_local_checkpoint(staged)
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_committed_fanout(
+    spark: SparkSession, table_path: str, commit_path: str
+) -> DataFrame:
+    """Read a fan-out table at the transaction boundary: only batches
+    whose commit marker exists — every table filtered this way shows
+    the SAME set of batches (all-or-nothing across the fan-out). The
+    marker set is tiny (one row per micro-batch); broadcast semi
+    join, so the filter costs nothing against the table scan."""
+    committed = spark.read.parquet(commit_path).select("batch_id").distinct()
+    return spark.read.orc(table_path).join(
+        F.broadcast(committed), "batch_id", "left_semi"
+    )
+
+
 def stream_cdc_apply_orc(
     changes: DataFrame,
     state_path: str,

@@ -460,3 +460,94 @@ def test_stream_quarantine_splits_and_replays(spark, tmp_path):
     assert glob.glob(f"{valid}/batch_id=*") and glob.glob(
         f"{quar}/batch_id=*"
     )
+
+
+def test_stream_fanout_atomic_across_tables(spark, tmp_path):
+    """Multi-table fan-out commit protocol: (1) a committed batch is
+    visible in BOTH tables; (2) a torn batch — one table written, no
+    marker, the crash-between-table-writes state — is invisible in
+    ALL tables, even garbage left behind by the dying attempt; (3)
+    the checkpoint replay overwrites the torn partition and only then
+    marks, after which both tables show the batch; (4) replay-
+    duplicated marker rows don't duplicate results."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.streaming import (
+        read_committed_fanout,
+        stream_fanout_orc,
+        stream_from_files,
+    )
+
+    src = str(tmp_path / "in")
+    raw = str(tmp_path / "raw")
+    stats = str(tmp_path / "stats")
+    commits = str(tmp_path / "commits")
+    ckpt = str(tmp_path / "ckpt")
+    outputs = {
+        "raw": (raw, None),
+        "stats": (
+            stats,
+            lambda d: d.groupBy("user").agg(F.count("*").alias("n")),
+        ),
+    }
+
+    def run():
+        q = stream_fanout_orc(
+            stream_from_files(spark, src, "id LONG, user STRING"),
+            outputs,
+            commits,
+            ckpt,
+            trigger={"availableNow": True},
+        )
+        assert q.awaitTermination(120), "fanout stream did not drain"
+
+    def write_input(ids):
+        spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in ids], "id long, user string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # (1) batch 0 through the real sink: visible in both tables
+    write_input(range(0, 100))
+    run()
+    assert read_committed_fanout(spark, raw, commits).count() == 100
+    got = {
+        (r.user, r.n)
+        for r in read_committed_fanout(spark, stats, commits).collect()
+    }
+    assert got == {("u0", 34), ("u1", 33), ("u2", 33)}
+
+    # (2) torn batch: the crash-between-writes state — raw's batch-1
+    # partition holds a dying attempt's GARBAGE, stats has nothing,
+    # no marker. Committed reads of BOTH tables must not move.
+    (
+        spark.createDataFrame(
+            [(-1, "garbage")], "id long, user string"
+        )
+        .withColumn("batch_id", F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .orc(raw)
+    )
+    assert read_committed_fanout(spark, raw, commits).count() == 100
+    assert read_committed_fanout(spark, stats, commits).count() == 3
+
+    # (3) recovery: the real batch 1 arrives, replay through the same
+    # checkpoint overwrites the torn partition, then marks — both
+    # tables flip to the new batch together, garbage gone
+    write_input(range(100, 250))
+    run()
+    back = read_committed_fanout(spark, raw, commits)
+    assert back.count() == 250
+    assert back.filter(F.col("id") < 0).count() == 0
+    stats_back = read_committed_fanout(spark, stats, commits)
+    assert stats_back.groupBy("user").agg(
+        F.sum("n").alias("n")
+    ).filter(F.col("user") == "u0").collect()[0].n == 84  # 34 + 50
+
+    # (4) a crash right around the marker write can replay the marker
+    # append itself — duplicate marker rows must not duplicate rows
+    spark.createDataFrame([(0,)], "batch_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(commits)
+    assert read_committed_fanout(spark, raw, commits).count() == 250

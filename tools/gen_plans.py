@@ -89,6 +89,12 @@ FLAGSHIPS = {
         "count agg + semi join — occurrence rows survive once, no "
         "pairwise blowup; per-doc partitioned islands window"
     ),
+    "stream_fanout_atomic": (
+        "one localCheckpoint per batch feeds N table writes (batch "
+        "read once, released after commit); marker appended strictly "
+        "after all tables — readers semi-join the broadcast marker "
+        "set, so the visibility filter costs nothing vs the scan"
+    ),
     "docs_cut_dup_spans": (
         "keep-first selection rides the duplicate-count agg (min "
         "struct, map-side partials — no per-gram sort under hot "
