@@ -237,3 +237,136 @@ def kmeans_fixedpoint(
             .localCheckpoint(eager=False)
         )
     return assign.select(F.col("vid"), F.col("cluster"))
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    dim: int = 64,
+    iterations: int = 2,
+    w_scale: int = 1_000_000,
+    p_scale: int = 10_000,
+    lr_inv: int = 10,
+) -> DataFrame:
+    """DISTRIBUTED TRAINING of a fastText-style quality classifier —
+    the filter stage of every web-scale pretraining pipeline (train a
+    linear model to recognize a reference corpus, score the crawl) —
+    with BIT-EXACT integer arithmetic so the whole training loop is
+    value-checkable across engines (same trick as
+    :func:`kmeans_fixedpoint`: float GD can never hash stably).
+
+    Model: logistic-style regression over hashed bag-of-words counts
+    (portable md5 bucket hash, ``dim`` buckets + bias) with a HARD
+    sigmoid ``p = clamp(1/2 + z/4, 0, 1)`` — piecewise-linear, so
+    every step is integer multiply / add / clamp / floor-div (the
+    explicit ``(a - pmod(a, b)) div b`` form: engines disagree on
+    negative ``//``), and gradient sums are order-independent.
+    Full-batch gradient descent, ``err = p − y`` in ``p_scale`` fixed
+    point, weights in ``w_scale`` fixed point clamped to ±4 (the hard
+    sigmoid saturates past that anyway), mean-gradient divided by n
+    BEFORE the learning-rate scaling so magnitudes stay bounded at
+    any corpus size.
+
+    100 TB shape: features stay SPARSE ``(doc, j, x)`` — never a
+    dense per-doc vector; per iteration one broadcast join of the
+    ≤ dim+1 weight rows onto the feature stream, one groupBy(doc) for
+    z, one groupBy(j) for the gradient (≤ dim+1 keys, map-side
+    combine absorbs hot buckets), and a ``dim+1``-row collect to
+    update weights on the driver (bounded metadata, like the k-means
+    centroid bound). Vectors never shuffle wider than their sparse
+    postings.
+
+    Returns ``(doc, score_q, pred, label)``: final hard-sigmoid score
+    in ``p_scale`` fixed point, thresholded prediction, and the
+    training label (ints — exact under any value hash).
+    """
+    from flink_orc_sink_spark.functions.text import hash32, tokens
+    from flink_orc_sink_spark.session import release_local_checkpoint
+
+    q = p_scale
+    w_cap = 4 * w_scale
+
+    def fd(a, b):  # exact floor division via non-negative remainder
+        return F.expr(f"({a} - pmod({a}, {b})) DIV {b}")
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(text_col).alias("tk"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    def features(src: DataFrame) -> DataFrame:
+        counts = (
+            src.select("doc", F.explode("tk").alias("t"))
+            .select(
+                "doc", F.pmod(hash32(F.col("t")), F.lit(dim)).alias("j")
+            )
+            .groupBy("doc", "j")
+            .agg(F.count("*").alias("x"))
+        )
+        return counts.unionByName(
+            src.select(
+                "doc",
+                F.lit(dim).cast("long").alias("j"),
+                F.lit(1).cast("long").alias("x"),
+            )
+        )
+
+    def scores(feats: DataFrame, labels: DataFrame, weights: dict) -> DataFrame:
+        w_df = df.sparkSession.createDataFrame(
+            [(int(j), int(v)) for j, v in weights.items()] or [(0, 0)],
+            "j long, w long",
+        )
+        z = (
+            feats.join(F.broadcast(w_df), "j", "left")
+            .groupBy("doc")
+            .agg(F.sum(F.col("x") * F.coalesce("w", F.lit(0))).alias("z"))
+        )
+        return z.join(labels, "doc").select(
+            "doc",
+            "y",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(q),
+                    F.lit(q // 2) + fd(f"(z * {q})", f"(4 * {w_scale})"),
+                ),
+            ).alias("p"),
+        )
+
+    def pyfd(a: int, b: int) -> int:  # mirror of fd for driver ints
+        return (a - ((a % b) + b) % b) // b
+
+    # training reads the feature stream 2x per iteration: checkpoint
+    # once, release before the (source-recomputed) final scoring pass
+    feats_ck = features(base).localCheckpoint(eager=True)
+    labels_ck = base.select("doc", "y").localCheckpoint(eager=True)
+    w = {}  # j -> weight (int, w_scale fixed point); absent = 0
+    try:
+        n = labels_ck.count()
+        for _ in range(iterations):
+            err = scores(feats_ck, labels_ck, w).select(
+                "doc", (F.col("p") - F.col("y") * q).alias("err")
+            )
+            grad = (
+                feats_ck.join(err, "doc")
+                .groupBy("j")
+                .agg(F.sum(F.col("x") * F.col("err")).alias("s"))
+                .collect()
+            )
+            for r in grad:  # dim+1 rows: bounded driver metadata
+                delta = pyfd(pyfd(r.s, n) * w_scale, lr_inv * q)
+                nw = w.get(r.j, 0) - delta
+                w[r.j] = max(-w_cap, min(w_cap, nw))
+    finally:
+        release_local_checkpoint(feats_ck)
+        release_local_checkpoint(labels_ck)
+    # final scoring recomputes from source: the returned plan owns no
+    # checkpointed blocks (they are already released above)
+    return scores(features(base), base.select("doc", "y"), w).select(
+        "doc",
+        F.col("p").cast("int").alias("score_q"),
+        F.when(F.col("p") * 2 >= q, 1).otherwise(0).cast("int").alias("pred"),
+        F.col("y").cast("int").alias("label"),
+    )

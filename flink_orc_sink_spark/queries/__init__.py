@@ -40,14 +40,17 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       docs_index_forget_dedup / emb_index_forget_matches /
 #       multimodal_index_forget, the in-stream takedown capstone
 #       stream_index_forget_ingest, the exact-substring span detector
-#       docs_dup_ngram_spans), then the 33 longest-never-driver-
-#       verified entries in registry order (round-4 verdict #1:
-#       engine-runtime, ORC and LLM-core families) — exactly 50 in
-#       total, matching the driver cap. The remaining never-verified
-#       entries (docs_neardup_clusters, docs_neardup_survivors,
-#       docs_repetition_ratio, docs_pack_sequences,
-#       docs_contamination, the emb/multimodal/events tails) rotate
-#       into the r6 window.
+#       docs_dup_ngram_spans, and the session-2 additions: span
+#       excision docs_cut_dup_spans, span-level decontamination
+#       docs_contamination_spans, the fixed-point classifier trainer
+#       docs_classifier_train, the atomic multi-table fan-out
+#       stream_fanout_atomic), then the longest-never-driver-verified
+#       entries in registry order (round-4 verdict #1: engine-runtime,
+#       ORC and LLM-core families). The driver takes the first 50;
+#       the _PRIORITY tail past the cap and the remaining
+#       never-verified entries (docs_neardup_clusters,
+#       docs_repetition_ratio, docs_pack_sequences, the
+#       emb/multimodal/events tails) rotate into the r6 window.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
@@ -72,6 +75,7 @@ _PRIORITY = (
     "docs_dup_ngram_spans",
     "docs_cut_dup_spans",
     "docs_contamination_spans",
+    "docs_classifier_train",
     "docs_contamination_bloom",
     "dq_audit_orders",
     "events_cdc_apply",

@@ -682,6 +682,120 @@ FROM isl GROUP BY doc_id, g
 CONTAMINATION_SPANS_SQL = _contamination_spans_sql(_DUP_NGRAM_N)
 
 
+def docs_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED TRAINING of the fastText-style quality classifier
+    (the GPT-3/CCNet filter stage: learn to recognize a reference
+    corpus, score everything) pushed through the VALUE gate: 2
+    full-batch gradient steps of hard-sigmoid logistic regression
+    over hashed bag-of-words counts, every step in bit-exact integer
+    fixed point (``operators/linalg.py::train_quality_classifier`` —
+    the ``kmeans_fixedpoint`` trick applied to supervised training;
+    float GD can never hash stably). Label = membership in source
+    'src0' (the held-out-reference convention the contamination
+    queries use). The oracle unrolls both gradient steps in SQL, so
+    all final scores, predictions and the training arithmetic itself
+    must match exactly. Features stay sparse (doc, bucket, count);
+    per step: one broadcast of ≤ 65 weight rows, one groupBy(doc),
+    one groupBy(j ≤ 65, map-side combined), one 65-row collect.
+    (On THIS synthetic corpus the sources share a vocabulary, so two
+    steps land on the majority class — the gate checks the training
+    arithmetic; separable-class learning is pytest-pinned at 100%
+    accuracy on a split-vocabulary corpus in tests/test_linalg.py.)"""
+    from flink_orc_sink_spark.operators.linalg import train_quality_classifier
+
+    d = table(spark, sf_dir, "documents")
+    return train_quality_classifier(
+        d.withColumn(
+            "y", (F.col("source") == "src0").cast("int")
+        ),
+        "doc_id",
+        "text",
+        "y",
+        dim=64,
+        iterations=2,
+    ).select(F.col("doc").alias("doc_id"), "score_q", "pred", "label")
+
+
+def _classifier_train_sql(
+    dim: int = 64,
+    q: int = 10_000,
+    w_scale: int = 1_000_000,
+    lr_inv: int = 10,
+) -> str:
+    """Oracle unrolling BOTH gradient steps. Floor division is spelled
+    out as ``(a - pmod(a, b)) // b`` because engines disagree on
+    negative ``//`` (DuckDB truncates, Python floors); with the
+    non-negative remainder subtracted first, the quotient is exact
+    and every engine agrees."""
+
+    def fd(a: str, b) -> str:
+        return f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b}))"
+
+    cap = 4 * w_scale
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, {{tokens}} AS tk,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+tok AS (SELECT doc, unnest(tk) AS t FROM base),
+cnt AS (
+  SELECT doc, ('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} AS j,
+         count(*) AS x
+  FROM tok GROUP BY doc, j
+),
+f AS (
+  SELECT doc, j, x FROM cnt
+  UNION ALL SELECT doc, {dim}, 1 FROM base
+),
+nn AS (SELECT count(*) AS n FROM base),
+-- step 1: w = 0 everywhere -> z = 0, p = q/2 for every doc
+e1 AS (SELECT doc, {q // 2} - {q} * y AS err FROM base),
+g1 AS (SELECT j, SUM(x * err) AS s FROM f JOIN e1 USING (doc) GROUP BY j),
+g1a AS (SELECT j, {fd("s", "n")} AS gj FROM g1, nn),
+w1 AS (
+  SELECT j, GREATEST(-{cap}, LEAST({cap},
+    0 - {fd(f"gj * {w_scale}", lr_inv * q)})) AS w
+  FROM g1a
+),
+-- step 2
+z2 AS (
+  SELECT f.doc, SUM(f.x * COALESCE(w1.w, 0)) AS z
+  FROM f LEFT JOIN w1 USING (j) GROUP BY f.doc
+),
+p2 AS (
+  SELECT b.doc, b.y,
+    GREATEST(0, LEAST({q}, {q // 2} + {fd(f"z * {q}", 4 * w_scale)})) AS p
+  FROM z2 JOIN base b USING (doc)
+),
+e2 AS (SELECT doc, p - {q} * y AS err FROM p2),
+g2 AS (SELECT j, SUM(x * err) AS s FROM f JOIN e2 USING (doc) GROUP BY j),
+g2a AS (SELECT j, {fd("s", "n")} AS gj FROM g2, nn),
+w2 AS (
+  SELECT g2a.j, GREATEST(-{cap}, LEAST({cap},
+    w1.w - {fd(f"gj * {w_scale}", lr_inv * q)})) AS w
+  FROM g2a JOIN w1 USING (j)
+),
+-- final scoring with the trained weights
+z3 AS (
+  SELECT f.doc, SUM(f.x * COALESCE(w2.w, 0)) AS z
+  FROM f LEFT JOIN w2 USING (j) GROUP BY f.doc
+),
+p3 AS (
+  SELECT b.doc, b.y,
+    GREATEST(0, LEAST({q}, {q // 2} + {fd(f"z * {q}", 4 * w_scale)})) AS p
+  FROM z3 JOIN base b USING (doc)
+)
+SELECT doc AS doc_id, CAST(p AS INTEGER) AS score_q,
+       CAST(CASE WHEN 2 * p >= {q} THEN 1 ELSE 0 END AS INTEGER) AS pred,
+       CAST(y AS INTEGER) AS label
+FROM p3
+"""
+
+
+CLASSIFIER_TRAIN_SQL = _classifier_train_sql().format(tokens=TOKENS_SQL)
+
+
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: the substring-level
     document fingerprint set (any shared run ≥ k+w−1 chars yields a
@@ -4397,6 +4511,7 @@ QUERIES = {
     "docs_dup_ngram_spans": docs_dup_ngram_spans,
     "docs_cut_dup_spans": docs_cut_dup_spans,
     "docs_contamination_spans": docs_contamination_spans,
+    "docs_classifier_train": docs_classifier_train,
     "emb_index_forget_matches": emb_index_forget_matches,
     "multimodal_index_forget": multimodal_index_forget,
     "emb_cosine_topk": emb_cosine_topk,
@@ -4483,6 +4598,7 @@ ORACLES = {
     "docs_dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
     "docs_cut_dup_spans": CUT_DUP_SPANS_SQL,
     "docs_contamination_spans": CONTAMINATION_SPANS_SQL,
+    "docs_classifier_train": CLASSIFIER_TRAIN_SQL,
     "emb_index_forget_matches": EMB_INDEX_FORGET_SQL,
     "multimodal_index_forget": MULTIMODAL_INDEX_FORGET_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,

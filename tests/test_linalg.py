@@ -129,3 +129,58 @@ def test_kmeans_fixedpoint_matches_numpy(spark):
     for p in (0, 1, 2):
         members = [int(i) for i in ids[planted == p]]
         assert len({got[i] for i in members}) == 1
+
+
+def test_train_quality_classifier_learns_separable_classes(spark):
+    """Two fixed-point gradient steps fully separate two disjoint
+    vocabularies (the reference-vs-crawl shape): 100% accuracy,
+    scores saturating to the hard-sigmoid rails. Exactness vs the
+    unrolled-SQL oracle is the docs_classifier_train gate; this pins
+    that the integer arithmetic actually LEARNS."""
+    import random
+
+    from flink_orc_sink_spark.operators.linalg import (
+        train_quality_classifier,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(300):
+        good = i % 2 == 0
+        vocab = (
+            [f"ga{k}" for k in range(30)]
+            if good
+            else [f"bb{k}" for k in range(30)]
+        ) + ["shared1", "shared2"]
+        rows.append(
+            (i, " ".join(random.choice(vocab) for _ in range(40)),
+             1 if good else 0)
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    out = train_quality_classifier(
+        df, "doc_id", "text", "y", iterations=2
+    ).collect()
+    assert len(out) == 300
+    assert all(r.pred == r.label for r in out)
+    # not just threshold-lucky: a wide score margin between classes
+    lo_good = min(r.score_q for r in out if r.label == 1)
+    hi_bad = max(r.score_q for r in out if r.label == 0)
+    assert lo_good - hi_bad > 2_000, (lo_good, hi_bad)
+
+
+def test_train_quality_classifier_empty_and_tiny_docs(spark):
+    """Empty and sub-feature docs still get scored (bias-only rows);
+    the classifier falls back to the bias prior for them."""
+    from flink_orc_sink_spark.operators.linalg import (
+        train_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", 1), (2, "", 0), (3, "alpha", 1),
+         (4, "delta epsilon zeta", 0)],
+        "doc_id long, text string, y int",
+    )
+    out = train_quality_classifier(
+        df, "doc_id", "text", "y", iterations=2
+    ).collect()
+    assert {r.doc for r in out} == {1, 2, 3, 4}

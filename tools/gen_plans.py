@@ -89,6 +89,12 @@ FLAGSHIPS = {
         "count agg + semi join — occurrence rows survive once, no "
         "pairwise blowup; per-doc partitioned islands window"
     ),
+    "docs_classifier_train": (
+        "sparse (doc, bucket, count) features — never a dense vector; "
+        "per gradient step one broadcast of <=65 weight rows, one "
+        "groupBy(doc), one map-side-combined groupBy(j<=65), one "
+        "65-row driver collect; all integer fixed point"
+    ),
     "stream_fanout_atomic": (
         "one localCheckpoint per batch feeds N table writes (batch "
         "read once, released after commit); marker appended strictly "
