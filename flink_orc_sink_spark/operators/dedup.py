@@ -836,6 +836,19 @@ def cut_dup_spans(
     marked = occ.join(dup, "gh").filter(
         F.struct("doc", "pos") != F.col("first")
     )
+    return _excise_marked(toks, marked, n)
+
+
+def _excise_marked(
+    toks: DataFrame, marked: DataFrame, n: int
+) -> DataFrame:
+    """Cut every token position covered by a marked gram occurrence
+    ``(doc, pos)`` and re-emit each doc of ``toks`` as the space-join
+    of its surviving tokens. Marked occurrences explode into their
+    ≤ n covered positions (volume bounded by n × the duplicated
+    region, deduplicated by (doc, pos)); the token stream anti-joins
+    the removed set and regroups per doc (``collect_list`` bounded by
+    doc length — a doc must fit an executor anyway)."""
     removed = marked.select(
         "doc",
         F.explode(
@@ -1188,3 +1201,115 @@ def compact_minhash_index(spark, index_path: str) -> None:
     )
 
     compact_index(spark, index_path, MINHASH_TABLES)
+
+
+def build_gram_index(
+    df: DataFrame, id_col: str, text_col: str, index_path: str, n: int = 8
+) -> None:
+    """PERSIST the exact-substring dedup state — the fourth index
+    family (after MinHash, IVF, aHash), giving :func:`dup_ngram_spans`
+    / :func:`cut_dup_spans` their production INGEST shape: the corpus
+    is gram-indexed once; every later batch is span-cut against the
+    index without ever re-reading corpus text.
+
+    The index is the corpus's DISTINCT token-``n``-gram hash set
+    (``grams/``: one int64 column, range-partitioned and sorted by
+    ``gh``). Presence is the whole contract — an incoming occurrence
+    whose gram exists anywhere in the corpus is by definition not the
+    first occurrence, so keep-first excision needs no counts and no
+    positions, and duplicate/replayed appends are idempotent by
+    construction (re-asserting presence changes nothing). Index bytes
+    ≈ 8 B per distinct corpus gram — far below the text it indexes.
+    Takedown note: grams are SHARED across docs, so per-doc forget is
+    a rebuild decision here (removing a doc's grams could un-index
+    another doc's identical boilerplate), unlike the per-doc row
+    tombstones of the other three families.
+    """
+    occ = _gram_occurrences(df, id_col, text_col, n)
+    (
+        occ.select("gh")
+        .distinct()
+        .repartitionByRange(32, "gh")
+        .sortWithinPartitions("gh")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/grams")
+    )
+
+
+def cut_spans_against_index(
+    spark,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 8,
+) -> DataFrame:
+    """INCREMENTAL keep-first span excision: cut a new batch's token
+    positions covered by any ``n``-gram that (a) exists in the
+    persisted corpus index — the corpus copy came first — or (b) is
+    duplicated WITHIN the batch and this occurrence is not the
+    batch's first. Admitting the cleaned output and then
+    :func:`append_to_gram_index` reproduces exactly what
+    :func:`cut_dup_spans` over corpus ∪ batch would have cut from the
+    batch docs (value-oracled as ``docs_index_cut_dedup``).
+
+    100 TB shape: the batch's distinct gram hashes BROADCAST onto the
+    index scan (map-only — the index is never shuffled and never
+    joins wider than one int64 column; matched output is
+    batch-bounded by construction), within-batch duplication rides
+    the same count aggregation as :func:`cut_dup_spans`, and the
+    excision itself is batch-sized. Per-batch probe cost is one
+    columnar scan of the single-column index — on a cluster, persist
+    ``grams/`` as a table BUCKETED by ``gh`` and the probe becomes a
+    shuffle-free semi join of the batch side only.
+    """
+    toks = _tokenized(new_docs, id_col, text_col)
+    occ = _gram_occurrences(new_docs, id_col, text_col, n)
+    batch_ghs = occ.select("gh").distinct()
+    idx = spark.read.parquet(f"{index_path}/grams")
+    # map-only over the index; output ⊆ batch grams (batch-bounded)
+    hit = idx.join(F.broadcast(batch_ghs), "gh", "left_semi")
+    batch_first = (
+        occ.groupBy("gh")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("gh", "first")
+    )
+    with_flags = (
+        occ.join(
+            F.broadcast(hit.withColumn("in_idx", F.lit(True))),
+            "gh",
+            "left",
+        )
+        .join(F.broadcast(batch_first), "gh", "left")
+    )
+    marked = with_flags.filter(
+        F.coalesce("in_idx", F.lit(False))
+        | (
+            F.col("first").isNotNull()
+            & (F.struct("doc", "pos") != F.col("first"))
+        )
+    ).select("doc", "pos")
+    return _excise_marked(toks, marked, n)
+
+
+def append_to_gram_index(
+    df: DataFrame, id_col: str, text_col: str, index_path: str, n: int = 8
+) -> None:
+    """Admit a probed batch's grams so later batches dedup against it
+    too. Append the batch's distinct gram hashes in the same sorted
+    layout; presence semantics make a crash-replayed append a no-op
+    (asserting an already-present gram changes nothing — no read-time
+    dedup needed, unlike the row-counted index families)."""
+    occ = _gram_occurrences(df, id_col, text_col, n)
+    (
+        occ.select("gh")
+        .distinct()
+        .repartitionByRange(4, "gh")
+        .sortWithinPartitions("gh")
+        .write.mode("append")
+        .parquet(f"{index_path}/grams")
+    )

@@ -76,6 +76,7 @@ _PRIORITY = (
     "docs_cut_dup_spans",
     "docs_contamination_spans",
     "docs_classifier_train",
+    "docs_index_cut_dedup",
     "docs_contamination_bloom",
     "dq_audit_orders",
     "events_cdc_apply",

@@ -682,6 +682,112 @@ FROM isl GROUP BY doc_id, g
 CONTAMINATION_SPANS_SQL = _contamination_spans_sql(_DUP_NGRAM_N)
 
 
+def docs_index_cut_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SPAN EXCISION against a PERSISTED gram index — the
+    ingest shape of the Lee et al. token-level dedup (the fourth
+    persisted index family, beside MinHash / IVF / aHash): the corpus
+    (doc_id % 10 ≠ 0) is gram-indexed ONCE (``operators/dedup.py::
+    build_gram_index``: its distinct 8-gram hash set, one int64
+    column); the new batch (doc_id % 10 = 0) is then span-cut by
+    probing ONLY the index — a batch token is removed when its gram
+    exists anywhere in the already-ingested corpus (the corpus copy
+    was first, by ingest order) or repeats within the batch after its
+    batch-first occurrence. Corpus text is never re-read; the batch's
+    distinct gram hashes broadcast onto the map-only index scan, so
+    the probe never shuffles the index. The oracle recomputes both
+    sides from literal gram strings, so a hash match proves the
+    persisted round trip loses nothing."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        build_gram_index,
+        cut_spans_against_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gram_idx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_gram_index(corpus, "doc_id", "text", idx, n=_DUP_NGRAM_N)
+    return cut_spans_against_index(
+        spark, new, "doc_id", "text", idx, n=_DUP_NGRAM_N
+    ).select(
+        F.col("doc").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
+def _index_cut_dedup_sql(n: int) -> str:
+    """Literal-gram oracle for the ingest-order keep-first policy:
+    corpus occurrences precede every batch occurrence (regardless of
+    doc id), batch-internal duplication keeps the batch-first."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS tk, doc_id % 10 = 0 AS is_new
+  FROM documents
+),
+base AS (
+  SELECT doc_id, tk, len(tk) AS ntok, is_new FROM toks
+),
+occ AS (
+  SELECT doc_id, is_new, g.i AS pos,
+         array_to_string(tk[g.i + 1 : g.i + {n}], ' ') AS gram
+  FROM base, LATERAL (
+    SELECT unnest(range(0, ntok - {n - 1})) AS i
+  ) g
+  WHERE ntok >= {n}
+),
+corpus_grams AS (
+  SELECT DISTINCT gram FROM occ WHERE NOT is_new
+),
+bocc AS (
+  SELECT doc_id, pos, gram,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+           AS rn,
+         count(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ WHERE is_new
+),
+marked AS (
+  SELECT b.doc_id, b.pos
+  FROM bocc b LEFT JOIN corpus_grams c USING (gram)
+  WHERE c.gram IS NOT NULL OR (b.cnt >= 2 AND b.rn >= 2)
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + d.i AS rpos
+  FROM marked, LATERAL (SELECT unnest(range(0, {n})) AS i) d
+),
+tokpos AS (
+  SELECT doc_id, g.i AS pos, tk[g.i + 1] AS tok
+  FROM base, LATERAL (SELECT unnest(range(0, ntok)) AS i) g
+  WHERE is_new
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.pos = r.rpos
+  WHERE r.rpos IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
+       CAST(coalesce(c.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(b.ntok - coalesce(c.n_kept, 0) AS INTEGER) AS n_removed
+FROM base b LEFT JOIN clean c USING (doc_id)
+WHERE b.is_new
+"""
+
+
+INDEX_CUT_DEDUP_SQL = _index_cut_dedup_sql(_DUP_NGRAM_N)
+
+
 def docs_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED TRAINING of the fastText-style quality classifier
     (the GPT-3/CCNet filter stage: learn to recognize a reference
@@ -4512,6 +4618,7 @@ QUERIES = {
     "docs_cut_dup_spans": docs_cut_dup_spans,
     "docs_contamination_spans": docs_contamination_spans,
     "docs_classifier_train": docs_classifier_train,
+    "docs_index_cut_dedup": docs_index_cut_dedup,
     "emb_index_forget_matches": emb_index_forget_matches,
     "multimodal_index_forget": multimodal_index_forget,
     "emb_cosine_topk": emb_cosine_topk,
@@ -4599,6 +4706,7 @@ ORACLES = {
     "docs_cut_dup_spans": CUT_DUP_SPANS_SQL,
     "docs_contamination_spans": CONTAMINATION_SPANS_SQL,
     "docs_classifier_train": CLASSIFIER_TRAIN_SQL,
+    "docs_index_cut_dedup": INDEX_CUT_DEDUP_SQL,
     "emb_index_forget_matches": EMB_INDEX_FORGET_SQL,
     "multimodal_index_forget": MULTIMODAL_INDEX_FORGET_SQL,
     "emb_cosine_topk": COSINE_TOPK_SQL,

@@ -412,3 +412,91 @@ def test_contamination_spans_marks_eval_grams(spark):
         ).collect()
     }
     assert rows == {(1, 2, 4)}
+
+
+def test_gram_index_incremental_matches_batch_cut(spark, tmp_path):
+    """With corpus ids below batch ids, incremental index-probed
+    excision equals the one-shot cut_dup_spans over corpus ∪ batch
+    (restricted to batch docs); appends admit a batch for later
+    batches; a replayed append is a no-op (presence semantics)."""
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_gram_index,
+        build_gram_index,
+        cut_dup_spans,
+        cut_spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e unique tail one"), (2, "p q r s t something")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "x y a b c d e other words here"),
+            (11, "x y a b c d e other words here"),  # dup of 10
+            (12, "fresh totally new content right here"),
+            (13, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "gram_idx")
+    build_gram_index(corpus, "doc_id", "text", idx, n=3)
+    got = {
+        r.doc: (r.clean_text, r.n_kept, r.n_removed)
+        for r in cut_spans_against_index(
+            spark, batch, "doc_id", "text", idx, n=3
+        ).collect()
+    }
+    ref = {
+        r.doc: (r.clean_text, r.n_kept, r.n_removed)
+        for r in cut_dup_spans(
+            corpus.unionByName(batch), "doc_id", "text", n=3
+        ).collect()
+        if r.doc >= 10
+    }
+    assert got == ref
+    assert got[11] == ("", 0, 10)  # within-batch exact dup collapses
+
+    append_to_gram_index(batch, "doc_id", "text", idx, n=3)
+    b2 = spark.createDataFrame(
+        [(20, "fresh totally new content right here plus more")],
+        "doc_id long, text string",
+    )
+
+    def cut_b2():
+        return {
+            r.doc: (r.clean_text, r.n_removed)
+            for r in cut_spans_against_index(
+                spark, b2, "doc_id", "text", idx, n=3
+            ).collect()
+        }
+
+    assert cut_b2() == {20: ("plus more", 6)}
+    append_to_gram_index(batch, "doc_id", "text", idx, n=3)  # replay
+    assert cut_b2() == {20: ("plus more", 6)}
+
+
+def test_gram_index_ingest_order_beats_doc_id_order(spark, tmp_path):
+    """The index policy is INGEST order: a corpus gram wins even when
+    the batch doc has the LOWER doc id (where global cut_dup_spans
+    would keep the batch copy) — the already-admitted corpus copy
+    must not be re-cut retroactively."""
+    from flink_orc_sink_spark.operators.dedup import (
+        build_gram_index,
+        cut_spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d e unique tail")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "a b c prefix stolen early")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "gram_idx")
+    build_gram_index(corpus, "doc_id", "text", idx, n=3)
+    got = cut_spans_against_index(
+        spark, batch, "doc_id", "text", idx, n=3
+    ).collect()
+    assert {(r.doc, r.clean_text) for r in got} == {
+        (1, "prefix stolen early")
+    }

@@ -89,6 +89,12 @@ FLAGSHIPS = {
         "count agg + semi join — occurrence rows survive once, no "
         "pairwise blowup; per-doc partitioned islands window"
     ),
+    "docs_index_cut_dedup": (
+        "batch gram hashes BROADCAST onto the map-only index scan "
+        "(index never shuffles; matched set is batch-bounded); "
+        "within-batch keep-first rides the count agg; excision is "
+        "batch-sized"
+    ),
     "docs_classifier_train": (
         "sparse (doc, bucket, count) features — never a dense vector; "
         "per gradient step one broadcast of <=65 weight rows, one "
