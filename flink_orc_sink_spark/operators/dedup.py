@@ -1229,6 +1229,7 @@ def build_gram_index(
     (
         occ.select("gh")
         .distinct()
+        .withColumn("tag", F.lit(-1).cast("long"))
         .repartitionByRange(32, "gh")
         .sortWithinPartitions("gh")
         .write.mode("overwrite")
@@ -1243,6 +1244,7 @@ def cut_spans_against_index(
     text_col: str,
     index_path: str,
     n: int = 8,
+    exclude_tag: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL keep-first span excision: cut a new batch's token
     positions covered by any ``n``-gram that (a) exists in the
@@ -1267,8 +1269,14 @@ def cut_spans_against_index(
     occ = _gram_occurrences(new_docs, id_col, text_col, n)
     batch_ghs = occ.select("gh").distinct()
     idx = spark.read.parquet(f"{index_path}/grams")
+    if exclude_tag is not None:
+        # self-match guard for streaming replay: a crash-replayed
+        # batch finds its OWN grams already appended under its tag —
+        # without the filter every one of its tokens would look
+        # corpus-duplicated and the whole batch would be cut to ''
+        idx = idx.filter(F.col("tag") != exclude_tag)
     # map-only over the index; output ⊆ batch grams (batch-bounded)
-    hit = idx.join(F.broadcast(batch_ghs), "gh", "left_semi")
+    hit = idx.select("gh").join(F.broadcast(batch_ghs), "gh", "left_semi")
     batch_first = (
         occ.groupBy("gh")
         .agg(
@@ -1297,17 +1305,25 @@ def cut_spans_against_index(
 
 
 def append_to_gram_index(
-    df: DataFrame, id_col: str, text_col: str, index_path: str, n: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 8,
+    tag: int = -1,
 ) -> None:
     """Admit a probed batch's grams so later batches dedup against it
     too. Append the batch's distinct gram hashes in the same sorted
     layout; presence semantics make a crash-replayed append a no-op
     (asserting an already-present gram changes nothing — no read-time
-    dedup needed, unlike the row-counted index families)."""
+    dedup needed, unlike the row-counted index families). Streaming
+    ingest passes its batch id as ``tag`` so a replayed batch can
+    exclude its own prior append at probe time."""
     occ = _gram_occurrences(df, id_col, text_col, n)
     (
         occ.select("gh")
         .distinct()
+        .withColumn("tag", F.lit(tag).cast("long"))
         .repartitionByRange(4, "gh")
         .sortWithinPartitions("gh")
         .write.mode("append")

@@ -72,6 +72,7 @@ _PRIORITY = (
     "multimodal_index_forget",
     "stream_index_forget_ingest",
     "stream_fanout_atomic",
+    "stream_gram_index_ingest",
     "docs_dup_ngram_spans",
     "docs_cut_dup_spans",
     "docs_contamination_spans",

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.queries.events import SLIDING_SQL, TUMBLING_SQL
+from flink_orc_sink_spark.queries.llm import CUT_DUP_SPANS_SQL
 from flink_orc_sink_spark.session import release_local_checkpoint
 from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
 from flink_orc_sink_spark.sources.orc_sink import read_orc, write_orc
@@ -2287,6 +2288,104 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS exact-substring span excision ON the streaming
+    runtime against the PERSISTED gram index — the fourth streaming
+    index-ingest (after MinHash, IVF, aHash): documents arrive as
+    ascending-id-range micro-batches; each ``foreachBatch`` (1) cuts
+    the batch against the accumulated gram index (``operators/
+    dedup.py::cut_spans_against_index`` — batch gram hashes broadcast
+    onto a map-only index scan, the index never shuffles), (2) lands
+    the cleaned docs in a batch-id result partition (idempotent
+    overwrite under crash-replay), and (3) appends the batch's grams
+    under its batch-id TAG — presence semantics make the replayed
+    append itself a no-op, and the tag is the self-match guard: a
+    replayed batch excludes its own earlier append at probe time,
+    without which every replayed token would look corpus-duplicated
+    and the batch would be cut to ''. Because ranges arrive in id
+    order, ingest-order keep-first EQUALS global (doc, pos)
+    keep-first, so the accumulated cleaned corpus must hash-match the
+    one-shot ``docs_cut_dup_spans`` oracle verbatim — the streamed
+    index provably accumulates to the batch computation."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_gram_index,
+        build_gram_index,
+        cut_dup_spans,
+        cut_spans_against_index,
+    )
+    from flink_orc_sink_spark.queries.llm import _DUP_NGRAM_N
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_ranges = 4
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = -(-hi // n_ranges)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_gramidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, idx, results = (
+        os.path.join(base, "feed"),
+        os.path.join(base, "idx"),
+        os.path.join(base, "results"),
+    )
+    boot = d.filter(F.col("doc_id") < step)
+    build_gram_index(boot, "doc_id", "text", idx, n=_DUP_NGRAM_N)
+    (
+        cut_dup_spans(boot, "doc_id", "text", n=_DUP_NGRAM_N)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(results)
+    )
+    for i in range(1, n_ranges):
+        (
+            d.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 2x
+        try:
+            (
+                cut_spans_against_index(
+                    spark,
+                    batch_df,
+                    "doc_id",
+                    "text",
+                    idx,
+                    n=_DUP_NGRAM_N,
+                    exclude_tag=batch_id,
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results)
+            )
+            append_to_gram_index(
+                batch_df, "doc_id", "text", idx, n=_DUP_NGRAM_N,
+                tag=batch_id,
+            )
+        finally:
+            release_local_checkpoint(batch_df)
+
+    _run_feed_stream(spark, feed, d.schema, on_batch, "gram-ingest stream")
+
+    return spark.read.parquet(results).select(
+        F.col("doc").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
 def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS embedding near-dup discovery ON the streaming
     runtime against the PERSISTED IVF index — the vector-side twin of
@@ -2995,6 +3094,7 @@ QUERIES = {
     "stream_late_data_drop": stream_late_data_drop,
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
     "stream_fanout_atomic": stream_fanout_atomic,
+    "stream_gram_index_ingest": stream_gram_index_ingest,
     "stream_cdc_apply": stream_cdc_apply,
     "orc_time_travel": orc_time_travel,
     "orc_zorder_layout": orc_zorder_layout,
@@ -3038,6 +3138,7 @@ ORACLES = {
     "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
     "stream_fanout_atomic": FANOUT_ATOMIC_SQL,
+    "stream_gram_index_ingest": CUT_DUP_SPANS_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,

@@ -500,3 +500,41 @@ def test_gram_index_ingest_order_beats_doc_id_order(spark, tmp_path):
     assert {(r.doc, r.clean_text) for r in got} == {
         (1, "prefix stolen early")
     }
+
+
+def test_gram_index_replay_self_match_guard(spark, tmp_path):
+    """The crash-replay window: a batch whose grams were ALREADY
+    appended (crash after append, before checkpoint commit) must cut
+    identically on replay — excluding its own tag. Without the guard
+    its every token looks corpus-duplicated and the whole batch
+    collapses to '' (asserted too, so the hazard stays real)."""
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_gram_index,
+        build_gram_index,
+        cut_spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e unique tail")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b c fresh new material here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "gram_idx")
+    build_gram_index(corpus, "doc_id", "text", idx, n=3)
+
+    def cut(**kw):
+        return {
+            r.doc: r.clean_text
+            for r in cut_spans_against_index(
+                spark, batch, "doc_id", "text", idx, n=3, **kw
+            ).collect()
+        }
+
+    before = cut()
+    assert before == {10: "fresh new material here"}
+    # crash: append landed (tag = the replayed batch id), commit didn't
+    append_to_gram_index(batch, "doc_id", "text", idx, n=3, tag=7)
+    assert cut(exclude_tag=7) == before  # replay with guard: identical
+    assert cut() == {10: ""}  # without the guard: self-match wipeout

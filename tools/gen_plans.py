@@ -89,6 +89,11 @@ FLAGSHIPS = {
         "count agg + semi join — occurrence rows survive once, no "
         "pairwise blowup; per-doc partitioned islands window"
     ),
+    "stream_gram_index_ingest": (
+        "per-trigger: batch-sized cut (index scan map-only, tag "
+        "filter = replay self-match guard), idempotent result "
+        "overwrite by batch_id, presence-no-op gram append"
+    ),
     "docs_index_cut_dedup": (
         "batch gram hashes BROADCAST onto the map-only index scan "
         "(index never shuffles; matched set is batch-bounded); "
