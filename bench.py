@@ -145,6 +145,17 @@ HEADLINE = [
     "stream_media_index_ingest",
     "stream_backfill_live_handoff",
     "multimodal_binaryfile_ingest",
+    # round-5 session-2 additions: the span-excision family (the
+    # detector is already listed above), span-level decontamination,
+    # the persisted gram index (batch + streaming ingest),
+    # fixed-point classifier training, and the atomic multi-table
+    # fan-out sink
+    "docs_cut_dup_spans",
+    "docs_contamination_spans",
+    "docs_index_cut_dedup",
+    "stream_gram_index_ingest",
+    "docs_classifier_train",
+    "stream_fanout_atomic",
 ]
 
 
