@@ -156,6 +156,10 @@ HEADLINE = [
     "stream_gram_index_ingest",
     "docs_classifier_train",
     "stream_fanout_atomic",
+    # round-5 session-3: the persisted BM25 retrieval index (build +
+    # append + pruned probe) and its streaming ingest
+    "docs_bm25_index_topk",
+    "stream_bm25_index_ingest",
 ]
 
 

@@ -44,7 +44,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       excision docs_cut_dup_spans, span-level decontamination
 #       docs_contamination_spans, the fixed-point classifier trainer
 #       docs_classifier_train, the atomic multi-table fan-out
-#       stream_fanout_atomic), then the longest-never-driver-verified
+#       stream_fanout_atomic, the persisted BM25 retrieval index
+#       docs_bm25_index_topk and its streaming ingest
+#       stream_bm25_index_ingest), then the longest-never-driver-verified
 #       entries in registry order (round-4 verdict #1: engine-runtime,
 #       ORC and LLM-core families). The driver takes the first 50;
 #       the _PRIORITY tail past the cap and the remaining
@@ -55,6 +57,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
+    "docs_bm25_index_topk",
+    "stream_bm25_index_ingest",
     "emb_lsh_recall_eval",
     "emb_ivf_recall_eval",
     "emb_pq_recall_eval",

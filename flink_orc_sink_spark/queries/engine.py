@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.queries.events import SLIDING_SQL, TUMBLING_SQL
-from flink_orc_sink_spark.queries.llm import CUT_DUP_SPANS_SQL
+from flink_orc_sink_spark.queries.llm import BM25_SQL, CUT_DUP_SPANS_SQL
 from flink_orc_sink_spark.session import release_local_checkpoint
 from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
 from flink_orc_sink_spark.sources.orc_sink import read_orc, write_orc
@@ -2386,6 +2386,71 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS retrieval-index ingest ON the streaming runtime —
+    the FIFTH streaming index-ingest (after MinHash, IVF, aHash,
+    gram), the production "search index stays fresh as the corpus
+    streams in" shape: documents arrive as id-range micro-batches;
+    each ``foreachBatch`` admits its batch into the persisted BM25
+    index by PURE INSERTION (``operators/retrieval.py::
+    append_to_bm25_index`` — bucket-partitioned postings plus one
+    additive stats delta, no read, no merge, no corpus pass). After
+    the drain, ONE probe of the accumulated index must hash-match the
+    one-shot ``BM25_SQL`` over all documents — the streamed index
+    provably converges to the batch build, with exact df (recomputed
+    from pruned postings at probe time) and bit-identical avgdl
+    (delta-summed longs divide exactly like the one-shot average).
+    Crash-replay: a replayed batch double-appends identical postings
+    and stats rows; the probe dedups AT READ TIME — postings by
+    (token, doc_id), stats by tag — so replay shifts no score
+    (hazard + guard pinned in pytest). 100 TB shape: per-trigger cost
+    is batch-sized; the probe reads only the query terms' bucket
+    directories at the file listing."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_probe_index,
+        build_bm25_index,
+    )
+    from flink_orc_sink_spark.queries.llm import BM25_TERMS
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_ranges = 4
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = -(-hi // n_ranges)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_bm25idx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed, idx = os.path.join(base, "feed"), os.path.join(base, "idx")
+    build_bm25_index(
+        d.filter(F.col("doc_id") < step), "doc_id", "text", idx
+    )
+    for i in range(1, n_ranges):
+        (
+            d.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_bm25_index(
+            batch_df, "doc_id", "text", idx, tag=batch_id
+        )
+
+    _run_feed_stream(spark, feed, d.schema, on_batch, "bm25-ingest stream")
+
+    return bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
+
+
 def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS embedding near-dup discovery ON the streaming
     runtime against the PERSISTED IVF index — the vector-side twin of
@@ -3095,6 +3160,7 @@ QUERIES = {
     "stream_foreachbatch_orc": stream_foreachbatch_orc,
     "stream_fanout_atomic": stream_fanout_atomic,
     "stream_gram_index_ingest": stream_gram_index_ingest,
+    "stream_bm25_index_ingest": stream_bm25_index_ingest,
     "stream_cdc_apply": stream_cdc_apply,
     "orc_time_travel": orc_time_travel,
     "orc_zorder_layout": orc_zorder_layout,
@@ -3139,6 +3205,7 @@ ORACLES = {
     "stream_foreachbatch_orc": ORC_ROUNDTRIP_SQL,
     "stream_fanout_atomic": FANOUT_ATOMIC_SQL,
     "stream_gram_index_ingest": CUT_DUP_SPANS_SQL,
+    "stream_bm25_index_ingest": BM25_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,

@@ -2427,6 +2427,43 @@ LIMIT 20
 """
 
 
+def docs_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval from a PERSISTED index — the FIFTH persisted
+    index family (after MinHash / IVF / aHash / gram), giving sparse
+    retrieval its production INGEST shape: the corpus (doc_id % 10 ≠
+    0) is indexed ONCE (``operators/retrieval.py::build_bm25_index``
+    — postings bucket-partitioned by term crc32, corpus stats as
+    additive deltas), the new batch (doc_id % 10 = 0) is admitted by
+    PURE INSERTION (``append_to_bm25_index`` — no read, no merge, no
+    corpus pass), and the probe scores only the query terms' bucket
+    directories, pruned at the file listing. The oracle is the very
+    same one-shot ``BM25_SQL`` over all documents, so a hash match
+    proves build + append + probe loses nothing vs scoring the corpus
+    in memory — df is exact (recomputed from pruned postings, never a
+    stored snapshot) and avgdl aggregates the delta table
+    bit-identically to the one-shot average."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_probe_index,
+        build_bm25_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_bm25_idx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_bm25_index(corpus, "doc_id", "text", idx)
+    append_to_bm25_index(new, "doc_id", "text", idx, tag=0)
+    return bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
+
+
 def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency counting — THE inner loop of BPE/
     WordPiece tokenizer training (count all adjacent symbol pairs,
@@ -4601,6 +4638,7 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_top_tokens": docs_top_tokens,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_bm25_index_topk": docs_bm25_index_topk,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_source_divergence": docs_source_divergence,
     "docs_negative_samples": docs_negative_samples,
@@ -4689,6 +4727,7 @@ ORACLES = {
     "docs_stratified_sample": STRATIFIED_SQL,
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_bm25_topk": BM25_SQL,
+    "docs_bm25_index_topk": BM25_SQL,
     "docs_bpe_pair_counts": BPE_PAIRS_SQL,
     "docs_source_divergence": SOURCE_DIVERGENCE_SQL,
     "docs_negative_samples": NEGATIVE_SAMPLES_SQL,
