@@ -156,10 +156,15 @@ HEADLINE = [
     "stream_gram_index_ingest",
     "docs_classifier_train",
     "stream_fanout_atomic",
-    # round-5 session-3: the persisted BM25 retrieval index (build +
-    # append + pruned probe) and its streaming ingest
-    "docs_bm25_index_topk",
+    # round-5 session-3: the persisted BM25 retrieval index — build
+    # (one-time ingest + append) and pruned probe timed separately,
+    # same split discipline as the MinHash index — and its streaming
+    # ingest
+    "docs_bm25_index_build",
+    "docs_bm25_index_probe",
     "stream_bm25_index_ingest",
+    # round-5 session-3: out-of-order-exact streaming SCD2 maintenance
+    "stream_scd2_apply",
 ]
 
 

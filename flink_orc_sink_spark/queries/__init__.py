@@ -46,7 +46,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       docs_classifier_train, the atomic multi-table fan-out
 #       stream_fanout_atomic, the persisted BM25 retrieval index
 #       docs_bm25_index_topk and its streaming ingest
-#       stream_bm25_index_ingest), then the longest-never-driver-verified
+#       stream_bm25_index_ingest, and the out-of-order-exact
+#       streaming SCD2 maintenance stream_scd2_apply), then the
+#       longest-never-driver-verified
 #       entries in registry order (round-4 verdict #1: engine-runtime,
 #       ORC and LLM-core families). The driver takes the first 50;
 #       the _PRIORITY tail past the cap and the remaining
@@ -59,6 +61,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 _PRIORITY = (
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
+    "stream_scd2_apply",
     "emb_lsh_recall_eval",
     "emb_ivf_recall_eval",
     "emb_pq_recall_eval",

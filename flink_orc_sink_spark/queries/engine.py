@@ -27,7 +27,11 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_orc_sink_spark.queries.events import SLIDING_SQL, TUMBLING_SQL
+from flink_orc_sink_spark.queries.events import (
+    SCD2_SQL,
+    SLIDING_SQL,
+    TUMBLING_SQL,
+)
 from flink_orc_sink_spark.queries.llm import BM25_SQL, CUT_DUP_SPANS_SQL
 from flink_orc_sink_spark.session import release_local_checkpoint
 from flink_orc_sink_spark.sources.catalog import normalize_events_ts, table
@@ -1306,6 +1310,80 @@ r AS (
 SELECT user_id, ts_us AS last_ts_us, value_micro AS last_value_micro
 FROM r WHERE rn = 1 AND op = 'U'
 """
+
+
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD TYPE-2 dimension maintenance on the real
+    runtime, pushed through the value gate: the event feed replayed
+    as FOUR HASH-SCATTERED micro-batches (``repartition(4,
+    event_id)`` — so each user's status changes arrive split across
+    batches in NO particular time order) through
+    ``streaming/orc_sink.py::stream_scd2_apply_orc``. Each batch
+    prunes the change archive to touched key-buckets, merges by
+    full-row distinct (replay-idempotent), and rebuilds the SCD2
+    interval chain for those buckets only. The final history table
+    must hash-match the one-shot batch ``SCD2_SQL`` over all events —
+    proving the incremental per-bucket rebuild composes across
+    batches AND tolerates out-of-order arrival, the property an
+    interval-splicing design cannot give (a late change can split an
+    existing interval or turn a discarded consecutive-repeat into a
+    version start; see the sink docstring)."""
+    global _STREAM_SEQ
+    import shutil
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        stream_from_files,
+        stream_scd2_apply_orc,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    # hash-scatter (not range-split) so micro-batches interleave each
+    # key's timeline — the out-of-order arrival the sink must absorb
+    stage = tempfile.mkdtemp(prefix="stream_scd2_src_")
+    spark.read.parquet(src).repartition(4, "event_id").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    _STREAM_SEQ += 1
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_scd2_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    with tempfile.TemporaryDirectory(
+        prefix="stream_scd2_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        sdf = normalize_events_ts(
+            stream_from_files(
+                spark, stage, raw_schema, max_files_per_trigger=1
+            )
+        ).select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+        q = stream_scd2_apply_orc(
+            sdf,
+            state,
+            checkpoint=ckpt,
+            key_col="user_id",
+            attr_col="event_type",
+            ts_col="ts_us",
+            order_cols=["ts_us", "event_id"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.orc(os.path.join(state, "history")).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "version",
+        F.col("effective_from").alias("effective_from_us"),
+        F.col("effective_to").alias("effective_to_us"),
+        "is_current",
+    )
 
 
 def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3162,6 +3240,7 @@ QUERIES = {
     "stream_gram_index_ingest": stream_gram_index_ingest,
     "stream_bm25_index_ingest": stream_bm25_index_ingest,
     "stream_cdc_apply": stream_cdc_apply,
+    "stream_scd2_apply": stream_scd2_apply,
     "orc_time_travel": orc_time_travel,
     "orc_zorder_layout": orc_zorder_layout,
     "orc_stats_pruned_read": orc_stats_pruned_read,
@@ -3207,6 +3286,7 @@ ORACLES = {
     "stream_gram_index_ingest": CUT_DUP_SPANS_SQL,
     "stream_bm25_index_ingest": BM25_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
+    "stream_scd2_apply": SCD2_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,
     "orc_stats_pruned_read": ORC_STATS_PRUNED_SQL,

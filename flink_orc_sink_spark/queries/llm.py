@@ -1985,9 +1985,53 @@ def bench_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry queries, but NOT registered (no self-contained oracle — the
 # probe depends on the build's side effect; the registered
 # docs_index_probe_dedup covers the value oracle for the same path).
+def _bench_bm25_index_path(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_bm25_idx_bench_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+def bench_bm25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY split of ``docs_bm25_index_topk`` (same rationale as
+    the MinHash split above): one-time postings build + one
+    incremental append, timed apart from the steady-state probe."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    idx = _bench_bm25_index_path(sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    build_bm25_index(d.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", idx)
+    append_to_bm25_index(
+        d.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", idx, tag=0
+    )
+    return spark.range(1)
+
+
+def bench_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the bucket-pruned probe alone — the per-query
+    retrieval cost a serving path pays, regression-gated on its own
+    number (probe reads scale with the query's term buckets, not the
+    corpus)."""
+    from flink_orc_sink_spark.operators.retrieval import bm25_probe_index
+
+    idx = _bench_bm25_index_path(sf_dir)
+    if not os.path.isdir(idx):
+        raise RuntimeError("bench_bm25_build must run before the probe")
+    return bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
+
+
 BENCH_ONLY = {
     "docs_index_build": bench_index_build,
     "docs_index_probe": bench_index_probe,
+    "docs_bm25_index_build": bench_bm25_build,
+    "docs_bm25_index_probe": bench_bm25_probe,
 }
 
 

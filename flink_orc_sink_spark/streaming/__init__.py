@@ -8,6 +8,7 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     read_committed_fanout,
     read_committed_orc,
     stream_cdc_apply_orc,
+    stream_scd2_apply_orc,
     stream_fanout_orc,
     stream_from_files,
     stream_write_orc,
@@ -21,6 +22,7 @@ __all__ = [
     "read_committed_fanout",
     "read_committed_orc",
     "stream_cdc_apply_orc",
+    "stream_scd2_apply_orc",
     "stream_fanout_orc",
     "stream_from_files",
     "stream_write_orc",

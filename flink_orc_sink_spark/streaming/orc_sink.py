@@ -281,6 +281,96 @@ def stream_cdc_apply_orc(
     return writer.start()
 
 
+def stream_scd2_apply_orc(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    n_key_partitions: int = 16,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """Streaming SCD TYPE-2 dimension maintenance — the history-table
+    twin of :func:`stream_cdc_apply_orc` (which keeps latest-per-key;
+    this keeps every attribute interval with validity bounds). Each
+    micro-batch:
+
+    1. hashes keys into ``n_key_partitions`` buckets (``kp``) and
+       reads ONLY the touched buckets of the ``changes/`` archive,
+    2. merges batch ∪ archive by FULL-ROW DISTINCT — the change
+       archive is the warehouse's CDC source-of-truth table, and
+       row-identity dedup is what makes a crash-replayed batch an
+       exact no-op,
+    3. rebuilds the SCD2 chain (collapse consecutive repeats →
+       version / effective_from / effective_to / is_current) for the
+       touched buckets only, via ``operators/relational.py::
+       scd2_history`` — per-key windows inside a bucket-bounded
+       frame, and
+    4. dynamically overwrites the touched ``kp`` partitions of BOTH
+       ``changes/`` and ``history/``.
+
+    Keeping raw change rows (not just collapsed intervals) is what
+    buys OUT-OF-ORDER exactness: a late row can split or merge
+    existing intervals, and the per-bucket chain rebuild from raw
+    rows reproduces exactly what a batch SCD2 over the full feed
+    would emit — regardless of arrival order (the registered query's
+    oracle feeds hash-scattered batches and must hash-match the
+    one-shot ``SCD2_SQL``). An interval-only state cannot do this:
+    consecutive-repeat rows it discarded may become version starts
+    once a late row lands between them.
+
+    100 TB shape: per-batch I/O is O(touched buckets), never
+    O(history); state is the change archive a warehouse already
+    keeps. The merged frame is localCheckpoint-ed before the
+    overwrite (read and rewrite of the same files never overlap) and
+    released as soon as both writes land."""
+    from flink_orc_sink_spark.operators.relational import scd2_history
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ch = batch_df.withColumn(
+            "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
+        )
+        changes_path = os.path.join(state_path, "changes")
+        if os.path.isdir(changes_path):
+            kps = [r.kp for r in ch.select("kp").distinct().collect()]
+            cur = spark.read.orc(changes_path).filter(F.col("kp").isin(kps))
+            allrows = cur.unionByName(ch)
+        else:
+            allrows = ch
+        merged = allrows.distinct().localCheckpoint(eager=True)
+        try:
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("kp")
+                .orc(changes_path)
+            )
+            (
+                scd2_history(
+                    merged, [key_col], attr_col, ts_col, order_cols
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("kp")
+                .orc(os.path.join(state_path, "history"))
+            )
+        finally:
+            release_local_checkpoint(merged)
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_quarantine_orc(
     df: DataFrame,
     valid_path: str,

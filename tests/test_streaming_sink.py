@@ -551,3 +551,76 @@ def test_stream_fanout_atomic_across_tables(spark, tmp_path):
         "append"
     ).parquet(commits)
     assert read_committed_fanout(spark, raw, commits).count() == 250
+
+
+def test_stream_scd2_late_row_splits_interval(spark, tmp_path):
+    """SCD2 maintenance must absorb OUT-OF-ORDER arrival: a late
+    change landing between two existing versions splits the chain,
+    and a late row landing between two consecutive REPEATS turns the
+    second repeat into a version start — the case an interval-only
+    state (which discards repeats) gets wrong. Also: replaying the
+    whole feed through a fresh checkpoint into the same state is a
+    no-op (full-row-distinct merge)."""
+    from flink_orc_sink_spark.streaming import (
+        stream_from_files,
+        stream_scd2_apply_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, attr string, ts long, seq long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ckpt):
+        q = stream_scd2_apply_orc(
+            stream_from_files(spark, src, schema),
+            state,
+            checkpoint=str(tmp_path / ckpt),
+            key_col="k",
+            attr_col="attr",
+            ts_col="ts",
+            order_cols=["ts", "seq"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    def history():
+        import os
+
+        return {
+            (r.k, r.attr, r.version, r.effective_from, r.effective_to)
+            for r in spark.read.orc(os.path.join(state, "history")).collect()
+        }
+
+    # k=1: A@10, A@30 (consecutive repeat -> ONE interval)
+    # k=2: A@10, B@30 (two intervals)
+    feed([(1, "A", 10, 1), (1, "A", 30, 2), (2, "A", 10, 3), (2, "B", 30, 4)])
+    run("ckpt1")
+    assert history() == {
+        (1, "A", 1, 10, None),
+        (2, "A", 1, 10, 30),
+        (2, "B", 2, 30, None),
+    }
+
+    # late rows: k=1 B@20 lands between the repeats -> A,B,A chain
+    # (the discarded-repeat hazard); k=2 C@20 splits A->B into A,C,B
+    feed([(1, "B", 20, 5), (2, "C", 20, 6)])
+    run("ckpt2")
+    want = {
+        (1, "A", 1, 10, 20),
+        (1, "B", 2, 20, 30),
+        (1, "A", 3, 30, None),
+        (2, "A", 1, 10, 20),
+        (2, "C", 2, 20, 30),
+        (2, "B", 3, 30, None),
+    }
+    assert history() == want
+
+    # full-feed replay through a FRESH checkpoint re-applies every
+    # batch against the populated state: must converge, not duplicate
+    run("ckpt3")
+    assert history() == want
