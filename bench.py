@@ -164,7 +164,9 @@ HEADLINE = [
     "docs_bm25_index_probe",
     "stream_bm25_index_ingest",
     # round-5 session-3: out-of-order-exact streaming SCD2 maintenance
+    # and the manifest-pruned snapshot change-data-feed
     "stream_scd2_apply",
+    "orc_snapshot_diff",
 ]
 
 

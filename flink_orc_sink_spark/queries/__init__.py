@@ -47,7 +47,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       stream_fanout_atomic, the persisted BM25 retrieval index
 #       docs_bm25_index_topk and its streaming ingest
 #       stream_bm25_index_ingest, and the out-of-order-exact
-#       streaming SCD2 maintenance stream_scd2_apply), then the
+#       streaming SCD2 maintenance stream_scd2_apply, and the
+#       manifest-pruned snapshot change-data-feed orc_snapshot_diff),
+#       then the
 #       longest-never-driver-verified
 #       entries in registry order (round-4 verdict #1: engine-runtime,
 #       ORC and LLM-core families). The driver takes the first 50;
@@ -62,6 +64,7 @@ _PRIORITY = (
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
     "stream_scd2_apply",
+    "orc_snapshot_diff",
     "emb_lsh_recall_eval",
     "emb_ivf_recall_eval",
     "emb_pq_recall_eval",

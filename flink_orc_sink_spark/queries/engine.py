@@ -268,6 +268,98 @@ def orc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between snapshots at value level: events
+    committed as v1, then v2 committed with deletes (event_id % 5),
+    updates (+1.0 to value where event_id % 3, deletes win on
+    overlap) and synthetic inserts (% 11, shifted ids) — and the
+    query emits ``snapshot_diff(v1, v2)``: one row per changed key,
+    classified insert/update/delete, new-side values for
+    insert/update, old-side for delete, unchanged keys absent. The
+    oracle rebuilds both versions from ``events`` and full-outer
+    diffs them in SQL, so a hash match proves the manifest-driven
+    diff (``sources/orc_sink.py::snapshot_diff``) reproduces the
+    logical table delta exactly. The 100 TB lever — append-only diffs
+    prune the ``from`` side to zero files off the manifests alone —
+    is pytest-asserted on inputFiles in tests/test_maintenance.py."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value_micro"),
+        "props",
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_snapdiff_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    v1 = snapshot_write(e, out, mode="append")
+    v2_rows = e.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value_micro",
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("value_micro") + 1000000
+        ).otherwise(F.col("value_micro")),
+    ).unionByName(
+        e.filter(F.col("event_id") % 11 == 0).select(
+            (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+            "ts_us",
+            "user_id",
+            F.lit("synthetic").alias("event_type"),
+            "value_micro",
+            "props",
+        )
+    )
+    v2 = snapshot_write(v2_rows, out, mode="overwrite")
+    return snapshot_diff(spark, out, ["event_id"], v1, v2)
+
+
+ORC_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+    CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro, props
+  FROM events
+),
+v2 AS (
+  SELECT event_id, ts_us, user_id, event_type,
+    CASE WHEN event_id % 3 = 0 THEN value_micro + 1000000
+         ELSE value_micro END AS value_micro,
+    props
+  FROM base WHERE event_id % 5 <> 0
+  UNION ALL
+  SELECT event_id + 1000000000, ts_us, user_id, 'synthetic',
+    value_micro, props
+  FROM base WHERE event_id % 11 = 0
+)
+SELECT
+  CASE WHEN a.event_id IS NULL THEN 'insert'
+       WHEN b.event_id IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  COALESCE(b.event_id, a.event_id) AS event_id,
+  COALESCE(b.ts_us, a.ts_us) AS ts_us,
+  COALESCE(b.user_id, a.user_id) AS user_id,
+  COALESCE(b.event_type, a.event_type) AS event_type,
+  COALESCE(b.value_micro, a.value_micro) AS value_micro,
+  COALESCE(b.props, a.props) AS props
+FROM base a FULL OUTER JOIN v2 b ON a.event_id = b.event_id
+WHERE NOT (a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+  AND a.ts_us IS NOT DISTINCT FROM b.ts_us
+  AND a.user_id IS NOT DISTINCT FROM b.user_id
+  AND a.event_type IS NOT DISTINCT FROM b.event_type
+  AND a.value_micro IS NOT DISTINCT FROM b.value_micro
+  AND a.props IS NOT DISTINCT FROM b.props)
+"""
+
+
 def orc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustered layout at value level: orders rewritten
     clustered on the Morton curve of (o_custkey, o_orderdate) and read
@@ -3242,6 +3334,7 @@ QUERIES = {
     "stream_cdc_apply": stream_cdc_apply,
     "stream_scd2_apply": stream_scd2_apply,
     "orc_time_travel": orc_time_travel,
+    "orc_snapshot_diff": orc_snapshot_diff,
     "orc_zorder_layout": orc_zorder_layout,
     "orc_stats_pruned_read": orc_stats_pruned_read,
     "orc_incremental_agg": orc_incremental_agg,
@@ -3288,6 +3381,7 @@ ORACLES = {
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_scd2_apply": SCD2_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
+    "orc_snapshot_diff": ORC_SNAPSHOT_DIFF_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,
     "orc_stats_pruned_read": ORC_STATS_PRUNED_SQL,
     "orc_incremental_agg": ORC_INCR_AGG_SQL,

@@ -291,3 +291,43 @@ def test_quarantine_write_splits_exactly(spark, tmp_path):
     assert b == {2, 3}  # NULL expectation rows must quarantine, not vanish
     row = spark.read.orc(bad).filter("id = 2").collect()[0]
     assert row.v == -3.0  # unchanged, replayable
+
+
+def test_snapshot_diff_classifies_and_prunes(spark, tmp_path):
+    """snapshot_diff: (1) classifies insert/update/delete exactly and
+    omits unchanged keys; (2) APPEND-ONLY diffs prune the from-side
+    to zero files off the manifests alone — the scan's inputFiles
+    must be exactly the appended files, never the shared history."""
+    from flink_orc_sink_spark.sources.orc_sink import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    base = str(tmp_path / "snap")
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    v1 = snapshot_write(df1, base, mode="append")
+
+    # overwrite: k=2 deleted, k=3 updated, k=4 inserted, k=1 unchanged
+    df2 = spark.createDataFrame(
+        [(1, "a", 10), (3, "c", 31), (4, "d", 40)], "k long, s string, v long"
+    )
+    v2 = snapshot_write(df2, base, mode="overwrite")
+    got = {
+        (r.change_type, r.k, r.s, r.v)
+        for r in snapshot_diff(spark, base, ["k"], v1, v2).collect()
+    }
+    assert got == {
+        ("delete", 2, "b", 20),
+        ("update", 3, "c", 31),
+        ("insert", 4, "d", 40),
+    }
+
+    # append-only: new keys land in new files; diff must read ONLY them
+    df3 = spark.createDataFrame([(5, "e", 50)], "k long, s string, v long")
+    v3 = snapshot_write(df3, base, mode="append")
+    diff = snapshot_diff(spark, base, ["k"], v2, v3)
+    assert {(r.change_type, r.k) for r in diff.collect()} == {("insert", 5)}
+    read = {f.split("/data/")[-1] for f in diff.inputFiles()}
+    assert all(f.startswith(f"v{v3}-") for f in read), read
