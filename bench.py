@@ -167,6 +167,8 @@ HEADLINE = [
     # and the manifest-pruned snapshot change-data-feed
     "stream_scd2_apply",
     "orc_snapshot_diff",
+    # round-5 session-3: retraction-correct streaming aggregation
+    "stream_retract_agg",
 ]
 
 

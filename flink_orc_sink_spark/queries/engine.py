@@ -1478,6 +1478,102 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-correct streaming aggregation on the real runtime,
+    pushed through the value gate: the event change feed (``error`` =
+    delete tombstone, else upsert of the user's latest
+    (event_type, value)) replayed as four HASH-SCATTERED micro-batches
+    through ``streaming/orc_sink.py::stream_retract_agg_orc``. Each
+    update retracts the user's previous contribution — including
+    MOVING the user between event_type groups — as additive per-group
+    deltas; no group is ever rescanned. The summed delta partitions
+    must hash-match the one-shot batch aggregate over latest-per-key,
+    proving retraction arithmetic composes across out-of-order
+    batches (a later-arriving OLDER row must change nothing — the
+    latest-wins merge retracts only when the batch actually changes a
+    key's latest). This is the Flink dynamic-table → retract-stream →
+    upsert-sink triangle the reference sink serves, value-checked."""
+    global _STREAM_SEQ
+    import shutil
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_retract_src_")
+    spark.read.parquet(src).repartition(4, "event_id").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    _STREAM_SEQ += 1
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_retract_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    with tempfile.TemporaryDirectory(
+        prefix="stream_retract_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        sdf = normalize_events_ts(
+            stream_from_files(
+                spark, stage, raw_schema, max_files_per_trigger=1
+            )
+        ).select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.floor(F.col("value") * 1e6 + 0.5)
+            .cast("long")
+            .alias("value_micro"),
+        )
+        q = stream_retract_agg_orc(
+            sdf,
+            state,
+            checkpoint=ckpt,
+            key_col="user_id",
+            group_col="event_type",
+            val_col="value_micro",
+            order_cols=["ts_us", "event_id"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return read_retract_agg(spark, state).select(
+        F.col("grp").alias("status"),
+        F.col("sum_val").alias("sum_value_micro"),
+        F.col("n_keys").alias("n_users"),
+    )
+
+
+STREAM_RETRACT_AGG_SQL = """
+WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+    CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro
+  FROM events
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT event_type AS status,
+  CAST(SUM(value_micro) AS BIGINT) AS sum_value_micro,
+  COUNT(*) AS n_users
+FROM r WHERE rn = 1 AND op = 'U'
+GROUP BY event_type
+"""
+
+
 def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``foreachBatch`` CUSTOM SINK pushed through the value gate:
     events streamed through batch-id-keyed idempotent ORC writes
@@ -3333,6 +3429,7 @@ QUERIES = {
     "stream_bm25_index_ingest": stream_bm25_index_ingest,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_scd2_apply": stream_scd2_apply,
+    "stream_retract_agg": stream_retract_agg,
     "orc_time_travel": orc_time_travel,
     "orc_snapshot_diff": orc_snapshot_diff,
     "orc_zorder_layout": orc_zorder_layout,
@@ -3380,6 +3477,7 @@ ORACLES = {
     "stream_bm25_index_ingest": BM25_SQL,
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_scd2_apply": SCD2_SQL,
+    "stream_retract_agg": STREAM_RETRACT_AGG_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_snapshot_diff": ORC_SNAPSHOT_DIFF_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,

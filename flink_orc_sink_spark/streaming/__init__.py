@@ -7,7 +7,9 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     demo_socket_to_orc,
     read_committed_fanout,
     read_committed_orc,
+    read_retract_agg,
     stream_cdc_apply_orc,
+    stream_retract_agg_orc,
     stream_scd2_apply_orc,
     stream_fanout_orc,
     stream_from_files,
@@ -21,7 +23,9 @@ __all__ = [
     "demo_socket_to_orc",
     "read_committed_fanout",
     "read_committed_orc",
+    "read_retract_agg",
     "stream_cdc_apply_orc",
+    "stream_retract_agg_orc",
     "stream_scd2_apply_orc",
     "stream_fanout_orc",
     "stream_from_files",

@@ -371,6 +371,144 @@ def stream_scd2_apply_orc(
     return writer.start()
 
 
+def stream_retract_agg_orc(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    group_col: str,
+    val_col: str,
+    order_cols: list[str],
+    n_key_partitions: int = 16,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """RETRACTION-correct streaming aggregation over a CDC feed — the
+    Flink "dynamic table → retract stream" pattern (the ecosystem the
+    reference sink serves) on the micro-batch runtime: maintain
+    per-group SUM/COUNT of each key's LATEST value while updates
+    retract the key's previous contribution (including moving it
+    between groups) and delete tombstones retract it entirely.
+
+    The scale contract is ADDITIVITY — per batch:
+
+    1. merge latest-per-key for the touched key-buckets exactly as
+       :func:`stream_cdc_apply_orc` (partition-pruned read, dynamic
+       overwrite),
+    2. emit per-group DELTA rows = (new contribution − old
+       contribution) for the batch's keys only: +`(val, 1)` into the
+       key's new group, −`(val, 1)` out of its old one. No group is
+       ever rescanned — a group's members never need to be
+       co-located, which is what makes this O(batch) instead of the
+       O(group) reaggregation a naive "recompute touched groups"
+       design pays (a hot group would otherwise make every batch a
+       full-group scan),
+    3. land the deltas in a ``batch_id`` result partition.
+
+    The aggregate readback (:func:`read_retract_agg`) sums the delta
+    partitions — O(batches × groups) rows, corpus-size-independent.
+
+    Crash-replay: deltas must be computed against the PRE-batch
+    state, so they are written (and a marker committed) BEFORE the
+    state overwrite. A replay with the marker present skips the delta
+    step and redoes only the idempotent state merge; a replay without
+    it recomputes identical deltas from the untouched state. Every
+    crash window is covered: before the marker the state is
+    unmodified, after it the delta partition is final."""
+    order_desc = [F.col(c).desc() for c in order_cols]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        state_dir = os.path.join(state_path, "state")
+        ch = batch_df.withColumn(
+            "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
+        )
+        cur = None
+        if os.path.isdir(state_dir):
+            kps = [r.kp for r in ch.select("kp").distinct().collect()]
+            cur = spark.read.orc(state_dir).filter(F.col("kp").isin(kps))
+        allrows = cur.unionByName(ch) if cur is not None else ch
+        w = Window.partitionBy(key_col).orderBy(*order_desc)
+        merged = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            marker = os.path.join(
+                state_path, "applied", f"batch_{batch_id}"
+            )
+            if not os.path.exists(marker):
+                bkeys = ch.select(key_col).distinct()
+
+                def contrib(df: DataFrame, sign: int) -> DataFrame:
+                    live = F.col("op") == "U"
+                    return df.join(bkeys, key_col, "left_semi").select(
+                        F.col(group_col).alias("grp"),
+                        F.when(live, F.col(val_col) * sign)
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("d_sum"),
+                        F.when(live, F.lit(sign))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("d_count"),
+                    )
+
+                deltas = contrib(merged, 1)
+                if cur is not None:
+                    deltas = deltas.unionByName(contrib(cur, -1))
+                (
+                    deltas.groupBy("grp")
+                    .agg(
+                        F.sum("d_sum").alias("d_sum"),
+                        F.sum("d_count").alias("d_count"),
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .option("compression", compression)
+                    .partitionBy("batch_id")
+                    .orc(os.path.join(state_path, "agg_deltas"))
+                )
+                os.makedirs(marker, exist_ok=True)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("kp")
+                .orc(state_dir)
+            )
+        finally:
+            release_local_checkpoint(merged)
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_retract_agg(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current per-group aggregate of a :func:`stream_retract_agg_orc`
+    table: sum the additive delta partitions. Groups whose live-key
+    count nets to zero (fully deleted or fully moved away) vanish,
+    exactly as a from-scratch aggregate would omit them."""
+    return (
+        spark.read.orc(os.path.join(state_path, "agg_deltas"))
+        .groupBy("grp")
+        .agg(
+            F.sum("d_sum").alias("sum_val"),
+            F.sum("d_count").alias("n_keys"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
+
+
 def stream_quarantine_orc(
     df: DataFrame,
     valid_path: str,

@@ -624,3 +624,89 @@ def test_stream_scd2_late_row_splits_interval(spark, tmp_path):
     # batch against the populated state: must converge, not duplicate
     run("ckpt3")
     assert history() == want
+
+
+def test_stream_retract_agg_moves_deletes_replay(spark, tmp_path):
+    """Retraction aggregation: an update MOVES a key's contribution
+    between groups (negative delta out, positive in), a tombstone
+    retracts it entirely, a late OLDER row changes nothing, and a
+    crash-replayed micro-batch (same checkpoint, commit file removed)
+    converges — the delta marker makes the re-applied batch a no-op
+    instead of double-retracting."""
+    import os
+    import shutil
+
+    from flink_orc_sink_spark.streaming import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, grp string, v long, op string, seq long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        import time
+
+        # Spark 4 guards a checkpoint against concurrent use and the
+        # prior run's lock release can lag its termination — retry
+        # the start briefly instead of flaking.
+        for attempt in range(10):
+            q = stream_retract_agg_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=ckpt,
+                key_col="k",
+                group_col="grp",
+                val_col="v",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1), (3, "b", 30, "U", 1)])
+    run()
+    assert agg() == {("a", 30, 2), ("b", 30, 1)}
+
+    # k=1 moves a->b; k=2 deleted; k=3 gets a LATE OLDER row (seq=0,
+    # must not retract anything) — drained on the SAME checkpoint
+    feed([(1, "b", 11, "U", 2), (2, "a", 0, "D", 2), (3, "b", 99, "U", 0)])
+    run()
+    want = {("b", 41, 2)}  # group a vanished (n_keys netted to 0)
+    assert agg() == want
+
+    # crash-replay: drop the last commit so the restart re-runs the
+    # final micro-batch against the ALREADY-UPDATED state — without
+    # the marker its deltas would recompute as zero and clobber the
+    # real ones
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    run()
+    assert agg() == want
+
+    # restart on the drained checkpoint: a full no-op
+    run()
+    assert agg() == want
