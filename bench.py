@@ -168,7 +168,9 @@ HEADLINE = [
     "stream_scd2_apply",
     "orc_snapshot_diff",
     # round-5 session-3: retraction-correct streaming aggregation
+    # and the retrieval-index takedown path
     "stream_retract_agg",
+    "docs_bm25_index_forget",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Persisted BM25 retrieval index — build / probe / incremental append.
+"""Persisted BM25 retrieval index — build / probe / append / forget.
 
 The FIFTH persisted index family (after MinHash near-dup, IVF ANN,
 aHash perceptual, and the exact-substring gram index): the sparse
@@ -17,29 +17,38 @@ Index layout under ``index_path``:
   tf, dl, tag)``, written ``partitionBy(bucket)`` where ``bucket =
   crc32(token) % n_buckets``. The bucket directory is the probe's
   PRUNING unit: a query's terms map to a handful of buckets, so the
-  probe reads only those directories at the file listing — probe cost
-  scales with the query's bucket count, never the corpus. ``dl`` (the
-  doc's token count) is DENORMALIZED into the postings row so scoring
-  never joins a per-doc table. crc32 (not ``F.hash``) because the
-  bucket function must stay stable across Spark versions for a
-  persisted index.
-- ``stats/`` — one tiny row per ingest batch: ``(tag, n_docs,
-  sum_dl)``. The BM25 globals (N, avgdl) are ADDITIVE, so append
-  writes a delta row and the probe aggregates a batches-sized table —
-  never a corpus scan. ``n_docs``/``sum_dl`` count ALL batch docs
-  (including zero-token docs, which have no postings rows), matching
-  the one-shot scorer's corpus statistics exactly.
+  probe reads only those directories at the file listing — the
+  postings read scales with the query's bucket count, never the
+  corpus. ``dl`` (the doc's token count) is DENORMALIZED into the
+  postings row so scoring never joins a per-doc table. crc32 (not
+  ``F.hash``) because the bucket function must stay stable across
+  Spark versions for a persisted index.
+- ``doclens/`` — one slim row per ingested doc: ``(doc_id, dl,
+  tag)``, including zero-token docs that have no postings rows. The
+  corpus globals (N, avgdl) are derived from THIS table at probe
+  time, which is what makes every lifecycle edge exact by
+  construction: replayed appends collapse in the read-time dedup by
+  ``doc_id``, forgotten docs drop out through the same tombstone
+  anti-join the postings use, and a forgotten-then-re-ingested doc
+  counts exactly once — no delta bookkeeping to corrupt. Cost: one
+  ~12-byte-per-doc columnar aggregate per probe (seconds per 10^9
+  docs on a cluster; a production deployment would additionally
+  checkpoint the aggregate at compaction cadence).
 
-Crash-replay hygiene (the replay triple shared by the row-counted
-index families): a replayed append re-writes identical postings rows
-and an identical stats row, so the probe dedups AT READ TIME —
-postings by (token, doc_id), stats by tag. Exactness, not hygiene:
-a doubled tf row or a doubled stats delta would shift every score.
+Crash-replay hygiene: a replayed append re-writes identical postings
+and doclens rows, so the probe dedups AT READ TIME — postings by
+(token, doc_id), doclens by doc_id. Exactness, not hygiene: a
+doubled tf row or a doubled doclen would shift every score. Doc ids
+are stable content ids (the shared contract of all five families):
+re-ingesting an id means the same text, so colliding rows from a
+pre-forget ingest collapse identically.
 
-Per-doc takedown is a tombstone decision like MinHash/IVF/aHash —
-anti-join postings on a tombstone set and subtract the forgotten
-docs' (1, dl) from the stats. Not implemented here; the gram index's
-rebuild-vs-tombstone discussion (dedup.py::build_gram_index) applies.
+Deletion/retention rides ``operators/retention.py`` unchanged:
+:func:`forget_from_bm25_index` is an O(deleted) tombstone append
+(probes anti-join it on BOTH postings and doclens, so forgotten docs
+neither match nor count toward N/avgdl), ``append`` readmits
+re-ingested ids, and :func:`compact_bm25_index` is the generic
+copy-on-write rewrite over the two per-doc tables.
 """
 
 from __future__ import annotations
@@ -48,10 +57,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.functions.text import tokens
+from flink_orc_sink_spark.operators.retention import (
+    IndexTable,
+    compact_index,
+    forget_ids,
+    readmit_ids,
+    subtract_tombstones,
+)
 
 N_TERM_BUCKETS = 64
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+BM25_TABLES = (
+    IndexTable("postings", "doc_id", ("bucket",)),
+    IndexTable("doclens", "doc_id"),
+)
 
 
 def _bucket(col):
@@ -86,12 +107,18 @@ def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _stats_delta(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-row (n_docs, sum_dl) delta for a batch — counts EVERY doc,
-    including zero-token ones that contribute no postings."""
-    return df.select(F.size(tokens(text_col)).alias("dl")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+def _doclens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One (doc_id, dl) row per batch doc — EVERY doc, including
+    zero-token ones that contribute no postings."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).alias("dl"),
+    )
+
+
+def _write(df: DataFrame, path: str, mode: str, tag: int) -> None:
+    df.withColumn("tag", F.lit(tag).cast("long")).write.mode(mode).parquet(
+        path
     )
 
 
@@ -99,9 +126,9 @@ def build_bm25_index(
     df: DataFrame, id_col: str, text_col: str, index_path: str
 ) -> None:
     """One-shot index build: postings bucket-partitioned by term
-    hash, plus the first stats delta (tag = -1). Map-only after the
-    one (doc, token) aggregation shuffle — the postings write is the
-    only O(corpus-tokens) pass and it happens once."""
+    hash, plus the per-doc length table (tag = -1). Map-only after
+    the one (doc, token) aggregation shuffle — the postings write is
+    the only O(corpus-tokens) pass and it happens once."""
     (
         _postings(df, id_col, text_col)
         .withColumn("bucket", _bucket(F.col("token")))
@@ -110,11 +137,11 @@ def build_bm25_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
-    (
-        _stats_delta(df, id_col, text_col)
-        .withColumn("tag", F.lit(-1).cast("long"))
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/stats")
+    _write(
+        _doclens(df, id_col, text_col),
+        f"{index_path}/doclens",
+        "overwrite",
+        -1,
     )
 
 
@@ -126,9 +153,11 @@ def append_to_bm25_index(
     tag: int = 0,
 ) -> None:
     """Admit a batch: append its postings under the same bucket
-    layout and one stats delta row. Pure insertion — no read, no
+    layout and one doclens row per doc. Pure insertion — no read, no
     merge, no corpus pass; the probe's read-time dedup makes a
-    crash-replayed append harmless."""
+    crash-replayed append harmless. Re-ingesting a previously
+    forgotten id readmits it (tombstone removed), same as every other
+    index family."""
     (
         _postings(df, id_col, text_col)
         .withColumn("bucket", _bucket(F.col("token")))
@@ -137,12 +166,33 @@ def append_to_bm25_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
-    (
-        _stats_delta(df, id_col, text_col)
-        .withColumn("tag", F.lit(tag).cast("long"))
-        .write.mode("append")
-        .parquet(f"{index_path}/stats")
+    _write(
+        _doclens(df, id_col, text_col),
+        f"{index_path}/doclens",
+        "append",
+        tag,
     )
+    readmit_ids(df.select(id_col), index_path)
+
+
+def forget_from_bm25_index(doc_ids: DataFrame, index_path: str) -> None:
+    """DELETE docs from the retrieval index (GDPR/takedown): an
+    O(deleted) tombstone append. Forgotten docs stop matching AND
+    stop counting toward N/avgdl/df immediately — the probe
+    anti-joins the tombstones on postings and doclens alike, so the
+    scores equal a from-scratch index over corpus-minus-forgotten.
+    Run :func:`compact_bm25_index` periodically to drop the rows
+    physically."""
+    forget_ids(doc_ids, index_path)
+
+
+def compact_bm25_index(spark: SparkSession, index_path: str) -> None:
+    """Copy-on-write retention pass: rewrite ``postings/`` (bucket
+    layout preserved) and ``doclens/`` without tombstoned docs, then
+    clear the tombstones. Probe results are IDENTICAL before and
+    after; the swap is crash-recoverable
+    (``operators/retention.py``)."""
+    compact_index(spark, index_path, BM25_TABLES)
 
 
 def bm25_probe_index(
@@ -156,35 +206,41 @@ def bm25_probe_index(
     """Score the persisted index for ``terms`` and return the top-k
     ``(doc_id, bm25, n_terms)`` — bit-identical to the one-shot
     in-memory scorer (queries/llm.py::_bm25_scored) over the same
-    corpus, which is what the ``docs_bm25_index_topk`` oracle proves.
+    live corpus, which is what the ``docs_bm25_index_topk`` oracle
+    proves.
 
     100 TB shape: the bucket filter prunes the postings read AT THE
     FILE LISTING to the query terms' directories; document
     frequencies come from the pruned postings themselves (exact, no
     stored-df staleness problem); the corpus globals aggregate the
-    batches-sized stats table. The only shuffle is the per-doc score
-    sum over MATCHING postings; top-k is TakeOrderedAndProject."""
-    post = (
+    slim doclens table (see module docstring). The only shuffle is
+    the per-doc score sum over MATCHING postings; top-k is
+    TakeOrderedAndProject."""
+    post = subtract_tombstones(
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("bucket").isin(term_buckets(terms)))
-        .filter(F.col("token").isin(*terms))
-        # replay-hygiene: a crash-replayed append double-writes rows;
-        # (token, doc_id) is unique in a correct index, so keep one
-        .dropDuplicates(["token", "doc_id"])
-    )
+        .filter(F.col("token").isin(*terms)),
+        "doc_id",
+        spark,
+        index_path,
+    ).dropDuplicates(["token", "doc_id"])
     stats = (
-        spark.read.parquet(f"{index_path}/stats")
-        .dropDuplicates(["tag"])
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_dl").alias("sum_dl"),
+        subtract_tombstones(
+            spark.read.parquet(f"{index_path}/doclens").dropDuplicates(
+                ["doc_id"]
+            ),
+            "doc_id",
+            spark,
+            index_path,
         )
-        # long/long division after summing deltas == F.avg over the
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        # long/long division of the summed doclens == F.avg over the
         # per-doc longs: Spark's avg(long) also divides the long sum
         # once at the end, so avgdl is bit-identical to the one-shot
-        .withColumn(
-            "avgdl", F.col("sum_dl") / F.col("n_docs")
-        )
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
         .select("n_docs", "avgdl")
     )
     dfreq = post.groupBy("token").agg(F.count("*").alias("df"))

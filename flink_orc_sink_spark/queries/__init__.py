@@ -49,8 +49,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       stream_bm25_index_ingest, and the out-of-order-exact
 #       streaming SCD2 maintenance stream_scd2_apply, and the
 #       manifest-pruned snapshot change-data-feed orc_snapshot_diff,
-#       and the retraction-correct streaming aggregation
-#       stream_retract_agg),
+#       the retraction-correct streaming aggregation
+#       stream_retract_agg, and the retrieval-index takedown
+#       docs_bm25_index_forget),
 #       then the
 #       longest-never-driver-verified
 #       entries in registry order (round-4 verdict #1: engine-runtime,
@@ -68,6 +69,7 @@ _PRIORITY = (
     "stream_scd2_apply",
     "orc_snapshot_diff",
     "stream_retract_agg",
+    "docs_bm25_index_forget",
     "emb_lsh_recall_eval",
     "emb_ivf_recall_eval",
     "emb_pq_recall_eval",

@@ -2508,6 +2508,54 @@ def docs_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
 
 
+def docs_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION in the retrieval-index lifecycle (GDPR/takedown — the
+    fifth family joins the forget triad): all documents are indexed,
+    every doc with doc_id % 7 = 3 is FORGOTTEN
+    (``operators/retrieval.py::forget_from_bm25_index`` — an
+    O(deleted) tombstone append), and the index is probed twice: once
+    merge-on-read (tombstone anti-join on postings AND doclens, so
+    forgotten docs neither match nor count toward N/avgdl/df) and
+    once after ``compact_bm25_index`` physically rewrote both tables
+    copy-on-write. BOTH probes must equal the from-scratch oracle
+    over the remaining documents — the union-distinct collapses iff
+    they agree, so one value hash proves forgotten docs never score
+    again, the corpus statistics exclude them exactly, and compaction
+    changes nothing but bytes on disk."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.retrieval import (
+        bm25_probe_index,
+        build_bm25_index,
+        compact_bm25_index,
+        forget_from_bm25_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_bm25_forget_idx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_bm25_index(d, "doc_id", "text", idx)
+    forget_from_bm25_index(
+        d.filter(F.col("doc_id") % 7 == 3).select("doc_id"), idx
+    )
+    merge_on_read = bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
+    merge_on_read = spark.createDataFrame(
+        merge_on_read.collect(), merge_on_read.schema
+    )
+    compact_bm25_index(spark, idx)
+    compacted = bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
+    return merge_on_read.unionByName(compacted).dropDuplicates()
+
+
+BM25_FORGET_SQL = BM25_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 3"
+)
+
+
 def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency counting — THE inner loop of BPE/
     WordPiece tokenizer training (count all adjacent symbol pairs,
@@ -4683,6 +4731,7 @@ QUERIES = {
     "docs_top_tokens": docs_top_tokens,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_bm25_index_topk": docs_bm25_index_topk,
+    "docs_bm25_index_forget": docs_bm25_index_forget,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_source_divergence": docs_source_divergence,
     "docs_negative_samples": docs_negative_samples,
@@ -4772,6 +4821,7 @@ ORACLES = {
     "docs_top_tokens": TOP_TOKENS_SQL,
     "docs_bm25_topk": BM25_SQL,
     "docs_bm25_index_topk": BM25_SQL,
+    "docs_bm25_index_forget": BM25_FORGET_SQL,
     "docs_bpe_pair_counts": BPE_PAIRS_SQL,
     "docs_source_divergence": SOURCE_DIVERGENCE_SQL,
     "docs_negative_samples": NEGATIVE_SAMPLES_SQL,

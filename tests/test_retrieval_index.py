@@ -76,8 +76,8 @@ def test_append_equals_oneshot_build(spark, tmp_path):
 
 
 def test_replay_double_append_shifts_no_score(spark, tmp_path):
-    """A crash-replayed append double-writes postings AND the stats
-    delta; without read-time dedup every tf and the corpus N/avgdl
+    """A crash-replayed append double-writes postings AND doclens
+    rows; without read-time dedup every tf and the corpus N/avgdl
     would shift. Assert the hazard is real (raw rows doubled) and the
     guard holds (probe unchanged)."""
     d = _corpus(spark)
@@ -91,8 +91,8 @@ def test_replay_double_append_shifts_no_score(spark, tmp_path):
     append_to_bm25_index(batch, "doc_id", "text", idx, tag=3)  # replay
     post = spark.read.parquet(f"{idx}/postings").filter(F.col("tag") == 3)
     assert post.count() == 2 * post.dropDuplicates(["token", "doc_id"]).count()
-    stats = spark.read.parquet(f"{idx}/stats").filter(F.col("tag") == 3)
-    assert stats.count() == 2
+    dls = spark.read.parquet(f"{idx}/doclens").filter(F.col("tag") == 3)
+    assert dls.count() == 2 * dls.dropDuplicates(["doc_id"]).count()
 
     assert _rows(bm25_probe_index(spark, idx, TERMS)) == want
 
@@ -130,3 +130,71 @@ def test_term_buckets_matches_writer_bucket(spark, tmp_path):
     assert len(rows) > 0
     for r in rows:
         assert term_buckets([r["token"]]) == [r["bucket"]]
+
+
+def test_forget_readmit_compact_lifecycle(spark, tmp_path):
+    """Retention on the retrieval index: a forgotten doc stops
+    matching AND stops counting toward N/avgdl/df (scores equal a
+    from-scratch index over the remaining docs); compaction changes
+    nothing but bytes; re-appending the id readmits it exactly."""
+    from flink_orc_sink_spark.operators.retrieval import (
+        compact_bm25_index,
+        forget_from_bm25_index,
+    )
+
+    d = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    build_bm25_index(d, "doc_id", "text", idx)
+
+    gone = d.filter(F.col("doc_id").isin(1, 6))
+    forget_from_bm25_index(gone.select("doc_id"), idx)
+    got = _rows(bm25_probe_index(spark, idx, TERMS))
+    scratch = str(tmp_path / "scratch")
+    build_bm25_index(
+        d.filter(~F.col("doc_id").isin(1, 6)), "doc_id", "text", scratch
+    )
+    want = _rows(bm25_probe_index(spark, scratch, TERMS))
+    assert got == want and all(r[0] not in (1, 6) for r in got)
+
+    compact_bm25_index(spark, idx)
+    assert _rows(bm25_probe_index(spark, idx, TERMS)) == want
+    import os
+
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+
+    # re-ingest doc 1 (same content id, same text): readmitted, and
+    # the index equals a from-scratch build over corpus-minus-doc-6
+    append_to_bm25_index(
+        d.filter(F.col("doc_id") == 1), "doc_id", "text", idx, tag=9
+    )
+    scratch2 = str(tmp_path / "scratch2")
+    build_bm25_index(
+        d.filter(F.col("doc_id") != 6), "doc_id", "text", scratch2
+    )
+    assert _rows(bm25_probe_index(spark, idx, TERMS)) == _rows(
+        bm25_probe_index(spark, scratch2, TERMS)
+    )
+
+
+def test_forget_before_compact_readmit_covers_prior_rows(spark, tmp_path):
+    """Readmit WITHOUT an intervening compaction: the pre-forget
+    postings rows are still physically present, so the re-append's
+    identical rows must collapse in the read-time dedup — scores
+    equal the never-forgotten index."""
+    from flink_orc_sink_spark.operators.retrieval import (
+        forget_from_bm25_index,
+    )
+
+    d = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    build_bm25_index(d, "doc_id", "text", idx)
+    want = _rows(bm25_probe_index(spark, idx, TERMS))
+
+    forget_from_bm25_index(
+        d.filter(F.col("doc_id") == 1).select("doc_id"), idx
+    )
+    assert _rows(bm25_probe_index(spark, idx, TERMS)) != want
+    append_to_bm25_index(
+        d.filter(F.col("doc_id") == 1), "doc_id", "text", idx, tag=5
+    )
+    assert _rows(bm25_probe_index(spark, idx, TERMS)) == want
