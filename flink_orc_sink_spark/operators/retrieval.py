@@ -133,6 +133,12 @@ def build_bm25_index(
         _postings(df, id_col, text_col)
         .withColumn("bucket", _bucket(F.col("token")))
         .withColumn("tag", F.lit(-1).cast("long"))
+        # range-partition on (bucket, token) so each writer task covers
+        # a contiguous bucket slice: files-per-bucket-dir stays O(tasks
+        # holding that bucket), not O(all shuffle partitions), while
+        # write parallelism still scales within hot buckets — the same
+        # layout discipline as the MinHash band index (dedup.py:1034)
+        .repartitionByRange("bucket", "token")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
@@ -162,6 +168,10 @@ def append_to_bm25_index(
         _postings(df, id_col, text_col)
         .withColumn("bucket", _bucket(F.col("token")))
         .withColumn("tag", F.lit(tag).cast("long"))
+        # same contiguous-bucket writer layout as the build, so steady
+        # ingest adds O(batch-parallelism) files per append, not
+        # O(tasks × buckets)
+        .repartitionByRange("bucket", "token")
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
