@@ -64,6 +64,8 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
+    "stream_retract_join",
+    "docs_export_shards",
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
     "stream_scd2_apply",

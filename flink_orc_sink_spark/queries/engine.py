@@ -1574,6 +1574,148 @@ GROUP BY event_type
 """
 
 
+def stream_retract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-correct streaming JOIN (incremental view
+    maintenance) on the real runtime, pushed through the value gate:
+    two CDC feeds — orders (left: latest version per o_orderkey,
+    'F'-status rows as delete tombstones, and every 7th order's v2
+    MOVING it to a different custkey) and customer (right: every 5th
+    customer tombstoned by a later version) — unioned, hash-scattered
+    into four micro-batches so each key's versions arrive split and
+    out of order, and run through ``streaming/orc_sink.py::
+    stream_retract_join_orc`` (the Flink delta-join pattern: pk-keyed
+    retraction layer → jk-keyed join state → partition-pruned view
+    recompute). The maintained view aggregated per market segment
+    must hash-match a one-shot batch join of latest-live-left with
+    latest-live-right — proving retractions compose across
+    out-of-order batches, including the hard cases: a join-key MOVE
+    must retract the rows the pk produced under its OLD key, and a
+    tombstoned customer must take all its joined orders with it."""
+    global _STREAM_SEQ
+    import shutil
+
+    from flink_orc_sink_spark.streaming.orc_sink import (
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    )
+    maxck = int(customer.agg(F.max("c_custkey")).first()[0])
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    l1 = orders.select(
+        F.lit("L").alias("side"),
+        F.col("o_orderkey").cast("long").alias("pk"),
+        F.col("o_custkey").cast("long").alias("jk"),
+        F.lit(1).cast("long").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        cents.alias("val"),
+        null_s.alias("attr"),
+    )
+    l2 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("L").alias("side"),
+        F.col("o_orderkey").cast("long").alias("pk"),
+        (F.pmod(F.col("o_custkey") + 13, F.lit(maxck)) + 1)
+        .cast("long")
+        .alias("jk"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        cents.alias("val"),
+        null_s.alias("attr"),
+    )
+    r1 = customer.select(
+        F.lit("R").alias("side"),
+        F.col("c_custkey").cast("long").alias("pk"),
+        F.col("c_custkey").cast("long").alias("jk"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        null_l.alias("val"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    r2 = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        F.lit("R").alias("side"),
+        F.col("c_custkey").cast("long").alias("pk"),
+        F.col("c_custkey").cast("long").alias("jk"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        null_l.alias("val"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    feed = l1.unionByName(l2).unionByName(r1).unionByName(r2)
+    stage = tempfile.mkdtemp(prefix="stream_rjoin_src_")
+    # scatter each key's VERSIONS across batches (seq in the hash) —
+    # out-of-order arrival is the property under test
+    feed.repartition(4, "side", "pk", "seq").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    _STREAM_SEQ += 1
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_rjoin_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    with tempfile.TemporaryDirectory(
+        prefix="stream_rjoin_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        raw_schema = spark.read.parquet(stage).schema
+        sdf = stream_from_files(
+            spark, stage, raw_schema, max_files_per_trigger=1
+        )
+        q = stream_retract_join_orc(
+            sdf, state, checkpoint=ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.read.orc(os.path.join(state, "view"))
+        .groupBy(F.col("r_attr").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("jk").alias("n_customers"),
+            F.sum("l_val").alias("sum_price_cents"),
+        )
+    )
+
+
+STREAM_RETRACT_JOIN_SQL = """
+WITH lfeed AS (
+  SELECT o_orderkey AS pk, o_custkey AS jk, 1 AS seq,
+    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+    ((o_custkey + 13) % (SELECT MAX(c_custkey) FROM customer)) + 1,
+    2, 'U', CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+llast AS (
+  SELECT pk, jk, val FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                                 ORDER BY seq DESC) AS rn
+    FROM lfeed
+  ) WHERE rn = 1 AND op = 'U'
+),
+rlast AS (
+  SELECT c_custkey AS jk, c_mktsegment AS attr
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT r.attr AS segment,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT l.jk) AS n_customers,
+  CAST(SUM(l.val) AS BIGINT) AS sum_price_cents
+FROM llast l JOIN rlast r ON l.jk = r.jk
+GROUP BY r.attr
+"""
+
+
 def stream_foreachbatch_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``foreachBatch`` CUSTOM SINK pushed through the value gate:
     events streamed through batch-id-keyed idempotent ORC writes
@@ -3430,6 +3572,7 @@ QUERIES = {
     "stream_cdc_apply": stream_cdc_apply,
     "stream_scd2_apply": stream_scd2_apply,
     "stream_retract_agg": stream_retract_agg,
+    "stream_retract_join": stream_retract_join,
     "orc_time_travel": orc_time_travel,
     "orc_snapshot_diff": orc_snapshot_diff,
     "orc_zorder_layout": orc_zorder_layout,
@@ -3478,6 +3621,7 @@ ORACLES = {
     "stream_cdc_apply": STREAM_CDC_APPLY_SQL,
     "stream_scd2_apply": SCD2_SQL,
     "stream_retract_agg": STREAM_RETRACT_AGG_SQL,
+    "stream_retract_join": STREAM_RETRACT_JOIN_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_snapshot_diff": ORC_SNAPSHOT_DIFF_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,

@@ -2212,6 +2212,79 @@ FROM c GROUP BY source, seq_id
 """
 
 
+def docs_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard EXPORT — the final stage of the
+    pipeline: seed-keyed pseudo-random shuffle (``md5(seed ':'
+    doc_id)``), hash-mod assignment to 8 shards, shard files
+    physically WRITTEN sorted by shuffle key, and a per-shard
+    manifest (doc count, token sum, membership checksum) computed
+    from the files read back — the artifact a trainer consumes.
+
+    Spark-first scale shape: the shuffle is a pure per-row hash (no
+    global sort, no ``orderBy`` — rank-based shuffles pay a total
+    order; hash assignment is map-side and balanced in expectation),
+    one exchange on ``shard`` co-locates each shard, and
+    ``sortWithinPartitions`` gives the within-shard read order the
+    trainer streams. At 100 TB the same plan holds with
+    ``repartitionByRange(shard, skey)`` to split a shard across many
+    sorted files. Reruns are byte-identical: every step is a pure
+    function of (seed, doc_id) — ``df.sample``/``rand()`` exports are
+    neither re-runnable nor engine-portable. Within-shard file order
+    and rerun determinism are pytest-pinned
+    (tests/test_curation_queries.py)."""
+    from flink_orc_sink_spark.functions.text import hash32
+
+    d = table(spark, sf_dir, "documents")
+    seed_key = F.concat(F.lit("42:"), F.col("doc_id").cast("string"))
+    keyed = d.select(
+        "doc_id",
+        "text",
+        token_count("text").alias("n_tokens"),
+        F.md5(seed_key).alias("skey"),
+        hash32(seed_key).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(8)).cast("int"))
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_export_shards_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        keyed.repartition(8, "shard")
+        .sortWithinPartitions("shard", "skey")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "zstd")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("h").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+EXPORT_SHARDS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+    len({TOKENS_SQL}) AS n_tokens
+  FROM documents
+)
+SELECT CAST(h % 8 AS INTEGER) AS shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(h) AS BIGINT) AS key_checksum
+FROM s GROUP BY 1
+"""
+
+
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination check (the n-gram-overlap audit every
     pretraining pipeline runs before evals): treat source 'src0' as
@@ -4725,6 +4798,7 @@ QUERIES = {
     "docs_neardup_survivors": docs_neardup_survivors,
     "docs_repetition_ratio": docs_repetition_ratio,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_export_shards": docs_export_shards,
     "docs_contamination": docs_contamination,
     "docs_hash_sample": docs_hash_sample,
     "docs_stratified_sample": docs_stratified_sample,
@@ -4815,6 +4889,7 @@ ORACLES = {
     "docs_neardup_survivors": SURVIVORS_SQL,
     "docs_repetition_ratio": REPETITION_SQL,
     "docs_pack_sequences": PACK_SQL,
+    "docs_export_shards": EXPORT_SHARDS_SQL,
     "docs_contamination": CONTAMINATION_SQL,
     "docs_hash_sample": HASH_SAMPLE_SQL,
     "docs_stratified_sample": STRATIFIED_SQL,

@@ -10,6 +10,7 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     read_retract_agg,
     stream_cdc_apply_orc,
     stream_retract_agg_orc,
+    stream_retract_join_orc,
     stream_scd2_apply_orc,
     stream_fanout_orc,
     stream_from_files,
@@ -26,6 +27,7 @@ __all__ = [
     "read_retract_agg",
     "stream_cdc_apply_orc",
     "stream_retract_agg_orc",
+    "stream_retract_join_orc",
     "stream_scd2_apply_orc",
     "stream_fanout_orc",
     "stream_from_files",

@@ -509,6 +509,297 @@ def read_retract_agg(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def _overwrite_buckets(
+    df: DataFrame,
+    path: str,
+    part_cols: list[str],
+    touched: list[tuple],
+    compression: str,
+) -> None:
+    """Overwrite exactly the ``touched`` partitions of ``path`` with
+    ``df`` (whose ``part_cols`` tuples are all in ``touched``).
+
+    Dynamic partition overwrite only replaces partitions PRESENT in
+    the frame — a touched bucket whose new content is EMPTY would
+    silently keep its stale files. Finish the job by dropping the
+    directories of touched-but-now-empty buckets (on a metastore
+    table this is ``ALTER TABLE .. DROP PARTITION``; on the local FS
+    it is an rmtree). Both steps are idempotent, so a crash-replay
+    that repeats them lands in the same state."""
+    import shutil
+
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*part_cols)
+        .orc(path)
+    )
+    present = {
+        tuple(r) for r in df.select(*part_cols).distinct().collect()
+    }
+    for vals in touched:
+        if tuple(vals) not in present:
+            sub = os.path.join(
+                *(f"{c}={v}" for c, v in zip(part_cols, vals))
+            )
+            shutil.rmtree(
+                os.path.join(path, sub), ignore_errors=True
+            )
+
+
+def stream_retract_join_orc(
+    changes: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    n_key_partitions: int = 16,
+    n_join_buckets: int = 16,
+    trigger: dict | None = None,
+    compression: str = "zstd",
+) -> StreamingQuery:
+    """RETRACTION-correct streaming JOIN over two CDC feeds — Flink's
+    delta-join / incremental-view-maintenance pattern (dynamic table ⋈
+    dynamic table → retract stream → upsert sink, the ecosystem the
+    reference ORC sink serves, ``README.md:19-22``) on the micro-batch
+    runtime. The maintained view is::
+
+        SELECT l.*, r.*  FROM latest-live-L l JOIN latest-live-R r
+        ON l.jk = r.jk
+
+    where each side is a CDC feed of (pk, jk, seq, op) rows: latest
+    ``seq`` per ``pk`` wins, ``op='D'`` is a delete tombstone, and —
+    the hard case — an update may MOVE a row to a different join key,
+    which must retract every joined row it produced under the OLD key.
+
+    Input stream schema: ``side ('L'|'R'), pk, jk, seq, op,
+    val (left payload), attr (right payload)``.
+
+    Two-layer state, exactly the Flink shape:
+
+    1. **pk layer** (one store partitioned ``(side, kp)``, ``kp =
+       hash(pk) % n_key_partitions``): latest-per-pk merge over the
+       touched buckets only (partition-pruned read, dynamic
+       overwrite), from
+       which the batch's RETRACTION stream is derived: for every pk in
+       the batch, a ``retract`` row carrying the pk's PRE-batch live
+       image (its OLD join key — the only place that information
+       exists) and an ``add`` row carrying its post-batch live image.
+    2. **jk layer** (one store partitioned ``(side, jb)``, ``jb =
+       hash(jk) % n_join_buckets``): apply the retraction stream —
+       remove every
+       mentioned pk from the buckets its retract/add rows name, insert
+       the add images — then re-join ONLY the touched ``jb`` buckets
+       of the two sides and overwrite those partitions of the
+       materialized view.
+
+    Per-batch I/O is O(touched buckets), never O(state) — no group
+    of join-key partners is ever rescanned unless a member changed,
+    and a batch that moves a pk between join keys touches exactly its
+    old and new buckets. That additivity is what survives a 1000×
+    state blow-up; the naive "recompute the view" or even "recompute
+    touched join keys by scanning pk-state" pays a full state scan
+    per batch because the pk layer is not partitioned by jk (the
+    two-layer double-store is the textbook IVM space-for-locality
+    trade).
+
+    Crash-replay: the retraction stream must be computed against the
+    PRE-batch pk state, so it is persisted to a ``batch_id`` delta
+    partition and a marker committed BEFORE the pk-state overwrite;
+    every other step is an idempotent function of authoritative
+    state (latest-wins pk merge; jk-layer apply removes the
+    mentioned pks from the mentioned buckets and re-inserts their
+    CURRENT latest images — a fixpoint; view recompute is pure), so
+    a replayed batch — crash recovery on the same checkpoint, or
+    even a full feed replay through a fresh checkpoint against
+    populated state — converges to byte-identical state in every
+    crash window.
+    The registered ``stream_retract_join`` query feeds hash-scattered
+    out-of-order batches and must hash-match a one-shot batch join —
+    including resurrections (D then later U) and join-key moves."""
+    def _pair_filter(bucket_col: str, pairs: list) -> object:
+        by_side: dict = {}
+        for s, b in pairs:
+            by_side.setdefault(s, []).append(b)
+        cond = F.lit(False)
+        for s, bs in by_side.items():
+            cond = cond | (
+                (F.col("side") == s) & F.col(bucket_col).isin(bs)
+            )
+        return cond
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        deltas_root = os.path.join(state_path, "deltas")
+        marker = os.path.join(state_path, "applied", f"batch_{batch_id}")
+        w = Window.partitionBy("side", "pk").orderBy(
+            F.col("seq").desc()
+        )
+
+        # --- pk layer: merge + derive the retraction stream ---
+        # One store for both sides, partitioned (side, kp): one
+        # pruned read, one merge, one write per batch. The merge and
+        # state overwrite run on EVERY invocation (idempotent
+        # latest-wins); the marker guards only the delta derivation,
+        # which must see the PRE-batch state.
+        ch = batch_df.withColumn(
+            "kp",
+            F.pmod(F.hash(F.col("pk")), F.lit(n_key_partitions)),
+        )
+        pk_dir = os.path.join(state_path, "pk_state")
+        cur = None
+        if os.path.isdir(pk_dir):
+            kpairs = [
+                tuple(r)
+                for r in ch.select("side", "kp").distinct().collect()
+            ]
+            if kpairs:
+                cur = spark.read.orc(pk_dir).filter(
+                    _pair_filter("kp", kpairs)
+                )
+        allrows = ch if cur is None else cur.unionByName(ch)
+        merged = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            live = F.col("op") == "U"
+            if not os.path.exists(marker):
+                bpks = ch.select("side", "pk").distinct()
+                # pre-batch live image of every batch pk -> retract;
+                # post-batch live image -> add (the retract stream a
+                # downstream Flink-style consumer would subscribe to)
+                deltas = (
+                    merged.join(bpks, ["side", "pk"], "left_semi")
+                    .filter(live)
+                    .withColumn("kind", F.lit("add"))
+                )
+                if cur is not None:
+                    deltas = deltas.unionByName(
+                        cur.join(bpks, ["side", "pk"], "left_semi")
+                        .filter(live)
+                        .withColumn("kind", F.lit("retract"))
+                    )
+                (
+                    deltas.drop("kp")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .option("compression", compression)
+                    .partitionBy("batch_id")
+                    .orc(deltas_root)
+                )
+                os.makedirs(marker, exist_ok=True)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("side", "kp")
+                .orc(pk_dir)
+            )
+
+            # --- jk layer: apply the batch's stored retraction
+            # stream. The stored rows supply WHICH (side, jb)
+            # buckets and (side, pk) keys were touched — including
+            # the old join key, which exists nowhere else after the
+            # pk overwrite — but the IMAGES inserted are the pks'
+            # CURRENT latest from ``merged``, restricted to touched
+            # buckets. That makes the apply a fixpoint of the
+            # authoritative state: replaying ANY batch (crash
+            # recovery, or a full feed replay through a fresh
+            # checkpoint) converges instead of resurrecting stale
+            # images or double-removing moved keys.
+            if not os.path.isdir(deltas_root):
+                return  # empty batch: nothing retracted or added
+            jb_of = F.pmod(F.hash(F.col("jk")), F.lit(n_join_buckets))
+            d = (
+                spark.read.orc(deltas_root)
+                .filter(F.col("batch_id") == batch_id)
+                .withColumn("jb", jb_of)
+            )
+            jk_dir = os.path.join(state_path, "jk_state")
+            pairs = [
+                tuple(r)
+                for r in d.select("side", "jb").distinct().collect()
+            ]
+            if not pairs:
+                return
+            mentioned = d.select("side", "pk").distinct()
+            adds = (
+                merged.join(mentioned, ["side", "pk"], "left_semi")
+                .filter(live)
+                .withColumn("jb", jb_of)
+                .filter(_pair_filter("jb", pairs))
+                .select(
+                    "side", "pk", "jk", "seq", "op", "val", "attr",
+                    "jb",
+                )
+            )
+            if os.path.isdir(jk_dir):
+                kept = (
+                    spark.read.orc(jk_dir)
+                    .filter(_pair_filter("jb", pairs))
+                    .join(mentioned, ["side", "pk"], "left_anti")
+                )
+                new_state = kept.unionByName(adds)
+            else:
+                new_state = adds
+            new_state = new_state.localCheckpoint(eager=True)
+            try:
+                _overwrite_buckets(
+                    new_state,
+                    jk_dir,
+                    ["side", "jb"],
+                    pairs,
+                    compression,
+                )
+            finally:
+                release_local_checkpoint(new_state)
+        finally:
+            release_local_checkpoint(merged)
+
+        # --- view recompute: both sides of every touched jb bucket ---
+        touched = sorted({b for _, b in pairs})
+        jstate = spark.read.orc(jk_dir).filter(
+            F.col("jb").isin(touched)
+        )
+        lstate = jstate.filter(F.col("side") == "L").select(
+            F.col("pk").alias("l_pk"),
+            "jk",
+            F.col("val").alias("l_val"),
+            "jb",
+        )
+        rstate = jstate.filter(F.col("side") == "R").select(
+            F.col("pk").alias("r_pk"),
+            F.col("jk").alias("r_jk"),
+            F.col("attr").alias("r_attr"),
+            F.col("jb").alias("r_jb"),
+        )
+        view = lstate.join(
+            rstate,
+            (lstate.jk == rstate.r_jk) & (lstate.jb == rstate.r_jb),
+        ).select("l_pk", "jk", "l_val", "r_pk", "r_attr", "jb")
+        # view reads jk_state and writes view/ — disjoint paths, so no
+        # checkpoint barrier is needed before the overwrite
+        _overwrite_buckets(
+            view,
+            os.path.join(state_path, "view"),
+            ["jb"],
+            [(b,) for b in touched],
+            compression,
+        )
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_quarantine_orc(
     df: DataFrame,
     valid_path: str,

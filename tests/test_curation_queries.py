@@ -86,3 +86,53 @@ def test_repetition_ratio_bounds(spark, sf_dir):
     )
     assert out_of_range.count() == 0
     assert rep.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_export_shards_order_and_determinism(spark, sf_dir):
+    """The shard export contract: (1) every doc lands in exactly one
+    shard (partition of the corpus), (2) each shard FILE is physically
+    sorted by the seeded shuffle key — the order a trainer streams,
+    (3) a rerun is byte-identical (manifest equality), because every
+    step is a pure function of (seed, doc_id)."""
+    import glob
+
+    import pyarrow.orc as paorc
+
+    from flink_orc_sink_spark.queries.llm import docs_export_shards
+
+    m1 = {
+        tuple(r)
+        for r in docs_export_shards(spark, sf_dir).collect()
+    }
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r[1] for r in m1) == n_docs  # partition, no loss/dup
+    assert len(m1) == 8
+
+    # rerun -> identical manifest (fresh output dir each call)
+    m2 = {
+        tuple(r)
+        for r in docs_export_shards(spark, sf_dir).collect()
+    }
+    assert m1 == m2
+
+    # file order within each shard == skey order (pyarrow preserves
+    # physical row order; Spark reads don't promise it)
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_export_shards_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    out_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(out_dirs) == 8, "export wrote no shard directories"
+    checked = 0
+    for sd in out_dirs:
+        for f in glob.glob(f"{sd}/*.orc"):
+            keys = paorc.ORCFile(f).read(columns=["skey"])[
+                "skey"
+            ].to_pylist()
+            assert keys == sorted(keys)
+            checked += 1
+    assert checked >= 8

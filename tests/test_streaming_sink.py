@@ -710,3 +710,121 @@ def test_stream_retract_agg_moves_deletes_replay(spark, tmp_path):
     # restart on the drained checkpoint: a full no-op
     run()
     assert agg() == want
+
+
+def test_stream_retract_join_moves_deletes_replay(spark, tmp_path):
+    """Retraction JOIN (incremental view maintenance): a left pk
+    MOVING to a new join key retracts its view rows under the old
+    key, a right tombstone takes every joined row with it (emptying
+    a view bucket — the dynamic-overwrite stale-partition hazard), a
+    late OLDER row changes nothing, a resurrection re-joins, a
+    crash-replayed micro-batch converges, and a FULL feed replay
+    through a fresh checkpoint against populated state converges
+    (the jk-layer apply is a fixpoint of authoritative state, not a
+    blind re-application of stored images)."""
+    import os
+    import shutil
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ckpt="ckpt"):
+        ckpt = str(tmp_path / ckpt)
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=ckpt,
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def view():
+        return {
+            (r.l_pk, r.jk, r.l_val, r.r_attr)
+            for r in spark.read.orc(
+                os.path.join(state, "view")
+            ).collect()
+        }
+
+    L, R = "L", "R"
+    feed(
+        [
+            (L, 101, 1, 1, "U", 10, None),
+            (L, 102, 2, 1, "U", 20, None),
+            (L, 103, 1, 1, "U", 30, None),
+            (R, 1, 1, 1, "U", None, "x"),
+            (R, 2, 2, 1, "U", None, "y"),
+        ]
+    )
+    run()
+    assert view() == {
+        (101, 1, 10, "x"),
+        (103, 1, 30, "x"),
+        (102, 2, 20, "y"),
+    }
+
+    # 101 moves jk 1->2 (old-bucket retraction); right jk=2 is
+    # tombstoned (its bucket's view EMPTIES); 103 gets a late OLDER
+    # row that must change nothing; right jk=3 appears with no left
+    # partners (touched bucket, empty view)
+    feed(
+        [
+            (L, 101, 2, 2, "U", 11, None),
+            (R, 2, 2, 2, "D", None, "y"),
+            (L, 103, 9, 0, "U", 999, None),
+            (R, 3, 3, 1, "U", None, "z"),
+        ]
+    )
+    run()
+    assert view() == {(103, 1, 30, "x")}
+
+    # resurrection: right jk=2 comes back with a newer image -> its
+    # left partners (101 moved, 102 original) re-join
+    feed([(R, 2, 2, 3, "U", None, "y2")])
+    run()
+    want = {(103, 1, 30, "x"), (101, 2, 11, "y2"), (102, 2, 20, "y2")}
+    assert view() == want
+
+    # crash-replay: drop the last commit so the restart re-runs the
+    # final micro-batch against the ALREADY-UPDATED state
+    ckpt = str(tmp_path / "ckpt")
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    run()
+    assert view() == want
+
+    # restart on the drained checkpoint: a full no-op
+    run()
+    assert view() == want
+
+    # full-feed replay through a FRESH checkpoint re-applies every
+    # batch against the populated state: must converge (stale stored
+    # images must NOT resurrect 101's jk=1 row or drop live rows)
+    run("ckpt2")
+    assert view() == want
