@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_orc_sink_spark.session import local_df
+
 
 class PCAModel(NamedTuple):
     mean: np.ndarray           # (d,)
@@ -314,7 +316,8 @@ def train_quality_classifier(
         )
 
     def scores(feats: DataFrame, labels: DataFrame, weights: dict) -> DataFrame:
-        w_df = df.sparkSession.createDataFrame(
+        w_df = local_df(
+            df.sparkSession,
             [(int(j), int(v)) for j, v in weights.items()] or [(0, 0)],
             "j long, w long",
         )

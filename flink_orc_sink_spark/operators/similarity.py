@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_orc_sink_spark.functions.vector import cosine, cosine_with_norms, norm
+from flink_orc_sink_spark.session import local_df
 
 
 def brute_force_topk(
@@ -409,8 +410,8 @@ def build_ivf_index(
     cent_rows = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
     ]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+    local_df(
+        spark, cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
@@ -939,7 +940,7 @@ def ivf_pq_topk(
     ]
     spark = queries.sparkSession
     q_cells = F.broadcast(
-        spark.createDataFrame(probe_rows, "qid long, cell int")
+        local_df(spark, probe_rows, "qid long, cell int")
     )
 
     @F.pandas_udf(T.DoubleType())

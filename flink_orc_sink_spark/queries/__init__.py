@@ -65,7 +65,9 @@ _MODULE_ORDER = (engine, llm, events, relational)
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
     "stream_retract_join",
+    "stream_retract_join_agg",
     "docs_export_shards",
+    "docs_pii_tokenize",
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
     "stream_scd2_apply",

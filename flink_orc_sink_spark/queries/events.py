@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.operators.relational import asof_join, sessionize
+from flink_orc_sink_spark.session import local_df
 from flink_orc_sink_spark.sources.catalog import table
 
 
@@ -688,7 +689,7 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = spark.createDataFrame([("view",)], ["node"])
+    seeds = local_df(spark, [("view",)], "node string")
     out = bfs_hops(edges, seeds, max_hops=3)
     return out.select("node", F.col("hops").cast("long").alias("hops"))
 

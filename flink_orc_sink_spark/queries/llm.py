@@ -42,6 +42,7 @@ from flink_orc_sink_spark.operators.multimodal import (
     extract_media_meta,
 )
 from flink_orc_sink_spark.operators.similarity import brute_force_topk
+from flink_orc_sink_spark.session import local_df
 from flink_orc_sink_spark.sources.catalog import table
 
 # --- shared SQL fragments (one source of truth with functions/text.py)
@@ -2616,8 +2617,10 @@ def docs_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 7 == 3).select("doc_id"), idx
     )
     merge_on_read = bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
-    merge_on_read = spark.createDataFrame(
-        merge_on_read.collect(), merge_on_read.schema
+    merge_on_read = local_df(
+        spark,
+        [tuple(r) for r in merge_on_read.collect()],
+        merge_on_read.schema,
     )
     compact_bm25_index(spark, idx)
     compacted = bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
@@ -3119,6 +3122,71 @@ SELECT source,
   CAST(SUM(length(t) - length(s)) AS BIGINT) AS chars_removed,
   CAST(SUM(CASE WHEN s = t THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs
 FROM scrubbed GROUP BY source
+"""
+
+
+def docs_pii_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed PSEUDONYMIZATION (tokenize, don't redact): every planted
+    email replaced with a deterministic ``sha256(key ':' email)``
+    token (``functions/pii.py::tokenize_emails``), so the same
+    identity keeps the same token across documents and runs —
+    referential integrity for downstream joins and dedup, which the
+    blanket ``<EMAIL>`` scrub destroys — while the raw identity needs
+    the key to recover. The whole-text md5 checksum per source is
+    value-hashed against the oracle's CLOSED-FORM tokenization (the
+    oracle knows exactly which email the fixture plants per doc and
+    applies the replace directly, while the Spark side runs the
+    general extract-all → fold-replace operator), so every
+    transformed byte is verified, not just counts. Scale: one
+    scan-fused projection, one tiny groupBy — identical shape to
+    ``docs_pii_scrub``."""
+    from flink_orc_sink_spark.functions import pii
+    from flink_orc_sink_spark.functions.text import hash32
+
+    d = _plant_pii(table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    t2 = pii.tokenize_emails(t, "vaultkey1")
+    return (
+        d.select(
+            "source",
+            pii.count_emails(t).alias("e"),
+            hash32(t2).alias("h"),
+            (F.length(t2) - F.length(t)).cast("long").alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("e").alias("n_emails"),
+            F.sum("delta").alias("chars_delta"),
+            F.sum("h").cast("bigint").alias("text_checksum"),
+        )
+    )
+
+
+PII_TOKENIZE_SQL = f"""
+WITH planted AS ({PII_PLANT_SQL}),
+tok AS (
+  SELECT source, t,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE NULL END AS email
+  FROM planted
+),
+applied AS (
+  SELECT source,
+    CASE WHEN email IS NULL THEN 0 ELSE 1 END AS e,
+    CASE WHEN email IS NULL THEN t
+         ELSE replace(t, email,
+           '<EMAIL:' || substr(sha256('vaultkey1:' || email), 1, 12) || '>')
+    END AS t2,
+    t
+  FROM tok
+)
+SELECT source,
+  CAST(SUM(e) AS BIGINT) AS n_emails,
+  CAST(SUM(length(t2) - length(t)) AS BIGINT) AS chars_delta,
+  CAST(SUM(('0x' || substr(md5(t2), 1, 8))::BIGINT) AS BIGINT)
+    AS text_checksum
+FROM applied GROUP BY source
 """
 
 
@@ -4799,6 +4867,7 @@ QUERIES = {
     "docs_repetition_ratio": docs_repetition_ratio,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_export_shards": docs_export_shards,
+    "docs_pii_tokenize": docs_pii_tokenize,
     "docs_contamination": docs_contamination,
     "docs_hash_sample": docs_hash_sample,
     "docs_stratified_sample": docs_stratified_sample,
@@ -4890,6 +4959,7 @@ ORACLES = {
     "docs_repetition_ratio": REPETITION_SQL,
     "docs_pack_sequences": PACK_SQL,
     "docs_export_shards": EXPORT_SHARDS_SQL,
+    "docs_pii_tokenize": PII_TOKENIZE_SQL,
     "docs_contamination": CONTAMINATION_SQL,
     "docs_hash_sample": HASH_SAMPLE_SQL,
     "docs_stratified_sample": STRATIFIED_SQL,

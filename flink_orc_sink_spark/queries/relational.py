@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.operators.relational import range_join, topk_per_group
+from flink_orc_sink_spark.session import local_df
 from flink_orc_sink_spark.sources.catalog import table
 
 
@@ -406,7 +407,7 @@ def join_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lo <= price < hi``. Broadcast keeps the non-equi condition off
     the shuffle path (SURVEY.md §2.4 theta joins)."""
     o = table(spark, sf_dir, "orders")
-    buckets = spark.createDataFrame(PRICE_TIERS, "tier string, lo int, hi int")
+    buckets = local_df(spark, PRICE_TIERS, "tier string, lo int, hi int")
     return (
         range_join(o, buckets, "o_totalprice")
         .groupBy("tier")

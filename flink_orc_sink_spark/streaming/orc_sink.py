@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
-from flink_orc_sink_spark.session import release_local_checkpoint
+from flink_orc_sink_spark.session import (
+    local_df,
+    release_local_checkpoint,
+)
 
 
 def stream_write_orc(
@@ -171,8 +174,8 @@ def stream_fanout_orc(
             # the commit point: one tiny append AFTER all tables —
             # the only write whose visibility readers trust
             (
-                staged.sparkSession.createDataFrame(
-                    [(batch_id,)], "batch_id long"
+                local_df(
+                    staged.sparkSession, [(batch_id,)], "batch_id long"
                 )
                 .coalesce(1)
                 .write.mode("append")
@@ -556,6 +559,8 @@ def stream_retract_join_orc(
     n_join_buckets: int = 16,
     trigger: dict | None = None,
     compression: str = "zstd",
+    agg_group_col: str | None = None,
+    agg_val_col: str | None = None,
 ) -> StreamingQuery:
     """RETRACTION-correct streaming JOIN over two CDC feeds — Flink's
     delta-join / incremental-view-maintenance pattern (dynamic table ⋈
@@ -591,6 +596,14 @@ def stream_retract_join_orc(
        the add images — then re-join ONLY the touched ``jb`` buckets
        of the two sides and overwrite those partitions of the
        materialized view.
+
+    With ``agg_group_col``/``agg_val_col`` set, the sink ALSO
+    maintains an aggregate over the view — additive per-group deltas
+    (agg of new bucket content − agg of old), marker-guarded like the
+    retract stream and landed before the view overwrite; readback is
+    :func:`read_retract_agg`. That completes the Flink pipeline
+    CDC ⋈ CDC → retract stream → aggregate without ever rescanning a
+    group.
 
     Per-batch I/O is O(touched buckets), never O(state) — no group
     of join-key partners is ever rescanned unless a member changed,
@@ -782,15 +795,74 @@ def stream_retract_join_orc(
             rstate,
             (lstate.jk == rstate.r_jk) & (lstate.jb == rstate.r_jb),
         ).select("l_pk", "jk", "l_val", "r_pk", "r_attr", "jb")
+        view_dir = os.path.join(state_path, "view")
+
+        # --- optional maintained AGGREGATE over the view: per-group
+        # additive deltas = agg(new bucket content) − agg(old bucket
+        # content), bounded by the touched buckets — the full Flink
+        # dynamic-table pipeline (CDC ⋈ CDC → retract stream → agg)
+        # without ever rescanning a group. Deltas must see the
+        # PRE-overwrite view, so they land (marker-guarded, like the
+        # pk-layer retract stream) BEFORE the view overwrite; a
+        # replayed batch with the marker present skips straight to
+        # the idempotent overwrite.
+        if agg_group_col is not None:
+            view = view.localCheckpoint(eager=True)  # consumed 3×
+            marker2 = os.path.join(
+                state_path, "agg_applied", f"batch_{batch_id}"
+            )
+            if not os.path.exists(marker2):
+
+                def gd(df: DataFrame, sign: int) -> DataFrame:
+                    return df.select(
+                        F.col(agg_group_col).alias("grp"),
+                        (
+                            F.coalesce(F.col(agg_val_col), F.lit(0))
+                            * sign
+                        )
+                        .cast("long")
+                        .alias("d_sum"),
+                        F.lit(sign).cast("long").alias("d_count"),
+                    )
+
+                dparts = gd(view, 1)
+                if os.path.isdir(view_dir):
+                    dparts = dparts.unionByName(
+                        gd(
+                            spark.read.orc(view_dir).filter(
+                                F.col("jb").isin(touched)
+                            ),
+                            -1,
+                        )
+                    )
+                (
+                    dparts.groupBy("grp")
+                    .agg(
+                        F.sum("d_sum").alias("d_sum"),
+                        F.sum("d_count").alias("d_count"),
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .option("compression", compression)
+                    .partitionBy("batch_id")
+                    .orc(os.path.join(state_path, "agg_deltas"))
+                )
+                os.makedirs(marker2, exist_ok=True)
+
         # view reads jk_state and writes view/ — disjoint paths, so no
         # checkpoint barrier is needed before the overwrite
-        _overwrite_buckets(
-            view,
-            os.path.join(state_path, "view"),
-            ["jb"],
-            [(b,) for b in touched],
-            compression,
-        )
+        try:
+            _overwrite_buckets(
+                view,
+                view_dir,
+                ["jb"],
+                [(b,) for b in touched],
+                compression,
+            )
+        finally:
+            if agg_group_col is not None:
+                release_local_checkpoint(view)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -828,3 +828,116 @@ def test_stream_retract_join_moves_deletes_replay(spark, tmp_path):
     # images must NOT resurrect 101's jk=1 row or drop live rows)
     run("ckpt2")
     assert view() == want
+
+
+def test_stream_retract_join_agg_deltas_replay(spark, tmp_path):
+    """The maintained aggregate over the retraction join: summed
+    per-batch deltas equal the aggregate of the materialized view
+    after every drain — through join-key moves, tombstones (a group
+    vanishing entirely), resurrections, a crash-replayed micro-batch
+    and a fresh-checkpoint full replay (the agg marker keeps replays
+    from double-counting)."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ckpt="ckpt"):
+        ckpt = str(tmp_path / ckpt)
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=ckpt,
+                trigger={"availableNow": True},
+                agg_group_col="r_attr",
+                agg_val_col="l_val",
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    def view_agg():
+        return {
+            (r.r_attr, r.s, r.n)
+            for r in spark.read.orc(os.path.join(state, "view"))
+            .groupBy("r_attr")
+            .agg(
+                F.sum("l_val").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+            .collect()
+        }
+
+    L, R = "L", "R"
+    feed(
+        [
+            (L, 101, 1, 1, "U", 10, None),
+            (L, 102, 2, 1, "U", 20, None),
+            (L, 103, 1, 1, "U", 30, None),
+            (R, 1, 1, 1, "U", None, "x"),
+            (R, 2, 2, 1, "U", None, "y"),
+        ]
+    )
+    run()
+    assert agg() == {("x", 40, 2), ("y", 20, 1)}
+    assert agg() == view_agg()
+
+    # move + tombstone ("y" group vanishes) + late older row
+    feed(
+        [
+            (L, 101, 2, 2, "U", 11, None),
+            (R, 2, 2, 2, "D", None, "y"),
+            (L, 103, 9, 0, "U", 999, None),
+        ]
+    )
+    run()
+    assert agg() == {("x", 30, 1)}
+    assert agg() == view_agg()
+
+    # resurrection under a new group label
+    feed([(R, 2, 2, 3, "U", None, "y2")])
+    run()
+    want = {("x", 30, 1), ("y2", 31, 2)}
+    assert agg() == want
+
+    # crash-replay of the final micro-batch: the agg marker must keep
+    # the replayed batch from re-landing (now-zero) deltas
+    ckpt = str(tmp_path / "ckpt")
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    run()
+    assert agg() == want
+
+    # fresh-checkpoint full replay converges without double-counting
+    run("ckpt2")
+    assert agg() == want
