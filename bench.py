@@ -171,6 +171,13 @@ HEADLINE = [
     # and the retrieval-index takedown path
     "stream_retract_agg",
     "docs_bm25_index_forget",
+    # round-5 session-4: incremental-view-maintenance join pipeline
+    # (the agg variant exercises pk layer + jk layer + view + deltas
+    # in one number), deterministic shard export, keyed PII
+    # pseudonymization
+    "stream_retract_join_agg",
+    "docs_export_shards",
+    "docs_pii_tokenize",
 ]
 
 

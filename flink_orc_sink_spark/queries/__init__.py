@@ -66,6 +66,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 _PRIORITY = (
     "stream_retract_join",
     "stream_retract_join_agg",
+    "stream_retract_join_left",
     "docs_export_shards",
     "docs_pii_tokenize",
     "docs_bm25_index_topk",

@@ -1774,6 +1774,71 @@ def stream_retract_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_retract_join_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OUTER-join incremental view maintenance — the textbook-hard
+    retraction case: an order with no live customer appears
+    NULL-EXTENDED in the view; when its customer arrives (or is
+    resurrected) the null-extended row must be retracted and replaced,
+    and when the customer is tombstoned the order must flip back to
+    null-extended — all while join-key moves shuttle orders between
+    buckets. Same out-of-order two-sided CDC feed as
+    ``stream_retract_join``, run with ``how='left'`` and the
+    maintained aggregate enabled; the summed deltas (including the
+    NULL segment = currently-unmatched orders) must hash-match a
+    one-shot batch LEFT JOIN + aggregate. The bucket-recompute design
+    makes null-extension flips fall out of the recompute — no
+    separate bookkeeping stream, which is where classical outer-join
+    IVM implementations grow their bugs."""
+    from flink_orc_sink_spark.streaming.orc_sink import read_retract_agg
+
+    state = _run_retract_join_stream(
+        spark,
+        sf_dir,
+        "rjoinleft",
+        agg_group_col="r_attr",
+        agg_val_col="l_val",
+        how="left",
+    )
+    return read_retract_agg(spark, state).select(
+        F.col("grp").alias("segment"),
+        F.col("n_keys").alias("n_orders"),
+        F.col("sum_val").alias("sum_price_cents"),
+    )
+
+
+STREAM_RETRACT_JOIN_LEFT_SQL = """
+WITH lfeed AS (
+  SELECT o_orderkey AS pk, o_custkey AS jk, 1 AS seq,
+    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+    ((o_custkey + 13) % (SELECT MAX(c_custkey) FROM customer)) + 1,
+    2, 'U', CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+llast AS (
+  SELECT pk, jk, val FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                                 ORDER BY seq DESC) AS rn
+    FROM lfeed
+  ) WHERE rn = 1 AND op = 'U'
+),
+rlast AS (
+  SELECT c_custkey AS jk, c_mktsegment AS attr
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT r.attr AS segment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(l.val) AS BIGINT) AS sum_price_cents
+FROM llast l LEFT JOIN rlast r ON l.jk = r.jk
+GROUP BY r.attr
+"""
+
+
 STREAM_RETRACT_JOIN_AGG_SQL = """
 WITH lfeed AS (
   SELECT o_orderkey AS pk, o_custkey AS jk, 1 AS seq,
@@ -3669,6 +3734,7 @@ QUERIES = {
     "stream_retract_agg": stream_retract_agg,
     "stream_retract_join": stream_retract_join,
     "stream_retract_join_agg": stream_retract_join_agg,
+    "stream_retract_join_left": stream_retract_join_left,
     "orc_time_travel": orc_time_travel,
     "orc_snapshot_diff": orc_snapshot_diff,
     "orc_zorder_layout": orc_zorder_layout,
@@ -3719,6 +3785,7 @@ ORACLES = {
     "stream_retract_agg": STREAM_RETRACT_AGG_SQL,
     "stream_retract_join": STREAM_RETRACT_JOIN_SQL,
     "stream_retract_join_agg": STREAM_RETRACT_JOIN_AGG_SQL,
+    "stream_retract_join_left": STREAM_RETRACT_JOIN_LEFT_SQL,
     "orc_time_travel": ORC_ROUNDTRIP_SQL,
     "orc_snapshot_diff": ORC_SNAPSHOT_DIFF_SQL,
     "orc_zorder_layout": ORC_ZORDER_SQL,

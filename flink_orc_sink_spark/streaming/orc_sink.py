@@ -561,6 +561,7 @@ def stream_retract_join_orc(
     compression: str = "zstd",
     agg_group_col: str | None = None,
     agg_val_col: str | None = None,
+    how: str = "inner",
 ) -> StreamingQuery:
     """RETRACTION-correct streaming JOIN over two CDC feeds — Flink's
     delta-join / incremental-view-maintenance pattern (dynamic table ⋈
@@ -605,15 +606,24 @@ def stream_retract_join_orc(
     CDC ⋈ CDC → retract stream → aggregate without ever rescanning a
     group.
 
-    Per-batch I/O is O(touched buckets), never O(state) — no group
-    of join-key partners is ever rescanned unless a member changed,
-    and a batch that moves a pk between join keys touches exactly its
-    old and new buckets. That additivity is what survives a 1000×
-    state blow-up; the naive "recompute the view" or even "recompute
-    touched join keys by scanning pk-state" pays a full state scan
-    per batch because the pk layer is not partitioned by jk (the
-    two-layer double-store is the textbook IVM space-for-locality
-    trade).
+    COST MODEL (measured, tools/scale_probe_retract_join.py):
+    per-batch I/O = touched buckets × bucket size. Bucket count is
+    the knob and must be provisioned like any partitioned table's
+    layout — buckets sized to a constant byte target, so count grows
+    with state. A batch whose keys cluster in few buckets (the
+    production CDC shape: churn skews to recent/hot entities) then
+    costs O(batch's key-neighborhood) regardless of total state —
+    the probe holds wall-clock FLAT across a 20× state growth at
+    fixed touched-bucket count. The degenerate case is honest too: a
+    batch with ≥ bucket-count uniformly-random keys touches every
+    bucket and pays a full merge-on-write pass — the same
+    churn-vs-compaction-cadence trade every copy-on-write table
+    format makes (batch it, or provision more buckets). No group of
+    join-key partners is ever rescanned unless its bucket was
+    touched, and a batch that moves a pk between join keys touches
+    exactly its old and new buckets; the two-layer double-store is
+    the textbook IVM space-for-locality trade (the pk layer alone
+    cannot prune by jk).
 
     Crash-replay: the retraction stream must be computed against the
     PRE-batch pk state, so it is persisted to a ``batch_id`` delta
@@ -791,10 +801,24 @@ def stream_retract_join_orc(
             F.col("attr").alias("r_attr"),
             F.col("jb").alias("r_jb"),
         )
+        # ``how="left"`` buys OUTER-join IVM — the textbook-hard case
+        # (a newly-arriving right partner must RETRACT the left row's
+        # null-extended image, a disappearing one must re-extend it)
+        # — for free: the touched bucket is recomputed from both
+        # sides' current state, so null-extension flips fall out of
+        # the recompute instead of needing bookkeeping deltas.
         view = lstate.join(
             rstate,
             (lstate.jk == rstate.r_jk) & (lstate.jb == rstate.r_jb),
-        ).select("l_pk", "jk", "l_val", "r_pk", "r_attr", "jb")
+            how=how,
+        ).select(
+            "l_pk",
+            lstate.jk.alias("jk"),
+            "l_val",
+            "r_pk",
+            "r_attr",
+            lstate.jb.alias("jb"),
+        )
         view_dir = os.path.join(state_path, "view")
 
         # --- optional maintained AGGREGATE over the view: per-group

@@ -941,3 +941,85 @@ def test_stream_retract_join_agg_deltas_replay(spark, tmp_path):
     # fresh-checkpoint full replay converges without double-counting
     run("ckpt2")
     assert agg() == want
+
+
+def test_stream_retract_join_left_null_extension_flips(spark, tmp_path):
+    """Outer-join IVM: an order with no live customer shows up
+    null-extended; the customer ARRIVING retracts the null-extended
+    row, the customer's TOMBSTONE re-extends it — across micro-batches
+    — and the maintained aggregate tracks the flips (NULL group =
+    currently-unmatched)."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger={"availableNow": True},
+                agg_group_col="r_attr",
+                agg_val_col="l_val",
+                how="left",
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def view():
+        return {
+            (r.l_pk, r.r_attr)
+            for r in spark.read.orc(
+                os.path.join(state, "view")
+            ).collect()
+        }
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    # order 101 arrives before its customer exists -> null-extended
+    feed([("L", 101, 1, 1, "U", 10, None)])
+    run()
+    assert view() == {(101, None)}
+    assert agg() == {(None, 10, 1)}
+
+    # customer arrives -> null-extended row retracted, joined row in
+    feed([("R", 1, 1, 1, "U", None, "x")])
+    run()
+    assert view() == {(101, "x")}
+    assert agg() == {("x", 10, 1)}
+
+    # customer tombstoned -> order flips BACK to null-extended
+    feed([("R", 1, 1, 2, "D", None, "x")])
+    run()
+    assert view() == {(101, None)}
+    assert agg() == {(None, 10, 1)}

