@@ -1649,6 +1649,12 @@ def _run_retract_join_stream(
         stream_retract_join_orc,
     )
 
+    # bucket counts are a layout knob sized to state (see the sink's
+    # cost model + tools/scale_probe_retract_join.py); 8 suits the
+    # bounded local replays exactly as stream_partitions pins 8 state
+    # partitions (measured 25.8 s -> 15.0 s at sf0.01 vs 16 buckets)
+    sink_kwargs.setdefault("n_key_partitions", 8)
+    sink_kwargs.setdefault("n_join_buckets", 8)
     feed = _retract_join_feed(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix=f"stream_{tag}_src_")
     # scatter each key's VERSIONS across batches (seq in the hash) —
