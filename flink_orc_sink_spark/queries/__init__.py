@@ -69,6 +69,7 @@ _PRIORITY = (
     "stream_retract_join_left",
     "docs_export_shards",
     "docs_pii_tokenize",
+    "stream_dedup_ttl",
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
     "stream_scd2_apply",

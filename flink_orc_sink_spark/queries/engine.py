@@ -822,6 +822,87 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-BOUNDED streaming dedup — the production twin of
+    ``stream_dedup_events``: ``dropDuplicatesWithinWatermark`` keeps a
+    key's dedup state only until the watermark passes its event time
+    + delay, so state is O(keys per TTL window) instead of O(all
+    history) (unbounded ``dropDuplicates`` state is impossible on a
+    100 TB/day stream; boundedness is pytest-asserted from
+    ``stateOperators.numRowsTotal``). The replay: events split into
+    four TS-RANGE files drained oldest-first, every 10th event
+    duplicated INSIDE its own file (within-TTL duplicate → must
+    collapse), and every 97th event of the oldest quartile replayed
+    again in the newest file (a duplicate arriving long past the
+    TTL → below the watermark, dropped as late data — verified
+    empirically: Spark drops sub-watermark rows in this operator
+    rather than re-emitting them). Output must therefore hash-match
+    plain ``SELECT * FROM events``: exactly-once survives BOTH the
+    in-window duplicates and the expired-state replay."""
+    global _STREAM_SEQ
+    import glob as _glob
+    import shutil
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    # staged files carry the NORMALIZED schema (µs timestamps) — the
+    # stream reads them back with e.schema, no re-normalize
+    e = normalize_events_ts(spark.read.parquet(src))
+    lo, hi = (
+        e.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+    )
+    step = (hi - lo) // 4 + 1
+    q_of = ((F.unix_micros("ts") - F.lit(lo)) / F.lit(step)).cast("int")
+    stage = tempfile.mkdtemp(prefix="stream_dedupttl_src_")
+    build = tempfile.mkdtemp(prefix="stream_dedupttl_build_")
+    for i in range(4):
+        part = e.filter(q_of == i)
+        # within-TTL duplicates: every 10th event twice in its file
+        part = part.unionByName(
+            part.filter(F.col("event_id") % 10 == 0)
+        )
+        if i == 3:
+            # expired-state replay: oldest-quartile rows again, far
+            # past the 30-minute TTL -> dropped as late
+            part = part.unionByName(
+                e.filter(
+                    (q_of == 0) & (F.col("event_id") % 97 == 0)
+                )
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(build, f"q{i}")
+        )
+        pf = _glob.glob(os.path.join(build, f"q{i}", "part-*.parquet"))
+        shutil.copy(pf[0], os.path.join(stage, f"{i:03d}.parquet"))
+    shutil.rmtree(build, ignore_errors=True)
+    deduped = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    _STREAM_SEQ += 1
+    name = f"stream_dedupttl_{_STREAM_SEQ}"
+    with tempfile.TemporaryDirectory(
+        prefix="stream_dedupttl_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
 def orc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC SCHEMA EVOLUTION round-trip: generation 0 written without a
     column, generation 1 written with it (the add-a-column migration
@@ -3724,6 +3805,7 @@ QUERIES = {
     "stream_sessionize_10m": stream_sessionize_10m,
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
     "stream_dedup_events": stream_dedup_events,
+    "stream_dedup_ttl": stream_dedup_ttl,
     "stream_running_totals": stream_running_totals,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_interval_join": stream_interval_join,
@@ -3775,6 +3857,7 @@ ORACLES = {
     "stream_sessionize_10m": STREAM_SESSIONIZE_SQL,
     "stream_sliding_1h_30m": SLIDING_SQL,
     "stream_dedup_events": ORC_ROUNDTRIP_SQL,
+    "stream_dedup_ttl": ORC_ROUNDTRIP_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_topk_per_window": STREAM_TOPK_WINDOW_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,

@@ -1023,3 +1023,67 @@ def test_stream_retract_join_left_null_extension_flips(spark, tmp_path):
     run()
     assert view() == {(101, None)}
     assert agg() == {(None, 10, 1)}
+
+
+def test_dedup_ttl_state_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must EVICT expired keys:
+    after draining three time-ordered files spanning hours with a
+    10-minute TTL, the dedup operator's state holds only the newest
+    window's keys — while unbounded dropDuplicates holds every key
+    ever seen. This (not the value gate, which both pass) is the
+    100 TB distinction: O(keys-per-TTL) vs O(all history)."""
+    import glob
+    import os
+    import shutil
+
+    n_per = 200
+
+    def mk(stage_name, dedup):
+        stage = str(tmp_path / stage_name)
+        os.makedirs(stage)
+        build = str(tmp_path / (stage_name + "_b"))
+        for i in range(3):
+            rows = [
+                (i * n_per + k, f"2024-01-01 {i * 2:02d}:00:00")
+                for k in range(n_per)
+            ]
+            df = spark.createDataFrame(rows, "id long, ts_s string")
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{build}/f{i}"
+            )
+            shutil.copy(
+                glob.glob(f"{build}/f{i}/part-*.parquet")[0],
+                f"{stage}/{i:03d}.parquet",
+            )
+        sdf = (
+            spark.readStream.schema("id long, ts_s string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+        )
+        if dedup == "ttl":
+            sdf = sdf.withWatermark("ts", "10 minutes")
+            sdf = sdf.dropDuplicatesWithinWatermark(["id"])
+        else:
+            sdf = sdf.dropDuplicates(["id"])
+        q = (
+            sdf.writeStream.format("noop")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / (stage_name + "_ck"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+        state_rows = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        ]
+        return max(state_rows) if state_rows else 0
+
+    ttl_state = mk("ttl", "ttl")
+    unbounded_state = mk("unb", "unbounded")
+    assert unbounded_state == 3 * n_per  # every key ever seen
+    assert ttl_state <= 2 * n_per  # expired windows evicted
