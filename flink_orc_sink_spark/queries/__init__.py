@@ -70,6 +70,8 @@ _PRIORITY = (
     "docs_export_shards",
     "docs_pii_tokenize",
     "stream_dedup_ttl",
+    "pyds_sink_roundtrip",
+    "stream_pyds_sink",
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
     "stream_scd2_apply",

@@ -2823,6 +2823,97 @@ def stream_pyds_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TWO-PHASE COMMIT protocol re-built on Spark 4's
+    Python DataSource WRITER API and pushed through the value gate:
+    events written via ``format("manifest_orc_py")`` (executor tasks
+    write pyarrow-ORC files to ``data/``; the driver's ``commit``
+    publishes them in an atomically-renamed manifest — the
+    pending→committed lifecycle of ``RowOrcBucketingSink.java:153-177``
+    spoken through the official connector hooks, see
+    ``sources/pyds_sink.py``), an ORPHAN file planted in ``data/``
+    (invisible: the committed reader never lists the directory), then
+    read back manifest-only and hash-matched against
+    ``SELECT * FROM events``."""
+    import glob as _glob
+    import shutil
+
+    from flink_orc_sink_spark.sources.pyds_sink import (
+        read_manifest_orc,
+        register_sink,
+    )
+
+    register_sink(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_pyds_sink_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    e.repartition(4).write.format("manifest_orc_py").mode(
+        "append"
+    ).save(out)
+    committed = _glob.glob(os.path.join(out, "data", "task-*.orc"))
+    shutil.copy(
+        committed[0], os.path.join(out, "data", "task-9999-orphan.orc")
+    )
+    return read_manifest_orc(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def stream_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING side of the Python-DataSource sink: events
+    replayed as three micro-batches through
+    ``DataSourceStreamArrowWriter`` — per-batch manifests keyed by
+    batch id, so a crash-replayed batch REPLACES its own manifest
+    (originals become unreferenced orphans) instead of duplicating
+    rows; restart exactly-once and replay idempotence are
+    pytest-pinned in tests/test_pydatasource.py. Read back
+    manifest-only, hash-matched against ``SELECT * FROM events``."""
+    import shutil
+
+    from flink_orc_sink_spark.sources.pyds_sink import (
+        read_manifest_orc,
+        register_sink,
+    )
+
+    register_sink(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    e = normalize_events_ts(spark.read.parquet(src)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stage = tempfile.mkdtemp(prefix="stream_pyds_sink_src_")
+    e.repartition(3, "event_id").write.mode("overwrite").parquet(stage)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_pyds_sink_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    with tempfile.TemporaryDirectory(
+        prefix="stream_pyds_sink_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+            .writeStream.format("manifest_orc_py")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_fail(q, 180, "python-datasource sink stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    return read_manifest_orc(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS near-dup discovery ON the streaming runtime against
     the PERSISTED MinHash index: the documents corpus arrives as
@@ -3785,6 +3876,8 @@ QUERIES = {
     "pyds_source_agg": pyds_source_agg,
     "stream_pyds_source": stream_pyds_source,
     "stream_pyds_partitioned": stream_pyds_partitioned,
+    "pyds_sink_roundtrip": pyds_sink_roundtrip,
+    "stream_pyds_sink": stream_pyds_sink,
     "stream_minhash_index_ingest": stream_minhash_index_ingest,
     "stream_emb_index_ingest": stream_emb_index_ingest,
     "stream_media_index_ingest": stream_media_index_ingest,
@@ -3837,6 +3930,8 @@ ORACLES = {
     "pyds_source_agg": PYDS_AGG_SQL,
     "stream_pyds_source": STREAM_PYDS_SQL,
     "stream_pyds_partitioned": STREAM_PYDS_PART_SQL,
+    "pyds_sink_roundtrip": ORC_ROUNDTRIP_SQL,
+    "stream_pyds_sink": ORC_ROUNDTRIP_SQL,
     "stream_minhash_index_ingest": STREAM_MINHASH_INGEST_SQL,
     "stream_emb_index_ingest": _stream_emb_ingest_sql(),
     "stream_media_index_ingest": _stream_media_ingest_sql(),

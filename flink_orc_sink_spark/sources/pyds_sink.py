@@ -1,0 +1,191 @@
+"""Python DataSource V2 SINK with the reference's two-phase commit.
+
+The reference sink's whole reason to exist is a hand-rolled
+file-commit protocol: tasks write files nobody may read yet, and a
+coordinator publishes them atomically at checkpoint time
+(``RowOrcBucketingSink.java:153-177`` — in-process → in-pending →
+committed renames, ``README.md:7-22``). Spark 4's Python DataSource
+writer API exposes EXACTLY that contract as first-class hooks, so
+this module re-expresses the protocol on it:
+
+- executor tasks (``DataSourceArrowWriter.write``) stream their Arrow
+  batches into ONE ORC file each under ``data/`` — written via
+  pyarrow, invisible to readers (the directory is never listed);
+- the driver's ``commit(messages)`` is ``notifyCheckpointComplete``:
+  it publishes the task files in a JSON manifest via
+  write-temp-then-``os.replace`` (atomic on POSIX) — readers see the
+  whole batch of files or none of it;
+- ``abort(messages)`` is the reference's pending-file cleanup: the
+  named files are unlinked; a crash that skips even abort leaves
+  orphans that no manifest references — invisible, GC-able;
+- the STREAMING form (``DataSourceStreamArrowWriter``) keys the
+  manifest by ``batchId``: a crash-replayed micro-batch REWRITES its
+  own manifest (the replay's fresh files replace the originals, which
+  become unreferenced orphans) — idempotent exactly-once, the same
+  mechanism as the engine's ``foreachBatch`` sinks but spoken through
+  the official connector API.
+
+``read_manifest_orc`` is the reader side of the contract: it unions
+the manifested file lists and reads ONLY those (an orphan planted in
+``data/`` must not surface — pytest-probed), exactly like
+``read_committed_orc`` trusts ``_spark_metadata``.
+
+Scale: one ORC file per writer task (size it upstream via
+``repartition``), manifests are O(files) JSON — the same metadata
+shape the engine's snapshot tables use at any corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class FileCommit(WriterCommitMessage):
+    relpath: str | None
+    n_rows: int
+
+
+def _write_task_file(path: str, iterator) -> FileCommit:
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return FileCommit(None, 0)
+    tbl = pa.Table.from_batches(batches)
+    # Spark hands tz-aware (UTC-instant) timestamps; pyarrow would
+    # write them as ORC timestamp_instant, which Spark's reader maps
+    # to the unparseable "timestamp with local time zone". Store them
+    # tz-naive — the session runs UTC, so the instant is preserved,
+    # exactly how Spark's own ORC writer stores TIMESTAMP.
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+            fields.append(f.with_type(pa.timestamp(f.type.unit)))
+            changed = True
+        else:
+            fields.append(f)
+    if changed:
+        tbl = tbl.cast(pa.schema(fields))
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    rel = os.path.join("data", f"task-{uuid.uuid4().hex}.orc")
+    paorc.write_table(tbl, os.path.join(path, rel))
+    return FileCommit(rel, tbl.num_rows)
+
+
+def _publish(path: str, manifest_name: str, files: list[str]) -> None:
+    mdir = os.path.join(path, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{manifest_name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": files}, fh)
+    os.replace(tmp, os.path.join(mdir, manifest_name))
+
+
+def _abort(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and m.relpath:
+            try:
+                os.unlink(os.path.join(path, m.relpath))
+            except OSError:
+                pass
+
+
+class _BatchWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_task_file(self.path, iterator)
+
+    def commit(self, messages):
+        files = [m.relpath for m in messages if m is not None and m.relpath]
+        mdir = os.path.join(self.path, "manifests")
+        prior = (
+            sorted(
+                f
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            if os.path.isdir(mdir)
+            else []
+        )
+        if self.overwrite:
+            for f in prior:
+                os.unlink(os.path.join(mdir, f))
+            version = 1
+        else:
+            version = len(prior) + 1
+        _publish(self.path, f"v{version:08d}.json", files)
+
+    def abort(self, messages):
+        _abort(self.path, messages)
+
+
+class _StreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        return _write_task_file(self.path, iterator)
+
+    def commit(self, messages, batchId: int):
+        files = [m.relpath for m in messages if m is not None and m.relpath]
+        # keyed by batch id: a crash-replayed batch REPLACES its own
+        # manifest; the superseded files become invisible orphans
+        _publish(self.path, f"batch-{batchId:08d}.json", files)
+
+    def abort(self, messages, batchId: int):
+        _abort(self.path, messages)
+
+
+class ManifestOrcSinkDataSource(DataSource):
+    """``format("manifest_orc_py")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_orc_py"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_orc_py requires a path")
+        return path
+
+    def writer(self, schema, overwrite: bool):
+        return _BatchWriter(self._path(), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _StreamWriter(self._path())
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(ManifestOrcSinkDataSource)
+
+
+def read_manifest_orc(spark, path: str):
+    """Committed-files-only reader: union of every manifest's file
+    list. Orphans under ``data/`` (crashed tasks, superseded replay
+    files) are invisible because the data directory is never listed."""
+    mdir = os.path.join(path, "manifests")
+    files: list[str] = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json") and not name.startswith("."):
+            with open(os.path.join(mdir, name)) as fh:
+                files.extend(json.load(fh)["files"])
+    if not files:
+        raise ValueError(f"no committed files under {path}")
+    return spark.read.orc([os.path.join(path, f) for f in files])

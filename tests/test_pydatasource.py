@@ -171,3 +171,92 @@ def test_stream_partitioned_offsets_rebalance_restart(spark, tmp_path):
         for k in range(per_part)
     )
     assert s == want
+
+
+def test_pyds_sink_restart_replay_orphans(spark, tmp_path):
+    """The Python-DataSource SINK's two-phase commit contract
+    (sources/pyds_sink.py): restart on the same checkpoint is
+    exactly-once; a crash-replayed micro-batch REPLACES its own
+    manifest (no duplicate rows, superseded files become invisible
+    orphans); planted orphans never surface; task abort unlinks its
+    pending file."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from flink_orc_sink_spark.sources.pyds_sink import (
+        FileCommit,
+        _BatchWriter,
+        read_manifest_orc,
+        register_sink,
+    )
+
+    register_sink(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def feed(a, b):
+        spark.range(a, b).selectExpr("id", "id*2 as v").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        for attempt in range(5):
+            q = (
+                spark.readStream.schema("id long, v long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.format("manifest_orc_py")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                q.stop()
+                if attempt == 4:
+                    raise
+                time.sleep(1)
+
+    feed(0, 100)
+    run()
+    assert read_manifest_orc(spark, out).count() == 100
+
+    # restart same checkpoint with new data: exactly-once
+    feed(100, 250)
+    run()
+    assert read_manifest_orc(spark, out).count() == 250
+
+    # crash-replay: drop the last commit; the replayed batch rewrites
+    # its own manifest — same count, new files, old ones orphaned
+    files_before = set(glob.glob(f"{out}/data/*.orc"))
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(ck, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    run()
+    assert read_manifest_orc(spark, out).count() == 250
+    files_after = set(glob.glob(f"{out}/data/*.orc"))
+    assert files_after > files_before  # replay wrote fresh files...
+    # ...and they are invisible except through the manifests
+
+    # planted orphan: never surfaces
+    shutil.copy(
+        sorted(files_after)[0], f"{out}/data/task-9999-orphan.orc"
+    )
+    assert read_manifest_orc(spark, out).count() == 250
+
+    # abort cleanup: the pending file named in the message is gone
+    victim = sorted(files_after)[1]
+    rel = os.path.relpath(victim, out)
+    _BatchWriter(out, overwrite=False).abort(
+        [FileCommit(rel, 1), None]
+    )
+    assert not os.path.exists(victim)
