@@ -72,6 +72,7 @@ _PRIORITY = (
     "stream_dedup_ttl",
     "pyds_sink_roundtrip",
     "stream_pyds_sink",
+    "stream_temporal_enrich",
     "docs_bm25_index_topk",
     "stream_bm25_index_ingest",
     "stream_scd2_apply",

@@ -822,6 +822,37 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _ts_quartile(e: DataFrame):
+    """(lo, step, q_of) for splitting a normalized events frame into
+    four ts-range quartiles — the deterministic time-ordered replay
+    used by ``stream_dedup_ttl`` and ``stream_temporal_enrich``. The
+    oracle replicates the same integer arithmetic
+    (``step = (hi-lo)//4+1``, ``q = (ts_us-lo)//step``)."""
+    lo, hi = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    step = (hi - lo) // 4 + 1
+    q_of = ((F.unix_micros("ts") - F.lit(lo)) / F.lit(step)).cast("int")
+    return lo, step, q_of
+
+
+def _stage_ordered_files(parts: list[DataFrame], stage: str) -> None:
+    """Write each frame as ONE parquet file under ``stage`` with
+    name- and mtime-ordered filenames, so the file stream source
+    drains them oldest-first deterministically."""
+    import glob as _glob
+    import shutil
+
+    build = tempfile.mkdtemp(prefix="stage_build_")
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(build, f"f{i}")
+        )
+        pf = _glob.glob(os.path.join(build, f"f{i}", "part-*.parquet"))
+        shutil.copy(pf[0], os.path.join(stage, f"{i:03d}.parquet"))
+    shutil.rmtree(build, ignore_errors=True)
+
+
 def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL-BOUNDED streaming dedup — the production twin of
     ``stream_dedup_events``: ``dropDuplicatesWithinWatermark`` keeps a
@@ -848,15 +879,9 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged files carry the NORMALIZED schema (µs timestamps) — the
     # stream reads them back with e.schema, no re-normalize
     e = normalize_events_ts(spark.read.parquet(src))
-    lo, hi = (
-        e.agg(
-            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-        ).first()
-    )
-    step = (hi - lo) // 4 + 1
-    q_of = ((F.unix_micros("ts") - F.lit(lo)) / F.lit(step)).cast("int")
+    _, _, q_of = _ts_quartile(e)
     stage = tempfile.mkdtemp(prefix="stream_dedupttl_src_")
-    build = tempfile.mkdtemp(prefix="stream_dedupttl_build_")
+    parts = []
     for i in range(4):
         part = e.filter(q_of == i)
         # within-TTL duplicates: every 10th event twice in its file
@@ -871,12 +896,8 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (q_of == 0) & (F.col("event_id") % 97 == 0)
                 )
             )
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(build, f"q{i}")
-        )
-        pf = _glob.glob(os.path.join(build, f"q{i}", "part-*.parquet"))
-        shutil.copy(pf[0], os.path.join(stage, f"{i:03d}.parquet"))
-    shutil.rmtree(build, ignore_errors=True)
+        parts.append(part)
+    _stage_ordered_files(parts, stage)
     deduped = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -901,6 +922,113 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
+
+
+def stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL TABLE JOIN — Flink's processing-time dim enrichment
+    (each event joins the dimension version CURRENT WHEN IT ARRIVES,
+    not a frozen snapshot), the pattern the reference sink's pipelines
+    feed from: events replayed as four ts-ordered micro-batches; the
+    per-type rate dimension is REFRESHED BETWEEN BATCHES (version k =
+    ``len(event_type) + k``), and each ``foreachBatch`` broadcast-joins
+    its batch against the dim version of that moment before landing
+    an idempotent ``batch_id`` partition. The readback aggregate must
+    hash-match an oracle that reproduces the same quartile arithmetic
+    — proving each event was priced by exactly its arrival-time dim
+    version (a static-enrich plan would weight every event with one
+    version and hash-mismatch). Scale: the dim is broadcast per batch
+    (dims are small by definition); events never shuffle."""
+    global _STREAM_SEQ
+    import shutil
+
+    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
+    src = os.path.join(sf_dir, "events.parquet")
+    e = normalize_events_ts(spark.read.parquet(src)).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    _, _, q_of = _ts_quartile(e)
+    etypes = [
+        r[0] for r in e.select("event_type").distinct().collect()
+    ]
+    stage = tempfile.mkdtemp(prefix="stream_tenrich_src_")
+    _stage_ordered_files(
+        [e.filter(q_of == i) for i in range(4)], stage
+    )
+    _STREAM_SEQ += 1
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_tenrich_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_STREAM_SEQ}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        # the dim refresh: version of THIS processing moment
+        dim = local_df(
+            bspark,
+            [(t, len(t) + batch_id) for t in sorted(etypes)],
+            "event_type string, rate long",
+        )
+        (
+            batch_df.join(F.broadcast(dim), "event_type")
+            .select(
+                "event_id",
+                "event_type",
+                (
+                    F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+                    * F.col("rate")
+                ).alias("weighted_micro"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    with tempfile.TemporaryDirectory(
+        prefix="stream_tenrich_ckpt_"
+    ) as ckpt, stream_partitions(spark):
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_fail(q, 180, "temporal-enrich stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weighted_micro").alias("sum_weighted_micro"),
+        )
+    )
+
+
+STREAM_TEMPORAL_ENRICH_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 + 1 AS step
+  FROM events
+),
+e AS (
+  SELECT event_type,
+    CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+      * (length(event_type)
+         + (epoch_us(ts) - (SELECT lo FROM b)) // (SELECT step FROM b))
+      AS weighted_micro
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(weighted_micro) AS BIGINT) AS sum_weighted_micro
+FROM e GROUP BY event_type
+"""
 
 
 def orc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3350,13 +3478,20 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_ids = spark.range(0, 100, 1, 8).select(
         (F.col("id") + 1000).alias("media_id")
     )
-    blobs = attach_planted_png(base_ids, "media_id").unionByName(
-        attach_planted_png(
-            clone_ids.withColumn("src_id", F.col("media_id") - 1000)
-            .select(F.col("src_id").alias("plant_id"), "media_id"),
-            "plant_id",
-            perturb=True,
-        ).select("media_id", "png")
+    # the planted-PNG corpus is consumed by ~5 downstream jobs (boot
+    # hash, index build, boot pairs, two feed writes); checkpoint the
+    # Python PNG-encode once instead of re-running it per job
+    blobs = (
+        attach_planted_png(base_ids, "media_id")
+        .unionByName(
+            attach_planted_png(
+                clone_ids.withColumn("src_id", F.col("media_id") - 1000)
+                .select(F.col("src_id").alias("plant_id"), "media_id"),
+                "plant_id",
+                perturb=True,
+            ).select("media_id", "png")
+        )
+        .localCheckpoint(eager=True)
     )
 
     base = os.path.join(
@@ -3388,6 +3523,7 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id") >= 1000,
     ):
         blobs.filter(rng).coalesce(1).write.mode("append").parquet(feed)
+    release_local_checkpoint(blobs)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         hashes = image_ahash(batch_df, "media_id", "png").localCheckpoint(
@@ -3899,6 +4035,7 @@ QUERIES = {
     "stream_sliding_1h_30m": stream_sliding_1h_30m,
     "stream_dedup_events": stream_dedup_events,
     "stream_dedup_ttl": stream_dedup_ttl,
+    "stream_temporal_enrich": stream_temporal_enrich,
     "stream_running_totals": stream_running_totals,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_interval_join": stream_interval_join,
@@ -3953,6 +4090,7 @@ ORACLES = {
     "stream_sliding_1h_30m": SLIDING_SQL,
     "stream_dedup_events": ORC_ROUNDTRIP_SQL,
     "stream_dedup_ttl": ORC_ROUNDTRIP_SQL,
+    "stream_temporal_enrich": STREAM_TEMPORAL_ENRICH_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_topk_per_window": STREAM_TOPK_WINDOW_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
