@@ -88,10 +88,28 @@ def tokenize_emails(col: Column, key: str) -> Column:
     Pure Catalyst: ``regexp_extract_all`` lists the matches,
     ``aggregate`` folds a literal ``replace`` over them — scan-fused,
     zero shuffle, no Python. Per-row cost is O(matches × len), and
-    matches are tiny."""
+    matches are tiny. The fold runs LONGEST MATCH FIRST: one matched
+    email can be a substring of another (``a@x.com`` inside
+    ``tea@x.com``), and replacing the shorter one first would corrupt
+    the longer one before its own replacement runs, fusing two
+    identities into one token (unit-pinned in tests/test_pii.py)."""
     emails = F.array_distinct(
         F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))
     )
+    longest_first = F.transform(
+        F.sort_array(
+            F.transform(
+                emails,
+                lambda e: F.struct(
+                    F.length(e).alias("l"), e.alias("e")
+                ),
+            ),
+            asc=False,
+        ),
+        lambda s: s["e"],
+    )
     return F.aggregate(
-        emails, col, lambda acc, e: F.replace(acc, e, email_token(e, key))
+        longest_first,
+        col,
+        lambda acc, e: F.replace(acc, e, email_token(e, key)),
     )

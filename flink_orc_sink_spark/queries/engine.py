@@ -1926,7 +1926,11 @@ def stream_retract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAM_RETRACT_JOIN_SQL = """
+# Shared oracle CTEs for the retract-join family: latest-live left
+# (orders CDC with tombstones + key moves) and right (customer CDC
+# with tombstones). One definition — the three oracles differ only in
+# join type and output columns.
+RETRACT_JOIN_CTES = """
 WITH lfeed AS (
   SELECT o_orderkey AS pk, o_custkey AS jk, 1 AS seq,
     CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
@@ -1949,6 +1953,10 @@ rlast AS (
   SELECT c_custkey AS jk, c_mktsegment AS attr
   FROM customer WHERE c_custkey % 5 <> 0
 )
+"""
+
+
+STREAM_RETRACT_JOIN_SQL = f"""{RETRACT_JOIN_CTES}
 SELECT r.attr AS segment,
   COUNT(*) AS n_orders,
   COUNT(DISTINCT l.jk) AS n_customers,
@@ -2023,29 +2031,7 @@ def stream_retract_join_left(
     )
 
 
-STREAM_RETRACT_JOIN_LEFT_SQL = """
-WITH lfeed AS (
-  SELECT o_orderkey AS pk, o_custkey AS jk, 1 AS seq,
-    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val
-  FROM orders
-  UNION ALL
-  SELECT o_orderkey,
-    ((o_custkey + 13) % (SELECT MAX(c_custkey) FROM customer)) + 1,
-    2, 'U', CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-  FROM orders WHERE o_orderkey % 7 = 0
-),
-llast AS (
-  SELECT pk, jk, val FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
-                                 ORDER BY seq DESC) AS rn
-    FROM lfeed
-  ) WHERE rn = 1 AND op = 'U'
-),
-rlast AS (
-  SELECT c_custkey AS jk, c_mktsegment AS attr
-  FROM customer WHERE c_custkey % 5 <> 0
-)
+STREAM_RETRACT_JOIN_LEFT_SQL = f"""{RETRACT_JOIN_CTES}
 SELECT r.attr AS segment,
   COUNT(*) AS n_orders,
   CAST(SUM(l.val) AS BIGINT) AS sum_price_cents
@@ -2054,29 +2040,7 @@ GROUP BY r.attr
 """
 
 
-STREAM_RETRACT_JOIN_AGG_SQL = """
-WITH lfeed AS (
-  SELECT o_orderkey AS pk, o_custkey AS jk, 1 AS seq,
-    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val
-  FROM orders
-  UNION ALL
-  SELECT o_orderkey,
-    ((o_custkey + 13) % (SELECT MAX(c_custkey) FROM customer)) + 1,
-    2, 'U', CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-  FROM orders WHERE o_orderkey % 7 = 0
-),
-llast AS (
-  SELECT pk, jk, val FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
-                                 ORDER BY seq DESC) AS rn
-    FROM lfeed
-  ) WHERE rn = 1 AND op = 'U'
-),
-rlast AS (
-  SELECT c_custkey AS jk, c_mktsegment AS attr
-  FROM customer WHERE c_custkey % 5 <> 0
-)
+STREAM_RETRACT_JOIN_AGG_SQL = f"""{RETRACT_JOIN_CTES}
 SELECT r.attr AS segment,
   COUNT(*) AS n_orders,
   CAST(SUM(l.val) AS BIGINT) AS sum_price_cents

@@ -56,33 +56,52 @@ class FileCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _naive_ts_schema(schema):
+    """Spark hands tz-aware (UTC-instant) timestamps; pyarrow would
+    write them as ORC timestamp_instant, which Spark's reader maps to
+    the unparseable "timestamp with local time zone". Store them
+    tz-naive — the session runs UTC, so the instant is preserved,
+    exactly how Spark's own ORC writer stores TIMESTAMP."""
+    import pyarrow as pa
+
+    fields = [
+        f.with_type(pa.timestamp(f.type.unit))
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None
+        else f
+        for f in schema
+    ]
+    return pa.schema(fields)
+
+
 def _write_task_file(path: str, iterator) -> FileCommit:
     import pyarrow as pa
     import pyarrow.orc as paorc
 
-    batches = [b for b in iterator if b.num_rows]
-    if not batches:
-        return FileCommit(None, 0)
-    tbl = pa.Table.from_batches(batches)
-    # Spark hands tz-aware (UTC-instant) timestamps; pyarrow would
-    # write them as ORC timestamp_instant, which Spark's reader maps
-    # to the unparseable "timestamp with local time zone". Store them
-    # tz-naive — the session runs UTC, so the instant is preserved,
-    # exactly how Spark's own ORC writer stores TIMESTAMP.
-    fields = []
-    changed = False
-    for f in tbl.schema:
-        if pa.types.is_timestamp(f.type) and f.type.tz is not None:
-            fields.append(f.with_type(pa.timestamp(f.type.unit)))
-            changed = True
-        else:
-            fields.append(f)
-    if changed:
-        tbl = tbl.cast(pa.schema(fields))
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    rel = os.path.join("data", f"task-{uuid.uuid4().hex}.orc")
-    paorc.write_table(tbl, os.path.join(path, rel))
-    return FileCommit(rel, tbl.num_rows)
+    # stream batch-by-batch: peak memory is O(one Arrow batch), not
+    # O(task partition) — the writer opens lazily on the first
+    # non-empty batch so empty tasks produce no file at all
+    writer = None
+    rel = None
+    n_rows = 0
+    try:
+        for b in iterator:
+            if not b.num_rows:
+                continue
+            schema = _naive_ts_schema(b.schema)
+            if writer is None:
+                os.makedirs(os.path.join(path, "data"), exist_ok=True)
+                rel = os.path.join(
+                    "data", f"task-{uuid.uuid4().hex}.orc"
+                )
+                writer = paorc.ORCWriter(
+                    os.path.join(path, rel), compression="zstd"
+                )
+            writer.write(pa.Table.from_batches([b]).cast(schema))
+            n_rows += b.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return FileCommit(rel, n_rows)
 
 
 def _publish(path: str, manifest_name: str, files: list[str]) -> None:

@@ -512,6 +512,19 @@ def read_retract_agg(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def _orc_files_exist(path: str) -> bool:
+    """True when ``path`` holds at least one ORC data file. A
+    directory that exists but contains only ``_SUCCESS`` (an
+    all-empty write — e.g. a first micro-batch of pure tombstones)
+    must read as ABSENT: ``spark.read.orc`` on it throws an
+    unable-to-infer-schema AnalysisException."""
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".orc") and not f.startswith(("_", ".")):
+                return True
+    return False
+
+
 def _overwrite_buckets(
     df: DataFrame,
     path: str,
@@ -672,7 +685,7 @@ def stream_retract_join_orc(
         )
         pk_dir = os.path.join(state_path, "pk_state")
         cur = None
-        if os.path.isdir(pk_dir):
+        if _orc_files_exist(pk_dir):
             kpairs = [
                 tuple(r)
                 for r in ch.select("side", "kp").distinct().collect()
@@ -735,7 +748,7 @@ def stream_retract_join_orc(
             # recovery, or a full feed replay through a fresh
             # checkpoint) converges instead of resurrecting stale
             # images or double-removing moved keys.
-            if not os.path.isdir(deltas_root):
+            if not _orc_files_exist(deltas_root):
                 return  # empty batch: nothing retracted or added
             jb_of = F.pmod(F.hash(F.col("jk")), F.lit(n_join_buckets))
             d = (
@@ -761,7 +774,7 @@ def stream_retract_join_orc(
                     "jb",
                 )
             )
-            if os.path.isdir(jk_dir):
+            if _orc_files_exist(jk_dir):
                 kept = (
                     spark.read.orc(jk_dir)
                     .filter(_pair_filter("jb", pairs))
@@ -820,6 +833,10 @@ def stream_retract_join_orc(
             lstate.jb.alias("jb"),
         )
         view_dir = os.path.join(state_path, "view")
+        # materialize once: the overwrite AND the present-partition
+        # probe in _overwrite_buckets (and the agg deltas, when
+        # enabled) would otherwise each re-run the bucket join
+        view = view.localCheckpoint(eager=True)
 
         # --- optional maintained AGGREGATE over the view: per-group
         # additive deltas = agg(new bucket content) − agg(old bucket
@@ -831,7 +848,6 @@ def stream_retract_join_orc(
         # replayed batch with the marker present skips straight to
         # the idempotent overwrite.
         if agg_group_col is not None:
-            view = view.localCheckpoint(eager=True)  # consumed 3×
             marker2 = os.path.join(
                 state_path, "agg_applied", f"batch_{batch_id}"
             )
@@ -850,7 +866,7 @@ def stream_retract_join_orc(
                     )
 
                 dparts = gd(view, 1)
-                if os.path.isdir(view_dir):
+                if _orc_files_exist(view_dir):
                     dparts = dparts.unionByName(
                         gd(
                             spark.read.orc(view_dir).filter(
@@ -874,8 +890,6 @@ def stream_retract_join_orc(
                 )
                 os.makedirs(marker2, exist_ok=True)
 
-        # view reads jk_state and writes view/ — disjoint paths, so no
-        # checkpoint barrier is needed before the overwrite
         try:
             _overwrite_buckets(
                 view,
@@ -885,8 +899,7 @@ def stream_retract_join_orc(
                 compression,
             )
         finally:
-            if agg_group_col is not None:
-                release_local_checkpoint(view)
+            release_local_checkpoint(view)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

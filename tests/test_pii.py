@@ -46,3 +46,26 @@ def test_url_domain_extracts_host(spark):
     )
     got = [r.d for r in df.select(pii.url_domain(F.col("t")).alias("d")).collect()]
     assert got == ["docs.example.org", "plain.net", ""]
+
+
+def test_tokenize_emails_substring_identities(spark):
+    """One matched email embedded in another (a@x.com inside
+    tea@x.com) must tokenize BOTH identities distinctly — a
+    shortest-first fold would corrupt the longer match before its own
+    replacement runs and fuse the two identities."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.functions.pii import (
+        email_token,
+        tokenize_emails,
+    )
+
+    df = spark.createDataFrame(
+        [("a@x.com wrote to tea@x.com",)], "t string"
+    )
+    out = df.select(
+        tokenize_emails(F.col("t"), "k1").alias("t2"),
+        email_token(F.lit("a@x.com"), "k1").alias("tok_a"),
+        email_token(F.lit("tea@x.com"), "k1").alias("tok_tea"),
+    ).first()
+    assert out.t2 == f"{out.tok_a} wrote to {out.tok_tea}"

@@ -1087,3 +1087,69 @@ def test_dedup_ttl_state_bounded(spark, tmp_path):
     unbounded_state = mk("unb", "unbounded")
     assert unbounded_state == 3 * n_per  # every key ever seen
     assert ttl_state <= 2 * n_per  # expired windows evicted
+
+
+def test_stream_retract_join_tombstone_first_batch(spark, tmp_path):
+    """A fresh state whose FIRST micro-batch is pure tombstones (a
+    legitimate CDC shape) must not crash on schema inference over
+    all-empty state directories, and later batches must build up the
+    view normally."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(5):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger={"availableNow": True},
+                agg_group_col="r_attr",
+                agg_val_col="l_val",
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 4
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    # batch 1: nothing but delete tombstones for unseen keys
+    feed([("L", 1, 1, 1, "D", 0, None), ("R", 2, 2, 1, "D", None, "x")])
+    run()
+    assert not os.path.isdir(os.path.join(state, "view")) or not [
+        f
+        for _, _, fs in os.walk(os.path.join(state, "view"))
+        for f in fs
+        if f.endswith(".orc")
+    ]
+
+    # batch 2: real rows join up
+    feed([("L", 10, 5, 1, "U", 7, None), ("R", 5, 5, 1, "U", None, "s")])
+    run()
+    rows = {
+        (r.l_pk, r.r_attr)
+        for r in spark.read.orc(os.path.join(state, "view")).collect()
+    }
+    assert rows == {(10, "s")}
