@@ -51,7 +51,14 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       manifest-pruned snapshot change-data-feed orc_snapshot_diff,
 #       the retraction-correct streaming aggregation
 #       stream_retract_agg, and the retrieval-index takedown
-#       docs_bm25_index_forget),
+#       docs_bm25_index_forget; session-4 additions, fronted first:
+#       the retraction-join IVM family stream_retract_join /
+#       _agg / _left, the deterministic shard export
+#       docs_export_shards, keyed pseudonymization docs_pii_tokenize,
+#       TTL-bounded dedup stream_dedup_ttl, the Python-DataSource
+#       two-phase-commit sink pair pyds_sink_roundtrip /
+#       stream_pyds_sink, and the temporal table join
+#       stream_temporal_enrich),
 #       then the
 #       longest-never-driver-verified
 #       entries in registry order (round-4 verdict #1: engine-runtime,
