@@ -1867,8 +1867,10 @@ def _run_retract_join_stream(
     feed = _retract_join_feed(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix=f"stream_{tag}_src_")
     # scatter each key's VERSIONS across batches (seq in the hash) —
-    # out-of-order arrival is the property under test
-    feed.repartition(4, "side", "pk", "seq").write.mode(
+    # out-of-order arrival is the property under test; three batches
+    # exercise it fully (split versions + interleaved sides) at 3/4
+    # the per-batch fixed cost of four
+    feed.repartition(3, "side", "pk", "seq").write.mode(
         "overwrite"
     ).parquet(stage)
     _STREAM_SEQ += 1

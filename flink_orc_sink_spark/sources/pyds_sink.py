@@ -208,3 +208,31 @@ def read_manifest_orc(spark, path: str):
     if not files:
         raise ValueError(f"no committed files under {path}")
     return spark.read.orc([os.path.join(path, f) for f in files])
+
+
+def vacuum_manifest_orc(path: str) -> dict:
+    """GC for the sink's documented failure contract: delete every
+    ``data/`` file no manifest references — crashed tasks that never
+    reached ``abort``, and files superseded when a crash-replayed
+    micro-batch rewrote its manifest. Mirrors ``snapshot_expire``'s
+    crash-safe ordering trivially: manifests are never touched, so a
+    crash mid-vacuum just leaves fewer orphans for the next run. At
+    100 TB this is the same metadata-only driver job every
+    manifest-committed table format schedules (Iceberg
+    ``remove_orphan_files``). Returns counts."""
+    mdir = os.path.join(path, "manifests")
+    live: set[str] = set()
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.endswith(".json") and not name.startswith("."):
+                with open(os.path.join(mdir, name)) as fh:
+                    live.update(json.load(fh)["files"])
+    deleted = 0
+    data_dir = os.path.join(path, "data")
+    if os.path.isdir(data_dir):
+        for f in os.listdir(data_dir):
+            rel = os.path.join("data", f)
+            if f.endswith(".orc") and rel not in live:
+                os.unlink(os.path.join(path, rel))
+                deleted += 1
+    return {"files_deleted": deleted, "files_retained": len(live)}

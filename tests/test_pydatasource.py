@@ -260,3 +260,39 @@ def test_pyds_sink_restart_replay_orphans(spark, tmp_path):
         [FileCommit(rel, 1), None]
     )
     assert not os.path.exists(victim)
+
+
+def test_pyds_sink_vacuum_orphans(spark, tmp_path):
+    """vacuum_manifest_orc removes exactly the unreferenced files —
+    crashed-task leftovers and replay-superseded files — and the
+    committed read is byte-identical before and after."""
+    import glob
+    import os
+    import shutil
+
+    from flink_orc_sink_spark.sources.pyds_sink import (
+        read_manifest_orc,
+        register_sink,
+        vacuum_manifest_orc,
+    )
+
+    register_sink(spark)
+    out = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id * 3 as v")
+    df.repartition(2).write.format("manifest_orc_py").mode(
+        "append"
+    ).save(out)
+    committed = sorted(glob.glob(f"{out}/data/*.orc"))
+    # plant two orphans: a crashed-task leftover and a stray copy
+    shutil.copy(committed[0], f"{out}/data/task-crashed.orc")
+    shutil.copy(committed[1], f"{out}/data/task-stray.orc")
+    before = {tuple(r) for r in read_manifest_orc(spark, out).collect()}
+
+    stats = vacuum_manifest_orc(out)
+    assert stats == {"files_deleted": 2, "files_retained": 2}
+    assert sorted(glob.glob(f"{out}/data/*.orc")) == committed
+    after = {tuple(r) for r in read_manifest_orc(spark, out).collect()}
+    assert after == before and len(after) == 100
+
+    # idempotent
+    assert vacuum_manifest_orc(out)["files_deleted"] == 0
