@@ -178,6 +178,12 @@ HEADLINE = [
     "stream_retract_join_agg",
     "docs_export_shards",
     "docs_pii_tokenize",
+    # round-5 session-4 (cont.): TTL-bounded dedup, the temporal
+    # table join, and the Python-DataSource two-phase-commit sink
+    "stream_dedup_ttl",
+    "stream_temporal_enrich",
+    "pyds_sink_roundtrip",
+    "stream_pyds_sink",
 ]
 
 
