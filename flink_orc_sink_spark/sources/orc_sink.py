@@ -534,8 +534,9 @@ def snapshot_diff(
             return json.load(fh)["files"]
 
     fa, fb = _files(from_version), _files(to_version)
-    a_only = [f for f in fa if f not in set(fb)]
-    b_only = [f for f in fb if f not in set(fa)]
+    sa, sb = set(fa), set(fb)
+    a_only = [f for f in fa if f not in sb]
+    b_only = [f for f in fb if f not in sa]
 
     def _read(files: list[str]) -> DataFrame:
         paths = [os.path.join(base_path, f) for f in files]

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -147,7 +148,14 @@ class _BatchWriter(DataSourceArrowWriter):
                 os.unlink(os.path.join(mdir, f))
             version = 1
         else:
-            version = len(prior) + 1
+            # max(existing)+1, NOT len(prior)+1: an overwrite that
+            # crashed mid-unlink can leave a gap (v2 present, v1
+            # gone); len-based numbering would then recompute v2 and
+            # _publish would atomically REPLACE the live manifest,
+            # silently dropping its committed files from readers.
+            version = (
+                max((int(f[1:-5]) for f in prior), default=0) + 1
+            )
         _publish(self.path, f"v{version:08d}.json", files)
 
     def abort(self, messages):
@@ -210,7 +218,7 @@ def read_manifest_orc(spark, path: str):
     return spark.read.orc([os.path.join(path, f) for f in files])
 
 
-def vacuum_manifest_orc(path: str) -> dict:
+def vacuum_manifest_orc(path: str, grace_seconds: float = 600.0) -> dict:
     """GC for the sink's documented failure contract: delete every
     ``data/`` file no manifest references — crashed tasks that never
     reached ``abort``, and files superseded when a crash-replayed
@@ -219,7 +227,17 @@ def vacuum_manifest_orc(path: str) -> dict:
     crash mid-vacuum just leaves fewer orphans for the next run. At
     100 TB this is the same metadata-only driver job every
     manifest-committed table format schedules (Iceberg
-    ``remove_orphan_files``). Returns counts."""
+    ``remove_orphan_files``). Returns counts.
+
+    Concurrency contract: an IN-FLIGHT write has task files on disk
+    before its manifest is published; an unguarded vacuum would
+    delete them and the subsequent commit would publish a manifest
+    pointing at missing files. ``grace_seconds`` (Iceberg's
+    ``older_than`` analogue, default 10 min) skips any unreferenced
+    file younger than the grace window, so a vacuum is safe alongside
+    writers whose task-attempt lifetime is under the grace period.
+    Pass ``grace_seconds=0`` only when the caller holds the same
+    single-writer exclusivity ``compact_index`` requires."""
     mdir = os.path.join(path, "manifests")
     live: set[str] = set()
     if os.path.isdir(mdir):
@@ -228,11 +246,25 @@ def vacuum_manifest_orc(path: str) -> dict:
                 with open(os.path.join(mdir, name)) as fh:
                     live.update(json.load(fh)["files"])
     deleted = 0
+    skipped_young = 0
+    now = time.time()
     data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
         for f in os.listdir(data_dir):
             rel = os.path.join("data", f)
             if f.endswith(".orc") and rel not in live:
-                os.unlink(os.path.join(path, rel))
+                full = os.path.join(path, rel)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # racing abort/unlink already removed it
+                if age < grace_seconds:
+                    skipped_young += 1
+                    continue
+                os.unlink(full)
                 deleted += 1
-    return {"files_deleted": deleted, "files_retained": len(live)}
+    return {
+        "files_deleted": deleted,
+        "files_retained": len(live),
+        "files_skipped_young": skipped_young,
+    }

@@ -44,6 +44,39 @@ from flink_orc_sink_spark.session import (
 )
 
 
+# --- Hadoop-FS-routed state probes -----------------------------------
+# The stateful sinks' replay markers and state-existence checks must
+# resolve against the SAME filesystem Spark writes to. Driver-local
+# ``os.path`` probes silently answer False for an ``hdfs://``/``s3a://``
+# state_path (the 100 TB shape), which would recompute deltas against a
+# phantom 'absent' state instead of marker-skipping the replay. These
+# wrappers go through the JVM Hadoop FileSystem (resolved per-path, so
+# ``file:``, ``hdfs:`` and ``s3a:`` state paths all behave identically);
+# ``os.path.join`` on the path STRINGS remains fine (URI-safe "/" join).
+
+
+def _hfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _hfs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hfs(spark, path)
+    return fs.exists(p)
+
+
+def _hfs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _hfs(spark, path)
+    fs.mkdirs(p)
+
+
+def _hfs_rmtree(spark: SparkSession, path: str) -> None:
+    fs, p = _hfs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def stream_write_orc(
     df: DataFrame,
     path: str,
@@ -247,7 +280,7 @@ def stream_cdc_apply_orc(
         ch = batch_df.withColumn(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
         )
-        if os.path.isdir(state_path):
+        if _orc_files_exist(spark, state_path):
             kps = [r.kp for r in ch.select("kp").distinct().collect()]
             cur = spark.read.orc(state_path).filter(F.col("kp").isin(kps))
             allrows = cur.unionByName(ch)
@@ -338,7 +371,7 @@ def stream_scd2_apply_orc(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
         )
         changes_path = os.path.join(state_path, "changes")
-        if os.path.isdir(changes_path):
+        if _orc_files_exist(spark, changes_path):
             kps = [r.kp for r in ch.select("kp").distinct().collect()]
             cur = spark.read.orc(changes_path).filter(F.col("kp").isin(kps))
             allrows = cur.unionByName(ch)
@@ -417,7 +450,20 @@ def stream_retract_agg_orc(
     step and redoes only the idempotent state merge; a replay without
     it recomputes identical deltas from the untouched state. Every
     crash window is covered: before the marker the state is
-    unmodified, after it the delta partition is final."""
+    unmodified, after it the delta partition is final.
+
+    Tombstone retention: ``op='D'`` rows are KEPT in the key state —
+    they are what masks a replayed pre-delete update (an old ``U``
+    with a lower seq re-delivered by a feed replay would otherwise
+    win the latest-per-key merge and resurrect the key). They may
+    only be aged out once the source's replay horizon has passed the
+    delete's seq (Flink's state-TTL contract; Kafka retention is the
+    usual horizon). For a delete-heavy feed this means the key state
+    grows with every key ever deleted between cleanups — run the
+    horizon-bounded cleanup (drop ``D`` rows with
+    ``seq < horizon``, a partition-parallel filter+overwrite) on the
+    compaction cadence, exactly like the index families'
+    ``compact_index``."""
     order_desc = [F.col(c).desc() for c in order_cols]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -429,7 +475,7 @@ def stream_retract_agg_orc(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
         )
         cur = None
-        if os.path.isdir(state_dir):
+        if _orc_files_exist(spark, state_dir):
             kps = [r.kp for r in ch.select("kp").distinct().collect()]
             cur = spark.read.orc(state_dir).filter(F.col("kp").isin(kps))
         allrows = cur.unionByName(ch) if cur is not None else ch
@@ -444,7 +490,7 @@ def stream_retract_agg_orc(
             marker = os.path.join(
                 state_path, "applied", f"batch_{batch_id}"
             )
-            if not os.path.exists(marker):
+            if not _hfs_exists(spark, marker):
                 bkeys = ch.select(key_col).distinct()
 
                 def contrib(df: DataFrame, sign: int) -> DataFrame:
@@ -477,7 +523,7 @@ def stream_retract_agg_orc(
                     .partitionBy("batch_id")
                     .orc(os.path.join(state_path, "agg_deltas"))
                 )
-                os.makedirs(marker, exist_ok=True)
+                _hfs_mkdirs(spark, marker)
             (
                 merged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -512,16 +558,21 @@ def read_retract_agg(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def _orc_files_exist(path: str) -> bool:
+def _orc_files_exist(spark: SparkSession, path: str) -> bool:
     """True when ``path`` holds at least one ORC data file. A
     directory that exists but contains only ``_SUCCESS`` (an
     all-empty write — e.g. a first micro-batch of pure tombstones)
     must read as ABSENT: ``spark.read.orc`` on it throws an
-    unable-to-infer-schema AnalysisException."""
-    for root, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".orc") and not f.startswith(("_", ".")):
-                return True
+    unable-to-infer-schema AnalysisException. Routed through the
+    Hadoop FileSystem so remote state paths probe correctly."""
+    fs, p = _hfs(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".orc") and not name.startswith(("_", ".")):
+            return True
     return False
 
 
@@ -539,11 +590,11 @@ def _overwrite_buckets(
     the frame — a touched bucket whose new content is EMPTY would
     silently keep its stale files. Finish the job by dropping the
     directories of touched-but-now-empty buckets (on a metastore
-    table this is ``ALTER TABLE .. DROP PARTITION``; on the local FS
-    it is an rmtree). Both steps are idempotent, so a crash-replay
-    that repeats them lands in the same state."""
-    import shutil
-
+    table this is ``ALTER TABLE .. DROP PARTITION``; here a
+    recursive Hadoop-FS delete, so remote state paths work). Both
+    steps are idempotent, so a crash-replay that repeats them lands
+    in the same state."""
+    spark = df.sparkSession
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -559,9 +610,7 @@ def _overwrite_buckets(
             sub = os.path.join(
                 *(f"{c}={v}" for c, v in zip(part_cols, vals))
             )
-            shutil.rmtree(
-                os.path.join(path, sub), ignore_errors=True
-            )
+            _hfs_rmtree(spark, os.path.join(path, sub))
 
 
 def stream_retract_join_orc(
@@ -685,7 +734,7 @@ def stream_retract_join_orc(
         )
         pk_dir = os.path.join(state_path, "pk_state")
         cur = None
-        if _orc_files_exist(pk_dir):
+        if _orc_files_exist(spark, pk_dir):
             kpairs = [
                 tuple(r)
                 for r in ch.select("side", "kp").distinct().collect()
@@ -703,7 +752,7 @@ def stream_retract_join_orc(
         )
         try:
             live = F.col("op") == "U"
-            if not os.path.exists(marker):
+            if not _hfs_exists(spark, marker):
                 bpks = ch.select("side", "pk").distinct()
                 # pre-batch live image of every batch pk -> retract;
                 # post-batch live image -> add (the retract stream a
@@ -728,7 +777,7 @@ def stream_retract_join_orc(
                     .partitionBy("batch_id")
                     .orc(deltas_root)
                 )
-                os.makedirs(marker, exist_ok=True)
+                _hfs_mkdirs(spark, marker)
             (
                 merged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -748,7 +797,7 @@ def stream_retract_join_orc(
             # recovery, or a full feed replay through a fresh
             # checkpoint) converges instead of resurrecting stale
             # images or double-removing moved keys.
-            if not _orc_files_exist(deltas_root):
+            if not _orc_files_exist(spark, deltas_root):
                 return  # empty batch: nothing retracted or added
             jb_of = F.pmod(F.hash(F.col("jk")), F.lit(n_join_buckets))
             d = (
@@ -774,7 +823,7 @@ def stream_retract_join_orc(
                     "jb",
                 )
             )
-            if _orc_files_exist(jk_dir):
+            if _orc_files_exist(spark, jk_dir):
                 kept = (
                     spark.read.orc(jk_dir)
                     .filter(_pair_filter("jb", pairs))
@@ -851,7 +900,7 @@ def stream_retract_join_orc(
             marker2 = os.path.join(
                 state_path, "agg_applied", f"batch_{batch_id}"
             )
-            if not os.path.exists(marker2):
+            if not _hfs_exists(spark, marker2):
 
                 def gd(df: DataFrame, sign: int) -> DataFrame:
                     return df.select(
@@ -866,7 +915,7 @@ def stream_retract_join_orc(
                     )
 
                 dparts = gd(view, 1)
-                if _orc_files_exist(view_dir):
+                if _orc_files_exist(spark, view_dir):
                     dparts = dparts.unionByName(
                         gd(
                             spark.read.orc(view_dir).filter(
@@ -888,7 +937,7 @@ def stream_retract_join_orc(
                     .partitionBy("batch_id")
                     .orc(os.path.join(state_path, "agg_deltas"))
                 )
-                os.makedirs(marker2, exist_ok=True)
+                _hfs_mkdirs(spark, marker2)
 
         try:
             _overwrite_buckets(

@@ -288,11 +288,21 @@ def test_pyds_sink_vacuum_orphans(spark, tmp_path):
     shutil.copy(committed[1], f"{out}/data/task-stray.orc")
     before = {tuple(r) for r in read_manifest_orc(spark, out).collect()}
 
+    # default grace period: just-written orphans look like an
+    # in-flight writer's task files and are skipped, not deleted
     stats = vacuum_manifest_orc(out)
-    assert stats == {"files_deleted": 2, "files_retained": 2}
+    assert stats["files_deleted"] == 0
+    assert stats["files_skipped_young"] == 2
+
+    stats = vacuum_manifest_orc(out, grace_seconds=0)
+    assert stats == {
+        "files_deleted": 2,
+        "files_retained": 2,
+        "files_skipped_young": 0,
+    }
     assert sorted(glob.glob(f"{out}/data/*.orc")) == committed
     after = {tuple(r) for r in read_manifest_orc(spark, out).collect()}
     assert after == before and len(after) == 100
 
     # idempotent
-    assert vacuum_manifest_orc(out)["files_deleted"] == 0
+    assert vacuum_manifest_orc(out, grace_seconds=0)["files_deleted"] == 0
