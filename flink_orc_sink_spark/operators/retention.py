@@ -56,6 +56,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_orc_sink_spark.session import (
+    fs_exists as _exists,
+    hadoop_fs as _fs,
+)
+
 _TOMBSTONES = "tombstones"
 _PENDING_SUFFIX = "__compacting"
 _REWRITE_SUFFIX = "__rewriting"
@@ -90,17 +95,9 @@ IVF_TABLES = (IndexTable("data", "cid", ("cell",), (), ("cell",)),)
 AHASH_TABLES = (IndexTable("bands", "mid", ("band",), ("band", "key")),)
 
 
-def _fs(spark: SparkSession, path: str):
-    """Hadoop FileSystem + Path for ``path`` — works on any FS Spark
-    can write to (local, HDFS, S3A), not just the local disk."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    fs, p = _fs(spark, path)
-    return fs.exists(p)
+# _fs/_exists are the shared session-level Hadoop-FS helpers (one
+# definition for sinks + retention — round-6 verdict #5), imported
+# above under their historical local names.
 
 
 def _data_files(spark: SparkSession, path: str) -> list[str]:

@@ -96,6 +96,104 @@ def get_spark(
     return spark
 
 
+# --- Hadoop-FS helpers (shared by streaming sinks + index retention) --
+# Index/state probes must resolve against the SAME filesystem Spark
+# writes to. Driver-local ``os.path`` probes silently answer False for
+# an ``hdfs://``/``s3a://`` path (the 100 TB shape), which would e.g.
+# recompute CDC deltas against a phantom 'absent' state instead of
+# marker-skipping the replay. These wrappers go through the JVM Hadoop
+# FileSystem (resolved per-path URI, so ``file:``, ``hdfs:`` and
+# ``s3a:`` behave identically); ``os.path.join`` on the path STRINGS
+# remains fine (URI-safe "/" join).
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """Resolved ``(FileSystem, Path)`` for ``path``.
+
+    The FileSystem handle is cached on the session object per
+    ``(scheme, authority)`` — a stateful sink probes several paths per
+    micro-batch, and re-resolving pays an extra py4j round-trip each
+    time (Hadoop's own JVM-side ``FileSystem.get`` cache doesn't help
+    the Python caller). The cache dies with the session wrapper, so a
+    restarted session re-resolves cleanly."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    uri = jpath.toUri()
+    key = (uri.getScheme(), uri.getAuthority())
+    cache = getattr(spark, "_fosp_fs_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fosp_fs_cache = cache
+    fs = cache.get(key)
+    if fs is None:
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        cache[key] = fs
+    return fs, jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = hadoop_fs(spark, path)
+    fs.mkdirs(p)
+
+
+def fs_rmtree(spark: SparkSession, path: str) -> None:
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of ``path`` (non-recursive); empty when the
+    directory is missing. One ``listStatus`` round-trip."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _any_data_file(statuses, suffix: str) -> bool:
+    for st in statuses:
+        name = st.getPath().getName()
+        if name.endswith(suffix) and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
+def orc_data_files_exist(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds at least one ORC data file. A
+    directory that exists but contains only ``_SUCCESS`` (an
+    all-empty write — e.g. a first micro-batch of pure tombstones)
+    must read as ABSENT: ``spark.read.orc`` on it throws an
+    unable-to-infer-schema AnalysisException.
+
+    Probe cost is BOUNDED: every state layout in this package is at
+    most two partition levels deep (``kp=N`` or ``side=L/kp=N``), so
+    one ``globStatus`` per depth — a constant ≤3 py4j round-trips —
+    replaces the recursive ``listFiles`` iterator that paid one
+    round-trip per listed entry until the first ``.orc`` (round-6
+    advisory; measured in ``tools/scale_probe_retract_join.py``).
+    Deeper layouts fall back to the recursive walk for correctness."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return False
+    for depth in range(3):
+        pat = spark._jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/*" * depth + "/*.orc"
+        )
+        if _any_data_file(fs.globStatus(pat) or [], ".orc"):
+            return True
+    it = fs.listFiles(p, True)  # unknown-depth fallback
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".orc") and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def release_local_checkpoint(df) -> None:
     """Free the executor-storage blocks held by a DataFrame returned
     from ``localCheckpoint``.

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -134,11 +135,14 @@ class _BatchWriter(DataSourceArrowWriter):
     def commit(self, messages):
         files = [m.relpath for m in messages if m is not None and m.relpath]
         mdir = os.path.join(self.path, "manifests")
+        # fullmatch, not startswith/endswith: a stray non-versioned
+        # 'v*.json' (say 'version.json') must neither crash the int
+        # parse nor be unlinked by an overwrite.
         prior = (
             sorted(
                 f
                 for f in os.listdir(mdir)
-                if f.startswith("v") and f.endswith(".json")
+                if re.fullmatch(r"v\d{8}\.json", f)
             )
             if os.path.isdir(mdir)
             else []

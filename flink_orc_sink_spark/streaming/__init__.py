@@ -8,6 +8,7 @@ from flink_orc_sink_spark.streaming.orc_sink import (
     read_committed_fanout,
     read_committed_orc,
     read_retract_agg,
+    cleanup_retract_state,
     stream_cdc_apply_orc,
     stream_retract_agg_orc,
     stream_retract_join_orc,
@@ -25,6 +26,7 @@ __all__ = [
     "read_committed_fanout",
     "read_committed_orc",
     "read_retract_agg",
+    "cleanup_retract_state",
     "stream_cdc_apply_orc",
     "stream_retract_agg_orc",
     "stream_retract_join_orc",

@@ -38,43 +38,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
+# State probes route through the shared Hadoop-FS helpers in
+# ``session.py`` (one definition for sinks + index retention): replay
+# markers and state-existence checks must resolve against the SAME
+# filesystem Spark writes to — driver-local ``os.path`` probes would
+# silently answer False for an ``hdfs://``/``s3a://`` state_path (the
+# 100 TB shape) and recompute deltas against a phantom 'absent' state.
 from flink_orc_sink_spark.session import (
+    fs_exists as _hfs_exists,
+    fs_list_names as _hfs_list_names,
+    fs_mkdirs as _hfs_mkdirs,
+    fs_rmtree as _hfs_rmtree,
     local_df,
+    orc_data_files_exist as _orc_files_exist,
     release_local_checkpoint,
 )
-
-
-# --- Hadoop-FS-routed state probes -----------------------------------
-# The stateful sinks' replay markers and state-existence checks must
-# resolve against the SAME filesystem Spark writes to. Driver-local
-# ``os.path`` probes silently answer False for an ``hdfs://``/``s3a://``
-# state_path (the 100 TB shape), which would recompute deltas against a
-# phantom 'absent' state instead of marker-skipping the replay. These
-# wrappers go through the JVM Hadoop FileSystem (resolved per-path, so
-# ``file:``, ``hdfs:`` and ``s3a:`` state paths all behave identically);
-# ``os.path.join`` on the path STRINGS remains fine (URI-safe "/" join).
-
-
-def _hfs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _hfs_exists(spark: SparkSession, path: str) -> bool:
-    fs, p = _hfs(spark, path)
-    return fs.exists(p)
-
-
-def _hfs_mkdirs(spark: SparkSession, path: str) -> None:
-    fs, p = _hfs(spark, path)
-    fs.mkdirs(p)
-
-
-def _hfs_rmtree(spark: SparkSession, path: str) -> None:
-    fs, p = _hfs(spark, path)
-    if fs.exists(p):
-        fs.delete(p, True)
 
 
 def stream_write_orc(
@@ -459,11 +437,14 @@ def stream_retract_agg_orc(
     only be aged out once the source's replay horizon has passed the
     delete's seq (Flink's state-TTL contract; Kafka retention is the
     usual horizon). For a delete-heavy feed this means the key state
-    grows with every key ever deleted between cleanups — run the
-    horizon-bounded cleanup (drop ``D`` rows with
+    grows with every key ever deleted between cleanups — run
+    :func:`cleanup_retract_state` (drop ``D`` rows with
     ``seq < horizon``, a partition-parallel filter+overwrite) on the
     compaction cadence, exactly like the index families'
-    ``compact_index``."""
+    ``compact_index``. The recorded horizon is also enforced on
+    ingest: each batch drops arriving rows older than it, so even a
+    source that replays PAST its declared horizon cannot resurrect a
+    cleaned-up key."""
     order_desc = [F.col(c).desc() for c in order_cols]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -471,6 +452,14 @@ def stream_retract_agg_orc(
 
         spark = batch_df.sparkSession
         state_dir = os.path.join(state_path, "state")
+        horizon = _read_replay_horizon(spark, state_path)
+        if horizon is not None:
+            # rows older than the cleanup horizon can only be replays
+            # of already-retired history; admitting one could win the
+            # latest-per-key merge against a cleaned-up tombstone
+            batch_df = batch_df.filter(
+                F.col(order_cols[0]) >= F.lit(horizon)
+            )
         ch = batch_df.withColumn(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
         )
@@ -558,22 +547,85 @@ def read_retract_agg(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def _orc_files_exist(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` holds at least one ORC data file. A
-    directory that exists but contains only ``_SUCCESS`` (an
-    all-empty write — e.g. a first micro-batch of pure tombstones)
-    must read as ABSENT: ``spark.read.orc`` on it throws an
-    unable-to-infer-schema AnalysisException. Routed through the
-    Hadoop FileSystem so remote state paths probe correctly."""
-    fs, p = _hfs(spark, path)
-    if not fs.exists(p):
-        return False
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        name = it.next().getPath().getName()
-        if name.endswith(".orc") and not name.startswith(("_", ".")):
-            return True
-    return False
+def _read_replay_horizon(spark: SparkSession, state_path: str):
+    """Current replay horizon of a retract state dir, or None. The
+    horizon is encoded in MARKER DIRECTORY NAMES (``replay_horizon/
+    h=<value>``) so recording it is a single atomic ``mkdirs`` on any
+    Hadoop filesystem — no read-modify-write file, no partial-content
+    crash window; reading it back is one ``listStatus``. Monotone:
+    the max marker wins."""
+    names = _hfs_list_names(
+        spark, os.path.join(state_path, "replay_horizon")
+    )
+    vals = [int(n[2:]) for n in names if n.startswith("h=")]
+    return max(vals) if vals else None
+
+
+def cleanup_retract_state(
+    spark: SparkSession,
+    state_path: str,
+    horizon: int,
+    order_col: str = "seq",
+    compression: str = "zstd",
+) -> dict:
+    """Horizon-bounded tombstone cleanup for a
+    :func:`stream_retract_agg_orc` state dir — the state-TTL pass the
+    retention contract in that docstring promises: physically drop
+    ``op='D'`` rows whose ``order_col`` is below ``horizon``, the
+    caller's guarantee that the source can no longer replay anything
+    older (Kafka retention is the usual horizon). Without this, a
+    delete-heavy feed grows the key state with every key ever deleted.
+
+    Crash-safe ordering: the horizon marker is recorded BEFORE the
+    rewrite. A crash in between leaves the tombstones in place
+    (harmless — masking still works, the next cleanup re-drops them);
+    the reverse order would open a window where the tombstone is gone
+    but below-horizon replays are still admitted. The sink enforces
+    the recorded horizon on every subsequent batch, so a pre-delete
+    update replayed after cleanup is dropped at ingest instead of
+    resurrecting its key.
+
+    Partition-parallel and pruned: only the ``kp`` buckets that
+    actually hold expired tombstones are rewritten (dynamic partition
+    overwrite; a bucket left EMPTY by the rewrite has its directory
+    dropped — the ``_overwrite_buckets`` contract). Cost is O(touched
+    buckets × bucket size), never a full-state rewrite when deletes
+    cluster. SINGLE-WRITER like ``compact_index``: do not run it
+    concurrently with the sink's own micro-batches (between triggers,
+    or while the stream is stopped).
+
+    Returns ``{"tombstones_dropped": n, "buckets_rewritten": k}``.
+    """
+    state_dir = os.path.join(state_path, "state")
+    _hfs_mkdirs(
+        spark,
+        os.path.join(state_path, "replay_horizon", f"h={int(horizon)}"),
+    )
+    if not _orc_files_exist(spark, state_dir):
+        return {"tombstones_dropped": 0, "buckets_rewritten": 0}
+    st = spark.read.orc(state_dir)
+    expired = (F.col("op") == "D") & (F.col(order_col) < F.lit(horizon))
+    doomed = st.filter(expired)
+    touched = [
+        (r.kp,) for r in doomed.select("kp").distinct().collect()
+    ]  # bounded by n_key_partitions
+    if not touched:
+        return {"tombstones_dropped": 0, "buckets_rewritten": 0}
+    n_doomed = doomed.count()
+    kps = [kp for (kp,) in touched]
+    keep = (
+        st.filter(F.col("kp").isin(kps))
+        .filter(~expired)
+        .localCheckpoint(eager=True)
+    )  # materialize BEFORE overwriting the directory being read
+    try:
+        _overwrite_buckets(keep, state_dir, ["kp"], touched, compression)
+    finally:
+        release_local_checkpoint(keep)
+    return {
+        "tombstones_dropped": n_doomed,
+        "buckets_rewritten": len(touched),
+    }
 
 
 def _overwrite_buckets(

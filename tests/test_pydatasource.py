@@ -306,3 +306,46 @@ def test_pyds_sink_vacuum_orphans(spark, tmp_path):
 
     # idempotent
     assert vacuum_manifest_orc(out, grace_seconds=0)["files_deleted"] == 0
+
+
+def test_pyds_sink_gapped_manifest_version_and_stray_json(spark, tmp_path):
+    """Version derivation after a crash-gapped manifest sequence
+    (sources/pyds_sink.py:151-160): with v1 deleted mid-overwrite-crash
+    but v2 live, the next append must publish v3 — a len-based v2 would
+    atomically REPLACE the live manifest and drop its committed rows.
+    A stray non-versioned .json in manifests/ must neither crash the
+    int parse nor be counted."""
+    import json
+    import os
+
+    from flink_orc_sink_spark.sources.pyds_sink import (
+        read_manifest_orc,
+        register_sink,
+    )
+
+    register_sink(spark)
+    out = str(tmp_path / "t")
+
+    def append(a, b):
+        spark.range(a, b).selectExpr("id", "id * 3 as v").coalesce(
+            1
+        ).write.format("manifest_orc_py").mode("append").save(out)
+
+    append(0, 10)   # v1
+    append(10, 30)  # v2
+    mdir = os.path.join(out, "manifests")
+    assert sorted(os.listdir(mdir)) == [
+        "v00000001.json",
+        "v00000002.json",
+    ]
+    # crash-gap: v1 unlinked (as an interrupted overwrite would), and a
+    # stray metadata file that matches a naive startswith/endswith scan
+    os.remove(os.path.join(mdir, "v00000001.json"))
+    with open(os.path.join(mdir, "version.json"), "w") as fh:
+        json.dump({"files": []}, fh)
+
+    append(30, 35)  # must become v3, NOT recompute and replace v2
+    names = sorted(os.listdir(mdir))
+    assert "v00000003.json" in names and "v00000002.json" in names
+    got = {r.id for r in read_manifest_orc(spark, out).collect()}
+    assert got == set(range(10, 35))  # v2 rows survive, v3 rows land

@@ -1153,3 +1153,221 @@ def test_stream_retract_join_tombstone_first_batch(spark, tmp_path):
         for r in spark.read.orc(os.path.join(state, "view")).collect()
     }
     assert rows == {(10, "s")}
+
+
+def test_orc_probe_uri_schemes_and_depths(spark, tmp_path):
+    """session.orc_data_files_exist: bounded-depth globs find data at
+    layouts 0-2 levels deep, the recursive fallback still covers
+    deeper ones, marker-only dirs read as absent — and all of it
+    behaves identically through a ``file:``-schemed URI (the code
+    path the Hadoop-FS routing exists for)."""
+    import os
+
+    from flink_orc_sink_spark.session import (
+        fs_exists,
+        fs_mkdirs,
+        fs_rmtree,
+        orc_data_files_exist,
+    )
+
+    def both(relpath):
+        local = str(tmp_path / relpath)
+        return [local, "file:" + local]
+
+    for p in both("missing"):
+        assert not orc_data_files_exist(spark, p)
+
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    (markers / "_SUCCESS").touch()
+    (markers / ".part-0.orc.crc").touch()
+    for p in both("markers"):
+        assert not orc_data_files_exist(spark, p)
+
+    for depth, sub in [(0, ""), (1, "kp=3"), (2, "side=L/kp=3"),
+                       (3, "a=1/b=2/c=3")]:
+        d = tmp_path / f"d{depth}" / sub
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        (d / "part-00000.orc").write_bytes(b"ORC")
+        for p in both(f"d{depth}"):
+            assert orc_data_files_exist(spark, p), (depth, p)
+
+    # fs_exists / fs_mkdirs / fs_rmtree round-trip through the URI form
+    uri = "file:" + str(tmp_path / "made")
+    assert not fs_exists(spark, uri)
+    fs_mkdirs(spark, uri)
+    assert fs_exists(spark, uri)
+    assert os.path.isdir(str(tmp_path / "made"))
+    fs_rmtree(spark, uri)
+    assert not fs_exists(spark, uri)
+
+
+def test_stream_retract_agg_file_scheme_state_path(spark, tmp_path):
+    """stream_retract_agg_orc with a ``file:``-schemed state_path: the
+    replay markers and state probes must resolve through the Hadoop
+    FileSystem (streaming/orc_sink.py round-6 fix) — a driver-local
+    os.path probe would answer False for the URI form, recompute
+    deltas against a phantom 'absent' state, and double-count on
+    replay."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = "file:" + str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, grp string, v long, op string, seq long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_agg_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=ckpt,
+                key_col="k",
+                group_col="grp",
+                val_col="v",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1)])
+    run()
+    assert agg() == {("a", 30, 2)}
+
+    # second batch reads the EXISTING state through the URI probe:
+    # k=1 moves a->b — the old contribution must retract
+    feed([(1, "b", 11, "U", 2)])
+    run()
+    want = {("a", 20, 1), ("b", 11, 1)}
+    assert agg() == want
+
+    # crash-replay on the URI state path: the marker (also URI-routed)
+    # must make the re-applied batch a delta no-op
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    run()
+    assert agg() == want
+
+
+def test_stream_retract_agg_tombstone_cleanup(spark, tmp_path):
+    """cleanup_retract_state: the horizon-bounded state-TTL pass the
+    retention contract promises. After deletes, the key state carries
+    one D row per deleted key; cleanup at a horizon past their seqs
+    shrinks state back to the live-key count without changing the
+    aggregate — and a pre-delete update replayed AFTER cleanup (below
+    the recorded horizon) is dropped at ingest instead of
+    resurrecting its key. Deletes newer than the horizon survive."""
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        cleanup_retract_state,
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, grp string, v long, op string, seq long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_agg_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ck"),
+                key_col="k",
+                group_col="grp",
+                val_col="v",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    def state_rows():
+        return spark.read.orc(f"{state}/state").count()
+
+    # 3 live keys, then delete k=2 (seq=2) and k=3 (seq=9)
+    feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1), (3, "b", 30, "U", 1)])
+    feed([(2, "x", 0, "D", 2), (3, "x", 0, "D", 9)])
+    run()
+    want = {("a", 10, 1)}
+    assert agg() == want
+    assert state_rows() == 3  # 1 live U + 2 retained D tombstones
+
+    # horizon=5: k=2's tombstone (seq 2) expires, k=3's (seq 9) stays
+    stats = cleanup_retract_state(spark, state, horizon=5)
+    assert stats == {"tombstones_dropped": 1, "buckets_rewritten": 1}
+    assert state_rows() == 2  # live key + the still-masked newer D
+    assert agg() == want
+
+    # idempotent: nothing left below the horizon
+    stats = cleanup_retract_state(spark, state, horizon=5)
+    assert stats == {"tombstones_dropped": 0, "buckets_rewritten": 0}
+
+    # replay attack: the source re-delivers a pre-delete update of
+    # k=2 (seq 1 < horizon) as a new micro-batch — with the tombstone
+    # gone, only the ingest horizon filter stands between it and a
+    # resurrection
+    feed([(2, "a", 20, "U", 1)])
+    run()
+    assert agg() == want
+    assert state_rows() == 2
+
+    # ...but genuinely new data (seq >= horizon) still lands
+    feed([(2, "a", 25, "U", 6)])
+    run()
+    assert agg() == {("a", 35, 2)}
+    assert state_rows() == 3
