@@ -136,6 +136,176 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(proj, schema=schema)
 
 
+def _fd(a: int, b: int) -> int:
+    """Exact floor division via the non-negative-remainder form — the
+    portable construction engines agree on (DuckDB's ``//`` truncates
+    toward zero on negatives; Python's floors). ``b`` must be > 0.
+    Written identically in the SQL oracle (``_pca_fd_sql``)."""
+    return (a - ((a % b) + b) % b) // b
+
+
+def int_moments(df: DataFrame, vec_col: str, dim: int, scale: int = 1000):
+    """One-pass distributed INTEGER moments of a quantized vector
+    column: ``(n, s, g)`` with ``qv = floor(x·scale + 0.5)``,
+    ``s_i = Σ qv_i``, ``g_ij = Σ qv_i·qv_j`` — all exact int sums, so
+    the distributed result is BIT-IDENTICAL to any sequential engine
+    regardless of partitioning/reduction order (the property float
+    moments can never have). Same shuffle shape as :func:`moments`:
+    one partial row per partition, no shuffle; partials are int64
+    (safe while n·(scale·|x|)² < 2⁶³ per partition — comfortable up
+    to ~10⁹ rows/partition at unit-range data), the driver reduce is
+    arbitrary-precision Python."""
+    partial_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+            T.StructField("g", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim, dtype=np.int64)
+        g = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            q = np.floor(x * scale + 0.5).astype(np.int64)
+            n += q.shape[0]
+            s += q.sum(axis=0)
+            g += q.T @ q
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema=partial_schema)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("int_moments() of an empty DataFrame")
+    n = sum(int(r["n"]) for r in rows)
+    s = [sum(int(r["s"][i]) for r in rows) for i in range(dim)]
+    g = [
+        [sum(int(r["g"][i * dim + j]) for r in rows) for j in range(dim)]
+        for i in range(dim)
+    ]
+    return n, s, g
+
+
+def power_pca_components(
+    n: int,
+    s: list,
+    g: list,
+    dim: int,
+    k: int = 4,
+    iters: int = 8,
+    c_scale: int = 1_000_000,
+    v_scale: int = 10_000,
+):
+    """Driver-side fixed-point power iteration with Hotelling
+    deflation over the integer moments — every step is integer
+    multiply / add / max / floor-div, so ANY engine replaying the
+    same recipe produces bit-identical components (the k-means /
+    quality-classifier playbook applied to the eigenproblem; float
+    eigensolves can never hash stably and SQL has no ``eigh``).
+
+    The centered scatter ``M_ij = n·g_ij − s_i·s_j`` (an exact
+    positive multiple of the covariance — same eigenvectors) is
+    normalized to ``c_scale`` fixed point; each component runs
+    ``iters`` matvec+renormalize passes from the all-ones vector,
+    gets its sign fixed (first coordinate attaining max |v| made
+    positive — svd_flip's convention, deterministically tie-broken),
+    and is deflated out. O(k·iters·d²) driver work on d²+d+1 ints —
+    trivially cheap for embedding dims; the corpus never leaves the
+    executors (see :func:`int_moments`).
+
+    Returns ``(mu, comps)``: ``mu_i = fd(s_i·1000, n)`` (the mean in
+    milli-quantum units, used by the projection) and ``k`` integer
+    component vectors in ``v_scale`` fixed point."""
+    m = [[n * g[i][j] - s[i] * s[j] for j in range(dim)] for i in range(dim)]
+    m0 = max(abs(x) for row in m for x in row)
+    c = [[_fd(x * c_scale, max(m0, 1)) for x in row] for row in m]
+    comps = []
+    for _ in range(k):
+        v = [v_scale] * dim
+        for _t in range(iters):
+            w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            mw = max(max(abs(x) for x in w), 1)
+            v = [_fd(x * v_scale, mw) for x in w]
+        mv = max(abs(x) for x in v)
+        lead = next(i for i in range(dim) if abs(v[i]) == mv)
+        if v[lead] < 0:
+            v = [-x for x in v]
+        comps.append(v)
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        # Hotelling deflation C -= λ·uuᵀ with u = v/‖v‖, λ = vᵀCv/vᵀv:
+        # the subtracted entry is num·v_i·v_j / den² (v is MAX-normed,
+        # so den = ‖v‖² ≠ v_scale² — dividing by v_scale² leaves the
+        # top eigenpair in the matrix and component 2+ collapses)
+        num = sum(v[i] * w[i] for i in range(dim))
+        den = sum(x * x for x in v)
+        c = [
+            [
+                c[i][j] - _fd(num * v[i] * v[j], den * den)
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+    mu = [_fd(x * 1000, n) for x in s]
+    return mu, comps
+
+
+def pca_project_fixedpoint(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    k: int = 4,
+    iters: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fixed-point power-iteration PCA of a vector column, end to end
+    VALUE-CHECKABLE: :func:`int_moments` (distributed, exact) →
+    :func:`power_pca_components` (driver, integer recipe) → a
+    MAP-ONLY projection built from Spark built-ins (the component
+    vector becomes a literal array; one ``aggregate(zip_with(...))``
+    dot product per component — whole-stage codegen, no Python in
+    the row path).
+
+    Output: ``(id_col, pc1..pck)`` — integers: ``pc_c = Σ_i
+    (qv_i·1000 − mu_i)·v_ci``, i.e. the centered projection in
+    (milli-quantum × v_scale) fixed point. Exact under any value
+    hash; divide by ``1000·1000·v_scale`` for float coordinates."""
+    n, s, g = int_moments(df, vec_col, dim, scale)
+    mu, comps = power_pca_components(n, s, g, dim, k, iters)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    out = df.select(F.col(id_col), qv.alias("_qv"))
+    for ci, v in enumerate(comps):
+        # Σ qv_i·(1000·v_ci)  −  Σ mu_i·v_ci  (the constant folds
+        # driver-side — exact integer identity with Σ(qv·1000−mu)·v)
+        wlit = F.array(*[F.lit(int(1000 * x)) for x in v])
+        const = sum(mu[i] * v[i] for i in range(dim))
+        out = out.withColumn(
+            f"pc{ci + 1}",
+            F.aggregate(
+                F.zip_with(F.col("_qv"), wlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(int(const)),
+        )
+    return out.drop("_qv")
+
+
 def kmeans_fixedpoint(
     vectors: DataFrame,
     id_col: str,

@@ -35,83 +35,29 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #   r5: the 26 new/changed round-5 surfaces (retraction-join IVM,
 #       pyds 2PC sink, BM25/index-forget families, ANN recall
 #       evals, skew pair, ...), then longest-never-verified
-#   r6 (this round, round-5 verdict #1): ALL 50 slots go to
-#       never-driver-verified entries — the registry surface is
-#       frozen this round, so no new-surface slots are spent. The
-#       window is the 50 hash-capable entries of the 72-entry
-#       never-verified pool (engine-runtime stream/ORC tail, the
-#       docs_* LLM core, the emb_* value-oracled tier, multimodal
-#       metadata, and the oldest events/relational rows). The 22
-#       deferred to r7 follow immediately after the cap: the 4
-#       permanently rows-only entries (docs_bpe_encode,
-#       emb_{ivf,pq,ivf_pq}_topk — recall separately value-oracled
-#       via the *_recall_eval quartet) and 18 hash-capable
-#       events/relational entries.
+#   r6: ALL 50 slots to never-driver-verified entries (48 hash-green,
+#       2 were no-oracle slots — fixed in r7 by giving both real
+#       value oracles).
+#   r7 (this round, round-6 verdict #1): the 24-entry remainder that
+#       has NEVER been driver-checked goes first — the 19 hash-capable
+#       events/relational tail, emb_pca_project + emb_semantic_dedup
+#       (NEWLY value-oracled this round: fixed-point power-iteration
+#       PCA unrolled in SQL; fixed-point-k-means-celled SemDeDup), and
+#       the 4 permanently rows-only entries (docs_bpe_encode,
+#       emb_{ivf,pq,ivf_pq}_topk — ANN by nature; recall separately
+#       value-oracled via the *_recall_eval quartet). The remaining
+#       26 slots re-verify the STALEST entries (last driver-checked
+#       in r2). After this window every hash-capable registry entry
+#       has been driver-green at least once.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
-    # --- r6 driver window: 50 never-driver-verified entries ---
-    # engine runtime tail (streaming + ORC layout)
-    "stream_sliding_1h_30m",
-    "stream_dedup_events",
-    "stream_running_totals",
-    "stream_static_enrich",
-    "stream_late_data_drop",
-    "stream_foreachbatch_orc",
-    "stream_cdc_apply",
-    "orc_zorder_layout",
-    "orc_stats_pruned_read",
-    "stream_orc_pipeline_events",
-    # docs_* LLM core
-    "docs_token_stats",
-    "docs_lm_score",
-    "docs_lang_distribution",
-    "docs_quality_scores",
-    "docs_quality_filter",
-    "docs_train_test_split",
-    "docs_exact_dup_groups",
-    "docs_dedup_exact",
-    "docs_jaccard_pairs",
-    "docs_minhash_pairs",
-    "docs_neardup_clusters",
-    "docs_neardup_survivors",
-    "docs_repetition_ratio",
-    "docs_pack_sequences",
-    "docs_contamination",
-    "docs_hash_sample",
-    "docs_stratified_sample",
-    "docs_top_tokens",
-    "docs_simhash_pairs",
-    "docs_winnow_fingerprints",
-    "docs_repeated_substrings",
-    "docs_chunk_tokens",
-    "docs_pii_scrub",
-    "docs_url_domains",
-    "docs_curation_pipeline",
-    "docs_incremental_dedup",
-    # emb_* hash-capable tier
-    "emb_cosine_topk",
-    "emb_centroids_by_label",
-    "emb_quantize_int8",
+    # --- r7 driver window: the 24 never-driver-verified entries ---
+    # newly value-oracled this round
     "emb_pca_project",
     "emb_semantic_dedup",
-    # multimodal metadata
-    "multimodal_meta",
-    "multimodal_dims",
-    # events / relational oldest
-    "events_asof_orders",
-    "events_tumbling_hourly",
-    "events_sessionize_10m",
-    "events_dedup_latest",
-    "udaf_median_price",
-    "agg_exact_percentiles",
-    "agg_pivot_segments",
-    # --- r7 pool (past the 50-cap): 4 rows-only + 18 hash-capable ---
-    "docs_bpe_encode",
-    "emb_ivf_topk",
-    "emb_pq_topk",
-    "emb_ivf_pq_topk",
+    # hash-capable events/relational tail
     "events_user_features",
     "events_json_badrecords",
     "events_hourly_anomaly",
@@ -130,6 +76,39 @@ _PRIORITY = (
     "array_funcs_showcase",
     "map_funcs_showcase",
     "agg_approx_distinct_sketch",
+    # permanently rows-only (ANN top-k; recall value-oracled via the
+    # *_recall_eval quartet, driver records the rows-only check)
+    "docs_bpe_encode",
+    "emb_ivf_topk",
+    "emb_pq_topk",
+    "emb_ivf_pq_topk",
+    # --- 26 stalest re-verification slots (last checked r2) ---
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_price_histogram",
+    "agg_rollup",
+    "date_funcs_showcase",
+    "join_anti_no_orders",
+    "join_broadcast_dims",
+    "join_cross_regions",
+    "join_full_outer_nations",
+    "join_inner_enrich",
+    "join_left_outer_agg",
+    "join_range_price_tiers",
+    "join_salted_hot_keys",
+    "join_semi_with_open_order",
+    "math_funcs_showcase",
+    "profile_orders",
+    "q10_returned_items",
+    "q11_part_value_share",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
 )
 
 

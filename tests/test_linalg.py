@@ -184,3 +184,81 @@ def test_train_quality_classifier_empty_and_tiny_docs(spark):
         df, "doc_id", "text", "y", iterations=2
     ).collect()
     assert {r.doc for r in out} == {1, 2, 3, 4}
+
+
+def test_int_moments_exact_and_partition_invariant(emb, emb_np):
+    from flink_orc_sink_spark.operators.linalg import int_moments
+
+    q = np.floor(emb_np * 1000 + 0.5).astype(np.int64)
+    n, s, g = int_moments(emb.repartition(7), "embedding", DIM)
+    assert n == len(q)
+    assert s == [int(x) for x in q.sum(axis=0)]
+    assert g == [[int(x) for x in row] for row in (q.T @ q)]
+    n2, s2, g2 = int_moments(emb.coalesce(1), "embedding", DIM)
+    assert (n2, s2, g2) == (n, s, g)  # bit-identical at any layout
+
+
+def test_pca_fixedpoint_is_pca(spark):
+    """The fixed-point power iteration recovers the true principal
+    axes on data with a well-separated spectrum: each integer
+    component must be near-collinear with the matching NumPy float
+    eigenvector, and the projections must correlate ~1 with the
+    float PCA projections."""
+    from flink_orc_sink_spark.operators.linalg import (
+        pca_project_fixedpoint,
+        power_pca_components,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic Gaussian with a well-separated spectrum (2x sigma
+    # gaps; a degenerate pair would make eigvec identity ambiguous)
+    basis = np.linalg.qr(rng.standard_normal((DIM, DIM)))[0]
+    scales = np.ones(DIM) * 0.02
+    scales[:4] = [0.4, 0.2, 0.1, 0.05]
+    x = (rng.standard_normal((800, DIM)) * scales) @ basis.T
+    q = np.floor(x * 1000 + 0.5).astype(np.int64)
+
+    n = len(q)
+    s = [int(v) for v in q.sum(axis=0)]
+    g = [[int(v) for v in row] for row in (q.T @ q)]
+    mu, comps = power_pca_components(n, s, g, DIM, k=4)
+
+    centered = q - np.asarray(q, dtype=np.float64).mean(axis=0)
+    _, evecs = np.linalg.eigh(np.cov(centered, rowvar=False))
+    for c in range(4):
+        v = np.asarray(comps[c], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        truth = evecs[:, DIM - 1 - c]
+        assert abs(float(v @ truth)) > 0.99, c
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project_fixedpoint(df, "vec_id", "embedding", DIM, k=4)
+    got = {r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4) for r in out.collect()}
+    proj_float = centered @ evecs[:, DIM - 1 : DIM - 5 : -1]
+    for c in range(4):
+        ours = np.asarray([got[i][c] for i in range(n)], dtype=np.float64)
+        rho = abs(np.corrcoef(ours, proj_float[:, c])[0, 1])
+        assert rho > 0.999, (c, rho)
+
+
+def test_pca_fixedpoint_partition_invariant(emb):
+    from flink_orc_sink_spark.operators.linalg import (
+        pca_project_fixedpoint,
+    )
+
+    a = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in pca_project_fixedpoint(
+            emb.repartition(13), "vec_id", "embedding", DIM
+        ).collect()
+    }
+    b = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in pca_project_fixedpoint(
+            emb.coalesce(1), "vec_id", "embedding", DIM
+        ).collect()
+    }
+    assert a == b and len(a) == emb.count()
