@@ -42,10 +42,11 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       has NEVER been driver-checked goes first — the 19 hash-capable
 #       events/relational tail, emb_pca_project + emb_semantic_dedup
 #       (NEWLY value-oracled this round: fixed-point power-iteration
-#       PCA unrolled in SQL; fixed-point-k-means-celled SemDeDup), and
-#       the 4 permanently rows-only entries (docs_bpe_encode,
-#       emb_{ivf,pq,ivf_pq}_topk — ANN by nature; recall separately
-#       value-oracled via the *_recall_eval quartet). The remaining
+#       PCA unrolled in SQL; fixed-point-k-means-celled SemDeDup;
+#       docs_bpe_encode's train+encode loop unrolled in SQL), and
+#       the 3 permanently rows-only entries (emb_{ivf,pq,ivf_pq}_topk
+#       — ANN by nature; recall separately value-oracled via the
+#       *_recall_eval quartet). The remaining
 #       26 slots re-verify the STALEST entries (last driver-checked
 #       in r2). After this window every hash-capable registry entry
 #       has been driver-green at least once.
@@ -76,9 +77,9 @@ _PRIORITY = (
     "array_funcs_showcase",
     "map_funcs_showcase",
     "agg_approx_distinct_sketch",
+    "docs_bpe_encode",  # value-oracled in r7 (SQL-unrolled BPE loop)
     # permanently rows-only (ANN top-k; recall value-oracled via the
     # *_recall_eval quartet, driver records the rows-only check)
-    "docs_bpe_encode",
     "emb_ivf_topk",
     "emb_pq_topk",
     "emb_ivf_pq_topk",

@@ -170,23 +170,40 @@ def orc_data_files_exist(spark: SparkSession, path: str) -> bool:
     must read as ABSENT: ``spark.read.orc`` on it throws an
     unable-to-infer-schema AnalysisException.
 
-    Probe cost is BOUNDED: every state layout in this package is at
-    most two partition levels deep (``kp=N`` or ``side=L/kp=N``), so
-    one ``globStatus`` per depth — a constant ≤3 py4j round-trips —
-    replaces the recursive ``listFiles`` iterator that paid one
-    round-trip per listed entry until the first ``.orc`` (round-6
-    advisory; measured in ``tools/scale_probe_retract_join.py``).
-    Deeper layouts fall back to the recursive walk for correctness."""
+    Probe cost is BOUNDED (round-6 advisory; datapoints in
+    ``tools/scale_probe_retract_join.py``): the lazy recursive
+    iterator early-exits on the first data file — measured FLAT
+    (~15-25 ms) from 32 to 12k state files on the package's own
+    layouts, whose dirs front a data file within a couple of entries
+    — but is capped at 64 py4j entry round-trips so a directory
+    fronted by thousands of non-ORC files can't make the probe
+    linear-in-dir-size at ~1 ms/entry (measured: 5.3 s at 3k such
+    entries uncapped). Past the cap, bounded-depth ``globStatus``
+    calls take over: the glob enumerates JVM-side (~17 µs/file, two
+    orders cheaper than py4j iteration) and every state layout here
+    is ≤2 partition levels deep; anything deeper resumes the full
+    walk for correctness."""
     fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
         return False
+    it = fs.listFiles(p, True)
+    seen = 0
+    while it.hasNext():
+        if seen >= 64:
+            break
+        name = it.next().getPath().getName()
+        if name.endswith(".orc") and not name.startswith(("_", ".")):
+            return True
+        seen += 1
+    else:
+        return False  # fully enumerated: genuinely no data files
     for depth in range(3):
         pat = spark._jvm.org.apache.hadoop.fs.Path(
             path.rstrip("/") + "/*" * depth + "/*.orc"
         )
         if _any_data_file(fs.globStatus(pat) or [], ".orc"):
             return True
-    it = fs.listFiles(p, True)  # unknown-depth fallback
+    it = fs.listFiles(p, True)  # >2-deep layout fallback
     while it.hasNext():
         name = it.next().getPath().getName()
         if name.endswith(".orc") and not name.startswith(("_", ".")):

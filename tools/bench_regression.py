@@ -2,7 +2,7 @@
 
 Reads a fresh ``bench.py`` JSON line from stdin (or a file given as
 argv[1]) and compares it against the driver-recorded baseline
-(``BENCH_r02.json`` by default, override with argv[2] or
+(``BENCH_PIN_r06.json`` by default, override with argv[2] or
 $SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
 — or the total — is more than ``THRESHOLD``× slower than the
 baseline. Queries absent from the baseline are reported but never
@@ -59,7 +59,7 @@ def main() -> int:
         sys.argv[2]
         if len(sys.argv) > 2
         else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
-        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_r02.json")
+        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r06.json")
     )
     base = load_baseline(base_path)
 
