@@ -628,6 +628,63 @@ def cleanup_retract_state(
     }
 
 
+def cleanup_retract_join_state(
+    spark: SparkSession,
+    state_path: str,
+    horizon: int,
+    compression: str = "zstd",
+) -> dict:
+    """:func:`cleanup_retract_state`'s twin for a
+    :func:`stream_retract_join_orc` state dir. Only the PK layer
+    retains ``op='D'`` tombstones (the jk layer and the view hold
+    live images only), so this drops expired ``D`` rows from the
+    ``(side, kp)``-partitioned pk store — same crash-safe ordering
+    (horizon marker recorded FIRST, then a partition-pruned
+    rewrite), same ingest enforcement (the sink drops arriving rows
+    with ``seq`` below the recorded horizon), same single-writer
+    contract as ``compact_index``.
+
+    Returns ``{"tombstones_dropped": n, "buckets_rewritten": k}``.
+    """
+    pk_dir = os.path.join(state_path, "pk_state")
+    _hfs_mkdirs(
+        spark,
+        os.path.join(state_path, "replay_horizon", f"h={int(horizon)}"),
+    )
+    if not _orc_files_exist(spark, pk_dir):
+        return {"tombstones_dropped": 0, "buckets_rewritten": 0}
+    st = spark.read.orc(pk_dir)
+    expired = (F.col("op") == "D") & (F.col("seq") < F.lit(horizon))
+    doomed = st.filter(expired)
+    touched = [
+        tuple(r)
+        for r in doomed.select("side", "kp").distinct().collect()
+    ]  # bounded by 2 x n_key_partitions
+    if not touched:
+        return {"tombstones_dropped": 0, "buckets_rewritten": 0}
+    n_doomed = doomed.count()
+    pair_cond = F.lit(False)  # exact pairs, not the sides x kps cross
+    for s, kp in touched:
+        pair_cond = pair_cond | (
+            (F.col("side") == s) & (F.col("kp") == kp)
+        )
+    keep = (
+        st.filter(pair_cond)
+        .filter(~expired)
+        .localCheckpoint(eager=True)
+    )
+    try:
+        _overwrite_buckets(
+            keep, pk_dir, ["side", "kp"], touched, compression
+        )
+    finally:
+        release_local_checkpoint(keep)
+    return {
+        "tombstones_dropped": n_doomed,
+        "buckets_rewritten": len(touched),
+    }
+
+
 def _overwrite_buckets(
     df: DataFrame,
     path: str,
@@ -739,6 +796,12 @@ def stream_retract_join_orc(
     the textbook IVM space-for-locality trade (the pk layer alone
     cannot prune by jk).
 
+    Tombstone retention mirrors :func:`stream_retract_agg_orc`: the
+    pk layer keeps ``op='D'`` rows to mask below-horizon replays;
+    age them out with :func:`cleanup_retract_join_state` once the
+    source's replay horizon passes, after which the sink also drops
+    below-horizon arrivals at ingest.
+
     Crash-replay: the retraction stream must be computed against the
     PRE-batch pk state, so it is persisted to a ``batch_id`` delta
     partition and a marker committed BEFORE the pk-state overwrite;
@@ -773,6 +836,14 @@ def stream_retract_join_orc(
         w = Window.partitionBy("side", "pk").orderBy(
             F.col("seq").desc()
         )
+
+        horizon = _read_replay_horizon(spark, state_path)
+        if horizon is not None:
+            # same ingest guard as the retract-agg sink: rows older
+            # than the cleanup horizon are retired history whose
+            # tombstones may already be gone — admitting one could
+            # resurrect a cleaned-up pk
+            batch_df = batch_df.filter(F.col("seq") >= F.lit(horizon))
 
         # --- pk layer: merge + derive the retraction stream ---
         # One store for both sides, partitioned (side, kp): one

@@ -1371,3 +1371,99 @@ def test_stream_retract_agg_tombstone_cleanup(spark, tmp_path):
     run()
     assert agg() == {("a", 35, 2)}
     assert state_rows() == 3
+
+
+def test_stream_retract_join_tombstone_cleanup(spark, tmp_path):
+    """cleanup_retract_join_state: the pk layer's D tombstones expire
+    below the horizon (state shrinks to live rows + newer tombstones)
+    while the view stays intact; a below-horizon pre-delete replay is
+    dropped at ingest instead of resurrecting the joined row; newer
+    data still lands."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        cleanup_retract_join_state,
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        ckpt = str(tmp_path / "ckpt")
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=ckpt,
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def view():
+        return {
+            (r.l_pk, r.jk, r.l_val, r.r_attr)
+            for r in spark.read.orc(
+                os.path.join(state, "view")
+            ).collect()
+        }
+
+    def pk_rows():
+        return spark.read.orc(os.path.join(state, "pk_state")).count()
+
+    L, R = "L", "R"
+    feed(
+        [
+            (L, 101, 1, 1, "U", 10, None),
+            (L, 102, 1, 1, "U", 20, None),
+            (R, 1, 1, 1, "U", None, "x"),
+        ]
+    )
+    feed([(L, 102, 1, 2, "D", None, None), (R, 9, 7, 9, "D", None, None)])
+    run()
+    assert view() == {(101, 1, 10, "x")}
+    assert pk_rows() == 4  # L101 U, L102 D, R1 U, R9 D
+
+    # horizon=5: L102's tombstone (seq 2) expires; R9's (seq 9) stays
+    stats = cleanup_retract_join_state(spark, state, horizon=5)
+    assert stats["tombstones_dropped"] == 1
+    assert stats["buckets_rewritten"] == 1
+    assert pk_rows() == 3
+    assert view() == {(101, 1, 10, "x")}
+
+    # idempotent
+    stats = cleanup_retract_join_state(spark, state, horizon=5)
+    assert stats == {"tombstones_dropped": 0, "buckets_rewritten": 0}
+
+    # replay attack: the source re-delivers 102's pre-delete image
+    # (seq 1 < horizon) — with its tombstone gone, only the ingest
+    # horizon filter prevents (102, 1, 20, "x") from re-joining
+    feed([(L, 102, 1, 1, "U", 20, None)])
+    run()
+    assert view() == {(101, 1, 10, "x")}
+    assert pk_rows() == 3
+
+    # genuinely new data (seq >= horizon) still lands and re-joins
+    feed([(L, 102, 1, 6, "U", 25, None)])
+    run()
+    assert view() == {(101, 1, 10, "x"), (102, 1, 25, "x")}
