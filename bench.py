@@ -216,16 +216,17 @@ def main() -> None:
     # streaming-source codegen) that is one-time cost, not query cost.
     # Warm it on the smallest scale so the stream_* headline numbers
     # measure steady-state micro-batch work.
-    try:
-        queries["stream_running_totals"](spark, warm_dir).count()
-    except Exception:
-        pass  # warm-up must never fail the bench
     # ... and the retract-IVM family: its first invocation of a session
     # pays foreachBatch + ORC-state + localCheckpoint codegen/Arrow
     # setup that is one-time, not query cost (round-6 adjudication:
     # stream_retract_join_agg 34.7 s cold vs 18.5 s warm, identical
-    # code). Warm both layers on the smallest scale.
-    for warm_q in ("stream_retract_agg", "stream_retract_join_agg"):
+    # code). All streaming warm-ups run on the smallest scale and
+    # must never fail the bench.
+    for warm_q in (
+        "stream_running_totals",
+        "stream_retract_agg",
+        "stream_retract_join_agg",
+    ):
         try:
             queries[warm_q](spark, warm_dir).count()
         except Exception:

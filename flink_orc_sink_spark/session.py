@@ -188,8 +188,13 @@ def orc_data_files_exist(spark: SparkSession, path: str) -> bool:
         return False
     it = fs.listFiles(p, True)
     seen = 0
+    # a path containing glob metacharacters can't be fed to
+    # globStatus verbatim (an unclosed '[' even throws) — for those
+    # rare paths skip the glob arm and finish the full walk instead
+    globbable = not any(c in path for c in "*?[]{}\\")
+    cap = 64 if globbable else (1 << 62)
     while it.hasNext():
-        if seen >= 64:
+        if seen >= cap:
             break
         name = it.next().getPath().getName()
         if name.endswith(".orc") and not name.startswith(("_", ".")):

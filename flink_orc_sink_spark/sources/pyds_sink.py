@@ -146,7 +146,8 @@ class _BatchWriter(DataSourceArrowWriter):
             )
             if os.path.isdir(mdir)
             else []
-        )
+        )  # batch manifests only: a batch overwrite must not count
+        # or unlink streaming batch-NNNNNNNN.json manifests
         if self.overwrite:
             for f in prior:
                 os.unlink(os.path.join(mdir, f))
@@ -207,6 +208,13 @@ def register_sink(spark) -> None:
     spark.dataSource.register(ManifestOrcSinkDataSource)
 
 
+# The only names the sink ever publishes (vNNNNNNNN.json from batch
+# commits, batch-NNNNNNNN.json from streaming epochs). Readers and
+# the vacuum filter on this so a stray foreign .json in manifests/
+# can neither KeyError a read nor pin phantom files as live.
+_MANIFEST_NAME = re.compile(r"(v|batch-)\d{8}\.json")
+
+
 def read_manifest_orc(spark, path: str):
     """Committed-files-only reader: union of every manifest's file
     list. Orphans under ``data/`` (crashed tasks, superseded replay
@@ -214,7 +222,7 @@ def read_manifest_orc(spark, path: str):
     mdir = os.path.join(path, "manifests")
     files: list[str] = []
     for name in sorted(os.listdir(mdir)):
-        if name.endswith(".json") and not name.startswith("."):
+        if _MANIFEST_NAME.fullmatch(name):
             with open(os.path.join(mdir, name)) as fh:
                 files.extend(json.load(fh)["files"])
     if not files:
@@ -246,7 +254,7 @@ def vacuum_manifest_orc(path: str, grace_seconds: float = 600.0) -> dict:
     live: set[str] = set()
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
-            if name.endswith(".json") and not name.startswith("."):
+            if _MANIFEST_NAME.fullmatch(name):
                 with open(os.path.join(mdir, name)) as fh:
                     live.update(json.load(fh)["files"])
     deleted = 0

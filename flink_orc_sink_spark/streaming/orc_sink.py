@@ -565,13 +565,13 @@ def cleanup_retract_state(
     spark: SparkSession,
     state_path: str,
     horizon: int,
-    order_col: str = "seq",
+    order_cols: list[str] | tuple = ("seq",),
     compression: str = "zstd",
 ) -> dict:
     """Horizon-bounded tombstone cleanup for a
     :func:`stream_retract_agg_orc` state dir — the state-TTL pass the
     retention contract in that docstring promises: physically drop
-    ``op='D'`` rows whose ``order_col`` is below ``horizon``, the
+    ``op='D'`` rows whose ``order_cols[0]`` is below ``horizon``, the
     caller's guarantee that the source can no longer replay anything
     older (Kafka retention is the usual horizon). Without this, a
     delete-heavy feed grows the key state with every key ever deleted.
@@ -594,6 +594,12 @@ def cleanup_retract_state(
     concurrently with the sink's own micro-batches (between triggers,
     or while the stream is stopped).
 
+    Pass the SAME ``order_cols`` the sink was started with: the sink
+    enforces the recorded horizon against ``order_cols[0]`` on every
+    batch, so a cleanup keyed to any other column would record the
+    horizon in one column's units and enforce it in another — the
+    replayed-row guard would silently not guard.
+
     Returns ``{"tombstones_dropped": n, "buckets_rewritten": k}``.
     """
     state_dir = os.path.join(state_path, "state")
@@ -604,14 +610,18 @@ def cleanup_retract_state(
     if not _orc_files_exist(spark, state_dir):
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
     st = spark.read.orc(state_dir)
-    expired = (F.col("op") == "D") & (F.col(order_col) < F.lit(horizon))
-    doomed = st.filter(expired)
-    touched = [
-        (r.kp,) for r in doomed.select("kp").distinct().collect()
-    ]  # bounded by n_key_partitions
-    if not touched:
+    expired = (F.col("op") == "D") & (
+        F.col(order_cols[0]) < F.lit(horizon)
+    )
+    # one scan yields both the touched buckets and the drop count
+    # (bounded by n_key_partitions rows)
+    per_bucket = (
+        st.filter(expired).groupBy("kp").count().collect()
+    )
+    if not per_bucket:
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
-    n_doomed = doomed.count()
+    touched = [(r.kp,) for r in per_bucket]
+    n_doomed = sum(r["count"] for r in per_bucket)
     kps = [kp for (kp,) in touched]
     keep = (
         st.filter(F.col("kp").isin(kps))
@@ -655,21 +665,17 @@ def cleanup_retract_join_state(
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
     st = spark.read.orc(pk_dir)
     expired = (F.col("op") == "D") & (F.col("seq") < F.lit(horizon))
-    doomed = st.filter(expired)
-    touched = [
-        tuple(r)
-        for r in doomed.select("side", "kp").distinct().collect()
-    ]  # bounded by 2 x n_key_partitions
-    if not touched:
+    # one scan yields both the touched (side, kp) pairs and the drop
+    # count (bounded by 2 x n_key_partitions rows)
+    per_bucket = (
+        st.filter(expired).groupBy("side", "kp").count().collect()
+    )
+    if not per_bucket:
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
-    n_doomed = doomed.count()
-    pair_cond = F.lit(False)  # exact pairs, not the sides x kps cross
-    for s, kp in touched:
-        pair_cond = pair_cond | (
-            (F.col("side") == s) & (F.col("kp") == kp)
-        )
+    touched = [(r.side, r.kp) for r in per_bucket]
+    n_doomed = sum(r["count"] for r in per_bucket)
     keep = (
-        st.filter(pair_cond)
+        st.filter(_pair_filter("kp", touched))
         .filter(~expired)
         .localCheckpoint(eager=True)
     )
@@ -720,6 +726,21 @@ def _overwrite_buckets(
                 *(f"{c}={v}" for c, v in zip(part_cols, vals))
             )
             _hfs_rmtree(spark, os.path.join(path, sub))
+
+
+def _pair_filter(bucket_col: str, pairs: list):
+    """Exact ``(side, bucket)``-pair predicate (grouped per side into
+    one ``isin``) — ONE definition shared by the retract-join sink's
+    partition-pruned reads and the pk-layer tombstone cleanup."""
+    by_side: dict = {}
+    for s, b in pairs:
+        by_side.setdefault(s, []).append(b)
+    cond = F.lit(False)
+    for s, bs in by_side.items():
+        cond = cond | (
+            (F.col("side") == s) & F.col(bucket_col).isin(bs)
+        )
+    return cond
 
 
 def stream_retract_join_orc(
@@ -816,17 +837,6 @@ def stream_retract_join_orc(
     The registered ``stream_retract_join`` query feeds hash-scattered
     out-of-order batches and must hash-match a one-shot batch join —
     including resurrections (D then later U) and join-key moves."""
-    def _pair_filter(bucket_col: str, pairs: list) -> object:
-        by_side: dict = {}
-        for s, b in pairs:
-            by_side.setdefault(s, []).append(b)
-        cond = F.lit(False)
-        for s, bs in by_side.items():
-            cond = cond | (
-                (F.col("side") == s) & F.col(bucket_col).isin(bs)
-            )
-        return cond
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 

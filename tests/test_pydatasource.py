@@ -341,11 +341,21 @@ def test_pyds_sink_gapped_manifest_version_and_stray_json(spark, tmp_path):
     # crash-gap: v1 unlinked (as an interrupted overwrite would), and a
     # stray metadata file that matches a naive startswith/endswith scan
     os.remove(os.path.join(mdir, "v00000001.json"))
+    # worst-shape stray: not even manifest-schema'd — readers and the
+    # vacuum must SKIP it (name filter), not KeyError on it
     with open(os.path.join(mdir, "version.json"), "w") as fh:
-        json.dump({"files": []}, fh)
+        json.dump({"v": 2}, fh)
 
     append(30, 35)  # must become v3, NOT recompute and replace v2
     names = sorted(os.listdir(mdir))
     assert "v00000003.json" in names and "v00000002.json" in names
     got = {r.id for r in read_manifest_orc(spark, out).collect()}
     assert got == set(range(10, 35))  # v2 rows survive, v3 rows land
+
+    from flink_orc_sink_spark.sources.pyds_sink import (
+        vacuum_manifest_orc,
+    )
+
+    stats = vacuum_manifest_orc(out, grace_seconds=0)
+    assert stats["files_deleted"] == 1  # exactly v1's now-orphaned file
+    assert {r.id for r in read_manifest_orc(spark, out).collect()} == got

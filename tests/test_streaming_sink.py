@@ -1467,3 +1467,18 @@ def test_stream_retract_join_tombstone_cleanup(spark, tmp_path):
     feed([(L, 102, 1, 6, "U", 25, None)])
     run()
     assert view() == {(101, 1, 10, "x"), (102, 1, 25, "x")}
+
+
+def test_orc_probe_glob_metachar_path(spark, tmp_path):
+    """A state path containing glob metacharacters must probe
+    correctly: the glob arm is skipped (an unclosed bracket would
+    throw from globStatus) and the full walk answers instead."""
+    from flink_orc_sink_spark.session import orc_data_files_exist
+
+    d = tmp_path / "state[2024]" / "kp=1"
+    d.mkdir(parents=True)
+    for i in range(70):  # more than the 64-entry cap
+        (d / f"aaa-{i:03d}.txt").touch()
+    assert not orc_data_files_exist(spark, str(tmp_path / "state[2024]"))
+    (d / "part-00000.orc").write_bytes(b"ORC")
+    assert orc_data_files_exist(spark, str(tmp_path / "state[2024]"))
