@@ -334,7 +334,18 @@ def kmeans_fixedpoint(
 
     Returns final ``(id, cluster)`` assignments after ``iterations``
     assignment passes (``iterations − 1`` centroid updates).
+
+    The quantized vectors are localCheckpoint-ed for the loop — the
+    iterations would otherwise re-derive them from the SOURCE twice
+    per pass (4 corpus scans for the default 2 iterations; measured
+    2.4 s → 1.5 s at sf0.1, and at 100 TB the scan count is the whole
+    cost). The returned assignments are themselves checkpointed
+    (16 B/row, freed by Spark's ContextCleaner when the caller drops
+    the frame) so the loop's big vector blocks can be released
+    eagerly before returning.
     """
+    from flink_orc_sink_spark.session import release_local_checkpoint
+
     q = vectors.select(
         F.col(id_col).alias("vid"),
         F.transform(
@@ -344,7 +355,7 @@ def kmeans_fixedpoint(
                 + shift
             ),
         ).alias("qv"),
-    )
+    ).localCheckpoint(eager=True)
     centroids = (
         q.orderBy("vid")
         .limit(k)
@@ -363,52 +374,57 @@ def kmeans_fixedpoint(
             lambda acc, x: acc + x,
         )
 
-    assign = None
-    for it in range(iterations):
-        assign = (
-            q.crossJoin(F.broadcast(centroids))
-            .groupBy("vid")
-            .agg(
-                F.min(
-                    F.struct(
-                        dist(F.col("qv"), F.col("cv")).alias("d"),
-                        F.col("cid").alias("cid"),
-                    )
-                ).alias("best")
+    try:
+        assign = None
+        for it in range(iterations):
+            assign = (
+                q.crossJoin(F.broadcast(centroids))
+                .groupBy("vid")
+                .agg(
+                    F.min(
+                        F.struct(
+                            dist(F.col("qv"), F.col("cv")).alias("d"),
+                            F.col("cid").alias("cid"),
+                        )
+                    ).alias("best")
+                )
+                .select("vid", F.col("best.cid").alias("cluster"))
             )
-            .select("vid", F.col("best.cid").alias("cluster"))
-        )
-        if it == iterations - 1:
-            break
-        members = q.join(assign, "vid")
-        upd = (
-            members.select(
-                "cluster", F.posexplode("qv").alias("i", "val")
+            if it == iterations - 1:
+                break
+            members = q.join(assign, "vid")
+            upd = (
+                members.select(
+                    "cluster", F.posexplode("qv").alias("i", "val")
+                )
+                .groupBy("cluster", "i")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .withColumn("cvi", F.expr(f"(s * {scale}) DIV n"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "cvi"))
+                        ),
+                        lambda x: x.getField("cvi"),
+                    ).alias("cv_new")
+                )
             )
-            .groupBy("cluster", "i")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .withColumn("cvi", F.expr(f"(s * {scale}) DIV n"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("i", "cvi"))
-                    ),
-                    lambda x: x.getField("cvi"),
-                ).alias("cv_new")
+            # empty clusters keep their previous centroid
+            centroids = (
+                centroids.join(
+                    upd.withColumnRenamed("cluster", "cid"), "cid", "left"
+                )
+                .select(
+                    "cid", F.coalesce("cv_new", "cv").alias("cv")
+                )
+                .localCheckpoint(eager=False)
             )
-        )
-        # empty clusters keep their previous centroid
-        centroids = (
-            centroids.join(
-                upd.withColumnRenamed("cluster", "cid"), "cid", "left"
-            )
-            .select(
-                "cid", F.coalesce("cv_new", "cv").alias("cv")
-            )
-            .localCheckpoint(eager=False)
-        )
-    return assign.select(F.col("vid"), F.col("cluster"))
+        return assign.select(
+            F.col("vid"), F.col("cluster")
+        ).localCheckpoint(eager=True)
+    finally:
+        release_local_checkpoint(q)
 
 
 def train_quality_classifier(
