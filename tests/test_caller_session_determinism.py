@@ -29,7 +29,7 @@ from check_correctness import frame_hash
 qs, os_ = e.queries(), e.oracle_sql()
 sf = "/root/testdata/sf0.001"
 con = duckdb.connect()
-for t in ("orders", "lineitem", "events"):
+for t in ("orders", "lineitem", "events", "embeddings", "documents"):
     con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '{{sf}}/{{t}}.parquet'")
 for name in ("events_tumbling_hourly", "events_hourly_anomaly",
              "date_funcs_showcase", "events_bitmap_distinct_rollup",
@@ -37,7 +37,12 @@ for name in ("events_tumbling_hourly", "events_hourly_anomaly",
              "orc_incremental_agg",
              # round-3 timestamp-emitting additions
              "events_max_concurrency", "events_twap_daily",
-             "events_sessionize_dynamic"):
+             "events_sessionize_dynamic",
+             # round-7 fixed-point / unrolled-SQL additions (no
+             # timestamps, but their integer recipes must survive a
+             # plain caller session too)
+             "emb_pca_project", "emb_semantic_dedup",
+             "docs_bpe_encode"):
     s = qs[name](spark, sf).toPandas()
     o = con.sql(os_[name]).df()
     assert len(s) == len(o), (name, len(s), len(o))
