@@ -1482,3 +1482,98 @@ def test_orc_probe_glob_metachar_path(spark, tmp_path):
     assert not orc_data_files_exist(spark, str(tmp_path / "state[2024]"))
     (d / "part-00000.orc").write_bytes(b"ORC")
     assert orc_data_files_exist(spark, str(tmp_path / "state[2024]"))
+
+
+def test_stream_retract_agg_random_feed_converges(spark, tmp_path):
+    """Randomized (seeded) end-to-end convergence: a shuffled CDC
+    feed with group moves, deletes and out-of-order seqs, split
+    across four micro-batches, must land exactly on the from-scratch
+    reference aggregate — and an at-least-once re-delivery of an
+    entire earlier batch must change nothing (latest-per-key merge +
+    retained tombstones absorb it)."""
+    import os
+    import random
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    rng = random.Random(42)
+    keys = list(range(8))
+    groups = ["a", "b", "c"]
+    rows = []
+    for k in keys:
+        seqs = rng.sample(range(1, 40), rng.randint(3, 8))
+        for seq in seqs:
+            op = "D" if rng.random() < 0.2 else "U"
+            rows.append(
+                (k, rng.choice(groups), rng.randint(1, 100), op, seq)
+            )
+    rng.shuffle(rows)
+    batches = [rows[i::4] for i in range(4)]
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, grp string, v long, op string, seq long"
+
+    def feed(rs):
+        spark.createDataFrame(rs, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_agg_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ck"),
+                key_col="k",
+                group_col="grp",
+                val_col="v",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(180), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    for b in batches:
+        feed(b)
+        run()
+
+    def reference():
+        latest = {}
+        for k, grp, v, op, seq in rows:
+            if k not in latest or seq > latest[k][3]:
+                latest[k] = (grp, v, op, seq)
+        want = {}
+        for k, (grp, v, op, _) in latest.items():
+            if op == "U":
+                s, n = want.get(grp, (0, 0))
+                want[grp] = (s + v, n + 1)
+        return {(g, s, n) for g, (s, n) in want.items()}
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    want = reference()
+    assert agg() == want
+
+    # at-least-once: the source re-delivers ALL of batch 2 as a new
+    # micro-batch — every row is stale history, nothing may move
+    feed(batches[1])
+    run()
+    assert agg() == want
