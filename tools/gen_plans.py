@@ -38,6 +38,14 @@ FLAGSHIPS = {
         "query side broadcast; corpus scored per partition; per-query "
         "top-k window after a tiny exchange"
     ),
+    "emb_pca_project": (
+        "the fixed-point PCA's visible plan is ONLY the map-only "
+        "projection: pruned 2-column scan, quantize + four "
+        "aggregate(zip_with(literal-component)) dot products entirely "
+        "inside codegen, one range exchange for the ordered output — "
+        "the moments pass (one partial row per partition, no shuffle) "
+        "and the O(d^2) driver eigensolve already ran at build time"
+    ),
     "graph_triangle_count": (
         "degree table broadcast into both rank attaches (inside the "
         "localCheckpoint boundary, shown as Scan ExistingRDD here); "
