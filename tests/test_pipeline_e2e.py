@@ -143,3 +143,20 @@ def test_streaming_ingest_pipeline_example(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_embedding_pipeline_example(spark, sf_dir, tmp_path):
+    """The embedding example end to end: semantic dedup keeps a
+    nonempty survivor set no larger than the corpus, the fixed-point
+    projections land as ORC one row per survivor, and the IVF probe
+    answers for every query (each query's own vector is in the index,
+    so hit counts are positive)."""
+    import examples.embedding_pipeline as ep
+
+    out = str(tmp_path / "embp")
+    counts = ep.run(spark, sf_dir, out)
+    assert 0 < counts["after_semantic_dedup"] <= counts["corpus"]
+    assert counts["written"] == counts["after_semantic_dedup"]
+    assert counts["probe_hits"] >= 5  # >= 1 hit per query (self)
+    got = spark.read.orc(str(tmp_path / "embp" / "catalog"))
+    assert set(got.columns) == {"vec_id", "pc1", "pc2", "pc3", "pc4"}
