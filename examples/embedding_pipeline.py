@@ -46,6 +46,7 @@ def run(spark: SparkSession, sf_dir: str, out: str) -> dict:
         ivf_search,
         semantic_dedup,
     )
+    from flink_orc_sink_spark.session import release_local_checkpoint
     from flink_orc_sink_spark.sources.catalog import table
     from flink_orc_sink_spark.sources.orc_sink import write_orc
 
@@ -58,8 +59,14 @@ def run(spark: SparkSession, sf_dir: str, out: str) -> dict:
     flags = semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.95, nlist=16
     )
-    survivors = emb.join(
-        flags.filter(~F.col("is_dup")).select("vec_id"), "vec_id"
+    # checkpoint: every downstream stage (PCA moments, index build,
+    # query selection, probe) would otherwise re-execute the dedup
+    # shuffle + join — 5 corpus-scale recomputes instead of 1
+    survivors = (
+        emb.join(
+            flags.filter(~F.col("is_dup")).select("vec_id"), "vec_id"
+        )
+        .localCheckpoint(eager=True)
     )
     counts["after_semantic_dedup"] = survivors.count()
 
@@ -82,6 +89,7 @@ def run(spark: SparkSession, sf_dir: str, out: str) -> dict:
     catalog = os.path.join(out, "catalog")
     write_orc(proj, catalog)
     counts["written"] = spark.read.orc(catalog).count()
+    release_local_checkpoint(survivors)
     return counts
 
 

@@ -13,6 +13,7 @@ reference instead subtracts 8h for display, ``RowOrcBucketingSink.java:196-198``
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -188,13 +189,8 @@ def orc_data_files_exist(spark: SparkSession, path: str) -> bool:
         return False
     it = fs.listFiles(p, True)
     seen = 0
-    # a path containing glob metacharacters can't be fed to
-    # globStatus verbatim (an unclosed '[' even throws) — for those
-    # rare paths skip the glob arm and finish the full walk instead
-    globbable = not any(c in path for c in "*?[]{}\\")
-    cap = 64 if globbable else (1 << 62)
     while it.hasNext():
-        if seen >= cap:
+        if seen >= 64:
             break
         name = it.next().getPath().getName()
         if name.endswith(".orc") and not name.startswith(("_", ".")):
@@ -202,9 +198,13 @@ def orc_data_files_exist(spark: SparkSession, path: str) -> bool:
         seen += 1
     else:
         return False  # fully enumerated: genuinely no data files
+    # glob metacharacters in the BASE path are backslash-escaped so a
+    # bracketed directory name can't be glob-interpreted (an unclosed
+    # '[' would even throw from globStatus)
+    esc = re.sub(r"([*?\[\]{}\\])", r"\\\1", path.rstrip("/"))
     for depth in range(3):
         pat = spark._jvm.org.apache.hadoop.fs.Path(
-            path.rstrip("/") + "/*" * depth + "/*.orc"
+            esc + "/*" * depth + "/*.orc"
         )
         if _any_data_file(fs.globStatus(pat) or [], ".orc"):
             return True

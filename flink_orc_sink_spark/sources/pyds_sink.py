@@ -52,6 +52,17 @@ from pyspark.sql.datasource import (
 )
 
 
+# The only names the sink ever publishes: vNNNNNNNN.json from batch
+# commits, batch-NNNNNNNN.json from streaming epochs — 8+ digits
+# ({8,}, not {8}: the :08d format is a MINIMUM width, so version or
+# batch id 10^8 widens to 9 digits and an exact-width match would
+# silently orphan its committed files). Readers and the vacuum filter
+# on this so a stray foreign .json in manifests/ can neither KeyError
+# a read nor pin phantom files as live.
+_BATCH_MANIFEST_NAME = re.compile(r"v(\d{8,})\.json")
+_MANIFEST_NAME = re.compile(r"(v|batch-)\d{8,}\.json")
+
+
 @dataclass
 class FileCommit(WriterCommitMessage):
     relpath: str | None
@@ -142,7 +153,7 @@ class _BatchWriter(DataSourceArrowWriter):
             sorted(
                 f
                 for f in os.listdir(mdir)
-                if re.fullmatch(r"v\d{8}\.json", f)
+                if _BATCH_MANIFEST_NAME.fullmatch(f)
             )
             if os.path.isdir(mdir)
             else []
@@ -159,7 +170,14 @@ class _BatchWriter(DataSourceArrowWriter):
             # _publish would atomically REPLACE the live manifest,
             # silently dropping its committed files from readers.
             version = (
-                max((int(f[1:-5]) for f in prior), default=0) + 1
+                max(
+                    (
+                        int(_BATCH_MANIFEST_NAME.fullmatch(f).group(1))
+                        for f in prior
+                    ),
+                    default=0,
+                )
+                + 1
             )
         _publish(self.path, f"v{version:08d}.json", files)
 
@@ -206,13 +224,6 @@ class ManifestOrcSinkDataSource(DataSource):
 
 def register_sink(spark) -> None:
     spark.dataSource.register(ManifestOrcSinkDataSource)
-
-
-# The only names the sink ever publishes (vNNNNNNNN.json from batch
-# commits, batch-NNNNNNNN.json from streaming epochs). Readers and
-# the vacuum filter on this so a stray foreign .json in manifests/
-# can neither KeyError a read nor pin phantom files as live.
-_MANIFEST_NAME = re.compile(r"(v|batch-)\d{8}\.json")
 
 
 def read_manifest_orc(spark, path: str):

@@ -602,6 +602,8 @@ def cleanup_retract_state(
 
     Returns ``{"tombstones_dropped": n, "buckets_rewritten": k}``.
     """
+    if isinstance(order_cols, str):  # tolerate the scalar form
+        order_cols = (order_cols,)
     state_dir = os.path.join(state_path, "state")
     _hfs_mkdirs(
         spark,

@@ -21,11 +21,14 @@ import sys
 
 THRESHOLD = 1.5
 # Documented non-regressions: baseline entries that measure an OLD
-# implementation deliberately replaced since the pin (see BASELINE.md
-# caveats). Reported, never failed.
-WAIVED = {
-    "emb_semantic_dedup": "round-7 swap to the value-oracled"
-    " fixed-point-k-means + join form (BASELINE.md caveat)",
+# implementation deliberately replaced since that pin (see BASELINE.md
+# caveats). Keyed BY BASELINE FILE so a re-pin (which measures the new
+# implementation) automatically re-arms the gate for these queries.
+WAIVED_BY_BASELINE = {
+    "BENCH_PIN_r06.json": {
+        "emb_semantic_dedup": "round-7 swap to the value-oracled"
+        " fixed-point-k-means + join form (BASELINE.md caveat)",
+    },
 }
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
@@ -69,6 +72,7 @@ def main() -> int:
         or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r06.json")
     )
     base = load_baseline(base_path)
+    waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
 
     failures: list[str] = []
     fq, bq = fresh["queries"], base["queries"]
@@ -83,7 +87,7 @@ def main() -> int:
             and bq[name] >= MIN_BASE_SEC
             and sec - bq[name] >= MIN_DELTA_SEC
         ):
-            if name in WAIVED:
+            if name in waived:
                 status = "WAIV"
             else:
                 status = "FAIL"
