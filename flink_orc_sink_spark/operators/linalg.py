@@ -314,7 +314,8 @@ def kmeans_fixedpoint(
     iterations: int = 2,
     scale: int = 1000,
     shift: int = 10_000,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Distributed Lloyd's k-means with BIT-EXACT integer arithmetic —
     the iterative-ML-training-loop family (like ``pagerank_fixed``)
     as a value-checkable operator: float k-means can never hash
@@ -333,7 +334,13 @@ def kmeans_fixedpoint(
     vectors by id (deterministic seeding; k-means++ would sample).
 
     Returns final ``(id, cluster)`` assignments after ``iterations``
-    assignment passes (``iterations − 1`` centroid updates).
+    assignment passes (``iterations − 1`` centroid updates); with
+    ``return_centroids`` also the final fixed-point centroid table
+    ``(cid int, cv array<bigint>)`` — the coarse quantizer the
+    fixed-cells IVF tier probes against. The centroids are collected
+    (k rows — bounded metadata) and re-emitted via ``local_df`` so
+    the returned frame owns no lineage into the released vector
+    checkpoint.
 
     The quantized vectors are localCheckpoint-ed for the loop — the
     iterations would otherwise re-derive them from the SOURCE twice
@@ -420,9 +427,19 @@ def kmeans_fixedpoint(
                 )
                 .localCheckpoint(eager=False)
             )
-        return assign.select(
+        out = assign.select(
             F.col("vid"), F.col("cluster")
         ).localCheckpoint(eager=True)
+        if not return_centroids:
+            return out
+        cent_rows = [
+            (int(r.cid), [int(x) for x in r.cv])
+            for r in centroids.collect()
+        ]
+        cents = local_df(
+            vectors.sparkSession, cent_rows, "cid int, cv array<bigint>"
+        )
+        return out, cents
     finally:
         release_local_checkpoint(q)
 

@@ -583,6 +583,107 @@ def ivf_topk(
     ).select("qid", "cid", "cos_sim", "rank")
 
 
+def ivf_topk_fixedcells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 8,
+    scale: int = 1000,
+    shift: int = 10_000,
+) -> DataFrame:
+    """IVF approximate top-``k`` whose coarse quantizer is the
+    BIT-EXACT fixed-point k-means (``linalg.kmeans_fixedpoint``):
+    corpus cells come straight from the k-means assignments, query
+    probing ranks the final integer centroids by the SAME integer
+    distance (ties → lowest cell id), and candidate scoring is the
+    proven rounded-double cosine. Every step is engine-portable, so
+    — unlike the float-quantizer :func:`ivf_topk` — the whole ANN
+    query is VALUE-CHECKABLE against an unrolled SQL oracle. Same
+    cost shape as the float tier: assignment is one broadcast loop
+    over the corpus, probing touches ``nprobe``/``nlist`` of it, and
+    ``nprobe = nlist`` degrades gracefully to the exact brute-force
+    top-k (pytest-pinned).
+    """
+    from flink_orc_sink_spark.operators.linalg import kmeans_fixedpoint
+    from flink_orc_sink_spark.operators.relational import topk_per_group
+
+    assign, cents = kmeans_fixedpoint(
+        corpus, corpus_id, corpus_vec, k=nlist, iterations=2,
+        scale=scale, shift=shift, return_centroids=True,
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cvec"),
+    ).join(
+        assign.select(
+            F.col("vid").alias("cid"), F.col("cluster").alias("cell")
+        ),
+        "cid",
+    )
+    qv = F.transform(
+        F.col(query_vec),
+        lambda x: (
+            F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+            + shift
+        ),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("cv"),
+            lambda a, b: (a * scale - b) * (a * scale - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probe = (
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).alias("qvec"),
+            qv.alias("_qv"),
+        )
+        .crossJoin(
+            F.broadcast(cents.withColumnRenamed("cid", "cell"))
+        )
+        .withColumn("_d", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+    scored = (
+        probe.withColumn("_qn", norm("qvec"))
+        .join(c.withColumn("_cn", norm("cvec")), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                cosine_with_norms(
+                    "qvec", "cvec", F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("cid").asc()],
+        k,
+        rank_col="rank",
+    ).select("qid", "cid", "cos_sim", "rank")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

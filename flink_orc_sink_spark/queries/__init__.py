@@ -43,10 +43,11 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       events/relational tail, emb_pca_project + emb_semantic_dedup
 #       (NEWLY value-oracled this round: fixed-point power-iteration
 #       PCA unrolled in SQL; fixed-point-k-means-celled SemDeDup;
-#       docs_bpe_encode's train+encode loop unrolled in SQL), and
-#       the 3 permanently rows-only entries (emb_{ivf,pq,ivf_pq}_topk
-#       — ANN by nature; recall separately value-oracled via the
-#       *_recall_eval quartet). The remaining
+#       docs_bpe_encode's train+encode loop unrolled in SQL;
+#       emb_ivf_topk re-celled on fixed-point k-means so the full ANN
+#       query hashes), and the 2 remaining rows-only entries
+#       (emb_{pq,ivf_pq}_topk — float-codebook ANN; recall separately
+#       value-oracled via the *_recall_eval quartet). The remaining
 #       26 slots re-verify the STALEST entries (last driver-checked
 #       in r2). After this window every hash-capable registry entry
 #       has been driver-green at least once.
@@ -78,9 +79,9 @@ _PRIORITY = (
     "map_funcs_showcase",
     "agg_approx_distinct_sketch",
     "docs_bpe_encode",  # value-oracled in r7 (SQL-unrolled BPE loop)
-    # permanently rows-only (ANN top-k; recall value-oracled via the
-    # *_recall_eval quartet, driver records the rows-only check)
-    "emb_ivf_topk",
+    "emb_ivf_topk",  # value-oracled in r7 (fixed-point-celled IVF)
+    # remaining rows-only (float-codebook ANN; recall value-oracled
+    # via the *_recall_eval quartet, driver records rows-only checks)
     "emb_pq_topk",
     "emb_ivf_pq_topk",
     # --- 26 stalest re-verification slots (last checked r2) ---

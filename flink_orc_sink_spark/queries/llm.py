@@ -1286,16 +1286,79 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer, nprobe cells) ANN top-5 — the
     100 TB semantic-search path for clustered embedding corpora.
-    No SQL oracle (approximate + sampled training); recall asserted
-    on clustered data in tests/test_similarity.py."""
-    from flink_orc_sink_spark.operators.similarity import ivf_topk
+
+    VALUE-ORACLED as of round 7 via the fixed-cells variant
+    (``operators/similarity.py::ivf_topk_fixedcells``): the coarse
+    quantizer is the bit-exact fixed-point k-means (nlist=32, the
+    oracle reuses the proven unrolled-Lloyd CTEs), query probing
+    ranks the integer centroids by the same integer distance, and
+    candidate scoring is the proven rounded cosine — so the FULL ANN
+    query (cells, probe set, scores, ranks) hash-matches. The
+    float-quantizer production tier (``ivf_topk``, sampled NumPy
+    training) stays exercised by ``emb_ivf_recall_eval`` and
+    tests/test_similarity.py; pytest additionally pins that this
+    variant with ``nprobe = nlist`` equals the exact brute-force
+    top-5."""
+    from flink_orc_sink_spark.operators.similarity import (
+        ivf_topk_fixedcells,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return ivf_topk(
+    return ivf_topk_fixedcells(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
         k=5, nlist=32, nprobe=8,
     )
+
+
+def _ivf_topk_sql(nlist: int = 32, nprobe: int = 8, k: int = 5) -> str:
+    """Oracle for :func:`emb_ivf_topk`: the k-means unroll supplies
+    both the corpus cells (``a1``) and the final integer centroids
+    (``c1``); probing and scoring mirror the Spark operator step for
+    step (integer centroid distance with lowest-cell tie-break, then
+    the ``COSINE_TOPK_SQL`` scoring idiom on probed cells only)."""
+    dist = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (qv[i] * 1000 - cv[i]) * (qv[i] * 1000 - cv[i])))"
+    )
+    cos = (
+        f"ROUND(CASE WHEN sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
+        f" * sqrt({_dot_sql('corp.cv', 'corp.cv')}) > 0"
+        f" THEN {_dot_sql('qe.qvec', 'corp.cv')}"
+        f" / (sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
+        f" * sqrt({_dot_sql('corp.cv', 'corp.cv')}))"
+        f" ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH {_kmeans_ctes(nlist)},
+cells AS (SELECT vid, cid AS cell FROM a1),
+corp AS (
+  SELECT c.vid AS cid, e.embedding AS cv, c.cell
+  FROM cells c JOIN embeddings e ON e.vec_id = c.vid),
+qe AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < 10),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.vid AS qid, c1.cid AS cell,
+      ROW_NUMBER() OVER (PARTITION BY q.vid
+        ORDER BY {dist} ASC, c1.cid ASC) AS rn
+    FROM q CROSS JOIN c1 WHERE q.vid < 10)
+  WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.qid, corp.cid, {cos} AS cos_sim
+  FROM probe p
+  JOIN qe ON qe.qid = p.qid
+  JOIN corp ON corp.cell = p.cell
+  WHERE p.qid <> corp.cid),
+ranked AS (
+  SELECT qid, cid, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos_sim DESC, cid ASC) AS rank
+  FROM scored)
+SELECT qid, cid, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _planted_clone_queries(e: DataFrame, n: int = 50) -> DataFrame:
@@ -5296,6 +5359,7 @@ ORACLES = {
     "emb_kmeans_cluster": _kmeans_sql(),
     "emb_semantic_dedup": _semantic_dedup_sql(),
     "emb_pca_project": _pca_sql(),
+    "emb_ivf_topk": _ivf_topk_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "multimodal_binaryfile_ingest": MULTIMODAL_DECODE_SQL,
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,

@@ -385,3 +385,62 @@ def test_ivf_index_replay_double_append_no_duplicates(spark, tmp_path):
         (r.qid, r.cid) for r in res if r.cos_sim >= 0.9 and r.cid < 1_000_000
     }
     assert {(i + 1_000_000, i) for i in range(5)} <= hits
+
+
+def test_ivf_fixedcells_exhaustive_probe_is_exact(spark, sf_dir):
+    """ivf_topk_fixedcells with nprobe == nlist probes every cell, so
+    it must equal the exact brute-force top-k row for row (same
+    rounded cosine, same tie-breaks) — the correctness anchor of the
+    fixed-cells ANN tier. With the default nprobe < nlist the result
+    is a subset relation per query (approximation may only DROP
+    candidates, never invent or re-rank them above exact scores)."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_fixedcells,
+    )
+    from flink_orc_sink_spark.sources.catalog import table
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            q, e, "vec_id", "vec_id", "embedding", "embedding", k=4
+        ).collect()
+    }
+    full = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in ivf_topk_fixedcells(
+            q, e, "vec_id", "vec_id", "embedding", "embedding",
+            k=4, nlist=8, nprobe=8,
+        ).collect()
+    }
+    assert full == exact
+
+    approx = ivf_topk_fixedcells(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=4, nlist=8, nprobe=2,
+    ).collect()
+    exact_scores = {(r[0], r[1]): r[2] for r in exact}
+    by_q: dict = {}
+    for r in approx:
+        by_q.setdefault(r.qid, []).append(r)
+        # every scored candidate carries its exact cosine
+        if (r.qid, r.cid) in exact_scores:
+            assert r.cos_sim == exact_scores[(r.qid, r.cid)]
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+    # determinism under a different partition layout
+    again = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in ivf_topk_fixedcells(
+            q.repartition(5), e.repartition(7),
+            "vec_id", "vec_id", "embedding", "embedding",
+            k=4, nlist=8, nprobe=8,
+        ).collect()
+    }
+    assert again == exact
