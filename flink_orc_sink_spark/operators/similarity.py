@@ -684,6 +684,249 @@ def ivf_topk_fixedcells(
     ).select("qid", "cid", "cos_sim", "rank")
 
 
+def _fixed_quantize(col, scale: int, shift: int):
+    return F.transform(
+        col,
+        lambda x: (
+            F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+            + shift
+        ),
+    )
+
+
+def _fixed_dist(qcol: str, ccol: str, scale: int):
+    return F.aggregate(
+        F.zip_with(
+            F.col(qcol),
+            F.col(ccol),
+            lambda a, b: (a * scale - b) * (a * scale - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_fixed_codes_lut(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    m: int,
+    ksub: int,
+    dims: int,
+    scale: int,
+    shift: int,
+):
+    """Shared PQ tier of the fixed-point ANN variants: per-subspace
+    fixed-point k-means codebooks (``kmeans_fixedpoint``, so both
+    encode and the per-query distance LUT are engine-exact integers).
+    Returns ``(codes(cid, j, code), lut(qid, j, code, d))`` — the LUT
+    is nq·m·ksub rows, broadcast-sized by construction."""
+    from flink_orc_sink_spark.operators.linalg import kmeans_fixedpoint
+
+    dsub = dims // m
+    codes = None
+    cents = None
+    for j in range(m):
+        sub = corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.slice(F.col(corpus_vec), j * dsub + 1, dsub).alias(
+                "embedding"
+            ),
+        )
+        a_j, c_j = kmeans_fixedpoint(
+            sub, "vec_id", "embedding", k=ksub, iterations=2,
+            scale=scale, shift=shift, return_centroids=True,
+        )
+        a_j = a_j.select(
+            F.col("vid").alias("cid"),
+            F.lit(j).alias("j"),
+            F.col("cluster").alias("code"),
+        )
+        c_j = c_j.select(
+            F.lit(j).alias("j"), F.col("cid").alias("code"), "cv"
+        )
+        codes = a_j if codes is None else codes.unionByName(a_j)
+        cents = c_j if cents is None else cents.unionByName(c_j)
+    qsl = None
+    for j in range(m):
+        qj = queries.select(
+            F.col(query_id).alias("qid"),
+            F.lit(j).alias("j"),
+            _fixed_quantize(
+                F.slice(F.col(query_vec), j * dsub + 1, dsub),
+                scale,
+                shift,
+            ).alias("sqv"),
+        )
+        qsl = qj if qsl is None else qsl.unionByName(qj)
+    lut = qsl.join(F.broadcast(cents), "j").select(
+        "qid", "j", "code", _fixed_dist("sqv", "cv", scale).alias("d")
+    )
+    return codes, lut
+
+
+def _pq_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    adc: DataFrame,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """Deterministic candidate cut (ADC asc, id asc) + exact rounded-
+    cosine re-rank — shared tail of the fixed-point PQ variants."""
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.operators.relational import topk_per_group
+
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("cid").asc()
+    )
+    cand = (
+        adc.filter(F.col("qid") != F.col("cid"))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= shortlist)
+        .select("qid", "cid")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qvec"),
+        norm(query_vec).alias("_qn"),
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cvec"),
+        norm(corpus_vec).alias("_cn"),
+    )
+    scored = cand.join(qv, "qid").join(cv, "cid").select(
+        "qid",
+        "cid",
+        F.round(
+            cosine_with_norms("qvec", "cvec", F.col("_qn"), F.col("_cn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        ["qid"],
+        [F.col("cos_sim").desc(), F.col("cid").asc()],
+        k,
+        rank_col="rank",
+    ).select("qid", "cid", "cos_sim", "rank")
+
+
+def pq_topk_fixedcodebooks(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 32,
+    dims: int = 64,
+    scale: int = 1000,
+    shift: int = 10_000,
+) -> DataFrame:
+    """PQ ANN top-``k`` whose subspace codebooks are BIT-EXACT
+    fixed-point k-means: encode, the per-query distance LUT, and the
+    ADC candidate cut are all integer arithmetic, so — unlike the
+    float-codebook :func:`pq_topk` — the whole query is
+    VALUE-CHECKABLE against an unrolled SQL oracle. ADC here is the
+    asymmetric squared-L2 in quantized space (candidate generation
+    only; exact cosine re-ranks the shortlist), and ties break to
+    the lowest corpus id everywhere. Same cost shape as the float
+    tier: one broadcast LUT join over the code table, no vector ever
+    shuffles."""
+    codes, lut = _pq_fixed_codes_lut(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        m, ksub, dims, scale, shift,
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("d").alias("adc"))
+    )
+    return _pq_rerank(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        adc, shortlist, k,
+    )
+
+
+def ivf_pq_topk_fixedcells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 32,
+    dims: int = 64,
+    scale: int = 1000,
+    shift: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) with BOTH quantizers in bit-exact fixed point:
+    coarse cells and probe set from the full-vector fixed-point
+    k-means (as :func:`ivf_topk_fixedcells`), PQ codes/LUT from the
+    per-subspace fixed-point codebooks (as
+    :func:`pq_topk_fixedcodebooks`), ADC restricted to the probed
+    cells, exact rounded-cosine re-rank of the shortlist — the full
+    trillion-vector recipe, VALUE-CHECKABLE end to end."""
+    from pyspark.sql import Window
+
+    from flink_orc_sink_spark.operators.linalg import kmeans_fixedpoint
+
+    assign, gcents = kmeans_fixedpoint(
+        corpus, corpus_id, corpus_vec, k=nlist, iterations=2,
+        scale=scale, shift=shift, return_centroids=True,
+    )
+    cellof = assign.select(
+        F.col("vid").alias("cid"), F.col("cluster").alias("cell")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probe = (
+        queries.select(
+            F.col(query_id).alias("qid"),
+            _fixed_quantize(F.col(query_vec), scale, shift).alias("_qv"),
+        )
+        .crossJoin(F.broadcast(gcents.withColumnRenamed("cid", "cell")))
+        .withColumn("_d", _fixed_dist("_qv", "cv", scale))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "cell")
+    )
+    codes, lut = _pq_fixed_codes_lut(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        m, ksub, dims, scale, shift,
+    )
+    adc = (
+        codes.join(cellof, "cid")
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(lut), ["qid", "j", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("d").alias("adc"))
+    )
+    return _pq_rerank(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        adc, shortlist, k,
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -43,14 +43,15 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       events/relational tail, emb_pca_project + emb_semantic_dedup
 #       (NEWLY value-oracled this round: fixed-point power-iteration
 #       PCA unrolled in SQL; fixed-point-k-means-celled SemDeDup;
-#       docs_bpe_encode's train+encode loop unrolled in SQL;
-#       emb_ivf_topk re-celled on fixed-point k-means so the full ANN
-#       query hashes), and the 2 remaining rows-only entries
-#       (emb_{pq,ivf_pq}_topk — float-codebook ANN; recall separately
-#       value-oracled via the *_recall_eval quartet). The remaining
+#       docs_bpe_encode's train+encode loop unrolled in SQL; the
+#       whole ANN top-k trio re-based on fixed-point quantizers —
+#       emb_ivf_topk on fixed cells, emb_pq_topk on fixed subspace
+#       codebooks, emb_ivf_pq_topk on both — so ALL 263 registry
+#       entries now carry value oracles; the float production tiers
+#       stay exercised by the *_recall_eval quartet). The remaining
 #       26 slots re-verify the STALEST entries (last driver-checked
-#       in r2). After this window every hash-capable registry entry
-#       has been driver-green at least once.
+#       in r2). After this window every registry entry has been
+#       driver-green at least once.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
@@ -78,10 +79,10 @@ _PRIORITY = (
     "array_funcs_showcase",
     "map_funcs_showcase",
     "agg_approx_distinct_sketch",
-    "docs_bpe_encode",  # value-oracled in r7 (SQL-unrolled BPE loop)
-    "emb_ivf_topk",  # value-oracled in r7 (fixed-point-celled IVF)
-    # remaining rows-only (float-codebook ANN; recall value-oracled
-    # via the *_recall_eval quartet, driver records rows-only checks)
+    # all four value-oracled in r7 (SQL-unrolled BPE loop;
+    # fixed-point-quantizer ANN trio)
+    "docs_bpe_encode",
+    "emb_ivf_topk",
     "emb_pq_topk",
     "emb_ivf_pq_topk",
     # --- 26 stalest re-verification slots (last checked r2) ---

@@ -1361,6 +1361,142 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _pq_chain_ctes(m: int = 4, ksub: int = 16, dims: int = 64) -> str:
+    """The per-subspace fixed-point codebook chains plus the shared
+    ``codes`` / ``cents`` / ``qsl`` / ``lut`` CTEs of the PQ oracles.
+    Chain ``p{j}`` runs the unrolled Lloyd over ``embedding``'s
+    j-th slice; the LUT distance mirrors the operator's integer
+    subspace distance."""
+    dsub = dims // m
+    chains = ",\n".join(
+        _kmeans_ctes(
+            ksub,
+            f"(SELECT vec_id, embedding[{j * dsub + 1}:{(j + 1) * dsub}]"
+            f" AS embedding FROM embeddings)",
+            dims=dsub,
+            p=f"p{j}",
+        )
+        for j in range(m)
+    )
+    codes = "\n    UNION ALL ".join(
+        f"SELECT vid, {j} AS j, cid AS code FROM a1p{j}"
+        for j in range(m)
+    )
+    cents = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, cid AS code, cv FROM c1p{j}"
+        for j in range(m)
+    )
+    qsl = "\n    UNION ALL ".join(
+        f"SELECT vid AS qid, {j} AS j, qv FROM qp{j} WHERE vid < 10"
+        for j in range(m)
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        " i -> (qs.qv[i] * 1000 - ce.cv[i])"
+        " * (qs.qv[i] * 1000 - ce.cv[i])))"
+    )
+    return f"""{chains},
+codes AS MATERIALIZED (
+    {codes}),
+cents AS MATERIALIZED (
+    {cents}),
+qsl AS MATERIALIZED (
+    {qsl}),
+lut AS MATERIALIZED (
+  SELECT qs.qid, qs.j, ce.code, {dist} AS d
+  FROM qsl qs JOIN cents ce ON ce.j = qs.j)"""
+
+
+def _pq_rerank_sql(shortlist: int, k: int) -> str:
+    """Shared oracle tail: deterministic ADC shortlist cut + exact
+    rounded-cosine re-rank (the COSINE_TOPK_SQL idiom)."""
+    cos = (
+        f"ROUND(CASE WHEN sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
+        f" * sqrt({_dot_sql('ce2.cv', 'ce2.cv')}) > 0"
+        f" THEN {_dot_sql('qe.qvec', 'ce2.cv')}"
+        f" / (sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
+        f" * sqrt({_dot_sql('ce2.cv', 'ce2.cv')}))"
+        f" ELSE 0.0 END, 6)"
+    )
+    return f"""cand AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+      ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY adc ASC, cid ASC) AS rn
+    FROM adc WHERE qid <> cid)
+  WHERE rn <= {shortlist}),
+qe AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < 10),
+ce2 AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+scored AS MATERIALIZED (
+  SELECT c.qid, c.cid, {cos} AS cos_sim
+  FROM cand c
+  JOIN qe ON qe.qid = c.qid
+  JOIN ce2 ON ce2.cid = c.cid),
+ranked AS (
+  SELECT qid, cid, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos_sim DESC, cid ASC) AS rank
+  FROM scored)
+SELECT qid, cid, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _pq_topk_sql(
+    m: int = 4, ksub: int = 16, shortlist: int = 32, k: int = 5
+) -> str:
+    """Oracle for :func:`emb_pq_topk` — see
+    ``pq_topk_fixedcodebooks``; every stage integer until the final
+    cosine."""
+    return f"""
+WITH {_pq_chain_ctes(m, ksub)},
+adc AS MATERIALIZED (
+  SELECT l.qid, co.vid AS cid, SUM(l.d) AS adc
+  FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+  GROUP BY l.qid, co.vid),
+{_pq_rerank_sql(shortlist, k)}
+"""
+
+
+def _ivf_pq_topk_sql(
+    nlist: int = 32,
+    nprobe: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 32,
+    k: int = 5,
+) -> str:
+    """Oracle for :func:`emb_ivf_pq_topk` — the coarse chain ``g``
+    supplies cells + probe set; ADC runs over probed cells only."""
+    gdist = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (qg.qv[i] * 1000 - c1g.cv[i])"
+        " * (qg.qv[i] * 1000 - c1g.cv[i])))"
+    )
+    return f"""
+WITH {_kmeans_ctes(nlist, "embeddings", dims=64, p="g")},
+cellof AS MATERIALIZED (SELECT vid, cid AS cell FROM a1g),
+probe AS MATERIALIZED (
+  SELECT qid, cell FROM (
+    SELECT qg.vid AS qid, c1g.cid AS cell,
+      ROW_NUMBER() OVER (PARTITION BY qg.vid
+        ORDER BY {gdist} ASC, c1g.cid ASC) AS rn
+    FROM qg CROSS JOIN c1g WHERE qg.vid < 10)
+  WHERE rn <= {nprobe}),
+{_pq_chain_ctes(m, ksub)},
+adc AS MATERIALIZED (
+  SELECT l.qid, co.vid AS cid, SUM(l.d) AS adc
+  FROM codes co
+  JOIN cellof cf ON cf.vid = co.vid
+  JOIN probe p ON p.cell = cf.cell
+  JOIN lut l ON l.qid = p.qid AND l.j = co.j AND l.code = co.code
+  GROUP BY l.qid, co.vid),
+{_pq_rerank_sql(shortlist, k)}
+"""
+
+
 def _planted_clone_queries(e: DataFrame, n: int = 50) -> DataFrame:
     """Deterministic planted-neighborhood query set: the first ``n``
     corpus vectors cloned verbatim under ``vec_id + 1_000_000``. Each
@@ -1481,40 +1617,59 @@ def emb_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN top-5 (ADC scoring + exact re-rank) —
-    the memory-bound tier of the similarity stack: 8 subspace
-    codebooks compress each 64-dim vector to 8 bytes (~32×), the
-    corpus pass is one shuffle-free ``mapInPandas`` LUT gather, and
-    only the per-query shortlist is ever re-scored exactly. Compose
-    with ``build_ivf_index`` for IVF-PQ at trillion-vector scale.
-    No SQL oracle (approximate + sampled codebook training); recall
-    ≥ 0.9 asserted on clustered data in tests/test_similarity.py;
-    driver records rows-only."""
-    from flink_orc_sink_spark.operators.similarity import pq_topk
+    """Product-quantization ANN top-5 (ADC candidate generation +
+    exact re-rank) — the memory-bound tier of the similarity stack:
+    subspace codebooks compress each 64-dim vector to ``m`` codes,
+    ADC scores candidates in O(m) LUT lookups, and only the
+    per-query shortlist is ever re-scored exactly.
+
+    VALUE-ORACLED as of round 7 via the fixed-codebooks variant
+    (``operators/similarity.py::pq_topk_fixedcodebooks``): the m=4
+    subspace codebooks are bit-exact fixed-point k-means (the oracle
+    runs 4 prefixed unrolled-Lloyd chains over the vector slices),
+    encode/LUT/ADC are pure integers, and the shortlist cut + cosine
+    re-rank use the proven deterministic idioms — so the full ANN
+    query hash-matches. The float-codebook production tier
+    (``pq_topk``, Arrow LUT-gather kernel) stays exercised by
+    ``emb_pq_recall_eval`` and tests/test_similarity.py; pytest
+    additionally pins that this variant with ``shortlist ≥ corpus``
+    equals the exact brute-force top-5."""
+    from flink_orc_sink_spark.operators.similarity import (
+        pq_topk_fixedcodebooks,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return pq_topk(
+    return pq_topk_fixedcodebooks(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, m=8, ksub=16, shortlist=32,
+        k=5, m=4, ksub=16, shortlist=32,
     )
 
 
 def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN top-5 (IVFADC): coarse cells restrict each
-    query to nprobe/nlist of the corpus, 8-byte PQ codes make each
-    candidate O(m), exact re-rank restores precision on the
-    shortlist — the standard trillion-vector recipe, here as ONE
-    bucket-join + Arrow ADC UDF + windowed top-k. No SQL oracle
-    (approximate); recall asserted on clustered data in
-    tests/test_similarity.py; driver records rows-only."""
-    from flink_orc_sink_spark.operators.similarity import ivf_pq_topk
+    query to nprobe/nlist of the corpus, PQ codes make each candidate
+    O(m), exact re-rank restores precision on the shortlist — the
+    standard trillion-vector recipe.
+
+    VALUE-ORACLED as of round 7 via the all-fixed-point composition
+    (``operators/similarity.py::ivf_pq_topk_fixedcells``): coarse
+    cells + probe set from the full-vector fixed-point k-means, PQ
+    codes/LUT from the per-subspace fixed-point codebooks, integer
+    ADC over probed cells only, deterministic shortlist + proven
+    cosine re-rank — five unrolled Lloyd chains in one oracle, every
+    row hash-matched. The float production tier (``ivf_pq_topk``,
+    bucket-join + Arrow ADC UDF) stays exercised by
+    ``emb_ivfpq_recall_eval`` and tests/test_similarity.py."""
+    from flink_orc_sink_spark.operators.similarity import (
+        ivf_pq_topk_fixedcells,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return ivf_pq_topk(
+    return ivf_pq_topk_fixedcells(
         q, e, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, nlist=32, nprobe=8, m=8, ksub=16, shortlist=32,
+        k=5, nlist=32, nprobe=8, m=4, ksub=16, shortlist=32,
     )
 
 
@@ -4665,59 +4820,64 @@ def emb_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int = 4, src: str = "embeddings") -> str:
-    """CTE chain (``q``, ``c0``, ``a0``, ``upd``, ``c1n``, ``c1``,
-    ``a1``) reproducing ``operators/linalg.py::kmeans_fixedpoint``
-    (k=``k``, 2 iterations) over ``src`` — which must expose
-    ``vec_id`` + ``embedding``. Final assignments are ``a1(vid,
-    cid)``. Init mirrors the Spark side's first-k-by-id seeding:
-    ``vid < k`` is exactly orderBy(vid).limit(k) because vec_ids are
-    0..n-1 (planted clones live at +1e6)."""
+def _kmeans_ctes(
+    k: int = 4, src: str = "embeddings", dims: int = 64, p: str = ""
+) -> str:
+    """CTE chain (``q{p}``, ``c0{p}``, ``a0{p}``, ``upd{p}``,
+    ``c1n{p}``, ``c1{p}``, ``a1{p}``) reproducing
+    ``operators/linalg.py::kmeans_fixedpoint`` (k=``k``, 2
+    iterations) over ``src`` — which must expose ``vec_id`` + a
+    ``dims``-wide ``embedding``. Final assignments are ``a1{p}(vid,
+    cid)``; final centroids ``c1{p}(cid, cv)``. Init mirrors the
+    Spark side's first-k-by-id seeding: ``vid < k`` is exactly
+    orderBy(vid).limit(k) because vec_ids are 0..n-1 (planted clones
+    live at +1e6). ``p`` prefixes every CTE name so multiple chains
+    (the per-subspace PQ codebooks) can coexist in one WITH."""
     dist = (
-        "list_sum(list_transform(range(1, 65),"
+        f"list_sum(list_transform(range(1, {dims + 1}),"
         " i -> (qv[i] * 1000 - cv[i]) * (qv[i] * 1000 - cv[i])))"
     )
-    return f"""q AS (
+    return f"""q{p} AS (
   SELECT vec_id AS vid,
     list_transform(embedding,
       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
            + 10000) AS qv
   FROM {src}
 ),
-c0 AS (
+c0{p} AS (
   SELECT CAST(vid AS INTEGER) AS cid,
     list_transform(qv, v -> v * 1000) AS cv
-  FROM q WHERE vid < {k}
+  FROM q{p} WHERE vid < {k}
 ),
-a0 AS (
+a0{p} AS (
   SELECT vid, cid FROM (
     SELECT q.vid, c.cid,
       ROW_NUMBER() OVER (PARTITION BY q.vid
         ORDER BY {dist} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c0 c)
+    FROM q{p} q CROSS JOIN c0{p} c)
   WHERE rn = 1
 ),
-upd AS (
+upd{p} AS (
   SELECT a0.cid AS cluster, ix.i,
     CAST((SUM(q.qv[ix.i]) * 1000) // COUNT(*) AS BIGINT) AS cvi
-  FROM q JOIN a0 USING (vid)
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  FROM q{p} q JOIN a0{p} a0 USING (vid)
+  CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS i) ix
   GROUP BY a0.cid, ix.i
 ),
-c1n AS (
+c1n{p} AS (
   SELECT cluster AS cid, list(cvi ORDER BY i) AS cv_new
-  FROM upd GROUP BY cluster
+  FROM upd{p} GROUP BY cluster
 ),
-c1 AS (
+c1{p} AS (
   SELECT c0.cid, COALESCE(c1n.cv_new, c0.cv) AS cv
-  FROM c0 LEFT JOIN c1n USING (cid)
+  FROM c0{p} c0 LEFT JOIN c1n{p} c1n USING (cid)
 ),
-a1 AS (
+a1{p} AS (
   SELECT vid, cid FROM (
     SELECT q.vid, c.cid,
       ROW_NUMBER() OVER (PARTITION BY q.vid
         ORDER BY {dist} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c1 c)
+    FROM q{p} q CROSS JOIN c1{p} c)
   WHERE rn = 1
 )"""
 
@@ -5360,6 +5520,8 @@ ORACLES = {
     "emb_semantic_dedup": _semantic_dedup_sql(),
     "emb_pca_project": _pca_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
+    "emb_pq_topk": _pq_topk_sql(),
+    "emb_ivf_pq_topk": _ivf_pq_topk_sql(),
     "multimodal_decode_stats": MULTIMODAL_DECODE_SQL,
     "multimodal_binaryfile_ingest": MULTIMODAL_DECODE_SQL,
     "multimodal_jpeg_stats": MULTIMODAL_JPEG_SQL,

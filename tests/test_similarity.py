@@ -444,3 +444,64 @@ def test_ivf_fixedcells_exhaustive_probe_is_exact(spark, sf_dir):
         ).collect()
     }
     assert again == exact
+
+
+def test_pq_ivfpq_fixed_exhaustive_settings_are_exact(spark, sf_dir):
+    """Correctness anchors for the fixed-point PQ tiers: with the
+    approximation knobs opened fully (shortlist >= corpus; and for
+    IVF-PQ also nprobe == nlist) the ADC candidate cut keeps every
+    corpus vector, so the exact-cosine re-rank must equal brute-force
+    top-k row for row. Also pins partition-layout determinism of the
+    PQ variant at production-ish knobs."""
+    from pyspark.sql import functions as F
+
+    from flink_orc_sink_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk_fixedcells,
+        pq_topk_fixedcodebooks,
+    )
+    from flink_orc_sink_spark.sources.catalog import table
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 6)
+    exact = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            q, e, "vec_id", "vec_id", "embedding", "embedding", k=3
+        ).collect()
+    }
+    pq_full = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in pq_topk_fixedcodebooks(
+            q, e, "vec_id", "vec_id", "embedding", "embedding",
+            k=3, m=4, ksub=8, shortlist=n,
+        ).collect()
+    }
+    assert pq_full == exact
+    ivfpq_full = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in ivf_pq_topk_fixedcells(
+            q, e, "vec_id", "vec_id", "embedding", "embedding",
+            k=3, nlist=8, nprobe=8, m=4, ksub=8, shortlist=n,
+        ).collect()
+    }
+    assert ivfpq_full == exact
+
+    # determinism at approximate knobs under a different layout
+    a = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in pq_topk_fixedcodebooks(
+            q, e, "vec_id", "vec_id", "embedding", "embedding",
+            k=3, m=4, ksub=8, shortlist=16,
+        ).collect()
+    }
+    b = {
+        (r.qid, r.cid, r.cos_sim, r.rank)
+        for r in pq_topk_fixedcodebooks(
+            q.repartition(3), e.repartition(11),
+            "vec_id", "vec_id", "embedding", "embedding",
+            k=3, m=4, ksub=8, shortlist=16,
+        ).collect()
+    }
+    assert a == b and len(a) > 0
