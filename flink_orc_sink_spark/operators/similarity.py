@@ -625,22 +625,6 @@ def ivf_topk_fixedcells(
         ),
         "cid",
     )
-    qv = F.transform(
-        F.col(query_vec),
-        lambda x: (
-            F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
-            + shift
-        ),
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("_qv"),
-            F.col("cv"),
-            lambda a, b: (a * scale - b) * (a * scale - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(
@@ -650,12 +634,12 @@ def ivf_topk_fixedcells(
         queries.select(
             F.col(query_id).alias("qid"),
             F.col(query_vec).alias("qvec"),
-            qv.alias("_qv"),
+            _fixed_quantize(F.col(query_vec), scale, shift).alias("_qv"),
         )
         .crossJoin(
             F.broadcast(cents.withColumnRenamed("cid", "cell"))
         )
-        .withColumn("_d", dist)
+        .withColumn("_d", _fixed_dist("_qv", "cv", scale))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= nprobe)
         .select("qid", "qvec", "cell")

@@ -1033,6 +1033,22 @@ def _dot_sql(a: str, b: str, dims: int = 64) -> str:
     )
 
 
+def _cos_sql(a: str, b: str, dp: int = 6) -> str:
+    """THE rounded-cosine SQL form — one definition for every oracle
+    that scores vectors, because this exact text is the cross-engine
+    exactness contract with ``functions/vector.py::cosine`` (same
+    zero-norm guard, same rounding). Seven hand-expanded copies had
+    accumulated; a one-character drift in any single one would break
+    exactly one oracle in a way that is tedious to localize."""
+    return (
+        f"ROUND(CASE WHEN sqrt({_dot_sql(a, a)})"
+        f" * sqrt({_dot_sql(b, b)}) > 0"
+        f" THEN {_dot_sql(a, b)}"
+        f" / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        f" ELSE 0.0 END, {dp})"
+    )
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 corpus neighbors for the first 10
     vectors — the exact baseline the ANN path is validated against."""
@@ -1321,14 +1337,7 @@ def _ivf_topk_sql(nlist: int = 32, nprobe: int = 8, k: int = 5) -> str:
         "list_sum(list_transform(range(1, 65),"
         " i -> (qv[i] * 1000 - cv[i]) * (qv[i] * 1000 - cv[i])))"
     )
-    cos = (
-        f"ROUND(CASE WHEN sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
-        f" * sqrt({_dot_sql('corp.cv', 'corp.cv')}) > 0"
-        f" THEN {_dot_sql('qe.qvec', 'corp.cv')}"
-        f" / (sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
-        f" * sqrt({_dot_sql('corp.cv', 'corp.cv')}))"
-        f" ELSE 0.0 END, 6)"
-    )
+    cos = _cos_sql("qe.qvec", "corp.cv")
     return f"""
 WITH {_kmeans_ctes(nlist)},
 cells AS (SELECT vid, cid AS cell FROM a1),
@@ -1410,14 +1419,7 @@ lut AS MATERIALIZED (
 def _pq_rerank_sql(shortlist: int, k: int) -> str:
     """Shared oracle tail: deterministic ADC shortlist cut + exact
     rounded-cosine re-rank (the COSINE_TOPK_SQL idiom)."""
-    cos = (
-        f"ROUND(CASE WHEN sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
-        f" * sqrt({_dot_sql('ce2.cv', 'ce2.cv')}) > 0"
-        f" THEN {_dot_sql('qe.qvec', 'ce2.cv')}"
-        f" / (sqrt({_dot_sql('qe.qvec', 'qe.qvec')})"
-        f" * sqrt({_dot_sql('ce2.cv', 'ce2.cv')}))"
-        f" ELSE 0.0 END, 6)"
-    )
+    cos = _cos_sql("qe.qvec", "ce2.cv")
     return f"""cand AS MATERIALIZED (
   SELECT qid, cid FROM (
     SELECT qid, cid,
@@ -2037,14 +2039,7 @@ def _semantic_dedup_sql() -> str:
     k-means unroll (``_kmeans_ctes``) over the planted corpus, then
     within-cell rounded-cosine pairs — both pieces already proven
     green separately (``emb_kmeans_cluster``, ``emb_neardup_pairs``)."""
-    cos = (
-        f"ROUND(CASE WHEN sqrt({_dot_sql('a.embedding', 'a.embedding')})"
-        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}) > 0"
-        f" THEN {_dot_sql('a.embedding', 'b.embedding')}"
-        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
-        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}))"
-        f" ELSE 0.0 END, 6)"
-    )
+    cos = _cos_sql("a.embedding", "b.embedding")
     return f"""
 WITH corpus AS ({EMB_PLANT_SQL}),
 {_kmeans_ctes(16, "corpus")},
@@ -4829,10 +4824,11 @@ def _kmeans_ctes(
     iterations) over ``src`` — which must expose ``vec_id`` + a
     ``dims``-wide ``embedding``. Final assignments are ``a1{p}(vid,
     cid)``; final centroids ``c1{p}(cid, cv)``. Init mirrors the
-    Spark side's first-k-by-id seeding: ``vid < k`` is exactly
-    orderBy(vid).limit(k) because vec_ids are 0..n-1 (planted clones
-    live at +1e6). ``p`` prefixes every CTE name so multiple chains
-    (the per-subspace PQ codebooks) can coexist in one WITH."""
+    Spark side's first-k-by-id seeding LITERALLY (``ORDER BY vid
+    LIMIT k``, not a ``vid < k`` shortcut — the latter silently
+    assumed dense 0..n-1 ids, an invariant nothing enforced). ``p``
+    prefixes every CTE name so multiple chains (the per-subspace PQ
+    codebooks) can coexist in one WITH."""
     dist = (
         f"list_sum(list_transform(range(1, {dims + 1}),"
         " i -> (qv[i] * 1000 - cv[i]) * (qv[i] * 1000 - cv[i])))"
@@ -4847,7 +4843,7 @@ def _kmeans_ctes(
 c0{p} AS (
   SELECT CAST(vid AS INTEGER) AS cid,
     list_transform(qv, v -> v * 1000) AS cv
-  FROM q{p} WHERE vid < {k}
+  FROM q{p} ORDER BY vid LIMIT {k}
 ),
 a0{p} AS (
   SELECT vid, cid FROM (
@@ -5210,7 +5206,7 @@ SELECT
 """
 
 
-def _bpe_encode_sql(n_merges: int = 40, enc_steps: int = 16) -> str:
+def _bpe_encode_sql(n_merges: int = 40, enc_steps: int = 32) -> str:
     """Oracle for :func:`docs_bpe_encode`: the ENTIRE BPE loop —
     train ``n_merges`` merges on the sample, then encode every
     corpus word — unrolled in SQL (round-6 verdict #8, the k-means
@@ -5229,8 +5225,10 @@ def _bpe_encode_sql(n_merges: int = 40, enc_steps: int = 16) -> str:
     - encoding applies ONE merge per step — lowest rank, then
       leftmost (``ROW_NUMBER() OVER (ORDER BY rank, pos)``);
       ``enc_steps`` bounds the unroll and must be ≥ the longest
-      corpus word (8 here; a fully-merged word is a fixpoint, so
-      extra steps are no-ops);
+      corpus word (8 here, bound 32 for headroom — a fully-merged or
+      merge-exhausted word is a fixpoint, so extra steps are no-ops;
+      tests/test_sql_oracles_differential.py asserts the corpus
+      honors the bound at every SF);
     - an iteration whose pair-count is empty selects no best pair
       and rewrites nothing — the same fixpoint Python reaches by
       breaking.

@@ -547,6 +547,21 @@ def read_retract_agg(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def _record_replay_horizon(
+    spark: SparkSession, state_path: str, horizon: int
+) -> None:
+    """Record ``horizon`` as a marker dir and prune the markers it
+    supersedes (only the max matters — monotone — and every
+    micro-batch lists this directory, so letting one marker per
+    cleanup accumulate forever would grow per-batch list cost with
+    deployment age)."""
+    hdir = os.path.join(state_path, "replay_horizon")
+    _hfs_mkdirs(spark, os.path.join(hdir, f"h={horizon}"))
+    for name in _hfs_list_names(spark, hdir):
+        if name.startswith("h=") and int(name[2:]) < horizon:
+            _hfs_rmtree(spark, os.path.join(hdir, name))
+
+
 def _read_replay_horizon(spark: SparkSession, state_path: str):
     """Current replay horizon of a retract state dir, or None. The
     horizon is encoded in MARKER DIRECTORY NAMES (``replay_horizon/
@@ -604,11 +619,12 @@ def cleanup_retract_state(
     """
     if isinstance(order_cols, str):  # tolerate the scalar form
         order_cols = (order_cols,)
+    # coerce FIRST so the drop predicate and the recorded marker use
+    # the identical value — a fractional horizon would otherwise drop
+    # tombstones up to h while the ingest guard admits [int(h), h)
+    horizon = int(horizon)
     state_dir = os.path.join(state_path, "state")
-    _hfs_mkdirs(
-        spark,
-        os.path.join(state_path, "replay_horizon", f"h={int(horizon)}"),
-    )
+    _record_replay_horizon(spark, state_path, horizon)
     if not _orc_files_exist(spark, state_dir):
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
     st = spark.read.orc(state_dir)
@@ -625,9 +641,11 @@ def cleanup_retract_state(
     touched = [(r.kp,) for r in per_bucket]
     n_doomed = sum(r["count"] for r in per_bucket)
     kps = [kp for (kp,) in touched]
+    # null-safe negation: ~NULL is NULL and would silently DELETE any
+    # row with a NULL op/order value from the rewritten buckets
     keep = (
         st.filter(F.col("kp").isin(kps))
-        .filter(~expired)
+        .filter(~F.coalesce(expired, F.lit(False)))
         .localCheckpoint(eager=True)
     )  # materialize BEFORE overwriting the directory being read
     try:
@@ -658,11 +676,9 @@ def cleanup_retract_join_state(
 
     Returns ``{"tombstones_dropped": n, "buckets_rewritten": k}``.
     """
+    horizon = int(horizon)  # same coercion contract as the agg twin
     pk_dir = os.path.join(state_path, "pk_state")
-    _hfs_mkdirs(
-        spark,
-        os.path.join(state_path, "replay_horizon", f"h={int(horizon)}"),
-    )
+    _record_replay_horizon(spark, state_path, horizon)
     if not _orc_files_exist(spark, pk_dir):
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
     st = spark.read.orc(pk_dir)
@@ -678,7 +694,7 @@ def cleanup_retract_join_state(
     n_doomed = sum(r["count"] for r in per_bucket)
     keep = (
         st.filter(_pair_filter("kp", touched))
-        .filter(~expired)
+        .filter(~F.coalesce(expired, F.lit(False)))
         .localCheckpoint(eager=True)
     )
     try:

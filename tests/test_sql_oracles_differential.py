@@ -105,3 +105,27 @@ def test_bpe_sql_matches_python_recipe_adversarial(con):
         fert = math.floor(nb * 10000 / nw) / 10000 if nw else 0.0
         py[did] = (nw, nb, fert)
     assert sql == py
+
+
+def test_bpe_oracle_unroll_bound_holds_on_shipped_corpora():
+    """The BPE oracle's encode unroll (enc_steps) must cover the
+    longest tokenized word of every shipped SF — an under-unrolled
+    oracle would under-merge and report a FALSE driver-gate failure
+    with the oracle being the wrong side. Asserted here so a corpus
+    regeneration that violates the bound fails loudly in CI instead."""
+    import inspect
+
+    from flink_orc_sink_spark.queries.llm import _bpe_encode_sql
+
+    enc_steps = inspect.signature(_bpe_encode_sql).parameters[
+        "enc_steps"
+    ].default
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        longest = con.execute(
+            "SELECT MAX(length(w)) FROM (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            " x -> x <> '')) AS w FROM read_parquet("
+            f"'/root/testdata/sf{sf}/documents.parquet'))"
+        ).fetchone()[0]
+        assert longest <= enc_steps, (sf, longest, enc_steps)

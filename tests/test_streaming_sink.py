@@ -1356,6 +1356,15 @@ def test_stream_retract_agg_tombstone_cleanup(spark, tmp_path):
     # idempotent: nothing left below the horizon
     stats = cleanup_retract_state(spark, state, horizon=5)
     assert stats == {"tombstones_dropped": 0, "buckets_rewritten": 0}
+    # superseded markers are pruned: only the max horizon survives
+    import os as _os
+
+    stats = cleanup_retract_state(spark, state, horizon=6)
+    assert sorted(
+        n
+        for n in _os.listdir(_os.path.join(state, "replay_horizon"))
+        if n.startswith("h=")
+    ) == ["h=6"]
 
     # replay attack: the source re-delivers a pre-delete update of
     # k=2 (seq 1 < horizon) as a new micro-batch — with the tombstone
