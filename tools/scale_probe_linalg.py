@@ -1,11 +1,19 @@
-"""Linalg scale probe: the fixed-point PCA must cost ONE linear pass.
+"""Linalg + fixed-point-ANN scale probe.
 
-``int_moments`` ships (d² + d + 1) integers per partition and nothing
-else; the eigensolve is driver-side on those summaries, so its wall is
+Fixed-point PCA must cost ONE linear pass: ``int_moments`` ships
+(d² + d + 1) integers per partition and nothing else; the eigensolve
+is driver-side on those summaries, so its wall is
 corpus-size-INDEPENDENT, and the projection is map-only. Expected
 profile: total wall grows ~linearly with rows (scan-bound), the
 driver solve stays constant, and the distributed moments are
 bit-identical across partition layouts at every size (asserted).
+
+The fixed-cells IVF (``ivf_topk_fixedcells`` — the value-oracled ANN
+tier) must be scan-bound too: the k-means loop is broadcast-only
+(vectors never shuffle, quantized corpus checkpointed once), probing
+broadcasts nlist centroids, and candidate scoring touches
+~nprobe/nlist of the corpus. nlist scales with √n like any IVF
+provisioning.
 
 Usage: python tools/scale_probe_linalg.py [row counts ...]
        (default: 20000 100000 500000)
@@ -30,6 +38,9 @@ def main() -> None:
         int_moments,
         pca_project_fixedpoint,
         power_pca_components,
+    )
+    from flink_orc_sink_spark.operators.similarity import (
+        ivf_topk_fixedcells,
     )
     from flink_orc_sink_spark.session import get_spark
 
@@ -77,9 +88,20 @@ def main() -> None:
         mom2 = int_moments(df.repartition(7), "embedding", dim)
         assert mom == mom2, f"moments differ across layouts at n={n}"
 
+        nlist = max(16, int(n ** 0.5) // 4)
+        queries = df.filter("vec_id < 10")
+        t0 = time.time()
+        hits = ivf_topk_fixedcells(
+            queries, df, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, nlist=nlist, nprobe=8,
+        ).count()
+        t_ivf = time.time() - t0
+        assert hits == 50
+
         print(
             f"rows={n:>9,}  moments={t_mom:6.1f}s  "
-            f"driver-solve={t_solve:5.2f}s  full-project={t_total:6.1f}s",
+            f"driver-solve={t_solve:5.2f}s  full-project={t_total:6.1f}s"
+            f"  ivf-fixed(nlist={nlist})={t_ivf:6.1f}s",
             flush=True,
         )
         shutil.rmtree(base, ignore_errors=True)
