@@ -165,6 +165,7 @@ def int_moments(df: DataFrame, vec_col: str, dim: int, scale: int = 1000):
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
+        max_abs_q = 0
         s = np.zeros(dim, dtype=np.int64)
         g = np.zeros((dim, dim), dtype=np.int64)
         for pdf in batches:
@@ -173,6 +174,19 @@ def int_moments(df: DataFrame, vec_col: str, dim: int, scale: int = 1000):
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             q = np.floor(x * scale + 0.5).astype(np.int64)
             n += q.shape[0]
+            if q.size:
+                max_abs_q = max(max_abs_q, int(np.abs(q).max()))
+            # np.int64 accumulation wraps SILENTLY on overflow; the
+            # worst-case |g_ij| is n·max|q|², so enforce the documented
+            # n·(scale·|x|)² < 2⁶³ bound LOUDLY (exact Python-int math —
+            # the check itself cannot overflow)
+            if n * max_abs_q * max_abs_q >= (1 << 63):
+                raise ValueError(
+                    f"int_moments: partition partial would overflow "
+                    f"int64 (rows={n}, max|q|={max_abs_q}, bound "
+                    f"n*max|q|^2 < 2^63) — lower `scale`, normalize the "
+                    f"vectors, or repartition to smaller partitions"
+                )
             s += q.sum(axis=0)
             g += q.T @ q
         if n:
@@ -230,7 +244,7 @@ def power_pca_components(
     m0 = max(abs(x) for row in m for x in row)
     c = [[_fd(x * c_scale, max(m0, 1)) for x in row] for row in m]
     comps = []
-    for _ in range(k):
+    for ci in range(k):
         v = [v_scale] * dim
         for _t in range(iters):
             w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
@@ -241,6 +255,11 @@ def power_pca_components(
         if v[lead] < 0:
             v = [-x for x in v]
         comps.append(v)
+        if ci == k - 1:
+            # no deflation after the FINAL component — matches the SQL
+            # oracle (_pca_sql skips it for c == k-1) and avoids the
+            # one den==0 crash path the oracle doesn't have
+            break
         w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         # Hotelling deflation C -= λ·uuᵀ with u = v/‖v‖, λ = vᵀCv/vᵀv:
         # the subtracted entry is num·v_i·v_j / den² (v is MAX-normed,
@@ -248,6 +267,16 @@ def power_pca_components(
         # top eigenpair in the matrix and component 2+ collapses)
         num = sum(v[i] * w[i] for i in range(dim))
         den = sum(x * x for x in v)
+        if den == 0:
+            # rank-deficient input (constant/duplicate vectors, or
+            # k > effective rank): the deflated scatter is all-zero and
+            # the iterate collapsed. Fail with a diagnosable message
+            # instead of ZeroDivisionError deep in _fd.
+            raise ValueError(
+                f"power_pca_components: component {ci + 1} collapsed to "
+                f"the zero vector — input is rank-deficient (effective "
+                f"rank < k={k}); reduce k or de-duplicate the corpus"
+            )
         c = [
             [
                 c[i][j] - _fd(num * v[i] * v[j], den * den)

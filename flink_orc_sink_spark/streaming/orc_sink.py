@@ -456,9 +456,14 @@ def stream_retract_agg_orc(
         if horizon is not None:
             # rows older than the cleanup horizon can only be replays
             # of already-retired history; admitting one could win the
-            # latest-per-key merge against a cleaned-up tombstone
+            # latest-per-key merge against a cleaned-up tombstone.
+            # NULL-safe: cleanup_retract_state deliberately KEEPS
+            # NULL-order rows (coalesce'd negation), so the guard must
+            # admit them too — a bare >= would silently drop them
             batch_df = batch_df.filter(
-                F.col(order_cols[0]) >= F.lit(horizon)
+                F.coalesce(
+                    F.col(order_cols[0]) >= F.lit(horizon), F.lit(True)
+                )
             )
         ch = batch_df.withColumn(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
@@ -870,8 +875,11 @@ def stream_retract_join_orc(
             # same ingest guard as the retract-agg sink: rows older
             # than the cleanup horizon are retired history whose
             # tombstones may already be gone — admitting one could
-            # resurrect a cleaned-up pk
-            batch_df = batch_df.filter(F.col("seq") >= F.lit(horizon))
+            # resurrect a cleaned-up pk. NULL-safe like the cleanup's
+            # keep-predicate: NULL-seq rows stay admitted
+            batch_df = batch_df.filter(
+                F.coalesce(F.col("seq") >= F.lit(horizon), F.lit(True))
+            )
 
         # --- pk layer: merge + derive the retraction stream ---
         # One store for both sides, partitioned (side, kp): one

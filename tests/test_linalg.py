@@ -262,3 +262,50 @@ def test_pca_fixedpoint_partition_invariant(emb):
         ).collect()
     }
     assert a == b and len(a) == emb.count()
+
+
+def test_power_pca_rank_deficient_raises_valueerror():
+    """Rank-deficient input (duplicate rows => rank 1) must fail with
+    a diagnosable ValueError when k exceeds the effective rank, not a
+    ZeroDivisionError from deep inside the fixed-point div — and must
+    SUCCEED at k=1 (no deflation runs after the final component,
+    matching the SQL oracle's unroll)."""
+    from flink_orc_sink_spark.operators.linalg import (
+        power_pca_components,
+    )
+
+    dim = 8
+    # NOT symmetric around 0: the iteration starts from all-ones, so
+    # the direction must have a nonzero component along it
+    u = np.floor(np.linspace(0.1, 1, dim) * 1000 + 0.5).astype(np.int64)
+    # 5 points on one line => centered scatter has rank exactly 1
+    q = np.outer(np.array([1, 2, 3, 5, 8], dtype=np.int64), u)
+    n = len(q)
+    s = [int(v) for v in q.sum(axis=0)]
+    g = [[int(v) for v in row] for row in (q.T @ q)]
+    # k=1: the single component is fine — deflation never runs
+    mu, comps = power_pca_components(n, s, g, dim, k=1)
+    assert len(comps) == 1 and any(comps[0])
+    # k=2: the collapsed component is LAST, so deflation is skipped
+    # (oracle-matching) and the zero vector is returned, not a crash
+    _, comps2 = power_pca_components(n, s, g, dim, k=2)
+    assert comps2[0] == comps[0] and not any(comps2[1])
+    # k=3: the zero component sits mid-sequence — its deflation would
+    # divide by zero; the failure must be a diagnosable ValueError
+    with pytest.raises(ValueError, match="rank-deficient"):
+        power_pca_components(n, s, g, dim, k=3)
+
+
+def test_int_moments_overflow_guard_raises(spark):
+    """A partition whose accumulated n*max|q|^2 would overflow int64
+    must raise loudly instead of silently wrapping the int64 partial
+    (the documented exactness bound, now enforced)."""
+    from flink_orc_sink_spark.operators.linalg import int_moments
+
+    big = 4.0e9  # q = 4e12 at scale=1000; one row already breaks 2^63
+    df = spark.createDataFrame(
+        [(0, [big, big]), (1, [big, big])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="overflow int64"):
+        int_moments(df.coalesce(1), "embedding", 2)

@@ -1381,6 +1381,14 @@ def test_stream_retract_agg_tombstone_cleanup(spark, tmp_path):
     assert agg() == {("a", 35, 2)}
     assert state_rows() == 3
 
+    # NULL-seq rows must stay ADMITTED after a cleanup recorded the
+    # horizon: the guard is coalesce'd null-safe to match the
+    # cleanup's keep-predicate (a bare `seq >= h` is NULL → dropped)
+    feed([(4, "b", 7, "U", None)])
+    run()
+    assert agg() == {("a", 35, 2), ("b", 7, 1)}
+    assert state_rows() == 4
+
 
 def test_stream_retract_join_tombstone_cleanup(spark, tmp_path):
     """cleanup_retract_join_state: the pk layer's D tombstones expire
@@ -1476,6 +1484,17 @@ def test_stream_retract_join_tombstone_cleanup(spark, tmp_path):
     feed([(L, 102, 1, 6, "U", 25, None)])
     run()
     assert view() == {(101, 1, 10, "x"), (102, 1, 25, "x")}
+
+    # NULL-seq rows must stay ADMITTED after cleanup (null-safe
+    # ingest guard, matching the cleanup's coalesce'd keep-predicate)
+    feed([(R, 2, 1, None, "U", None, "y")])
+    run()
+    assert view() == {
+        (101, 1, 10, "x"),
+        (102, 1, 25, "x"),
+        (101, 1, 10, "y"),
+        (102, 1, 25, "y"),
+    }
 
 
 def test_orc_probe_glob_metachar_path(spark, tmp_path):
