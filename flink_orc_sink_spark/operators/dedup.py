@@ -1148,30 +1148,38 @@ def append_to_minhash_index(
     next batch dedups against them too. Batch-sized map work + an
     append write into the same band-partitioned layout — the corpus
     is still never re-read, and the index stays the single source of
-    dedup truth across ingests."""
-    sigs = minhash_signatures(df, id_col, text_col, k)
-    (
-        band_rows(sigs)
-        # range-partition on (band, bkey): band dirs preserved via
-        # partitionBy while write parallelism scales past the 16-band
-        # cap a repartition("band") would impose
-        .repartitionByRange("band", "bkey")
-        .sortWithinPartitions("band", "bkey")
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(f"{index_path}/bands")
-    )
-    (
-        shingle_hash_sets(df, id_col, text_col, k)
-        .write.mode("append")
-        .parquet(f"{index_path}/shingles")
-    )
-    # re-ingesting a previously forgotten doc readmits it: a forget
-    # covers rows ingested before it, exactly as a rebuild-without-
-    # them would (no-op when nothing is tombstoned)
-    from flink_orc_sink_spark.operators.retention import readmit_ids
+    dedup truth across ingests.
 
-    readmit_ids(df.select(id_col), index_path)
+    Runs under the ``index_path`` single-writer LEASE (``lease.py``):
+    an append landing while ``compact_minhash_index``'s swap is
+    mid-flight was the remaining silent-interleave class — now either
+    side fails loudly instead."""
+    from flink_orc_sink_spark.lease import state_lease
+
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    with state_lease(df.sparkSession, index_path, "ingest:append"):
+        (
+            band_rows(sigs)
+            # range-partition on (band, bkey): band dirs preserved via
+            # partitionBy while write parallelism scales past the
+            # 16-band cap a repartition("band") would impose
+            .repartitionByRange("band", "bkey")
+            .sortWithinPartitions("band", "bkey")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(f"{index_path}/bands")
+        )
+        (
+            shingle_hash_sets(df, id_col, text_col, k)
+            .write.mode("append")
+            .parquet(f"{index_path}/shingles")
+        )
+        # re-ingesting a previously forgotten doc readmits it: a
+        # forget covers rows ingested before it, exactly as a
+        # rebuild-without-them would (no-op when nothing is tombstoned)
+        from flink_orc_sink_spark.operators.retention import readmit_ids
+
+        readmit_ids(df.select(id_col), index_path)
 
 
 def forget_from_minhash_index(doc_ids: DataFrame, index_path: str) -> None:
@@ -1318,14 +1326,18 @@ def append_to_gram_index(
     (asserting an already-present gram changes nothing — no read-time
     dedup needed, unlike the row-counted index families). Streaming
     ingest passes its batch id as ``tag`` so a replayed batch can
-    exclude its own prior append at probe time."""
+    exclude its own prior append at probe time. Runs under the
+    ``index_path`` single-writer lease (``lease.py``)."""
+    from flink_orc_sink_spark.lease import state_lease
+
     occ = _gram_occurrences(df, id_col, text_col, n)
-    (
-        occ.select("gh")
-        .distinct()
-        .withColumn("tag", F.lit(tag).cast("long"))
-        .repartitionByRange(4, "gh")
-        .sortWithinPartitions("gh")
-        .write.mode("append")
-        .parquet(f"{index_path}/grams")
-    )
+    with state_lease(df.sparkSession, index_path, "ingest:append"):
+        (
+            occ.select("gh")
+            .distinct()
+            .withColumn("tag", F.lit(tag).cast("long"))
+            .repartitionByRange(4, "gh")
+            .sortWithinPartitions("gh")
+            .write.mode("append")
+            .parquet(f"{index_path}/grams")
+        )

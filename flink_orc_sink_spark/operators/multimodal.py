@@ -1038,25 +1038,29 @@ def append_to_ahash_index(
     """Append a probed-and-admitted batch into the persisted hash
     index so later batches dedup against it — batch-sized map work +
     an append write, the same lifecycle contract as
-    ``append_to_minhash_index`` / ``append_to_ivf_index``."""
-    (
-        _ahash_band_rows(hashes, id_col, hash_col, n_bands)
-        # range-partition on (band, key): band grouping is preserved
-        # (partitionBy still routes rows to band directories) while
-        # write parallelism scales with the cluster instead of being
-        # capped at n_bands tasks — each task writes one sorted file
-        # per band range it holds
-        .repartitionByRange("band", "key")
-        .sortWithinPartitions("band", "key")
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(f"{path}/bands")
-    )
-    # re-ingesting previously forgotten media readmits it (no-op when
-    # nothing is tombstoned)
-    from flink_orc_sink_spark.operators.retention import readmit_ids
+    ``append_to_minhash_index`` / ``append_to_ivf_index`` — including
+    the enforced ``path`` single-writer lease (``lease.py``)."""
+    from flink_orc_sink_spark.lease import state_lease
 
-    readmit_ids(hashes.select(id_col), path)
+    with state_lease(hashes.sparkSession, path, "ingest:append"):
+        (
+            _ahash_band_rows(hashes, id_col, hash_col, n_bands)
+            # range-partition on (band, key): band grouping is
+            # preserved (partitionBy still routes rows to band
+            # directories) while write parallelism scales with the
+            # cluster instead of being capped at n_bands tasks — each
+            # task writes one sorted file per band range it holds
+            .repartitionByRange("band", "key")
+            .sortWithinPartitions("band", "key")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(f"{path}/bands")
+        )
+        # re-ingesting previously forgotten media readmits it (no-op
+        # when nothing is tombstoned)
+        from flink_orc_sink_spark.operators.retention import readmit_ids
+
+        readmit_ids(hashes.select(id_col), path)
 
 
 def forget_from_ahash_index(media_ids: DataFrame, path: str) -> None:

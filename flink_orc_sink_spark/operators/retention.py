@@ -236,13 +236,28 @@ def recover_index(
 
 
 def compact_index(
-    spark: SparkSession, index_path: str, tables: tuple[IndexTable, ...]
+    spark: SparkSession,
+    index_path: str,
+    tables: tuple[IndexTable, ...],
+    lease: bool = True,
 ) -> None:
     """Copy-on-write: physically drop tombstoned rows from every table
     of the index, preserving each table's partition layout and range
     clustering, then retire exactly the tombstone files that were
     applied. See the module docstring for the crash-safety protocol
-    and the empty-table abort."""
+    and the empty-table abort.
+
+    The single-writer contract is ENFORCED (round 8): the run takes
+    the ``index_path`` lease (``lease.py``) and raises
+    ``LeaseHeldError`` if an ingest batch (``append_to_*``) or another
+    maintenance op holds it — a compaction swap interleaving with an
+    append was the one silent-corruption class left. ``lease=False``
+    only from a caller that already holds the index lease."""
+    if lease:
+        from flink_orc_sink_spark.lease import state_lease
+
+        with state_lease(spark, index_path, "maintenance:compact"):
+            return compact_index(spark, index_path, tables, lease=False)
     recover_index(spark, index_path, tables)
     _recover_tombstones(spark, index_path)
     # snapshot: the tombstone files applied to EVERY table below, and

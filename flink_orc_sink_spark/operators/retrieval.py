@@ -163,26 +163,30 @@ def append_to_bm25_index(
     merge, no corpus pass; the probe's read-time dedup makes a
     crash-replayed append harmless. Re-ingesting a previously
     forgotten id readmits it (tombstone removed), same as every other
-    index family."""
-    (
-        _postings(df, id_col, text_col)
-        .withColumn("bucket", _bucket(F.col("token")))
-        .withColumn("tag", F.lit(tag).cast("long"))
-        # same contiguous-bucket writer layout as the build, so steady
-        # ingest adds O(batch-parallelism) files per append, not
-        # O(tasks × buckets)
-        .repartitionByRange("bucket", "token")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/postings")
-    )
-    _write(
-        _doclens(df, id_col, text_col),
-        f"{index_path}/doclens",
-        "append",
-        tag,
-    )
-    readmit_ids(df.select(id_col), index_path)
+    index family — and runs under the same enforced ``index_path``
+    single-writer lease (``lease.py``)."""
+    from flink_orc_sink_spark.lease import state_lease
+
+    with state_lease(df.sparkSession, index_path, "ingest:append"):
+        (
+            _postings(df, id_col, text_col)
+            .withColumn("bucket", _bucket(F.col("token")))
+            .withColumn("tag", F.lit(tag).cast("long"))
+            # same contiguous-bucket writer layout as the build, so
+            # steady ingest adds O(batch-parallelism) files per
+            # append, not O(tasks × buckets)
+            .repartitionByRange("bucket", "token")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/postings")
+        )
+        _write(
+            _doclens(df, id_col, text_col),
+            f"{index_path}/doclens",
+            "append",
+            tag,
+        )
+        readmit_ids(df.select(id_col), index_path)
 
 
 def forget_from_bm25_index(doc_ids: DataFrame, index_path: str) -> None:

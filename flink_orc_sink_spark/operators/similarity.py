@@ -1408,22 +1408,25 @@ def append_to_ivf_index(
     )
     centroids = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
     assign_cell, _ = make_cell_udfs(centroids, nprobe=1)
-    (
-        new_vectors.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-            assign_cell(F.col(vec_col)).alias("cell"),
-        )
-        .repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(index_path, "data"))
-    )
-    # re-ingesting a previously forgotten vector readmits it (no-op
-    # when nothing is tombstoned)
-    from flink_orc_sink_spark.operators.retention import readmit_ids
+    from flink_orc_sink_spark.lease import state_lease
 
-    readmit_ids(new_vectors.select(id_col), index_path)
+    with state_lease(spark, index_path, "ingest:append"):
+        (
+            new_vectors.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cvec"),
+                assign_cell(F.col(vec_col)).alias("cell"),
+            )
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(index_path, "data"))
+        )
+        # re-ingesting a previously forgotten vector readmits it
+        # (no-op when nothing is tombstoned)
+        from flink_orc_sink_spark.operators.retention import readmit_ids
+
+        readmit_ids(new_vectors.select(id_col), index_path)
 
 
 def forget_from_ivf_index(vec_ids: DataFrame, index_path: str) -> None:

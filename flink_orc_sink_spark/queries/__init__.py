@@ -38,80 +38,72 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #   r6: ALL 50 slots to never-driver-verified entries (48 hash-green,
 #       2 were no-oracle slots — fixed in r7 by giving both real
 #       value oracles).
-#   r7 (this round, round-6 verdict #1): the 24-entry remainder that
-#       has NEVER been driver-checked goes first — the 19 hash-capable
-#       events/relational tail, emb_pca_project + emb_semantic_dedup
-#       (NEWLY value-oracled this round: fixed-point power-iteration
-#       PCA unrolled in SQL; fixed-point-k-means-celled SemDeDup;
-#       docs_bpe_encode's train+encode loop unrolled in SQL; the
-#       whole ANN top-k trio re-based on fixed-point quantizers —
-#       emb_ivf_topk on fixed cells, emb_pq_topk on fixed subspace
-#       codebooks, emb_ivf_pq_topk on both — so ALL 263 registry
-#       entries now carry value oracles; the float production tiers
-#       stay exercised by the *_recall_eval quartet). The remaining
-#       26 slots re-verify the STALEST entries (last driver-checked
-#       in r2). After this window every registry entry has been
-#       driver-green at least once.
+#   r7: the 24-entry remainder that had NEVER been driver-checked
+#       (incl. the newly value-oracled fixed-point PCA/SemDeDup/BPE/
+#       ANN trio) + the 26 stalest (last checked r2). After that
+#       window, cumulative driver coverage reached 263/263.
+#   r8 (this round, round-7 verdict #2): pure FRESHNESS rotation —
+#       cumulative coverage is complete, so all 50 slots go to the
+#       entries with the OLDEST last-driver-green round, computed
+#       from CORRECTNESS_r01..r07 exactly as the r7 verdict did
+#       (24 entries last green in r2, then the alphabetical head of
+#       the 41 last green in r3). Registry frozen at 263.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
-    # --- r7 driver window: the 24 never-driver-verified entries ---
-    # newly value-oracled this round
-    "emb_pca_project",
-    "emb_semantic_dedup",
-    # hash-capable events/relational tail
-    "events_user_features",
-    "events_json_badrecords",
-    "events_hourly_anomaly",
-    "events_sliding_1h_30m",
-    "events_json_extract",
-    "events_funnel_3step",
-    "events_daily_retention",
-    "events_click_attribution",
-    "events_rolling_7d_active",
-    "case_when_price_tiers",
-    "in_subquery_building",
-    "scalar_subquery_above_avg",
-    "distinct_flag_pairs",
-    "null_handling_showcase",
-    "unpivot_part_measures",
-    "array_funcs_showcase",
-    "map_funcs_showcase",
-    "agg_approx_distinct_sketch",
-    # all four value-oracled in r7 (SQL-unrolled BPE loop;
-    # fixed-point-quantizer ANN trio)
-    "docs_bpe_encode",
-    "emb_ivf_topk",
-    "emb_pq_topk",
-    "emb_ivf_pq_topk",
-    # --- 26 stalest re-verification slots (last checked r2) ---
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_price_histogram",
-    "agg_rollup",
-    "date_funcs_showcase",
-    "join_anti_no_orders",
-    "join_broadcast_dims",
-    "join_cross_regions",
-    "join_full_outer_nations",
-    "join_inner_enrich",
-    "join_left_outer_agg",
-    "join_range_price_tiers",
-    "join_salted_hot_keys",
-    "join_semi_with_open_order",
-    "math_funcs_showcase",
-    "profile_orders",
-    "q10_returned_items",
-    "q11_part_value_share",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
+    # --- 24 entries last driver-green in r2 ---
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q21_exclusive_returns",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_exists_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_promo_share",
+    "q9_profit_by_nation",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_all_parties",
+    "sort_global_topk",
+    "string_funcs_showcase",
+    "string_fuzzy_match",
+    "window_lag_lead",
+    "window_ntile_quartiles",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_total",
+    "window_topk_per_customer",
+    # --- 26 slots from the r3-stale cohort (alphabetical) ---
+    "agg_equidepth_histogram",
+    "agg_spearman_corr",
+    "customer_abc_analysis",
+    "docs_bigram_lm_score",
+    "docs_dsir_weights",
+    "docs_hash_classifier_score",
+    "docs_retrieval_eval",
+    "dq_benford_audit",
+    "emb_filtered_topk",
+    "emb_kmeans_cluster",
+    "events_best_split",
+    "events_cumulative_distinct",
+    "events_experiment_lift",
+    "events_max_concurrency",
+    "events_pattern_match",
+    "events_rfm_segments",
+    "events_scd2_pointlookup",
+    "events_sessionize_dynamic",
+    "events_top_paths",
+    "events_twap_daily",
+    "events_user_similarity_topk",
+    "graph_bfs_reachability",
+    "orc_gdpr_erase",
+    "orc_quarantine_write",
+    "orc_snapshot_expire",
+    "orders_lead_time_sla",
 )
 
 

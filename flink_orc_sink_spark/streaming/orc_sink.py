@@ -44,6 +44,7 @@ from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 # filesystem Spark writes to — driver-local ``os.path`` probes would
 # silently answer False for an ``hdfs://``/``s3a://`` state_path (the
 # 100 TB shape) and recompute deltas against a phantom 'absent' state.
+from flink_orc_sink_spark.lease import state_lease
 from flink_orc_sink_spark.session import (
     fs_exists as _hfs_exists,
     fs_list_names as _hfs_list_names,
@@ -396,6 +397,8 @@ def stream_retract_agg_orc(
     n_key_partitions: int = 16,
     trigger: dict | None = None,
     compression: str = "zstd",
+    cleanup_every_n_batches: int | None = None,
+    horizon_fn=None,
 ) -> StreamingQuery:
     """RETRACTION-correct streaming aggregation over a CDC feed — the
     Flink "dynamic table → retract stream" pattern (the ecosystem the
@@ -444,10 +447,41 @@ def stream_retract_agg_orc(
     ``compact_index``. The recorded horizon is also enforced on
     ingest: each batch drops arriving rows older than it, so even a
     source that replays PAST its declared horizon cannot resurrect a
-    cleaned-up key."""
+    cleaned-up key.
+
+    With ``cleanup_every_n_batches`` + ``horizon_fn`` set, that
+    state-TTL pass runs ON the sink's own cadence: every Nth batch,
+    after the batch's state lands and still under the batch's
+    single-writer lease, :func:`cleanup_retract_state` is invoked at
+    ``horizon_fn()`` — no external cron, no second writer to schedule.
+
+    Every micro-batch runs under the ``state_path`` single-writer
+    LEASE (``lease.py``), owner-keyed to this checkpoint: a restarted
+    stream reclaims instantly, while an external maintenance op
+    holding the lease makes the batch fail LOUDLY instead of
+    interleaving with a partition overwrite."""
     order_desc = [F.col(c).desc() for c in order_cols]
+    lease_owner = f"sink:{checkpoint}"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with state_lease(spark, state_path, lease_owner):
+            _apply(batch_df, batch_id)
+            if (
+                cleanup_every_n_batches
+                and horizon_fn is not None
+                and (batch_id + 1) % cleanup_every_n_batches == 0
+            ):
+                cleanup_retract_state(
+                    spark,
+                    state_path,
+                    int(horizon_fn()),
+                    order_cols,
+                    compression,
+                    lease=False,  # already held by this batch
+                )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
@@ -587,6 +621,7 @@ def cleanup_retract_state(
     horizon: int,
     order_cols: list[str] | tuple = ("seq",),
     compression: str = "zstd",
+    lease: bool = True,
 ) -> dict:
     """Horizon-bounded tombstone cleanup for a
     :func:`stream_retract_agg_orc` state dir — the state-TTL pass the
@@ -610,9 +645,13 @@ def cleanup_retract_state(
     overwrite; a bucket left EMPTY by the rewrite has its directory
     dropped — the ``_overwrite_buckets`` contract). Cost is O(touched
     buckets × bucket size), never a full-state rewrite when deletes
-    cluster. SINGLE-WRITER like ``compact_index``: do not run it
-    concurrently with the sink's own micro-batches (between triggers,
-    or while the stream is stopped).
+    cluster. SINGLE-WRITER like ``compact_index`` — and since round 8
+    ENFORCED: the run takes the ``state_path`` lease (``lease.py``)
+    and fails loudly with ``LeaseHeldError`` if the sink (or another
+    maintenance op) holds it. Schedule between triggers, while the
+    stream is stopped — or let the sink run it itself on its own
+    cadence (``cleanup_every_n_batches``), which passes ``lease=False``
+    because the batch already holds the lease.
 
     Pass the SAME ``order_cols`` the sink was started with: the sink
     enforces the recorded horizon against ``order_cols[0]`` on every
@@ -624,6 +663,18 @@ def cleanup_retract_state(
     """
     if isinstance(order_cols, str):  # tolerate the scalar form
         order_cols = (order_cols,)
+    if lease:
+        with state_lease(
+            spark, state_path, "maintenance:cleanup-retract"
+        ):
+            return cleanup_retract_state(
+                spark,
+                state_path,
+                horizon,
+                order_cols,
+                compression,
+                lease=False,
+            )
     # coerce FIRST so the drop predicate and the recorded marker use
     # the identical value — a fractional horizon would otherwise drop
     # tombstones up to h while the ingest guard admits [int(h), h)
@@ -668,6 +719,7 @@ def cleanup_retract_join_state(
     state_path: str,
     horizon: int,
     compression: str = "zstd",
+    lease: bool = True,
 ) -> dict:
     """:func:`cleanup_retract_state`'s twin for a
     :func:`stream_retract_join_orc` state dir. Only the PK layer
@@ -676,11 +728,20 @@ def cleanup_retract_join_state(
     ``(side, kp)``-partitioned pk store — same crash-safe ordering
     (horizon marker recorded FIRST, then a partition-pruned
     rewrite), same ingest enforcement (the sink drops arriving rows
-    with ``seq`` below the recorded horizon), same single-writer
-    contract as ``compact_index``.
+    with ``seq`` below the recorded horizon), same ENFORCED
+    single-writer lease as the agg twin (``lease=False`` only from a
+    caller already holding the ``state_path`` lease — the sink's own
+    cadence does).
 
     Returns ``{"tombstones_dropped": n, "buckets_rewritten": k}``.
     """
+    if lease:
+        with state_lease(
+            spark, state_path, "maintenance:cleanup-retract"
+        ):
+            return cleanup_retract_join_state(
+                spark, state_path, horizon, compression, lease=False
+            )
     horizon = int(horizon)  # same coercion contract as the agg twin
     pk_dir = os.path.join(state_path, "pk_state")
     _record_replay_horizon(spark, state_path, horizon)
@@ -777,6 +838,8 @@ def stream_retract_join_orc(
     agg_group_col: str | None = None,
     agg_val_col: str | None = None,
     how: str = "inner",
+    cleanup_every_n_batches: int | None = None,
+    horizon_fn=None,
 ) -> StreamingQuery:
     """RETRACTION-correct streaming JOIN over two CDC feeds — Flink's
     delta-join / incremental-view-maintenance pattern (dynamic table ⋈
@@ -859,8 +922,34 @@ def stream_retract_join_orc(
     crash window.
     The registered ``stream_retract_join`` query feeds hash-scattered
     out-of-order batches and must hash-match a one-shot batch join —
-    including resurrections (D then later U) and join-key moves."""
+    including resurrections (D then later U) and join-key moves.
+
+    Lease + cadence: every micro-batch holds the ``state_path``
+    single-writer lease (owner-keyed to the checkpoint — restart
+    reclaims instantly, a concurrent maintenance op fails loudly),
+    and with ``cleanup_every_n_batches`` + ``horizon_fn`` set the
+    sink runs :func:`cleanup_retract_join_state` itself every Nth
+    batch under that same lease."""
+    lease_owner = f"sink:{checkpoint}"
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with state_lease(spark, state_path, lease_owner):
+            _apply(batch_df, batch_id)
+            if (
+                cleanup_every_n_batches
+                and horizon_fn is not None
+                and (batch_id + 1) % cleanup_every_n_batches == 0
+            ):
+                cleanup_retract_join_state(
+                    spark,
+                    state_path,
+                    int(horizon_fn()),
+                    compression,
+                    lease=False,  # already held by this batch
+                )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession

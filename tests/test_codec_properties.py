@@ -129,3 +129,73 @@ def test_avi_frame_sampling_any_stride(frames_px, every_n):
     h, w = frames_px[0].shape
     out = avi_extract_frames(avi_encode_mjpeg(frames, w, h))
     assert out == frames
+
+
+@st.composite
+def gif_patch_sequences(draw):
+    """Random disposal-compositing scenario: canvas size + 1-5 patches
+    with random offsets, disposal methods, and transparency."""
+    h = draw(st.integers(min_value=2, max_value=24))
+    w = draw(st.integers(min_value=2, max_value=24))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    n = draw(st.integers(min_value=1, max_value=5))
+    patches = []
+    for k in range(n):
+        ph = draw(st.integers(min_value=1, max_value=h))
+        pw = draw(st.integers(min_value=1, max_value=w))
+        patches.append(
+            {
+                "x": draw(st.integers(min_value=0, max_value=w - pw)),
+                "y": draw(st.integers(min_value=0, max_value=h - ph)),
+                "pixels": rng.randint(0, 256, (ph, pw)).astype(np.uint8),
+                "disposal": draw(st.sampled_from([0, 1, 2, 3])),
+                "transparent": draw(
+                    st.one_of(
+                        st.none(),
+                        st.integers(min_value=0, max_value=255),
+                    )
+                ),
+            }
+        )
+    bg = draw(st.integers(min_value=0, max_value=255))
+    return (h, w), patches, bg
+
+
+@SETTINGS
+@given(gif_patch_sequences())
+def test_gif_disposal_compositing_matches_reference(args):
+    """Every random patch/disposal/transparency sequence composites
+    byte-identically to the pure-NumPy reference (greyscale identity
+    palette => decoded grey value == palette index)."""
+    from flink_orc_sink_spark.functions.gif import (
+        gif_decode_frames,
+        gif_encode_patches,
+    )
+
+    size, patches, bg = args
+    h, w = size
+    canvas = np.full((h, w), bg, dtype=np.uint8)
+    want = []
+    for p in patches:
+        px, ph, pw = p["pixels"], *p["pixels"].shape
+        x, y, tr = p["x"], p["y"], p["transparent"]
+        region = canvas[y : y + ph, x : x + pw]
+        saved = region.copy()
+        if tr is None:
+            region[...] = px
+        else:
+            m = px != tr
+            region[m] = px[m]
+        want.append(canvas.copy())
+        if p["disposal"] == 2:
+            canvas[y : y + ph, x : x + pw] = bg
+        elif p["disposal"] == 3:
+            canvas[y : y + ph, x : x + pw] = saved
+
+    got = gif_decode_frames(
+        gif_encode_patches(size, patches, background=bg)
+    )
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert np.array_equal(g, w_)

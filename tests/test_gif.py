@@ -101,9 +101,10 @@ def test_animated_gif_roundtrip_and_sampling():
         assert np.array_equal(png_decode(png), frames[i])
 
 
-def test_partial_canvas_frame_rejected():
-    """A frame not covering the full logical screen needs disposal
-    compositing — refuse rather than return wrong pixels."""
+def test_partial_canvas_frame_composites_onto_background():
+    """A frame not covering the full logical screen composites onto
+    the background-initialized canvas (round-8: the disposal seam is
+    closed — previously NotImplementedError)."""
     import struct
 
     from flink_orc_sink_spark.functions.gif import gif_decode
@@ -112,8 +113,10 @@ def test_partial_canvas_frame_rejected():
     raw = bytearray(gif_encode(px))
     # enlarge the logical screen so the frame becomes partial
     raw[6:8] = struct.pack("<H", 16)
-    with pytest.raises(NotImplementedError):
-        gif_decode(bytes(raw))
+    got = gif_decode(bytes(raw))
+    assert got.shape == (8, 16)
+    assert np.array_equal(got[:, :8], px)
+    assert (got[:, 8:] == 0).all()  # background index 0 -> grey 0
 
 
 def test_interlaced_gif_decodes():
@@ -132,3 +135,135 @@ def test_interlaced_gif_decodes():
     assert raw[desc_at] == 0x2C
     raw[desc_at + 9] |= 0x40  # set the interlace flag
     assert np.array_equal(gif_decode(bytes(raw)), px)
+
+
+# ---- disposal-method compositing (GIF89a §23) -----------------------
+
+
+def _reference_composite(size, patches, background=0):
+    """Pure-NumPy oracle for the compositing semantics: greyscale
+    identity palette makes decoded grey value == palette index, so
+    the whole pipeline is integer-exact and oracle-checkable."""
+    h, w = size
+    canvas = np.full((h, w), background, dtype=np.uint8)
+    outs = []
+    for p in patches:
+        px = np.asarray(p["pixels"], dtype=np.uint8)
+        ph, pw = px.shape
+        x, y = p.get("x", 0), p.get("y", 0)
+        region = canvas[y : y + ph, x : x + pw]
+        saved = region.copy()
+        tr = p.get("transparent")
+        if tr is None:
+            region[...] = px
+        else:
+            m = px != tr
+            region[m] = px[m]
+        outs.append(canvas.copy())
+        disp = p.get("disposal", 0)
+        if disp == 2:
+            canvas[y : y + ph, x : x + pw] = background
+        elif disp == 3:
+            canvas[y : y + ph, x : x + pw] = saved
+    return outs
+
+
+def _check(size, patches, background=0):
+    from flink_orc_sink_spark.functions.gif import (
+        gif_decode_frames,
+        gif_encode_patches,
+    )
+
+    raw = gif_encode_patches(size, patches, background=background)
+    got = gif_decode_frames(raw)
+    want = _reference_composite(size, patches, background)
+    assert len(got) == len(want)
+    for i, (g, w_) in enumerate(zip(got, want)):
+        assert np.array_equal(g, w_), f"frame {i}"
+
+
+def test_disposal_none_overlays_accumulate():
+    base = np.full((6, 6), 100, dtype=np.uint8)
+    patch = np.full((2, 3), 200, dtype=np.uint8)
+    _check(
+        (6, 6),
+        [
+            {"x": 0, "y": 0, "pixels": base, "disposal": 0},
+            {"x": 2, "y": 1, "pixels": patch, "disposal": 1},
+            {"x": 0, "y": 4, "pixels": patch, "disposal": 0},
+        ],
+    )
+
+
+def test_disposal_background_clears_region():
+    from flink_orc_sink_spark.functions.gif import (
+        gif_decode_frames,
+        gif_encode_patches,
+    )
+
+    base = np.full((5, 5), 50, dtype=np.uint8)
+    blink = np.full((2, 2), 250, dtype=np.uint8)
+    patches = [
+        {"x": 0, "y": 0, "pixels": base, "disposal": 0},
+        {"x": 1, "y": 1, "pixels": blink, "disposal": 2},
+        {"x": 0, "y": 0, "pixels": np.full((1, 1), 7, np.uint8)},
+    ]
+    _check((5, 5), patches, background=9)
+    # spot-check the semantic: frame 3 shows the blink region
+    # restored to BACKGROUND (9), not to the base image (50)
+    f3 = gif_decode_frames(gif_encode_patches((5, 5), patches, 9))[2]
+    assert (f3[1:3, 1:3] == 9).all()
+    assert f3[0, 0] == 7 and f3[4, 4] == 50
+
+
+def test_disposal_previous_restores_pre_frame_canvas():
+    from flink_orc_sink_spark.functions.gif import (
+        gif_decode_frames,
+        gif_encode_patches,
+    )
+
+    base = np.arange(36, dtype=np.uint8).reshape(6, 6)
+    pop = np.full((3, 3), 255, dtype=np.uint8)
+    patches = [
+        {"x": 0, "y": 0, "pixels": base, "disposal": 0},
+        {"x": 2, "y": 2, "pixels": pop, "disposal": 3},
+        {"x": 0, "y": 0, "pixels": np.full((1, 1), 9, np.uint8)},
+    ]
+    _check((6, 6), patches)
+    # frame 3: the pop region is back to base (disposal 3), only the
+    # 1x1 corner overwrite differs
+    f3 = gif_decode_frames(gif_encode_patches((6, 6), patches))[2]
+    want = base.copy()
+    want[0, 0] = 9
+    assert np.array_equal(f3, want)
+
+
+def test_transparent_pixels_let_canvas_through():
+    base = np.full((4, 4), 10, dtype=np.uint8)
+    overlay = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    _check(
+        (4, 4),
+        [
+            {"x": 0, "y": 0, "pixels": base},
+            {"x": 1, "y": 1, "pixels": overlay, "transparent": 2},
+        ],
+    )
+
+
+def test_full_canvas_animated_gif_unchanged_by_compositing():
+    """gif_encode_animated output (full-canvas, opaque, disposal 0)
+    decodes to exactly the per-frame images — compositing is a no-op
+    for the pre-round-8 surface."""
+    from flink_orc_sink_spark.functions.gif import (
+        gif_decode_frames,
+        gif_encode_animated,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = [
+        rng.randint(0, 256, (7, 9)).astype(np.uint8) for _ in range(4)
+    ]
+    got = gif_decode_frames(gif_encode_animated(frames))
+    assert len(got) == 4
+    for g, f in zip(got, frames):
+        assert np.array_equal(g, f)

@@ -1715,3 +1715,100 @@ def test_stream_retract_join_random_feed_converges(spark, tmp_path):
     feed(batches[2])
     run()
     assert view() == want
+
+
+def test_retract_agg_cleanup_cadence_long_replay(spark, tmp_path):
+    """cleanup_every_n_batches + horizon_fn: the sink runs the
+    state-TTL pass on its OWN cadence, under the same per-batch
+    single-writer lease — no external cron. Across 3 cleanup cycles
+    with interleaved below-horizon replays, the key state returns to
+    exactly the live-key count every cycle and the aggregate never
+    moves: replays arriving before the cycle's cleanup are masked by
+    the retained tombstone, replays arriving after it are dropped by
+    the recorded ingest horizon."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        read_retract_agg,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, grp string, v long, op string, seq long"
+    h = {"v": 0}
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_agg_orc(
+                stream_from_files(
+                    spark, src, schema, max_files_per_trigger=1
+                ),
+                state,
+                checkpoint=str(tmp_path / "ck"),
+                key_col="k",
+                group_col="grp",
+                val_col="v",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+                cleanup_every_n_batches=1,
+                horizon_fn=lambda: h["v"],
+            )
+            try:
+                assert q.awaitTermination(180), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    def state_rows():
+        return spark.read.orc(f"{state}/state").count()
+
+    # 3 permanent live keys
+    feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1), (3, "b", 30, "U", 1)])
+    run()
+    base = {("a", 30, 2), ("b", 30, 1)}
+    assert agg() == base and state_rows() == 3
+
+    for cycle, (key, s) in enumerate([(9, 10), (8, 20), (7, 30)], 1):
+        # churn: temp key appears then is deleted (tombstone retained
+        # until the cycle's horizon passes)
+        feed([(key, "a", 5, "U", s)])
+        feed([(key, "a", 0, "D", s + 1)])
+        run()
+        assert state_rows() == 3 + 1, cycle  # 3 live + this cycle's D
+        # source's replay horizon advances past the delete
+        h["v"] = s + 2
+        # replay the pre-delete image BEFORE the cadence cleanup has
+        # run at the new horizon: the retained tombstone masks it,
+        # then the cleanup (same batch, under the batch's lease)
+        # drops the tombstone and records the horizon
+        feed([(key, "a", 5, "U", s)])
+        run()
+        assert state_rows() == 3, cycle
+        assert agg() == base, cycle
+        # replay it AGAIN after the cleanup: only the recorded ingest
+        # horizon stands between it and a resurrection
+        feed([(key, "a", 5, "U", s)])
+        run()
+        assert state_rows() == 3, cycle
+        assert agg() == base, cycle
+        # the per-batch lease never lingers after a drained stream
+        assert not os.path.exists(os.path.join(state, "_lease")), cycle

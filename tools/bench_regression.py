@@ -38,6 +38,19 @@ MIN_BASE_SEC = 0.3
 # (q1: 0.87s vs 1.20s back-to-back, identical code), so a ratio alone
 # flags noise. A genuine regression must cost absolute wall time.
 MIN_DELTA_SEC = 0.75
+# Calibration drift beyond this means the fresh run was host-contended
+# (or the pin was) — normalize per-query times by the drift instead of
+# hand-adjudicating phantom regressions (round-6/7 pattern).
+CALIB_DRIFT = 1.3
+
+
+def _calib_mean(d: dict) -> float | None:
+    vals = [
+        d[k]
+        for k in ("calibration_first_sec", "calibration_last_sec")
+        if isinstance(d.get(k), (int, float)) and d[k] > 0
+    ]
+    return sum(vals) / len(vals) if vals else None
 
 
 def load_baseline(path: str) -> dict:
@@ -74,8 +87,48 @@ def main() -> int:
     base = load_baseline(base_path)
     waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
 
+    # --- contention detection: the in-artifact calibration probe ---
+    # bench.py runs a fixed CPU-bound job before and after the headline
+    # loop; its wall time moves with host contention, not with repo
+    # code. When the fresh run's calibration drifts past the pin's,
+    # scale every fresh time back by the drift before gating —
+    # regressions must survive normalization to count.
+    scale = 1.0
+    fresh_cal, base_cal = _calib_mean(fresh), _calib_mean(base)
+    if fresh_cal and base_cal:
+        cf = fresh.get("calibration_first_sec")
+        cl = fresh.get("calibration_last_sec")
+        if cf and cl and max(cf, cl) / min(cf, cl) > CALIB_DRIFT:
+            print(
+                f"CONTENTION WARNING: calibration moved mid-run "
+                f"({cf:.2f}s -> {cl:.2f}s) — normalization is "
+                f"approximate; re-run on an idle host to confirm"
+            )
+        drift = fresh_cal / base_cal
+        if drift > CALIB_DRIFT:
+            scale = 1.0 / drift
+            print(
+                f"CONTENTION DETECTED: calibration {fresh_cal:.2f}s vs "
+                f"pinned {base_cal:.2f}s ({drift:.2f}x) — normalizing "
+                f"fresh times by {scale:.3f}"
+            )
+        elif drift < 1.0 / CALIB_DRIFT:
+            # fresh host is FASTER than the pin's conditions (e.g. the
+            # pin itself was contended): gate on raw numbers, but say so
+            print(
+                f"note: calibration {fresh_cal:.2f}s vs pinned "
+                f"{base_cal:.2f}s ({drift:.2f}x) — pin looks contended"
+            )
+    elif fresh_cal and not base_cal:
+        print(
+            f"note: fresh calibration {fresh_cal:.2f}s; baseline "
+            f"{os.path.basename(base_path)} has none (pre-r8 pin) — "
+            f"no normalization"
+        )
+
     failures: list[str] = []
-    fq, bq = fresh["queries"], base["queries"]
+    fq = {n: s * scale for n, s in fresh["queries"].items()}
+    bq = base["queries"]
     for name, sec in sorted(fq.items()):
         if name not in bq:
             print(f"new  {name}: {sec:.3f}s (no baseline)")

@@ -14,6 +14,13 @@ buckets its keys touch. This probe pins both halves:
   uniformly-random keys touches every bucket and pays a full
   merge-on-write pass - printed for contrast at the largest size.
 
+Also probes cleanup_retract_state (round-8 verdict #7): fixed ~5k
+expired-tombstone cohort, wall vs state size. Measured on this VM:
+clustered (4 buckets) 1.0-1.1 s flat from 100k to 2M rows (20x, bucket
+count scaled with state); uniform distribution touches all 80 buckets
+and pays the full pass (1.8 s at 2M) - the same documented degenerate
+case as ingest.
+
 Correctness is asserted inline at every size: summed aggregate
 deltas == from-scratch aggregate of the latest-live join.
 
@@ -84,10 +91,74 @@ def main() -> None:
             flush=True,
         )
         shutil.rmtree(d, ignore_errors=True)
+    # --- cleanup_retract_state scale datapoint (round-8 verdict #7):
+    # the state-TTL pass must cost O(touched buckets x bucket size),
+    # not O(total state). State dirs are synthesized directly in the
+    # sink's (kp-partitioned ORC) layout — the cleanup is a pure
+    # function of those files. Fixed tombstone count; CLUSTERED
+    # tombstones (4 buckets — the production shape: deletes skew to a
+    # cohort) must hold wall ~flat across a 20x state growth at
+    # constant bucket size; the UNIFORM distribution touches every
+    # bucket and honestly pays the full merge-on-write pass, printed
+    # for contrast at the largest size (same degenerate-case
+    # documentation discipline as the ingest probe below).
+    from flink_orc_sink_spark.streaming import cleanup_retract_state
+
+    print("cleanup_retract_state wall vs state size:")
+
+    def cleanup_probe(n_state: int, clustered: bool) -> None:
+        nb = max(16, n_state // rows_per_bucket)
+        base = tempfile.mkdtemp(prefix="probe_cleanup_")
+        state = os.path.join(base, "retract")
+        n_dead = 5_000
+        if clustered:
+            dead = F.pmod(F.hash("id"), F.lit(nb)) < 4
+            # cap the doomed cohort at n_dead of the clustered keys
+            dead = dead & (
+                F.pmod(F.hash("id", F.lit(7)), F.lit(n_state))
+                < n_dead * max(1, nb // 4)
+            )
+        else:
+            dead = F.pmod(F.hash("id", F.lit(7)), F.lit(n_state)) < n_dead
+        rows = spark.range(n_state).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 50).cast("string")).alias(
+                "grp"
+            ),
+            (F.col("id") % 1000).alias("v"),
+            F.when(dead, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            # expired tombstones sit below the horizon; live rows above
+            F.when(dead, F.lit(1)).otherwise(F.lit(100)).cast("long")
+            .alias("seq"),
+            F.pmod(F.hash("id"), F.lit(nb)).alias("kp"),
+        )
+        rows.repartition("kp").write.mode("overwrite").partitionBy(
+            "kp"
+        ).orc(os.path.join(state, "state"))
+        n_doomed = rows.filter(F.col("op") == "D").count()
+        t0 = time.time()
+        stats = cleanup_retract_state(spark, state, horizon=50)
+        wall = time.time() - t0
+        assert stats["tombstones_dropped"] == n_doomed, stats
+        left = spark.read.orc(os.path.join(state, "state")).count()
+        assert left == n_state - n_doomed, (left, n_state, n_doomed)
+        kind = "clustered" if clustered else "UNIFORM (degenerate)"
+        print(
+            f"  state={n_state:>9,}  buckets={nb:>4}  dropped="
+            f"{n_doomed:>6,}  rewritten={stats['buckets_rewritten']:>4}"
+            f"  {kind}: {wall:6.1f}s",
+            flush=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     batch_rows = 2_000
     n_jk = 50_000  # join-key space (customers)
     rows_per_bucket = 25_000  # constant bucket-size target
+
+    for n_state in sizes:
+        cleanup_probe(n_state, clustered=True)
+    cleanup_probe(sizes[-1], clustered=False)
 
     def probe(n_state: int, clustered: bool) -> float:
         nb = max(16, n_state // rows_per_bucket)
