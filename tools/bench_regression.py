@@ -1,8 +1,9 @@
-"""Bench regression gate against the pinned driver baseline.
+"""Bench regression gate against the pinned baseline.
 
 Reads a fresh ``bench.py`` JSON line from stdin (or a file given as
-argv[1]) and compares it against the driver-recorded baseline
-(``BENCH_PIN_r06.json`` by default, override with argv[2] or
+argv[1]) and compares it against the pinned baseline
+(``BENCH_PIN_r08.json`` by default — the round-8 clean exclusive run
+WITH embedded calibration; override with argv[2] or
 $SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
 — or the total — is more than ``THRESHOLD``× slower than the
 baseline. Queries absent from the baseline are reported but never
@@ -29,6 +30,9 @@ WAIVED_BY_BASELINE = {
         "emb_semantic_dedup": "round-7 swap to the value-oracled"
         " fixed-point-k-means + join form (BASELINE.md caveat)",
     },
+    # BENCH_PIN_r08.json measures the current implementations on an
+    # idle host with calibration embedded: no waivers.
+    "BENCH_PIN_r08.json": {},
 }
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
@@ -82,7 +86,7 @@ def main() -> int:
         sys.argv[2]
         if len(sys.argv) > 2
         else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
-        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r06.json")
+        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r08.json")
     )
     base = load_baseline(base_path)
     waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
