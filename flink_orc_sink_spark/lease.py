@@ -55,7 +55,14 @@ from pyspark.sql import SparkSession
 from flink_orc_sink_spark.session import hadoop_fs
 
 LEASE_NAME = "_lease"
-DEFAULT_TTL_SEC = 900.0
+# The TTL must exceed the longest lease-holding section, or a live
+# writer gets stolen mid-run — the exact hazard the lease prevents. A
+# micro-batch or a pruned cleanup is seconds; a full index compaction
+# at large scale can be minutes. One hour is safely above both while
+# still bounding how long a crash orphan can block a DIFFERENT owner
+# (the same owner reclaims instantly regardless of TTL). An operation
+# expected to exceed this must pass its own ttl_sec.
+DEFAULT_TTL_SEC = 3600.0
 
 
 class LeaseHeldError(RuntimeError):

@@ -1812,3 +1812,94 @@ def test_retract_agg_cleanup_cadence_long_replay(spark, tmp_path):
         assert agg() == base, cycle
         # the per-batch lease never lingers after a drained stream
         assert not os.path.exists(os.path.join(state, "_lease")), cycle
+
+
+def test_retract_join_cleanup_cadence(spark, tmp_path):
+    """The JOIN sink's cleanup cadence (cleanup_every_n_batches +
+    horizon_fn under the batch's lease): the pk-layer tombstone is
+    dropped by the sink itself once the horizon passes, and a
+    below-horizon replay arriving after that cleanup is rejected at
+    ingest instead of re-joining."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+    h = {"v": 0}
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(
+                    spark, src, schema, max_files_per_trigger=1
+                ),
+                state,
+                checkpoint=str(tmp_path / "ck"),
+                trigger={"availableNow": True},
+                cleanup_every_n_batches=1,
+                horizon_fn=lambda: h["v"],
+            )
+            try:
+                assert q.awaitTermination(180), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def view():
+        return {
+            (r.l_pk, r.jk, r.l_val, r.r_attr)
+            for r in spark.read.orc(
+                os.path.join(state, "view")
+            ).collect()
+        }
+
+    def pk_rows():
+        return spark.read.orc(os.path.join(state, "pk_state")).count()
+
+    feed(
+        [
+            ("L", 101, 1, 10, "U", 10, None),
+            ("L", 102, 1, 11, "U", 20, None),
+            ("L", 102, 1, 12, "D", None, None),
+            ("R", 1, 1, 13, "U", None, "x"),
+        ]
+    )
+    run()  # cadence cleanup runs at h=0: drops nothing
+    assert view() == {(101, 1, 10, "x")}
+    assert pk_rows() == 3  # L101 U, L102 D, R1 U
+
+    # horizon passes the delete; the NEXT batch's cadence cleanup
+    # (same lease as the batch) drops the tombstone
+    h["v"] = 20
+    feed([("L", 103, 1, 20, "U", 30, None)])
+    run()
+    assert view() == {(101, 1, 10, "x"), (103, 1, 30, "x")}
+    assert pk_rows() == 3  # L101, L103, R1 — L102's D is GONE
+
+    # below-horizon replay of 102's pre-delete image: only the
+    # recorded ingest horizon prevents a resurrection now
+    feed([("L", 102, 1, 11, "U", 20, None)])
+    run()
+    assert view() == {(101, 1, 10, "x"), (103, 1, 30, "x")}
+    assert pk_rows() == 3
+    # lease never lingers after the drained stream
+    assert not os.path.exists(os.path.join(state, "_lease"))
