@@ -1,43 +1,62 @@
 """Single-writer lease for shared state directories.
 
-The stateful sinks (``streaming/orc_sink.py``) and their maintenance
-ops (``cleanup_retract_state`` / ``cleanup_retract_join_state``,
-``operators/retention.py::compact_index``,
-``operators/similarity.py::compact_ivf_index``) mutate the same state
-directory under a single-writer contract. Until round 8 that contract
-was documented only — a cron mistake running a cleanup concurrently
-with the sink's micro-batch would silently interleave a partition
+The stateful read-modify-write sinks (``streaming/orc_sink.py``) and
+their maintenance ops (``cleanup_retract_state`` /
+``cleanup_retract_join_state``, ``operators/retention.py``'s
+``compact_index`` / ``forget_ids`` / ``readmit_ids``, and the
+``append_to_*`` index appenders) mutate the same state directory
+under a single-writer contract. Until round 8 that contract was
+documented only — a cron mistake running a cleanup concurrently with
+the sink's micro-batch would silently interleave a partition
 overwrite with a read. This module makes the violation LOUD.
+
+Scope (deliberate): the lease protects READ-MODIFY-WRITE state — a
+store that is read, merged and partially overwritten, or a table
+swapped by rename. The append-only, batch-id-keyed sinks
+(``stream_quarantine_orc``, ``stream_fanout_orc``, the plain ORC
+sink) are excluded by design: their writes are idempotent per
+``batch_id`` partition and have no read-modify-write cycle for a
+second writer to corrupt.
 
 Primitive: ``FileSystem.create(path, overwrite=False)`` — the one
 atomic create-if-absent every Hadoop filesystem provides (the same
 family as the replay-horizon ``mkdirs`` markers, but exclusive). The
-lease is a single file ``<state_path>/_lease`` whose content names the
-holder; its presence means a writer is (or recently was) active.
+lease is a single file ``<state_path>/_lease`` whose content names
+the holder.
 
-Rules, in order:
+Liveness: while held via :func:`state_lease`, a daemon HEARTBEAT
+thread refreshes the lease file's modification time every
+``ttl_sec/3`` (``setTimes``; content-rewrite fallback for filesystems
+that don't support it), so a LIVE holder is never judged stale no
+matter how long its section runs — the age-based steal below only
+ever fires on a genuinely crashed holder whose heartbeats stopped.
 
-1. **No lease file** → create it (atomic; a concurrent racer loses the
-   create and raises).
+Acquisition rules, in order:
+
+1. **No lease file** → create it (atomic; a concurrent racer loses
+   the create and raises).
 2. **Same owner** → reclaim immediately. ``owner`` must uniquely name
-   the LOGICAL writer — the sinks derive it from their checkpoint
-   path, so a crash-restarted stream continues without waiting out a
-   TTL (Spark itself already guarantees one active stream per
-   checkpoint). Two live processes sharing an owner string are the
-   same misconfiguration as two streams on one checkpoint — out of
-   contract.
-3. **Different owner, older than ``ttl_sec``** → crash-orphan steal:
-   the stale file is first ``rename``d to a unique tomb name (rename
-   is atomic — exactly one of N concurrent stealers wins; losers
-   raise and retry later), then a fresh lease is created.
+   the LOGICAL writer: the sinks derive it from their checkpoint path
+   (Spark already guarantees one active stream per checkpoint, so a
+   crash-restarted stream reclaims instantly and two live same-owner
+   sinks are impossible); maintenance ops and appenders default to a
+   PER-PROCESS owner (``<kind>:<host>:<pid>``), so two overlapping
+   cron ticks or two concurrent ingest jobs are DIFFERENT owners and
+   conflict loudly instead of silently sharing a constant name.
+3. **Different owner, heartbeat older than ``ttl_sec``** →
+   crash-orphan steal: the stale file is first ``rename``d to a
+   unique tomb (rename is atomic — exactly one of N concurrent
+   stealers wins; losers raise and retry later), then a fresh lease
+   is created.
 4. **Different owner, fresh** → :class:`LeaseHeldError`, loudly.
 
-Clock caveat (documented, inherent to lease-over-FS designs): the age
-check compares the lease file's modification time against the
-caller's clock via the filesystem; on object stores with skewed
-clients keep ``ttl_sec`` generously above the worst skew. The steal
-path only matters after a CRASH — live writers hold the lease for one
-batch / one maintenance run and release it.
+Release re-claims the file by rename before deleting it, so a lease
+that was stolen (possible only after the holder's heartbeats stopped
+for a full TTL) is never deleted out from under the thief.
+
+Clock caveat (inherent to lease-over-FS designs): staleness compares
+the lease file's mtime against the caller's clock; on object stores
+with skewed clients keep ``ttl_sec`` generously above the worst skew.
 
 The reference funnels all of its commit-path mutations through one
 checkpoint thread (``RowOrcBucketingSink.java:153-213``) — this lease
@@ -46,6 +65,9 @@ is that serialization made explicit and multi-process.
 
 from __future__ import annotations
 
+import os
+import socket
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -55,14 +77,11 @@ from pyspark.sql import SparkSession
 from flink_orc_sink_spark.session import hadoop_fs
 
 LEASE_NAME = "_lease"
-# The TTL must exceed the longest lease-holding section, or a live
-# writer gets stolen mid-run — the exact hazard the lease prevents. A
-# micro-batch or a pruned cleanup is seconds; a full index compaction
-# at large scale can be minutes. One hour is safely above both while
-# still bounding how long a crash orphan can block a DIFFERENT owner
-# (the same owner reclaims instantly regardless of TTL). An operation
-# expected to exceed this must pass its own ttl_sec.
-DEFAULT_TTL_SEC = 3600.0
+# With heartbeats every ttl/3, a live holder's lease never ages past
+# ~ttl/3 — the TTL only bounds how long a CRASHED holder blocks a
+# different owner. 15 minutes recovers crash orphans reasonably fast
+# while tolerating long heartbeat hiccups (GC pauses, FS blips).
+DEFAULT_TTL_SEC = 900.0
 
 
 class LeaseHeldError(RuntimeError):
@@ -70,8 +89,24 @@ class LeaseHeldError(RuntimeError):
 
     Raised instead of proceeding — the caller must NOT retry in a
     tight loop around a live writer; schedule maintenance between the
-    sink's triggers (or pass the sink's own ``owner`` when the sink
-    itself invokes the maintenance op)."""
+    sink's triggers (or pass ``lease=False`` from a caller that
+    already holds the state lease, as the sinks' own cleanup cadence
+    does)."""
+
+
+def process_owner(kind: str) -> str:
+    """Default lease owner for a maintenance op / appender: unique
+    per INVOCATION (host:pid plus a random suffix), so ANY two
+    overlapping runs — even same kind, even same process — are
+    different owners and conflict loudly. The cost: a crashed run's
+    orphan blocks for up to the TTL (which a crash implies anyway —
+    a new process could never match a pid-based name either); a
+    restarted STREAM avoids that wait because its owner is its
+    checkpoint path, which Spark already serializes."""
+    return (
+        f"{kind}:{socket.gethostname()}:{os.getpid()}:"
+        f"{uuid.uuid4().hex[:8]}"
+    )
 
 
 def _read_lease(spark: SparkSession, path: str) -> str:
@@ -87,6 +122,14 @@ def _read_lease(spark: SparkSession, path: str) -> str:
         ins.close()
 
 
+def _write_lease(fs, p, owner: str) -> None:
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(owner.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def acquire_lease(
     spark: SparkSession,
     state_path: str,
@@ -95,8 +138,9 @@ def acquire_lease(
 ) -> None:
     """Take the single-writer lease on ``state_path`` for ``owner``.
 
-    Raises :class:`LeaseHeldError` when a different, fresh owner holds
-    it. See the module docstring for the reclaim/steal rules."""
+    Raises :class:`LeaseHeldError` when a different owner holds it
+    and its heartbeat is fresher than ``ttl_sec``. Prefer
+    :func:`state_lease`, which also heartbeats while held."""
     lease = state_path.rstrip("/") + "/" + LEASE_NAME
     fs, p = hadoop_fs(spark, lease)
     for attempt in range(2):
@@ -114,12 +158,14 @@ def acquire_lease(
                 if age <= ttl_sec:
                     raise LeaseHeldError(
                         f"state dir {state_path!r} lease is held by "
-                        f"{holder!r} ({age:.0f}s old, ttl {ttl_sec:.0f}s)"
-                        f" — refusing to run {owner!r} concurrently"
+                        f"{holder!r} (heartbeat {age:.0f}s old, ttl "
+                        f"{ttl_sec:.0f}s) — refusing to run {owner!r} "
+                        f"concurrently"
                     )
-                # crash orphan: atomically retire it. Exactly one of N
-                # concurrent stealers wins the rename; losers re-loop
-                # and (next iteration) see the winner's fresh lease.
+                # crash orphan (heartbeats stopped a full TTL ago):
+                # atomically retire it. Exactly one of N concurrent
+                # stealers wins the rename; losers re-loop and (next
+                # iteration) see the winner's fresh lease.
                 tomb = spark._jvm.org.apache.hadoop.fs.Path(
                     f"{lease}.stale.{uuid.uuid4().hex}"
                 )
@@ -130,11 +176,11 @@ def acquire_lease(
                     )
                 fs.delete(tomb, False)
             elif holder == owner:
-                # our own (restart or crash-orphan of this logical
-                # writer): refresh in place — delete+create below
+                # our own (restart of this logical writer — the sinks'
+                # checkpoint-derived owners): refresh in place
                 fs.delete(p, False)
         try:
-            out = fs.create(p, False)
+            _write_lease(fs, p, owner)
         except Exception as exc:
             if attempt == 0:
                 continue  # racer created between our probe and create
@@ -142,10 +188,6 @@ def acquire_lease(
                 f"state dir {state_path!r}: lease create lost a race "
                 f"twice — a concurrent writer is active ({exc})"
             ) from None
-        try:
-            out.write(bytearray(owner.encode("utf-8")))
-        finally:
-            out.close()
         return
     raise AssertionError("unreachable")
 
@@ -153,17 +195,53 @@ def acquire_lease(
 def release_lease(
     spark: SparkSession, state_path: str, owner: str
 ) -> None:
-    """Release ``owner``'s lease. A lease since stolen by someone else
-    (only possible after a TTL expiry, i.e. after this writer was
-    presumed dead) is left untouched — never delete another writer's
-    lease. Releasing an already-released lease is a no-op."""
+    """Release ``owner``'s lease. The file is CLAIMED BY RENAME first
+    (atomic), so a lease stolen after the holder's heartbeats stopped
+    is never deleted out from under the thief: if the rename loses,
+    someone else moved it (no-op); if the renamed content turns out
+    not to be ours, it is restored. Releasing an already-released
+    lease is a no-op; releasing must never fail the work that just
+    finished."""
     lease = state_path.rstrip("/") + "/" + LEASE_NAME
     fs, p = hadoop_fs(spark, lease)
+    tomb_path = f"{lease}.rel.{uuid.uuid4().hex}"
     try:
-        if fs.exists(p) and _read_lease(spark, lease) == owner:
-            fs.delete(p, False)
+        if not fs.exists(p):
+            return
+        tomb = spark._jvm.org.apache.hadoop.fs.Path(tomb_path)
+        if not fs.rename(p, tomb):
+            return  # moved under us: stolen/released — not ours
+        if _read_lease(spark, tomb_path) == owner:
+            fs.delete(tomb, False)
+        elif not fs.rename(tomb, p):
+            # someone created a new lease while we held the tomb;
+            # drop the tomb — its holder will fail loudly and retry
+            fs.delete(tomb, False)
     except Exception:
-        pass  # releasing must never fail the work that just finished
+        pass
+
+
+def _heartbeat(spark: SparkSession, lease: str, owner: str) -> bool:
+    """Refresh the lease's liveness signal once. ``setTimes`` where
+    supported; content rewrite (create-overwrite, which also resets
+    mtime) as the object-store fallback. Returns False if the lease
+    is gone or no longer ours (stop heartbeating)."""
+    fs, p = hadoop_fs(spark, lease)
+    try:
+        if not fs.exists(p) or _read_lease(spark, lease) != owner:
+            return False
+        now_ms = int(time.time() * 1000)
+        try:
+            fs.setTimes(p, now_ms, now_ms)
+        except Exception:
+            out = fs.create(p, True)  # atomic-replace rewrite
+            try:
+                out.write(bytearray(owner.encode("utf-8")))
+            finally:
+                out.close()
+        return True
+    except Exception:
+        return True  # transient FS blip: keep trying until TTL logic
 
 
 @contextmanager
@@ -173,12 +251,28 @@ def state_lease(
     owner: str,
     ttl_sec: float = DEFAULT_TTL_SEC,
 ):
-    """``with state_lease(...):`` — acquire around a mutation section.
-
-    The sinks wrap each micro-batch; the maintenance ops wrap their
-    whole run. Pass the SAME ``state_path`` both sides use."""
+    """``with state_lease(...):`` — acquire around a mutation section
+    and HEARTBEAT while inside it, so the section may run arbitrarily
+    long without becoming stealable. The sinks wrap each micro-batch;
+    the maintenance ops wrap their whole run. Pass the SAME
+    ``state_path`` both sides use."""
     acquire_lease(spark, state_path, owner, ttl_sec)
+    lease = state_path.rstrip("/") + "/" + LEASE_NAME
+    stop = threading.Event()
+    interval = min(max(ttl_sec / 3.0, 0.5), 300.0)
+
+    def beat() -> None:
+        while not stop.wait(interval):
+            if not _heartbeat(spark, lease, owner):
+                return
+
+    t = threading.Thread(
+        target=beat, name=f"lease-heartbeat:{state_path}", daemon=True
+    )
+    t.start()
     try:
         yield
     finally:
+        stop.set()
+        t.join(timeout=5)
         release_lease(spark, state_path, owner)

@@ -1154,10 +1154,12 @@ def append_to_minhash_index(
     an append landing while ``compact_minhash_index``'s swap is
     mid-flight was the remaining silent-interleave class — now either
     side fails loudly instead."""
-    from flink_orc_sink_spark.lease import state_lease
+    from flink_orc_sink_spark.lease import process_owner, state_lease
 
     sigs = minhash_signatures(df, id_col, text_col, k)
-    with state_lease(df.sparkSession, index_path, "ingest:append"):
+    with state_lease(
+        df.sparkSession, index_path, process_owner("ingest:append")
+    ):
         (
             band_rows(sigs)
             # range-partition on (band, bkey): band dirs preserved via
@@ -1179,7 +1181,7 @@ def append_to_minhash_index(
         # rebuild-without-them would (no-op when nothing is tombstoned)
         from flink_orc_sink_spark.operators.retention import readmit_ids
 
-        readmit_ids(df.select(id_col), index_path)
+        readmit_ids(df.select(id_col), index_path, lease=False)
 
 
 def forget_from_minhash_index(doc_ids: DataFrame, index_path: str) -> None:
@@ -1328,10 +1330,12 @@ def append_to_gram_index(
     ingest passes its batch id as ``tag`` so a replayed batch can
     exclude its own prior append at probe time. Runs under the
     ``index_path`` single-writer lease (``lease.py``)."""
-    from flink_orc_sink_spark.lease import state_lease
+    from flink_orc_sink_spark.lease import process_owner, state_lease
 
     occ = _gram_occurrences(df, id_col, text_col, n)
-    with state_lease(df.sparkSession, index_path, "ingest:append"):
+    with state_lease(
+        df.sparkSession, index_path, process_owner("ingest:append")
+    ):
         (
             occ.select("gh")
             .distinct()

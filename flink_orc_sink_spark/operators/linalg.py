@@ -172,10 +172,23 @@ def int_moments(df: DataFrame, vec_col: str, dim: int, scale: int = 1000):
             if not len(pdf):
                 continue
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            q = np.floor(x * scale + 0.5).astype(np.int64)
+            qf = np.floor(x * scale + 0.5)
+            # bound BEFORE the int64 cast: an out-of-range float→int64
+            # cast wraps to INT64_MIN silently (numpy emits at most a
+            # RuntimeWarning), which would corrupt max_abs_q itself and
+            # let the n·max|q|² check below pass on garbage
+            if qf.size:
+                mf = float(np.abs(qf).max())
+                if not np.isfinite(mf) or mf >= float(1 << 62):
+                    raise ValueError(
+                        f"int_moments: quantized value |x*scale| = {mf}"
+                        f" exceeds the int64-exact range (needs NaN-free"
+                        f" input and |x|*{scale} < 2^62) — lower `scale`"
+                        f" or normalize the vectors"
+                    )
+                max_abs_q = max(max_abs_q, int(mf))
+            q = qf.astype(np.int64)
             n += q.shape[0]
-            if q.size:
-                max_abs_q = max(max_abs_q, int(np.abs(q).max()))
             # np.int64 accumulation wraps SILENTLY on overflow; the
             # worst-case |g_ij| is n·max|q|², so enforce the documented
             # n·(scale·|x|)² < 2⁶³ bound LOUDLY (exact Python-int math —

@@ -1040,9 +1040,11 @@ def append_to_ahash_index(
     an append write, the same lifecycle contract as
     ``append_to_minhash_index`` / ``append_to_ivf_index`` — including
     the enforced ``path`` single-writer lease (``lease.py``)."""
-    from flink_orc_sink_spark.lease import state_lease
+    from flink_orc_sink_spark.lease import process_owner, state_lease
 
-    with state_lease(hashes.sparkSession, path, "ingest:append"):
+    with state_lease(
+        hashes.sparkSession, path, process_owner("ingest:append")
+    ):
         (
             _ahash_band_rows(hashes, id_col, hash_col, n_bands)
             # range-partition on (band, key): band grouping is
@@ -1060,7 +1062,7 @@ def append_to_ahash_index(
         # when nothing is tombstoned)
         from flink_orc_sink_spark.operators.retention import readmit_ids
 
-        readmit_ids(hashes.select(id_col), path)
+        readmit_ids(hashes.select(id_col), path, lease=False)
 
 
 def forget_from_ahash_index(media_ids: DataFrame, path: str) -> None:

@@ -23,13 +23,17 @@ Two-phase shape, the same trade every merge-on-read table format makes
   it, exactly like a rebuild-without-them would.
 
 Ordering/concurrency contract: index mutations (append, forget,
-readmit, compact) are SINGLE-WRITER — the caller serializes them, the
-same way the reference sink funnels all commits through one checkpoint
-thread (``RowOrcBucketingSink.java:153-213``). Probes may run
-concurrently with forgets (append-only) but not with a compaction
-swap, exactly as with any parquet-directory overwrite. Within that
-contract every step is still CRASH-SAFE (a killed job, not a
-concurrent one):
+readmit, compact) are SINGLE-WRITER — the same way the reference sink
+funnels all commits through one checkpoint thread
+(``RowOrcBucketingSink.java:153-213``) — and since round 8 the
+contract is ENFORCED: every mutation entry point takes the
+``index_path`` lease (``flink_orc_sink_spark/lease.py``; per-process
+owners, so even two invocations of the same op conflict loudly) and a
+concurrent run raises ``LeaseHeldError`` instead of interleaving.
+PROBES stay lock-free: they may run concurrently with forgets
+(append-only) but not with a compaction swap, exactly as with any
+parquet-directory overwrite. Within the single-writer contract every
+step is still CRASH-SAFE (a killed job, not a concurrent one):
 
 - compaction snapshots the tombstone data files up front, applies
   exactly that snapshot to every table, and deletes only those files
@@ -132,10 +136,26 @@ def _anti(df: DataFrame, ts: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def forget_ids(ids: DataFrame, index_path: str) -> None:
+def forget_ids(
+    ids: DataFrame, index_path: str, lease: bool = True
+) -> None:
     """Tombstone ids (single-column DataFrame, any name/integer type)
     so every subsequent probe of the index excludes them. O(deleted)
-    work: one distinct + append — nothing index-sized runs."""
+    work: one distinct + append — nothing index-sized runs.
+
+    Takes the ``index_path`` single-writer lease (round 8): although
+    the append itself is cheap, a forget racing :func:`readmit_ids`'s
+    tombstone-table swap would land its file between the swap's read
+    and its recursive delete and be DESTROYED unapplied — the
+    forgotten id would keep matching forever, silently. ``lease=False``
+    only from a caller already holding the index lease."""
+    if lease:
+        from flink_orc_sink_spark.lease import process_owner, state_lease
+
+        with state_lease(
+            ids.sparkSession, index_path, process_owner("maintenance:forget")
+        ):
+            return forget_ids(ids, index_path, lease=False)
     (id_col,) = ids.columns
     (
         ids.select(F.col(id_col).cast("long").alias("id"))
@@ -181,13 +201,27 @@ def subtract_tombstones(
     return _anti(df, ts, id_col)
 
 
-def readmit_ids(ids: DataFrame, index_path: str) -> None:
+def readmit_ids(
+    ids: DataFrame, index_path: str, lease: bool = True
+) -> None:
     """Remove ids from the tombstone set — they become matchable again
     (to the extent their rows still exist or are re-appended). Called
-    by every ``append_to_*`` for its batch ids, so re-ingesting a
-    forgotten id readmits it; also public for explicit un-forgets.
-    O(tombstones) work on a deletes-since-compaction-sized table;
-    no-op when nothing is forgotten."""
+    by every ``append_to_*`` for its batch ids (which already hold the
+    index lease and pass ``lease=False``), so re-ingesting a forgotten
+    id readmits it; also public for explicit un-forgets (which take
+    the lease themselves — the rewrite swap must never race a forget's
+    append, see :func:`forget_ids`). O(tombstones) work on a
+    deletes-since-compaction-sized table; no-op when nothing is
+    forgotten."""
+    if lease:
+        from flink_orc_sink_spark.lease import process_owner, state_lease
+
+        with state_lease(
+            ids.sparkSession,
+            index_path,
+            process_owner("maintenance:readmit"),
+        ):
+            return readmit_ids(ids, index_path, lease=False)
     spark = ids.sparkSession
     ts = read_tombstones(spark, index_path)
     if ts is None:
@@ -254,9 +288,11 @@ def compact_index(
     append was the one silent-corruption class left. ``lease=False``
     only from a caller that already holds the index lease."""
     if lease:
-        from flink_orc_sink_spark.lease import state_lease
+        from flink_orc_sink_spark.lease import process_owner, state_lease
 
-        with state_lease(spark, index_path, "maintenance:compact"):
+        with state_lease(
+            spark, index_path, process_owner("maintenance:compact")
+        ):
             return compact_index(spark, index_path, tables, lease=False)
     recover_index(spark, index_path, tables)
     _recover_tombstones(spark, index_path)

@@ -165,9 +165,11 @@ def append_to_bm25_index(
     forgotten id readmits it (tombstone removed), same as every other
     index family — and runs under the same enforced ``index_path``
     single-writer lease (``lease.py``)."""
-    from flink_orc_sink_spark.lease import state_lease
+    from flink_orc_sink_spark.lease import process_owner, state_lease
 
-    with state_lease(df.sparkSession, index_path, "ingest:append"):
+    with state_lease(
+        df.sparkSession, index_path, process_owner("ingest:append")
+    ):
         (
             _postings(df, id_col, text_col)
             .withColumn("bucket", _bucket(F.col("token")))
@@ -186,7 +188,7 @@ def append_to_bm25_index(
             "append",
             tag,
         )
-        readmit_ids(df.select(id_col), index_path)
+        readmit_ids(df.select(id_col), index_path, lease=False)
 
 
 def forget_from_bm25_index(doc_ids: DataFrame, index_path: str) -> None:

@@ -1408,9 +1408,11 @@ def append_to_ivf_index(
     )
     centroids = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
     assign_cell, _ = make_cell_udfs(centroids, nprobe=1)
-    from flink_orc_sink_spark.lease import state_lease
+    from flink_orc_sink_spark.lease import process_owner, state_lease
 
-    with state_lease(spark, index_path, "ingest:append"):
+    with state_lease(
+        spark, index_path, process_owner("ingest:append")
+    ):
         (
             new_vectors.select(
                 F.col(id_col).alias("cid"),
@@ -1426,7 +1428,7 @@ def append_to_ivf_index(
         # (no-op when nothing is tombstoned)
         from flink_orc_sink_spark.operators.retention import readmit_ids
 
-        readmit_ids(new_vectors.select(id_col), index_path)
+        readmit_ids(new_vectors.select(id_col), index_path, lease=False)
 
 
 def forget_from_ivf_index(vec_ids: DataFrame, index_path: str) -> None:

@@ -44,7 +44,7 @@ from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 # filesystem Spark writes to — driver-local ``os.path`` probes would
 # silently answer False for an ``hdfs://``/``s3a://`` state_path (the
 # 100 TB shape) and recompute deltas against a phantom 'absent' state.
-from flink_orc_sink_spark.lease import state_lease
+from flink_orc_sink_spark.lease import process_owner, state_lease
 from flink_orc_sink_spark.session import (
     fs_exists as _hfs_exists,
     fs_list_names as _hfs_list_names,
@@ -249,10 +249,19 @@ def stream_cdc_apply_orc(
     format (Delta/Iceberg MERGE); here the merged frame is eagerly
     localCheckpoint-ed before the overwrite so the read and the
     rewrite of the same files never overlap.
+    Each micro-batch holds the ``state_path`` single-writer lease
+    (round 8): the merge's pruned read + dynamic overwrite is the same
+    read-modify-write cycle the retract sinks protect, so an external
+    writer on the state dir fails loudly instead of interleaving.
     """
     order_desc = [F.col(c).desc() for c in order_cols]
+    lease_owner = f"sink:{checkpoint}"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with state_lease(batch_df.sparkSession, state_path, lease_owner):
+            _apply(batch_df, batch_id)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
@@ -341,10 +350,19 @@ def stream_scd2_apply_orc(
     O(history); state is the change archive a warehouse already
     keeps. The merged frame is localCheckpoint-ed before the
     overwrite (read and rewrite of the same files never overlap) and
-    released as soon as both writes land."""
+    released as soon as both writes land.
+
+    Each micro-batch holds the ``state_path`` single-writer lease
+    (round 8), like every other read-modify-write state sink."""
     from flink_orc_sink_spark.operators.relational import scd2_history
 
+    lease_owner = f"sink:{checkpoint}"
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with state_lease(batch_df.sparkSession, state_path, lease_owner):
+            _apply(batch_df, batch_id)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ch = batch_df.withColumn(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
@@ -665,7 +683,9 @@ def cleanup_retract_state(
         order_cols = (order_cols,)
     if lease:
         with state_lease(
-            spark, state_path, "maintenance:cleanup-retract"
+            spark,
+            state_path,
+            process_owner("maintenance:cleanup-retract"),
         ):
             return cleanup_retract_state(
                 spark,
@@ -737,7 +757,9 @@ def cleanup_retract_join_state(
     """
     if lease:
         with state_lease(
-            spark, state_path, "maintenance:cleanup-retract"
+            spark,
+            state_path,
+            process_owner("maintenance:cleanup-retract"),
         ):
             return cleanup_retract_join_state(
                 spark, state_path, horizon, compression, lease=False

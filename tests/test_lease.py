@@ -144,6 +144,75 @@ def test_sink_batch_fails_loudly_while_maintenance_holds_lease(
     } == {("a", 10, 1)}
 
 
+def test_heartbeat_keeps_long_holder_unstealable(spark, tmp_path):
+    """A LIVE holder whose section outlives the TTL must never be
+    stolen: the state_lease heartbeat refreshes the file's mtime every
+    ttl/3, so staleness only ever fires on a crashed holder."""
+    import time
+
+    d = str(tmp_path / "state")
+    with state_lease(spark, d, "long-compaction", ttl_sec=2.0):
+        time.sleep(4.5)  # > 2 TTLs inside the held section
+        with pytest.raises(LeaseHeldError):
+            acquire_lease(spark, d, "impatient-sink", ttl_sec=2.0)
+    # released: the next writer proceeds
+    acquire_lease(spark, d, "impatient-sink", ttl_sec=2.0)
+    release_lease(spark, d, "impatient-sink")
+
+
+def test_process_owner_unique_per_invocation(spark, tmp_path):
+    """Two overlapping maintenance runs of the SAME kind must be
+    different owners (no silent same-name reclaim): process_owner is
+    unique per call."""
+    from flink_orc_sink_spark.lease import process_owner
+
+    a = process_owner("maintenance:compact")
+    b = process_owner("maintenance:compact")
+    assert a != b
+    d = str(tmp_path / "state")
+    acquire_lease(spark, d, a)
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, d, b)
+    release_lease(spark, d, a)
+
+
+def test_forget_conflicts_with_appender_lease(spark, tmp_path):
+    """forget_ids takes the index lease: a forget racing an appender's
+    readmit tombstone-swap would be silently destroyed, so it must
+    fail loudly while the appender holds the lease."""
+    from flink_orc_sink_spark.operators.dedup import (
+        build_minhash_index,
+        forget_from_minhash_index,
+        minhash_probe_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"shared shingle body text number {i}") for i in range(6)],
+        "doc long, text string",
+    )
+    build_minhash_index(docs, "doc", "text", idx)
+    victims = spark.createDataFrame([(3,)], "doc long")
+
+    acquire_lease(spark, idx, "ingest:append:mid-flight")
+    with pytest.raises(LeaseHeldError, match="ingest:append"):
+        forget_from_minhash_index(victims, idx)
+    release_lease(spark, idx, "ingest:append:mid-flight")
+    forget_from_minhash_index(victims, idx)  # clean run works
+    # and the forget took effect: doc 3 no longer matches itself
+    probe = minhash_probe_index(
+        spark,
+        spark.createDataFrame(
+            [(103, "shared shingle body text number 3")],
+            "doc long, text string",
+        ),
+        "doc",
+        "text",
+        idx,
+    )
+    assert probe.filter("match_doc = 3").count() == 0
+
+
 def test_compact_and_append_share_the_index_lease(spark, tmp_path):
     """compact_index and the appenders take the same index_path lease:
     holding it as the ingest side blocks compaction loudly."""

@@ -309,3 +309,14 @@ def test_int_moments_overflow_guard_raises(spark):
     )
     with pytest.raises(Exception, match="overflow int64"):
         int_moments(df.coalesce(1), "embedding", 2)
+
+    # the sneakier case: x*scale itself exceeds int64, where the
+    # float->int64 CAST would wrap to INT64_MIN before the n*max|q|^2
+    # check could see it — must be caught on the FLOAT side
+    huge = 1.0e16  # q_float = 1e19 > 2^63-1
+    df2 = spark.createDataFrame(
+        [(0, [huge, 1.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="int64-exact range"):
+        int_moments(df2.coalesce(1), "embedding", 2)
