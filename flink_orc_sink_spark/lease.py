@@ -221,19 +221,34 @@ def release_lease(
         pass
 
 
-def _heartbeat(spark: SparkSession, lease: str, owner: str) -> bool:
+def _heartbeat(
+    spark: SparkSession,
+    lease: str,
+    owner: str,
+    stop: threading.Event,
+) -> bool:
     """Refresh the lease's liveness signal once. ``setTimes`` where
     supported; content rewrite (create-overwrite, which also resets
     mtime) as the object-store fallback. Returns False if the lease
-    is gone or no longer ours (stop heartbeating)."""
+    is gone or no longer ours (stop heartbeating). ``stop`` is
+    re-checked before any write: once release has begun, a lagging
+    heartbeat must never RECREATE the file it just deleted (a phantom
+    lease would block every writer for a full TTL)."""
     fs, p = hadoop_fs(spark, lease)
     try:
+        if stop.is_set():
+            return False
         if not fs.exists(p) or _read_lease(spark, lease) != owner:
             return False
         now_ms = int(time.time() * 1000)
         try:
             fs.setTimes(p, now_ms, now_ms)
         except Exception:
+            # object-store fallback: re-verify ownership and the stop
+            # flag right before the rewrite — create(overwrite=True)
+            # would happily resurrect a just-released lease
+            if stop.is_set() or _read_lease(spark, lease) != owner:
+                return False
             out = fs.create(p, True)  # atomic-replace rewrite
             try:
                 out.write(bytearray(owner.encode("utf-8")))
@@ -263,7 +278,7 @@ def state_lease(
 
     def beat() -> None:
         while not stop.wait(interval):
-            if not _heartbeat(spark, lease, owner):
+            if not _heartbeat(spark, lease, owner, stop):
                 return
 
     t = threading.Thread(
@@ -274,5 +289,9 @@ def state_lease(
         yield
     finally:
         stop.set()
-        t.join(timeout=5)
+        # FS heartbeat calls are milliseconds; 30 s covers any blip.
+        # Joining BEFORE release (with stop already set) is what makes
+        # the release→phantom-recreate race all but impossible — the
+        # in-flight heartbeat also re-checks `stop` before writing.
+        t.join(timeout=30)
         release_lease(spark, state_path, owner)
