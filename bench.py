@@ -306,6 +306,12 @@ def main() -> None:
         "queries": families,
         "n_queries": len(per_query),
         "calib": [calib_first, calib_last],
+        # same key names as BENCH_DETAIL.json so tools/bench_regression
+        # can normalize contention from EITHER artifact (the headline
+        # line only carries family sums, so per-query gating still
+        # needs BENCH_DETAIL.json)
+        "calibration_first_sec": calib_first,
+        "calibration_last_sec": calib_last,
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf_val,
     }

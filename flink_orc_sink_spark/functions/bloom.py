@@ -63,7 +63,14 @@ def build_bloom(hashes, n_bits: int, n_hashes: int) -> bytes:
     64-bit hash in ``hashes``."""
     arr = np.zeros(n_bits // 8, dtype=np.uint8)
     if len(hashes):
-        pos = _positions(np.asarray(hashes, dtype=np.uint64), n_bits, n_hashes)
+        # int64 first: NumPy deprecates (→ will error on) casting
+        # negative Python ints straight to uint64; int64→uint64 astype
+        # wraps two's-complement, which is the intended bit pattern.
+        pos = _positions(
+            np.asarray(hashes, dtype=np.int64).astype(np.uint64),
+            n_bits,
+            n_hashes,
+        )
         flat = pos.reshape(-1)
         np.bitwise_or.at(arr, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8))
     return arr.tobytes()

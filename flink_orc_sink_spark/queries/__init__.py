@@ -42,68 +42,71 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       (incl. the newly value-oracled fixed-point PCA/SemDeDup/BPE/
 #       ANN trio) + the 26 stalest (last checked r2). After that
 #       window, cumulative driver coverage reached 263/263.
-#   r8 (this round, round-7 verdict #2): pure FRESHNESS rotation —
-#       cumulative coverage is complete, so all 50 slots go to the
-#       entries with the OLDEST last-driver-green round, computed
-#       from CORRECTNESS_r01..r07 exactly as the r7 verdict did
-#       (24 entries last green in r2, then the alphabetical head of
-#       the 41 last green in r3). Registry frozen at 263.
+#   r8: pure FRESHNESS rotation — cumulative coverage complete, so
+#       all 50 slots went to the entries with the OLDEST
+#       last-driver-green round (24 last green in r2, then the
+#       alphabetical head of the 41 last green in r3).
+#   r9 (this round, round-8 verdict #2): freshness frontier moves on —
+#       the 15-entry r3-stale remainder, then the alphabetical head
+#       (35) of the 50 entries last green in r4, computed from
+#       CORRECTNESS_r01..r08 exactly as the r8 verdict did. Registry
+#       frozen at 263.
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
-    # --- 24 entries last driver-green in r2 ---
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q21_exclusive_returns",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_exists_late_ship",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_promo_share",
-    "q9_profit_by_nation",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_all_parties",
-    "sort_global_topk",
-    "string_funcs_showcase",
-    "string_fuzzy_match",
-    "window_lag_lead",
-    "window_ntile_quartiles",
-    "window_range_frame",
-    "window_rank_dense",
-    "window_running_total",
-    "window_topk_per_customer",
-    # --- 26 slots from the r3-stale cohort (alphabetical) ---
-    "agg_equidepth_histogram",
-    "agg_spearman_corr",
-    "customer_abc_analysis",
-    "docs_bigram_lm_score",
-    "docs_dsir_weights",
-    "docs_hash_classifier_score",
-    "docs_retrieval_eval",
-    "dq_benford_audit",
-    "emb_filtered_topk",
-    "emb_kmeans_cluster",
-    "events_best_split",
-    "events_cumulative_distinct",
-    "events_experiment_lift",
-    "events_max_concurrency",
-    "events_pattern_match",
-    "events_rfm_segments",
-    "events_scd2_pointlookup",
-    "events_sessionize_dynamic",
-    "events_top_paths",
-    "events_twap_daily",
-    "events_user_similarity_topk",
-    "graph_bfs_reachability",
-    "orc_gdpr_erase",
-    "orc_quarantine_write",
-    "orc_snapshot_expire",
-    "orders_lead_time_sla",
+    # --- 15-entry remainder last driver-green in r3 ---
+    "part_association_rules",
+    "part_brand_elasticity",
+    "part_fuzzy_name_pairs",
+    "part_pareto_frontier",
+    "profile_corr_matrix",
+    "profile_entropy",
+    "profile_ols_regression",
+    "pyds_source_agg",
+    "sales_share_of_region",
+    "sales_yoy_growth",
+    "stream_chained_windows",
+    "stream_interval_join_full",
+    "stream_pyds_source",
+    "stream_sessionize_dynamic",
+    "stream_topk_per_window",
+    # --- 35 slots from the r4-stale cohort (alphabetical) ---
+    "agg_mode_per_group",
+    "docs_balance_sources",
+    "docs_bm25_topk",
+    "docs_bpe_pair_counts",
+    "docs_index_probe_dedup",
+    "docs_lm_quality_buckets",
+    "docs_negative_samples",
+    "docs_paragraph_dedup",
+    "docs_rrf_hybrid",
+    "docs_source_divergence",
+    "docs_temperature_mix",
+    "docs_tfidf_top_terms",
+    "docs_token_budget_select",
+    "docs_top_tokens_sketch",
+    "docs_weighted_sample",
+    "emb_int8_topk",
+    "emb_knn_label_accuracy",
+    "emb_neardup_pairs",
+    "events_anomaly_mad",
+    "events_cohort_revenue",
+    "events_daily_gapfill",
+    "events_decay_wma_daily",
+    "events_hll_union_rollup",
+    "events_theta_audience_overlap",
+    "events_windowed_funnel",
+    "graph_pagerank_events",
+    "graph_triangle_count",
+    "join_not_in_nulls",
+    "multimodal_audio_features",
+    "multimodal_crossformat_neardup",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample_stats",
+    "multimodal_gif_stats",
+    "multimodal_jpeg_stats",
+    "multimodal_phash_neardup",
 )
 
 

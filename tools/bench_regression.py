@@ -1,7 +1,13 @@
 """Bench regression gate against the pinned baseline.
 
-Reads a fresh ``bench.py`` JSON line from stdin (or a file given as
-argv[1]) and compares it against the pinned baseline
+Reads a fresh bench artifact from stdin (or a file given as argv[1])
+— either ``BENCH_DETAIL.json`` (the per-query map; preferred, and
+followed automatically when the input carries a ``detail_file``
+pointer next to this repo) or a raw ``bench.py`` headline line (which
+since r9 carries the same ``calibration_first_sec``/``_last_sec``
+keys; older lines' 2-element ``calib`` array is also accepted). When
+only the headline line is available the gate runs on per-FAMILY sums,
+not per-query. It compares against the pinned baseline
 (``BENCH_PIN_r08.json`` by default — the round-8 clean exclusive run
 WITH embedded calibration; override with argv[2] or
 $SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
@@ -54,7 +60,21 @@ def _calib_mean(d: dict) -> float | None:
         for k in ("calibration_first_sec", "calibration_last_sec")
         if isinstance(d.get(k), (int, float)) and d[k] > 0
     ]
+    if not vals and isinstance(d.get("calib"), list):
+        # pre-r9 headline lines carried only a 2-element "calib" array
+        vals = [
+            v for v in d["calib"] if isinstance(v, (int, float)) and v > 0
+        ]
     return sum(vals) / len(vals) if vals else None
+
+
+def _calib_pair(d: dict) -> tuple[float | None, float | None]:
+    cf = d.get("calibration_first_sec")
+    cl = d.get("calibration_last_sec")
+    if cf is None and cl is None and isinstance(d.get("calib"), list):
+        pair = (d["calib"] + [None, None])[:2]
+        cf, cl = pair[0], pair[1]
+    return cf, cl
 
 
 def load_baseline(path: str) -> dict:
@@ -100,8 +120,7 @@ def main() -> int:
     scale = 1.0
     fresh_cal, base_cal = _calib_mean(fresh), _calib_mean(base)
     if fresh_cal and base_cal:
-        cf = fresh.get("calibration_first_sec")
-        cl = fresh.get("calibration_last_sec")
+        cf, cl = _calib_pair(fresh)
         if cf and cl and max(cf, cl) / min(cf, cl) > CALIB_DRIFT:
             print(
                 f"CONTENTION WARNING: calibration moved mid-run "
@@ -153,17 +172,18 @@ def main() -> int:
 
     overlap_total_fresh = sum(s for n, s in fq.items() if n in bq)
     overlap_total_base = sum(bq[n] for n in fq if n in bq)
-    total_ratio = (
-        overlap_total_fresh / overlap_total_base
-        if overlap_total_base > 0
-        else float("inf")
-    )
-    print(
-        f"total (overlap): {overlap_total_fresh:.1f}s vs"
-        f" {overlap_total_base:.1f}s ({total_ratio:.2f}x)"
-    )
-    if total_ratio > THRESHOLD:
-        failures.append("__total__")
+    if overlap_total_base > 0:
+        total_ratio = overlap_total_fresh / overlap_total_base
+        print(
+            f"total (overlap): {overlap_total_fresh:.1f}s vs"
+            f" {overlap_total_base:.1f}s ({total_ratio:.2f}x)"
+        )
+        if total_ratio > THRESHOLD:
+            failures.append("__total__")
+    else:
+        # no shared names (e.g. family sums vs a per-query pin):
+        # nothing comparable — say so rather than inventing a failure
+        print("total (overlap): no overlapping queries with baseline")
 
     if failures:
         print(f"REGRESSION: {failures}")
