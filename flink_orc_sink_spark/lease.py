@@ -18,11 +18,31 @@ sink) are excluded by design: their writes are idempotent per
 ``batch_id`` partition and have no read-modify-write cycle for a
 second writer to corrupt.
 
-Primitive: ``FileSystem.create(path, overwrite=False)`` — the one
-atomic create-if-absent every Hadoop filesystem provides (the same
-family as the replay-horizon ``mkdirs`` markers, but exclusive). The
-lease is a single file ``<state_path>/_lease`` whose content names
-the holder.
+Primitive: ``FileSystem.create(path, overwrite=False)`` — atomic
+create-if-absent (the same family as the replay-horizon ``mkdirs``
+markers, but exclusive). The lease is a single file
+``<state_path>/_lease`` whose content names the holder.
+
+Atomicity scope (be honest about the primitive, per filesystem):
+
+- **HDFS**: ``create(overwrite=False)`` is namenode-arbitrated —
+  truly atomic, used as-is.
+- **Local** (``file://``): Hadoop's ``LocalFileSystem`` decomposes
+  the exclusive create into exists-then-create, so the lease write
+  drops to POSIX ``O_CREAT|O_EXCL`` instead — kernel-arbitrated,
+  truly atomic, proven by the cross-process barrier-race pytest.
+- **Object stores (S3A etc.)**: no atomic create at this API level.
+  Acquisition RE-READS the lease content after the create and
+  yields unless its own owner name won (last-write-wins); that
+  narrows the race window to the read-back instant but cannot close
+  it — deploying there, prefer a natively conditional primitive
+  (S3 conditional PUT ``If-None-Match``, or DynamoDB-based locking
+  as S3A committers use) and keep ``ttl_sec`` generously above the
+  clock skew.
+
+The rename-based steal and release paths are single-winner on every
+Hadoop filesystem (rename is atomic on HDFS and local, and fails for
+the loser on S3A's copy-delete emulation too).
 
 Liveness: while held via :func:`state_lease`, a daemon HEARTBEAT
 thread refreshes the lease file's modification time every
@@ -89,9 +109,21 @@ class LeaseHeldError(RuntimeError):
 
     Raised instead of proceeding — the caller must NOT retry in a
     tight loop around a live writer; schedule maintenance between the
-    sink's triggers (or pass ``lease=False`` from a caller that
-    already holds the state lease, as the sinks' own cleanup cadence
-    does)."""
+    sink's triggers, pass ``lease=False`` from a caller that already
+    holds the state lease (as the sinks' own cleanup cadence does),
+    or opt into bounded waiting with ``wait_sec`` when serializing
+    behind the other writer is acceptable (concurrent index
+    appenders, a maintenance op yielding to a sink's batch)."""
+
+
+class LeaseLostError(RuntimeError):
+    """The lease was lost WHILE held: the heartbeat observed the
+    lease file gone or renamed to another owner mid-section. Possible
+    only after heartbeats failed to land for a full TTL (so a thief
+    legitimately stole the orphan) or after out-of-band interference
+    with the lease file. The section's writes may have interleaved
+    with the new holder's — the caller must treat the work as
+    suspect, not commit it."""
 
 
 def process_owner(kind: str) -> str:
@@ -123,6 +155,22 @@ def _read_lease(spark: SparkSession, path: str) -> str:
 
 
 def _write_lease(fs, p, owner: str) -> None:
+    if fs.getScheme() == "file":
+        # POSIX O_CREAT|O_EXCL — the one TRULY atomic create-if-absent
+        # the local filesystem offers. Hadoop's LocalFileSystem
+        # decomposes create(overwrite=False) into exists-then-create,
+        # so two same-instant racers could both pass it; the kernel
+        # arbitrates O_EXCL. (No .crc side file is written; the
+        # ChecksumFileSystem reads a crc-less file without verifying,
+        # and its own rename/delete keep any later crc in sync.)
+        local = p.toUri().getPath()
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, owner.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return
     out = fs.create(p, False)
     try:
         out.write(bytearray(owner.encode("utf-8")))
@@ -130,17 +178,14 @@ def _write_lease(fs, p, owner: str) -> None:
         out.close()
 
 
-def acquire_lease(
+def _try_acquire(
     spark: SparkSession,
     state_path: str,
     owner: str,
-    ttl_sec: float = DEFAULT_TTL_SEC,
+    ttl_sec: float,
 ) -> None:
-    """Take the single-writer lease on ``state_path`` for ``owner``.
-
-    Raises :class:`LeaseHeldError` when a different owner holds it
-    and its heartbeat is fresher than ``ttl_sec``. Prefer
-    :func:`state_lease`, which also heartbeats while held."""
+    """One acquisition attempt (raises :class:`LeaseHeldError` on a
+    live conflict)."""
     lease = state_path.rstrip("/") + "/" + LEASE_NAME
     fs, p = hadoop_fs(spark, lease)
     for attempt in range(2):
@@ -188,8 +233,63 @@ def acquire_lease(
                 f"state dir {state_path!r}: lease create lost a race "
                 f"twice — a concurrent writer is active ({exc})"
             ) from None
+        # Read-back verification (see module docstring): on stores
+        # where create(overwrite=False) is exists-then-create, two
+        # racers can both pass the create — whoever's content landed
+        # last owns the file; the other yields here instead of both
+        # proceeding. Skipped where the create is already atomic
+        # (local O_EXCL, HDFS namenode-arbitrated) — the verify read
+        # would be a wasted round trip per micro-batch.
+        if fs.getScheme() not in ("file", "hdfs"):
+            try:
+                winner = _read_lease(spark, lease)
+            except Exception:
+                winner = None  # released/stolen instantly
+            if winner is not None and winner != owner:
+                raise LeaseHeldError(
+                    f"state dir {state_path!r}: lease create raced "
+                    f"with {winner!r} and lost the write — refusing "
+                    f"to run {owner!r} concurrently"
+                )
         return
     raise AssertionError("unreachable")
+
+
+def acquire_lease(
+    spark: SparkSession,
+    state_path: str,
+    owner: str,
+    ttl_sec: float = DEFAULT_TTL_SEC,
+    wait_sec: float = 0.0,
+) -> None:
+    """Take the single-writer lease on ``state_path`` for ``owner``.
+
+    Raises :class:`LeaseHeldError` when a different owner holds it
+    and its heartbeat is fresher than ``ttl_sec``. With the default
+    ``wait_sec=0`` a conflict fails immediately and LOUDLY (the
+    round-8 contract). ``wait_sec>0`` opts into BOUNDED waiting:
+    jittered exponential backoff retries until the lease is won or
+    the budget is exhausted (then the last :class:`LeaseHeldError`
+    propagates) — the composition ergonomics for writers that should
+    serialize rather than crash (two index appenders, a maintenance
+    op scheduled next to a sink's cadence). The jitter desynchronizes
+    N waiters so they don't re-collide on the same tick. Prefer
+    :func:`state_lease`, which also heartbeats while held."""
+    deadline = time.monotonic() + max(0.0, wait_sec)
+    delay = 0.25
+    while True:
+        try:
+            _try_acquire(spark, state_path, owner, ttl_sec)
+            return
+        except LeaseHeldError:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise
+            # deterministic-free jitter: uuid4 bits, not random()
+            # (process-seeded RNGs would sync N forked waiters)
+            jitter = 0.5 + (uuid.uuid4().int & 0xFFFF) / 0xFFFF
+            time.sleep(min(delay * jitter, remaining))
+            delay = min(delay * 2.0, 10.0)
 
 
 def release_lease(
@@ -214,11 +314,38 @@ def release_lease(
         if _read_lease(spark, tomb_path) == owner:
             fs.delete(tomb, False)
         elif not fs.rename(tomb, p):
-            # someone created a new lease while we held the tomb;
-            # drop the tomb — its holder will fail loudly and retry
+            # someone created a new lease while we held the tomb
+            # (possible only against a thief of OUR stolen lease —
+            # i.e. our heartbeats already stopped a full TTL ago).
+            # Drop the tomb; the dispossessed holder learns of the
+            # loss through its own heartbeat's ownership check (the
+            # ``lost`` flag on its LeaseHandle), not by assumption.
             fs.delete(tomb, False)
     except Exception:
         pass
+
+
+class LeaseHandle:
+    """What :func:`state_lease` yields: liveness introspection for
+    long-running sections. ``lost`` is set by the heartbeat thread
+    the moment it observes the lease gone or re-owned (which can
+    only follow a full TTL of failed heartbeats, or out-of-band
+    interference); call :meth:`check` at convenient barriers inside
+    a long section to fail fast instead of racing the thief, and
+    :func:`state_lease` itself re-checks on clean exit."""
+
+    def __init__(self, state_path: str, owner: str) -> None:
+        self.state_path = state_path
+        self.owner = owner
+        self.lost = threading.Event()
+
+    def check(self) -> None:
+        if self.lost.is_set():
+            raise LeaseLostError(
+                f"lease on {self.state_path!r} was lost while held by "
+                f"{self.owner!r} — heartbeat found it gone or owned by "
+                f"another writer; treat this section's writes as suspect"
+            )
 
 
 def _heartbeat(
@@ -265,20 +392,34 @@ def state_lease(
     state_path: str,
     owner: str,
     ttl_sec: float = DEFAULT_TTL_SEC,
+    wait_sec: float = 0.0,
 ):
-    """``with state_lease(...):`` — acquire around a mutation section
-    and HEARTBEAT while inside it, so the section may run arbitrarily
-    long without becoming stealable. The sinks wrap each micro-batch;
-    the maintenance ops wrap their whole run. Pass the SAME
-    ``state_path`` both sides use."""
-    acquire_lease(spark, state_path, owner, ttl_sec)
+    """``with state_lease(...) as handle:`` — acquire around a
+    mutation section and HEARTBEAT while inside it, so the section
+    may run arbitrarily long without becoming stealable. The sinks
+    wrap each micro-batch; the maintenance ops wrap their whole run.
+    Pass the SAME ``state_path`` both sides use. ``wait_sec`` opts
+    into bounded jittered waiting on a held lease (see
+    :func:`acquire_lease`); the default 0 fails loudly.
+
+    Yields a :class:`LeaseHandle`. If the heartbeat ever observes the
+    lease lost (stolen after a full TTL of failed heartbeats), the
+    handle's ``lost`` flag is set for sections that poll, and a
+    section that completes without its own exception raises
+    :class:`LeaseLostError` on exit — a dispossessed holder must not
+    silently report success."""
+    acquire_lease(spark, state_path, owner, ttl_sec, wait_sec)
     lease = state_path.rstrip("/") + "/" + LEASE_NAME
+    handle = LeaseHandle(state_path, owner)
     stop = threading.Event()
     interval = min(max(ttl_sec / 3.0, 0.5), 300.0)
 
     def beat() -> None:
         while not stop.wait(interval):
             if not _heartbeat(spark, lease, owner, stop):
+                if not stop.is_set():
+                    # gone or re-owned while we believed we held it
+                    handle.lost.set()
                 return
 
     t = threading.Thread(
@@ -286,7 +427,7 @@ def state_lease(
     )
     t.start()
     try:
-        yield
+        yield handle
     finally:
         stop.set()
         # FS heartbeat calls are milliseconds; 30 s covers any blip.
@@ -295,3 +436,6 @@ def state_lease(
         # in-flight heartbeat also re-checks `stop` before writing.
         t.join(timeout=30)
         release_lease(spark, state_path, owner)
+    # reached only when the section body exited cleanly — its own
+    # exception (if any) must win over the loss report
+    handle.check()

@@ -1141,6 +1141,8 @@ def append_to_minhash_index(
     text_col: str,
     index_path: str,
     k: int = 3,
+    owner: str | None = None,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """The other half of the incremental-ingest lifecycle: after a new
     batch is probed (:func:`minhash_probe_index`) and its survivors
@@ -1153,12 +1155,23 @@ def append_to_minhash_index(
     Runs under the ``index_path`` single-writer LEASE (``lease.py``):
     an append landing while ``compact_minhash_index``'s swap is
     mid-flight was the remaining silent-interleave class — now either
-    side fails loudly instead."""
+    side fails loudly instead.
+
+    ``owner`` overrides the per-invocation lease owner: a streaming
+    ``foreachBatch`` caller should pass a checkpoint-derived name
+    (``f"sink:{checkpoint}"``) so a crash-restarted stream RECLAIMS
+    its own orphan lease instantly instead of blocking a full TTL
+    behind a dead pid-based owner. ``lease_wait_sec>0`` opts into
+    bounded jittered waiting when another appender holds the lease
+    (concurrent ingest jobs then serialize instead of crashing)."""
     from flink_orc_sink_spark.lease import process_owner, state_lease
 
     sigs = minhash_signatures(df, id_col, text_col, k)
     with state_lease(
-        df.sparkSession, index_path, process_owner("ingest:append")
+        df.sparkSession,
+        index_path,
+        owner or process_owner("ingest:append"),
+        wait_sec=lease_wait_sec,
     ):
         (
             band_rows(sigs)
@@ -1321,6 +1334,8 @@ def append_to_gram_index(
     index_path: str,
     n: int = 8,
     tag: int = -1,
+    owner: str | None = None,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Admit a probed batch's grams so later batches dedup against it
     too. Append the batch's distinct gram hashes in the same sorted
@@ -1329,12 +1344,18 @@ def append_to_gram_index(
     dedup needed, unlike the row-counted index families). Streaming
     ingest passes its batch id as ``tag`` so a replayed batch can
     exclude its own prior append at probe time. Runs under the
-    ``index_path`` single-writer lease (``lease.py``)."""
+    ``index_path`` single-writer lease (``lease.py``); ``owner`` lets
+    a foreachBatch caller pass its checkpoint-derived name (instant
+    orphan reclaim after a crash-restart) and ``lease_wait_sec``
+    opts into bounded waiting behind a concurrent appender."""
     from flink_orc_sink_spark.lease import process_owner, state_lease
 
     occ = _gram_occurrences(df, id_col, text_col, n)
     with state_lease(
-        df.sparkSession, index_path, process_owner("ingest:append")
+        df.sparkSession,
+        index_path,
+        owner or process_owner("ingest:append"),
+        wait_sec=lease_wait_sec,
     ):
         (
             occ.select("gh")

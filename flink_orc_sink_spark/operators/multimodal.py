@@ -1034,16 +1034,25 @@ def append_to_ahash_index(
     hash_col: str,
     path: str,
     n_bands: int = 4,
+    owner: str | None = None,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Append a probed-and-admitted batch into the persisted hash
     index so later batches dedup against it — batch-sized map work +
     an append write, the same lifecycle contract as
     ``append_to_minhash_index`` / ``append_to_ivf_index`` — including
-    the enforced ``path`` single-writer lease (``lease.py``)."""
+    the enforced ``path`` single-writer lease (``lease.py``).
+    ``owner`` lets a foreachBatch caller pass its checkpoint-derived
+    name (instant orphan reclaim after a crash-restart);
+    ``lease_wait_sec`` opts into bounded waiting behind a concurrent
+    appender."""
     from flink_orc_sink_spark.lease import process_owner, state_lease
 
     with state_lease(
-        hashes.sparkSession, path, process_owner("ingest:append")
+        hashes.sparkSession,
+        path,
+        owner or process_owner("ingest:append"),
+        wait_sec=lease_wait_sec,
     ):
         (
             _ahash_band_rows(hashes, id_col, hash_col, n_bands)

@@ -137,7 +137,10 @@ def _anti(df: DataFrame, ts: DataFrame, id_col: str) -> DataFrame:
 
 
 def forget_ids(
-    ids: DataFrame, index_path: str, lease: bool = True
+    ids: DataFrame,
+    index_path: str,
+    lease: bool = True,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Tombstone ids (single-column DataFrame, any name/integer type)
     so every subsequent probe of the index excludes them. O(deleted)
@@ -153,7 +156,10 @@ def forget_ids(
         from flink_orc_sink_spark.lease import process_owner, state_lease
 
         with state_lease(
-            ids.sparkSession, index_path, process_owner("maintenance:forget")
+            ids.sparkSession,
+            index_path,
+            process_owner("maintenance:forget"),
+            wait_sec=lease_wait_sec,
         ):
             return forget_ids(ids, index_path, lease=False)
     (id_col,) = ids.columns
@@ -202,7 +208,10 @@ def subtract_tombstones(
 
 
 def readmit_ids(
-    ids: DataFrame, index_path: str, lease: bool = True
+    ids: DataFrame,
+    index_path: str,
+    lease: bool = True,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Remove ids from the tombstone set — they become matchable again
     (to the extent their rows still exist or are re-appended). Called
@@ -220,6 +229,7 @@ def readmit_ids(
             ids.sparkSession,
             index_path,
             process_owner("maintenance:readmit"),
+            wait_sec=lease_wait_sec,
         ):
             return readmit_ids(ids, index_path, lease=False)
     spark = ids.sparkSession
@@ -274,6 +284,7 @@ def compact_index(
     index_path: str,
     tables: tuple[IndexTable, ...],
     lease: bool = True,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Copy-on-write: physically drop tombstoned rows from every table
     of the index, preserving each table's partition layout and range
@@ -291,7 +302,10 @@ def compact_index(
         from flink_orc_sink_spark.lease import process_owner, state_lease
 
         with state_lease(
-            spark, index_path, process_owner("maintenance:compact")
+            spark,
+            index_path,
+            process_owner("maintenance:compact"),
+            wait_sec=lease_wait_sec,
         ):
             return compact_index(spark, index_path, tables, lease=False)
     recover_index(spark, index_path, tables)

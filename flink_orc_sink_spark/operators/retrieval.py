@@ -157,6 +157,8 @@ def append_to_bm25_index(
     text_col: str,
     index_path: str,
     tag: int = 0,
+    owner: str | None = None,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Admit a batch: append its postings under the same bucket
     layout and one doclens row per doc. Pure insertion — no read, no
@@ -164,11 +166,17 @@ def append_to_bm25_index(
     crash-replayed append harmless. Re-ingesting a previously
     forgotten id readmits it (tombstone removed), same as every other
     index family — and runs under the same enforced ``index_path``
-    single-writer lease (``lease.py``)."""
+    single-writer lease (``lease.py``). ``owner`` lets a foreachBatch
+    caller pass its checkpoint-derived name (instant orphan reclaim
+    after a crash-restart); ``lease_wait_sec`` opts into bounded
+    waiting behind a concurrent appender."""
     from flink_orc_sink_spark.lease import process_owner, state_lease
 
     with state_lease(
-        df.sparkSession, index_path, process_owner("ingest:append")
+        df.sparkSession,
+        index_path,
+        owner or process_owner("ingest:append"),
+        wait_sec=lease_wait_sec,
     ):
         (
             _postings(df, id_col, text_col)

@@ -1389,6 +1389,8 @@ def append_to_ivf_index(
     id_col: str,
     vec_col: str,
     index_path: str,
+    owner: str | None = None,
+    lease_wait_sec: float = 0.0,
 ) -> None:
     """Incremental-ingest half of the IVF lifecycle: assign a new
     batch of vectors to the EXISTING coarse quantizer (centroids read
@@ -1397,7 +1399,10 @@ def append_to_ivf_index(
     append write; searches immediately see the new vectors through
     the same partition-pruned probe. Centroid drift is a rebuild
     decision (`build_ivf_index`), exactly as in any production IVF
-    system."""
+    system. ``owner`` lets a foreachBatch caller pass its
+    checkpoint-derived name (instant orphan reclaim after a
+    crash-restart); ``lease_wait_sec`` opts into bounded waiting
+    behind a concurrent appender."""
     import os
 
     spark = new_vectors.sparkSession
@@ -1411,7 +1416,10 @@ def append_to_ivf_index(
     from flink_orc_sink_spark.lease import process_owner, state_lease
 
     with state_lease(
-        spark, index_path, process_owner("ingest:append")
+        spark,
+        index_path,
+        owner or process_owner("ingest:append"),
+        wait_sec=lease_wait_sec,
     ):
         (
             new_vectors.select(

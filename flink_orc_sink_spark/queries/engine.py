@@ -92,17 +92,32 @@ def _drain_or_fail(q, secs: int, what: str) -> None:
 
 
 def _run_feed_stream(
-    spark: SparkSession, feed: str, schema, on_batch, what: str
+    spark: SparkSession,
+    feed: str,
+    schema,
+    on_batch,
+    what: str,
+    owner_cell: list | None = None,
 ) -> None:
     """The shared harness of every index-ingest stream: one
     ``availableNow`` ``foreachBatch`` pass over a parquet feed
     directory, one file per trigger, loud on a stuck drain. Keeping
     it single-sourced keeps the replay contract (checkpointed batch
     ids driving per-batch markers inside ``on_batch``) from drifting
-    between the four ingest queries."""
+    between the four ingest queries.
+
+    ``owner_cell``: pass a one-element list and the harness fills
+    ``owner_cell[0]`` with the CHECKPOINT-DERIVED lease owner before
+    the first trigger. ``on_batch`` forwards it to ``append_to_*`` so
+    a crash-restarted stream (same checkpoint) reclaims its own
+    orphan lease instantly instead of blocking a full TTL behind a
+    dead per-process owner — the same owner rule the stateful sinks
+    use (``lease.py`` rule 2)."""
     with tempfile.TemporaryDirectory(
         prefix="stream_feed_ckpt_"
     ) as ckpt, stream_partitions(spark):
+        if owner_cell is not None:
+            owner_cell[0] = f"sink:{ckpt}"
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -3106,12 +3121,18 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # one-element write against the DFS the index lives on.
             marker = os.path.join(idx, "appended", f"batch_{batch_id}")
             if not os.path.exists(marker):
-                append_to_minhash_index(batch_df, "doc_id", "text", idx)
+                append_to_minhash_index(
+                    batch_df, "doc_id", "text", idx, owner=owner_cell[0]
+                )
                 os.makedirs(marker, exist_ok=True)
         finally:
             release_local_checkpoint(batch_df)
 
-    _run_feed_stream(spark, feed, d.schema, on_batch, "index-ingest stream")
+    owner_cell = [None]
+    _run_feed_stream(
+        spark, feed, d.schema, on_batch, "index-ingest stream",
+        owner_cell=owner_cell,
+    )
 
     return (
         spark.read.parquet(results)
@@ -3206,12 +3227,16 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             append_to_gram_index(
                 batch_df, "doc_id", "text", idx, n=_DUP_NGRAM_N,
-                tag=batch_id,
+                tag=batch_id, owner=owner_cell[0],
             )
         finally:
             release_local_checkpoint(batch_df)
 
-    _run_feed_stream(spark, feed, d.schema, on_batch, "gram-ingest stream")
+    owner_cell = [None]
+    _run_feed_stream(
+        spark, feed, d.schema, on_batch, "gram-ingest stream",
+        owner_cell=owner_cell,
+    )
 
     return spark.read.parquet(results).select(
         F.col("doc").alias("doc_id"), "clean_text", "n_kept", "n_removed"
@@ -3275,10 +3300,15 @@ def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         append_to_bm25_index(
-            batch_df, "doc_id", "text", idx, tag=batch_id
+            batch_df, "doc_id", "text", idx, tag=batch_id,
+            owner=owner_cell[0],
         )
 
-    _run_feed_stream(spark, feed, d.schema, on_batch, "bm25-ingest stream")
+    owner_cell = [None]
+    _run_feed_stream(
+        spark, feed, d.schema, on_batch, "bm25-ingest stream",
+        owner_cell=owner_cell,
+    )
 
     return bm25_probe_index(spark, idx, list(BM25_TERMS), k=20)
 
@@ -3396,12 +3426,19 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             marker = os.path.join(idx, "appended", f"batch_{batch_id}")
             if not os.path.exists(marker):
-                append_to_ivf_index(batch_df, "vec_id", "embedding", idx)
+                append_to_ivf_index(
+                    batch_df, "vec_id", "embedding", idx,
+                    owner=owner_cell[0],
+                )
                 os.makedirs(marker, exist_ok=True)
         finally:
             release_local_checkpoint(batch_df)
 
-    _run_feed_stream(spark, feed, schema, on_batch, "index-ingest stream")
+    owner_cell = [None]
+    _run_feed_stream(
+        spark, feed, schema, on_batch, "index-ingest stream",
+        owner_cell=owner_cell,
+    )
 
     return (
         spark.read.parquet(results)
@@ -3514,14 +3551,18 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             marker = os.path.join(idx, "appended", f"batch_{batch_id}")
             if not os.path.exists(marker):
-                append_to_ahash_index(hashes, "media_id", "ahash", idx)
+                append_to_ahash_index(
+                    hashes, "media_id", "ahash", idx,
+                    owner=owner_cell[0],
+                )
                 os.makedirs(marker, exist_ok=True)
         finally:
             release_local_checkpoint(hashes)
 
+    owner_cell = [None]
     _run_feed_stream(
         spark, feed, "media_id long, png binary", on_batch,
-        "index-ingest stream",
+        "index-ingest stream", owner_cell=owner_cell,
     )
 
     return (
@@ -3532,7 +3573,11 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _apply_index_commands(
-    spark: SparkSession, idx: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    idx: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    owner: str | None = None,
 ) -> None:
     """Apply one ``(op, doc_id, text)`` command batch (adds + deletes)
     to the persisted MinHash index, IDEMPOTENT under crash-replay:
@@ -3565,7 +3610,9 @@ def _apply_index_commands(
     marker = os.path.join(idx, "appended", f"batch_{batch_id}")
     if not os.path.exists(marker):
         # appends readmit their ids internally (retention.py)
-        append_to_minhash_index(adds, "doc_id", "text", idx)
+        append_to_minhash_index(
+            adds, "doc_id", "text", idx, owner=owner
+        )
         os.makedirs(marker, exist_ok=True)
     else:
         readmit_ids(adds.select("doc_id"), idx)
@@ -3644,13 +3691,16 @@ def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)  # consumed 2×
         try:
-            _apply_index_commands(spark, idx, batch_df, batch_id)
+            _apply_index_commands(
+                spark, idx, batch_df, batch_id, owner=owner_cell[0]
+            )
         finally:
             release_local_checkpoint(batch_df)
 
+    owner_cell = [None]
     _run_feed_stream(
         spark, feed, "op string, doc_id long, text string", on_batch,
-        "forget-ingest stream",
+        "forget-ingest stream", owner_cell=owner_cell,
     )
 
     return minhash_probe_index(

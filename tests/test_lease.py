@@ -245,3 +245,266 @@ def test_compact_and_append_share_the_index_lease(spark, tmp_path):
         append_to_minhash_index(more, "doc", "text", idx)
     release_lease(spark, idx, "maintenance:compact")
     append_to_minhash_index(more, "doc", "text", idx)
+
+
+def test_wait_sec_zero_fails_fast_and_budget_raises(spark, tmp_path):
+    """wait_sec=0 (the default) preserves the round-8 loud-failure
+    contract — no hidden retry loop; a positive budget that expires
+    without the lease freeing raises the SAME error after ~budget."""
+    d = str(tmp_path / "state")
+    acquire_lease(spark, d, "sink:busy")
+    t0 = time.monotonic()
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, d, "maintenance:compact")
+    assert time.monotonic() - t0 < 2.0  # immediate, not a retry loop
+    t0 = time.monotonic()
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, d, "maintenance:compact", wait_sec=1.5)
+    elapsed = time.monotonic() - t0
+    assert 1.0 <= elapsed < 15.0  # waited out the budget, then raised
+    release_lease(spark, d, "sink:busy")
+
+
+def test_wait_sec_serializes_behind_a_live_holder(spark, tmp_path):
+    """The composition ergonomics the verdict asked for: a writer with
+    a wait budget parks behind the holder and wins the lease when it
+    frees, instead of crashing the caller."""
+    import threading
+
+    d = str(tmp_path / "state")
+    acquire_lease(spark, d, "sink:busy")
+
+    def free_soon() -> None:
+        time.sleep(2.0)
+        release_lease(spark, d, "sink:busy")
+
+    t = threading.Thread(target=free_soon)
+    t.start()
+    t0 = time.monotonic()
+    acquire_lease(spark, d, "maintenance:compact", wait_sec=60.0)
+    assert time.monotonic() - t0 < 30.0
+    t.join()
+    release_lease(spark, d, "maintenance:compact")
+
+
+def test_concurrent_appenders_serialize_with_wait(spark, tmp_path):
+    """Two live index appenders with a wait budget must BOTH succeed
+    (serialized by the lease), and the index must contain both
+    batches — the 'two overlapping ingest jobs' production shape that
+    previously required external scheduling."""
+    import threading
+
+    from flink_orc_sink_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_probe_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"shared shingle body text number {i}") for i in range(6)],
+        "doc long, text string",
+    )
+    build_minhash_index(docs, "doc", "text", idx)
+
+    errors: list[Exception] = []
+
+    def append(doc_id: int) -> None:
+        try:
+            batch = spark.createDataFrame(
+                [(doc_id, f"shared shingle body text number {doc_id}")],
+                "doc long, text string",
+            )
+            append_to_minhash_index(
+                batch, "doc", "text", idx, lease_wait_sec=120.0
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=append, args=(100,)),
+        threading.Thread(target=append, args=(101,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    # both appended batches are probe-visible
+    probe = minhash_probe_index(
+        spark,
+        spark.createDataFrame(
+            [
+                (200, "shared shingle body text number 100"),
+                (201, "shared shingle body text number 101"),
+            ],
+            "doc long, text string",
+        ),
+        "doc",
+        "text",
+        idx,
+        threshold=0.9,
+    )
+    matched = {r.match_doc for r in probe.collect()}
+    assert {100, 101} <= matched
+
+
+def test_lease_lost_flag_set_and_raised_on_clean_exit(spark, tmp_path):
+    """A dispossessed holder must not silently report success: when
+    the heartbeat observes the lease re-owned, the handle's ``lost``
+    flag is set for polling sections and a clean exit raises
+    LeaseLostError."""
+    from flink_orc_sink_spark.lease import LeaseLostError
+    from flink_orc_sink_spark.session import hadoop_fs
+
+    d = str(tmp_path / "state")
+    with pytest.raises(LeaseLostError):
+        # ttl 1.5s -> heartbeat every 0.5s observes the hijack fast
+        with state_lease(spark, d, "victim", ttl_sec=1.5) as handle:
+            fs, p = hadoop_fs(spark, d + "/_lease")
+            out = fs.create(p, True)  # out-of-band interference
+            try:
+                out.write(bytearray(b"hijacker"))
+            finally:
+                out.close()
+            deadline = time.monotonic() + 10.0
+            while not handle.lost.is_set():
+                assert time.monotonic() < deadline, "lost flag never set"
+                time.sleep(0.1)
+            with pytest.raises(LeaseLostError):
+                handle.check()  # pollable mid-section
+    # the hijacker's lease survives the victim's release attempt
+    from flink_orc_sink_spark.lease import _read_lease
+
+    assert _read_lease(spark, d + "/_lease") == "hijacker"
+
+
+_CHILD_PRELUDE = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("lease-child")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+"""
+
+
+def _spawn(script: str, tmp_path, name: str):
+    import pathlib
+    import subprocess
+    import sys
+
+    path = pathlib.Path(tmp_path) / f"{name}.py"
+    path.write_text(script)
+    return subprocess.Popen(
+        [sys.executable, str(path)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT,
+        cwd=str(tmp_path),
+    )
+
+
+def _wait_for(path, timeout: float = 180.0) -> None:
+    import os
+
+    deadline = time.monotonic() + timeout
+    while not os.path.exists(str(path)):
+        assert time.monotonic() < deadline, f"timeout waiting for {path}"
+        time.sleep(0.2)
+
+
+def test_multiprocess_holder_heartbeats_then_sigkill_steal(
+    spark, tmp_path
+):
+    """The cross-process lease contract, with a REAL second process
+    (the round-8 suite only exercised threads): the child holds and
+    heartbeats the lease past the TTL (live holder never stolen),
+    then is SIGKILLed and its orphan is stolen only after a full TTL
+    of silence."""
+    import os
+    import signal
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    state = str(tmp_path / "state")
+    held = str(tmp_path / "held")
+    script = _CHILD_PRELUDE.format(repo=repo) + f"""
+from flink_orc_sink_spark.lease import state_lease
+with state_lease(spark, {state!r}, "sink:child-process", ttl_sec=5.0):
+    open({held!r}, "w").write("1")
+    time.sleep(600)
+"""
+    child = _spawn(script, tmp_path, "holder")
+    try:
+        _wait_for(held)
+        # live holder, fresh heartbeats: unstealable even after > TTL
+        time.sleep(6.0)
+        with pytest.raises(LeaseHeldError, match="sink:child-process"):
+            acquire_lease(spark, state, "thief", ttl_sec=5.0)
+        # hard-kill the child mid-hold (heartbeats stop, no release)
+        os.kill(child.pid, signal.SIGKILL)
+        child.wait(timeout=30)
+        # immediately after the kill the heartbeat is still fresh
+        with pytest.raises(LeaseHeldError):
+            acquire_lease(spark, state, "thief", ttl_sec=30.0)
+        # ... but a full TTL of silence makes the orphan stealable
+        deadline = time.monotonic() + 60.0
+        while True:
+            try:
+                acquire_lease(spark, state, "thief", ttl_sec=5.0)
+                break
+            except LeaseHeldError:
+                assert time.monotonic() < deadline, "steal never succeeded"
+                time.sleep(1.0)
+        release_lease(spark, state, "thief")
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+
+def test_multiprocess_barrier_race_exactly_one_winner(spark, tmp_path):
+    """Two real processes racing acquire from a barrier: EXACTLY one
+    wins (the local-FS primitive is kernel-arbitrated O_EXCL, not
+    Hadoop's exists-then-create)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    state = str(tmp_path / "state")
+    go = str(tmp_path / "go")
+    children = []
+    for who in ("racer-a", "racer-b"):
+        script = _CHILD_PRELUDE.format(repo=repo) + f"""
+from flink_orc_sink_spark.lease import LeaseHeldError, acquire_lease
+open(os.path.join({str(tmp_path)!r}, "ready-" + {who!r}), "w").write("1")
+while not os.path.exists({go!r}):
+    time.sleep(0.005)
+try:
+    acquire_lease(spark, {state!r}, {who!r}, ttl_sec=3600.0)
+    open(os.path.join({str(tmp_path)!r}, "win-" + {who!r}), "w").write("1")
+except LeaseHeldError:
+    open(os.path.join({str(tmp_path)!r}, "lose-" + {who!r}), "w").write("1")
+"""
+        children.append(_spawn(script, tmp_path, who))
+    try:
+        _wait_for(tmp_path / "ready-racer-a")
+        _wait_for(tmp_path / "ready-racer-b")
+        open(go, "w").write("1")  # barrier release: race starts NOW
+        for c in children:
+            c.wait(timeout=180)
+        import glob as _glob
+
+        wins = _glob.glob(str(tmp_path / "win-*"))
+        loses = _glob.glob(str(tmp_path / "lose-*"))
+        assert len(wins) == 1 and len(loses) == 1, (wins, loses)
+        # the winner's (never-released) lease names the actual winner
+        from flink_orc_sink_spark.lease import _read_lease
+
+        winner = os.path.basename(wins[0])[len("win-"):]
+        assert _read_lease(spark, state + "/_lease") == winner
+    finally:
+        for c in children:
+            if c.poll() is None:
+                c.kill()
