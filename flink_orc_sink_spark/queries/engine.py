@@ -2546,71 +2546,6 @@ FROM events GROUP BY window_start, event_type
 """
 
 
-def stream_transform_with_state(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The ``transformWithStateInPandas`` CUSTOM STATEFUL PROCESSOR
-    (Spark 4's arbitrary-state API: named typed states + timers per
-    key) — per-user running (count, sum) in a ``ValueState``, int64
-    micro-units end to end, replayed with ``availableNow`` and
-    reduced to the final state per key. Same oracle shape as
-    ``stream_running_totals`` (the ``applyInPandasWithState`` form):
-    both custom-state APIs must land on the identical batch GROUP BY
-    answer.
-
-    NOT in the driver registry: the transformWithState state-server
-    protocol requires the ``protobuf`` package, absent from this
-    container (no installs allowed). The operator
-    (``streaming/stateful.py::running_totals_tws``) and this harness
-    are exercised by tests/test_streaming_stateful.py, which skips
-    without protobuf and value-checks against the batch GROUP BY
-    when the dependency is present."""
-    global _STREAM_SEQ
-    import shutil
-
-    from pyspark.sql import Window
-
-    from flink_orc_sink_spark.streaming.stateful import running_totals_tws
-
-    table(spark, sf_dir, "events")  # pin nanosAsLong + UTC
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(src).schema
-    stage = tempfile.mkdtemp(prefix="stream_tws_src_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
-    sdf = normalize_events_ts(
-        spark.readStream.schema(raw_schema).parquet(stage)
-    ).withColumn(
-        "value_us", F.floor(F.col("value") * 1e6 + 0.5).cast("long")
-    )
-    totals = running_totals_tws(sdf, "user_id", "value_us")
-    _STREAM_SEQ += 1
-    name = f"stream_tws_{_STREAM_SEQ}"
-    with tempfile.TemporaryDirectory(prefix="stream_tws_ckpt_") as ckpt, stream_partitions(spark):
-        q = (
-            totals.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    shutil.rmtree(stage, ignore_errors=True)
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            (F.col("total").cast("double") / F.lit(1_000_000.0)).alias(
-                "total_value"
-            ),
-        )
-    )
-
-
 def orc_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM-FILTER FILE SKIPPING at value level: orders written
     hash-clustered on ``o_custkey`` into 8 ORC files (every file's

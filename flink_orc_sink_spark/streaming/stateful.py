@@ -117,54 +117,16 @@ def running_totals_exact(
     )
 
 
-def running_totals_tws(
-    df: DataFrame,
-    key_col: str,
-    int_value_col: str,
-) -> DataFrame:
-    """Per-key running (count, sum) on the ``transformWithState``
-    API (Spark 4's successor to ``applyInPandasWithState``): state is
-    a typed ``ValueState`` owned by a ``StatefulProcessor`` object —
-    the composable-state model (multiple named value/list/map states
-    per key, timers, TTL) that the older flat state tuple can't
-    express. Semantics here are identical to
-    :func:`running_totals_exact` — int64 accumulation, one row per
-    key per micro-batch — so both operators check against the same
-    batch oracle.
-
-    100 TB shape: unchanged from ``applyInPandasWithState`` — state
-    is partitioned by key in the state store (RocksDB at scale),
-    updates arrive as Arrow batches, nothing driver-side.
-    """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState(
-                "totals", "n long, total long"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total = (
-                self._totals.get() if self._totals.exists() else (0, 0)
-            )
-            for pdf in rows:
-                n += len(pdf)
-                total += int(pdf[int_value_col].sum())
-            self._totals.update((n, total))
-            yield pd.DataFrame(
-                {key_col: [key[0]], "n_events": [n], "total": [total]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return df.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType=f"{key_col} long, n_events long, total long",
-        outputMode="Update",
-        timeMode="None",
-    )
+# NOTE (round 9): a ``transformWithStateInPandas`` twin of
+# ``running_totals_exact`` existed through round 8 but was EXCISED.
+# The TWS state-server protocol hard-requires the ``protobuf``
+# package, which this container does not ship and cannot install —
+# the operator was the one registry surface never executable here
+# (permanently pytest-skipped), i.e. untestable code posing as
+# coverage. ``applyInPandasWithState`` (above) is the supported
+# custom-stateful-UDF path in this engine; it expresses the same
+# per-key state semantics and is value-gated against the batch
+# GROUP BY oracle. If a deployment target has protobuf, the TWS form
+# is a mechanical port of ``running_totals_exact`` onto a
+# ``StatefulProcessor`` with one ``ValueState`` (see Spark 4's
+# pyspark.sql.streaming.stateful_processor docs).

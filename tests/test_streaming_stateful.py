@@ -227,48 +227,3 @@ def test_running_totals_exact_cross_batch_bit_identical(spark, tmp_path):
     assert sorted(r.n_events for r in rows if r.user == 1)[-1] == 3
 
 
-def test_transform_with_state_running_totals(spark, tmp_path):
-    """transformWithStateInPandas (Spark 4 arbitrary-state API) must
-    match the batch GROUP BY exactly — int64 state across batches.
-    The TWS state-server protocol needs protobuf; skip where absent
-    (this container has no protobuf and installs are not allowed)."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
-    from flink_orc_sink_spark.streaming.stateful import running_totals_tws
-
-    src = str(tmp_path / "in")
-    ckpt = str(tmp_path / "ckpt")
-
-    def feed(rows):
-        spark.createDataFrame(rows, "user_id long, value_us long").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-
-    feed([(1, 10), (1, 5), (2, 1)])
-    feed([(1, 2), (2, 7), (3, 4)])
-    stream = (
-        spark.readStream.schema("user_id long, value_us long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    totals = running_totals_tws(stream, "user_id", "value_us")
-    q = (
-        totals.writeStream.format("memory")
-        .queryName("tws_sink")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    final = {
-        r.user_id: (r.n_events, r.total)
-        for r in spark.sql(
-            """SELECT user_id, n_events, total FROM (
-                 SELECT *, ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY n_events DESC) rn
-                 FROM tws_sink) WHERE rn = 1"""
-        ).collect()
-    }
-    assert final == {1: (3, 17), 2: (2, 8), 3: (1, 4)}
