@@ -1930,10 +1930,15 @@ def stream_retract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-live-right — proving retractions compose across
     out-of-order batches, including the hard cases: a join-key MOVE
     must retract the rows the pk produced under its OLD key, and a
-    tombstoned customer must take all its joined orders with it."""
+    tombstoned customer must take all its joined orders with it.
+    The view is MERGE-ON-READ since round 9 (``view/`` base as of the
+    last fold ⊕ the unfolded delta log) — ``read_retract_join_view``
+    is the snapshot reader."""
+    from flink_orc_sink_spark.streaming import read_retract_join_view
+
     state = _run_retract_join_stream(spark, sf_dir, "rjoin")
     return (
-        spark.read.orc(os.path.join(state, "view"))
+        read_retract_join_view(spark, state)
         .groupBy(F.col("r_attr").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

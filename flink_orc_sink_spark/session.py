@@ -156,6 +156,18 @@ def fs_list_names(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def fs_dir_size(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (0 when missing) — one
+    ``getContentSummary`` call (namenode-side on HDFS, a local walk on
+    ``file://``). Used by the retract sinks' LSM fold trigger, where a
+    cheap size RATIO decides when the delta log is folded into the
+    base — the decision must not require reading any data files."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def _any_data_file(statuses, suffix: str) -> bool:
     for st in statuses:
         name = st.getPath().getName()

@@ -46,6 +46,7 @@ from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 # 100 TB shape) and recompute deltas against a phantom 'absent' state.
 from flink_orc_sink_spark.lease import process_owner, state_lease
 from flink_orc_sink_spark.session import (
+    fs_dir_size as _hfs_dir_size,
     fs_exists as _hfs_exists,
     fs_list_names as _hfs_list_names,
     fs_mkdirs as _hfs_mkdirs,
@@ -54,6 +55,14 @@ from flink_orc_sink_spark.session import (
     orc_data_files_exist as _orc_files_exist,
     release_local_checkpoint,
 )
+
+# LSM fold trigger for the retract sinks' delta logs (round 9): the
+# log is folded into the base once it exceeds max(FOLD_MIN_BYTES,
+# fold_ratio x base bytes). The byte floor keeps short test/demo
+# streams append-only (no fold ever fires), while a bootstrap load or
+# sustained churn folds on the ratio — amortized fold cost is
+# O(batch / fold_ratio) rows per batch, state-size-independent.
+FOLD_MIN_BYTES = 64 * 1024 * 1024
 
 
 def stream_write_orc(
@@ -404,6 +413,165 @@ def stream_scd2_apply_orc(
     return writer.start()
 
 
+def _record_layout(spark: SparkSession, state_path: str, **kv) -> None:
+    """Persist immutable layout parameters of a retract state dir as
+    marker DIRECTORY NAMES (``layout/<k>=<v>``) — the same atomic
+    ``mkdirs`` encoding as the replay horizon. Written once on the
+    first batch; maintenance ops (fold, cleanup) read them back so an
+    external cleanup never needs the sink's constructor arguments."""
+    for k, v in kv.items():
+        _hfs_mkdirs(
+            spark, os.path.join(state_path, "layout", f"{k}={v}")
+        )
+
+
+def _read_layout(spark: SparkSession, state_path: str) -> dict:
+    out: dict = {}
+    for name in _hfs_list_names(
+        spark, os.path.join(state_path, "layout")
+    ):
+        if "=" in name:
+            k, v = name.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _latest_per_key(df: DataFrame, key_cols: list[str], order_desc):
+    """Latest row per key under a strict total order — THE resolve
+    primitive of the delta-log state: identical duplicate rows (a
+    crash window between a fold's base write and its log delete) are
+    absorbed because row_number keeps exactly one of them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_desc)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _should_fold(
+    spark: SparkSession, base_dir: str, log_dir: str, fold_ratio: float
+) -> bool:
+    """LSM size-ratio fold trigger: fold when the delta log outgrows
+    ``max(FOLD_MIN_BYTES, fold_ratio x base bytes)``. Two
+    getContentSummary calls — no data files are read to decide."""
+    log_bytes = _hfs_dir_size(spark, log_dir)
+    if log_bytes == 0:
+        return False
+    base_bytes = _hfs_dir_size(spark, base_dir)
+    return log_bytes >= max(FOLD_MIN_BYTES, fold_ratio * base_bytes)
+
+
+def fold_retract_state(
+    spark: SparkSession,
+    state_path: str,
+    key_col: str | None = None,
+    order_cols: list[str] | tuple | None = None,
+    compression: str = "zstd",
+    lease: bool = True,
+) -> dict:
+    """Fold a :func:`stream_retract_agg_orc` delta log into its base:
+    latest-per-key over (changed base buckets ∪ log), dynamic
+    overwrite of exactly the changed ``kp`` partitions, then delete
+    the folded log partitions. Idempotent in every crash window — a
+    partially-folded state resolves identically because the log rows
+    are still present and latest-per-key absorbs the duplicates; a
+    partially-deleted log leaves only already-folded rows behind.
+
+    ``key_col``/``order_cols`` default to the layout markers the sink
+    recorded on its first batch, so external maintenance needs only
+    the state path. Returns ``{"log_rows_folded": n,
+    "buckets_rewritten": k}``."""
+    if lease:
+        with state_lease(
+            spark, state_path, process_owner("maintenance:fold-retract")
+        ):
+            return fold_retract_state(
+                spark, state_path, key_col, order_cols, compression,
+                lease=False,
+            )
+    layout = _read_layout(spark, state_path)
+    key_col = key_col or layout.get("kc")
+    if order_cols is None:
+        order_cols = tuple(layout["oc"].split(",")) if "oc" in layout else ("seq",)
+    if isinstance(order_cols, str):
+        order_cols = (order_cols,)
+    base_dir = os.path.join(state_path, "state")
+    log_dir = os.path.join(state_path, "state_log")
+    if not _orc_files_exist(spark, log_dir):
+        return {"log_rows_folded": 0, "buckets_rewritten": 0}
+    if key_col is None:
+        raise ValueError(
+            f"fold_retract_state({state_path!r}): no key_col given and "
+            f"no layout marker recorded — cannot resolve latest-per-key"
+        )
+    order_desc = [F.col(c).desc() for c in order_cols]
+    log = spark.read.orc(log_dir).drop("batch_id")
+    kps = [r.kp for r in log.select("kp").distinct().collect()]
+    allrows = log
+    if _orc_files_exist(spark, base_dir):
+        allrows = allrows.unionByName(
+            spark.read.orc(base_dir).filter(F.col("kp").isin(kps))
+        )
+    n_log = log.count()
+    merged = _latest_per_key(
+        allrows, [key_col], order_desc
+    ).localCheckpoint(eager=True)
+    try:
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("kp")
+            .orc(base_dir)
+        )
+    finally:
+        release_local_checkpoint(merged)
+    # folded: the log rows are now (at latest-per-key) in the base
+    _hfs_rmtree(spark, log_dir)
+    return {"log_rows_folded": n_log, "buckets_rewritten": len(kps)}
+
+
+def read_retract_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Resolved latest-per-key snapshot of a
+    :func:`stream_retract_agg_orc` state dir — base ⊕ unfolded delta
+    log, retained ``op='D'`` tombstones included (what a fold would
+    materialize). Key/order columns come from the layout markers."""
+    base_dir = os.path.join(state_path, "state")
+    log_dir = os.path.join(state_path, "state_log")
+    if not _orc_files_exist(spark, log_dir):
+        return spark.read.orc(base_dir)
+    layout = _read_layout(spark, state_path)
+    key_col = layout["kc"]
+    order_desc = [
+        F.col(c).desc() for c in layout.get("oc", "seq").split(",")
+    ]
+    rows = spark.read.orc(log_dir).drop("batch_id")
+    if _orc_files_exist(spark, base_dir):
+        rows = rows.unionByName(spark.read.orc(base_dir))
+    return _latest_per_key(rows, [key_col], order_desc)
+
+
+def read_retract_pk_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Resolved latest-per-(side,pk) snapshot of a
+    :func:`stream_retract_join_orc` pk layer — base ⊕ unfolded delta
+    log, tombstones included."""
+    base_dir = os.path.join(state_path, "pk_state")
+    log_dir = os.path.join(state_path, "pk_log")
+    if not _orc_files_exist(spark, log_dir):
+        return spark.read.orc(base_dir)
+    rows = spark.read.orc(log_dir).drop("batch_id")
+    if _orc_files_exist(spark, base_dir):
+        rows = rows.unionByName(spark.read.orc(base_dir))
+    return _latest_per_key(rows, ["side", "pk"], _rj_order())
+
+
 def stream_retract_agg_orc(
     changes: DataFrame,
     state_path: str,
@@ -417,6 +585,7 @@ def stream_retract_agg_orc(
     compression: str = "zstd",
     cleanup_every_n_batches: int | None = None,
     horizon_fn=None,
+    fold_ratio: float = 0.25,
 ) -> StreamingQuery:
     """RETRACTION-correct streaming aggregation over a CDC feed — the
     Flink "dynamic table → retract stream" pattern (the ecosystem the
@@ -425,61 +594,78 @@ def stream_retract_agg_orc(
     retract the key's previous contribution (including moving it
     between groups) and delete tombstones retract it entirely.
 
-    The scale contract is ADDITIVITY — per batch:
+    State is an LSM pair (round 9 — this removed the only
+    data-shape-dependent scale cliff):
 
-    1. merge latest-per-key for the touched key-buckets exactly as
-       :func:`stream_cdc_apply_orc` (partition-pruned read, dynamic
-       overwrite),
+    - ``state/`` — the BASE: latest-per-key rows, ``kp``-partitioned
+      (``kp = hash(key) % n_key_partitions``), rewritten only by
+      FOLDS;
+    - ``state_log/`` — the DELTA LOG: each batch's raw rows appended
+      under a ``batch_id`` partition (dynamic overwrite, so a replayed
+      batch rewrites its own partition instead of duplicating).
+
+    Per batch:
+
+    1. resolve the batch keys' PRE-images — latest-per-key over
+       (base buckets the batch touches, semi-joined to the batch's
+       keys) ∪ (log rows below this batch id, same semi-join). A
+       read-only, partition-pruned lookup: no shuffle of state, no
+       rewrite;
     2. emit per-group DELTA rows = (new contribution − old
-       contribution) for the batch's keys only: +`(val, 1)` into the
-       key's new group, −`(val, 1)` out of its old one. No group is
-       ever rescanned — a group's members never need to be
-       co-located, which is what makes this O(batch) instead of the
-       O(group) reaggregation a naive "recompute touched groups"
-       design pays (a hot group would otherwise make every batch a
-       full-group scan),
-    3. land the deltas in a ``batch_id`` result partition.
+       contribution) for the batch's keys only: +``(val, 1)`` into
+       the key's new group, −``(val, 1)`` out of its old one — into a
+       ``batch_id`` partition of ``agg_deltas`` (marker-guarded). No
+       group is ever rescanned;
+    3. APPEND the batch to the log — the only state write, O(batch);
+    4. when the log outgrows ``max(64 MB, fold_ratio × base)``, FOLD
+       it into the base (:func:`fold_retract_state`): latest-per-key
+       over (changed buckets ∪ log), rewrite exactly those buckets,
+       drop the log. Amortized fold cost is O(batch / fold_ratio)
+       rows per batch — state-size-independent.
+
+    UNDER UNIFORMLY-RANDOM KEY CHURN — the round-8 degenerate case,
+    where every batch touches every bucket and the old merge-on-write
+    design paid a full state read+shuffle+rewrite per batch — the
+    per-batch cost is now a map-side pruned SCAN (the pre-image
+    lookup) plus an O(batch) append; the full pass happens only at
+    fold cadence. The probe
+    (``tools/scale_probe_retract_join.py``) pins per-batch wall ~flat
+    across a 20× state growth for uniform keys.
 
     The aggregate readback (:func:`read_retract_agg`) sums the delta
     partitions — O(batches × groups) rows, corpus-size-independent.
 
-    Crash-replay: deltas must be computed against the PRE-batch
-    state, so they are written (and a marker committed) BEFORE the
-    state overwrite. A replay with the marker present skips the delta
-    step and redoes only the idempotent state merge; a replay without
-    it recomputes identical deltas from the untouched state. Every
-    crash window is covered: before the marker the state is
-    unmodified, after it the delta partition is final.
+    Crash-replay: the pre-image resolve reads ONLY ``batch_id <
+    current`` log partitions and the base, both of which this batch
+    never mutates (the log append is the last step; folds are
+    idempotent) — so a replayed batch recomputes byte-identical
+    deltas even without its marker, and the marker is purely a
+    work-skip. Every crash window converges: delta write and log
+    append are each idempotent per ``batch_id``, and a crash mid-fold
+    leaves base∪log resolving identically (duplicates absorbed by
+    latest-per-key).
 
-    Tombstone retention: ``op='D'`` rows are KEPT in the key state —
-    they are what masks a replayed pre-delete update (an old ``U``
-    with a lower seq re-delivered by a feed replay would otherwise
-    win the latest-per-key merge and resurrect the key). They may
-    only be aged out once the source's replay horizon has passed the
-    delete's seq (Flink's state-TTL contract; Kafka retention is the
-    usual horizon). For a delete-heavy feed this means the key state
-    grows with every key ever deleted between cleanups — run
-    :func:`cleanup_retract_state` (drop ``D`` rows with
-    ``seq < horizon``, a partition-parallel filter+overwrite) on the
-    compaction cadence, exactly like the index families'
-    ``compact_index``. The recorded horizon is also enforced on
-    ingest: each batch drops arriving rows older than it, so even a
-    source that replays PAST its declared horizon cannot resurrect a
-    cleaned-up key.
-
-    With ``cleanup_every_n_batches`` + ``horizon_fn`` set, that
-    state-TTL pass runs ON the sink's own cadence: every Nth batch,
-    after the batch's state lands and still under the batch's
-    single-writer lease, :func:`cleanup_retract_state` is invoked at
-    ``horizon_fn()`` — no external cron, no second writer to schedule.
+    Tombstone retention: ``op='D'`` rows are KEPT (in base or log) —
+    they mask a replayed pre-delete update (an old ``U`` with a lower
+    seq re-delivered by a feed replay would otherwise win the
+    latest-per-key resolve and resurrect the key). Age them out with
+    :func:`cleanup_retract_state` once the source's replay horizon
+    has passed (the recorded horizon is also enforced at ingest).
+    With ``cleanup_every_n_batches`` + ``horizon_fn`` set that
+    state-TTL pass runs on the sink's own cadence, under the batch's
+    lease.
 
     Every micro-batch runs under the ``state_path`` single-writer
     LEASE (``lease.py``), owner-keyed to this checkpoint: a restarted
     stream reclaims instantly, while an external maintenance op
     holding the lease makes the batch fail LOUDLY instead of
-    interleaving with a partition overwrite."""
+    interleaving."""
     order_desc = [F.col(c).desc() for c in order_cols]
     lease_owner = f"sink:{checkpoint}"
+    # per-stream-instance caches of immutable/owned state-dir facts
+    # (layout is write-once; the horizon only moves under this very
+    # lease — the sink's own cadence cleanup below invalidates it)
+    cache: dict = {}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -498,17 +684,19 @@ def stream_retract_agg_orc(
                     compression,
                     lease=False,  # already held by this batch
                 )
+                cache.pop("horizon", None)  # cleanup moved it
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         spark = batch_df.sparkSession
-        state_dir = os.path.join(state_path, "state")
-        horizon = _read_replay_horizon(spark, state_path)
+        base_dir = os.path.join(state_path, "state")
+        log_dir = os.path.join(state_path, "state_log")
+        if "horizon" not in cache:
+            cache["horizon"] = _read_replay_horizon(spark, state_path)
+        horizon = cache["horizon"]
         if horizon is not None:
             # rows older than the cleanup horizon can only be replays
             # of already-retired history; admitting one could win the
-            # latest-per-key merge against a cleaned-up tombstone.
+            # latest-per-key resolve against a cleaned-up tombstone.
             # NULL-safe: cleanup_retract_state deliberately KEEPS
             # NULL-order rows (coalesce'd negation), so the guard must
             # admit them too — a bare >= would silently drop them
@@ -517,31 +705,63 @@ def stream_retract_agg_orc(
                     F.col(order_cols[0]) >= F.lit(horizon), F.lit(True)
                 )
             )
+        if "layout" not in cache:
+            _record_layout(
+                spark,
+                state_path,
+                kc=key_col,
+                oc=",".join(order_cols),
+                nkp=n_key_partitions,
+            )
+            cache["layout"] = True
         ch = batch_df.withColumn(
             "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
-        )
-        cur = None
-        if _orc_files_exist(spark, state_dir):
-            kps = [r.kp for r in ch.select("kp").distinct().collect()]
-            cur = spark.read.orc(state_dir).filter(F.col("kp").isin(kps))
-        allrows = cur.unionByName(ch) if cur is not None else ch
-        w = Window.partitionBy(key_col).orderBy(*order_desc)
-        merged = (
-            allrows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)  # read for kps, deltas, and log
         try:
             marker = os.path.join(
                 state_path, "applied", f"batch_{batch_id}"
             )
             if not _hfs_exists(spark, marker):
                 bkeys = ch.select(key_col).distinct()
+                # pre-images of the batch's keys: read-only pruned
+                # lookup over base ∪ log[< this batch] — never the
+                # whole state, never a rewrite
+                cand = None
+                if _orc_files_exist(spark, base_dir):
+                    kps = [
+                        r.kp for r in ch.select("kp").distinct().collect()
+                    ]
+                    cand = (
+                        spark.read.orc(base_dir)
+                        .filter(F.col("kp").isin(kps))
+                        .join(bkeys, key_col, "left_semi")
+                    )
+                if _orc_files_exist(spark, log_dir):
+                    lg = (
+                        spark.read.orc(log_dir)
+                        .filter(F.col("batch_id") < batch_id)
+                        .drop("batch_id")
+                        .join(bkeys, key_col, "left_semi")
+                    )
+                    cand = lg if cand is None else cand.unionByName(lg)
+                if cand is not None:
+                    # consumed by BOTH the pre- and post-image resolve:
+                    # materialize the (small, semi-joined) lookup once
+                    cand = cand.localCheckpoint(eager=True)
+                cur = (
+                    _latest_per_key(cand, [key_col], order_desc)
+                    if cand is not None
+                    else None
+                )
+                merged = _latest_per_key(
+                    cand.unionByName(ch) if cand is not None else ch,
+                    [key_col],
+                    order_desc,
+                )
 
                 def contrib(df: DataFrame, sign: int) -> DataFrame:
                     live = F.col("op") == "U"
-                    return df.join(bkeys, key_col, "left_semi").select(
+                    return df.select(
                         F.col(group_col).alias("grp"),
                         F.when(live, F.col(val_col) * sign)
                         .otherwise(F.lit(0))
@@ -569,16 +789,26 @@ def stream_retract_agg_orc(
                     .partitionBy("batch_id")
                     .orc(os.path.join(state_path, "agg_deltas"))
                 )
+                if cand is not None:
+                    release_local_checkpoint(cand)
                 _hfs_mkdirs(spark, marker)
+            # the ONLY per-batch state write: append to the delta log
+            # (idempotent — a replay rewrites its own partition)
             (
-                merged.write.mode("overwrite")
+                ch.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .option("compression", compression)
-                .partitionBy("kp")
-                .orc(state_dir)
+                .partitionBy("batch_id")
+                .orc(log_dir)
             )
         finally:
-            release_local_checkpoint(merged)
+            release_local_checkpoint(ch)
+        if _should_fold(spark, base_dir, log_dir, fold_ratio):
+            fold_retract_state(
+                spark, state_path, key_col, order_cols, compression,
+                lease=False,  # this batch already holds it
+            )
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -701,6 +931,11 @@ def cleanup_retract_state(
     horizon = int(horizon)
     state_dir = os.path.join(state_path, "state")
     _record_replay_horizon(spark, state_path, horizon)
+    # fold any outstanding delta log first so every expired tombstone
+    # sits in the base the pruned rewrite below operates on
+    fold_retract_state(
+        spark, state_path, None, order_cols, compression, lease=False
+    )
     if not _orc_files_exist(spark, state_dir):
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
     st = spark.read.orc(state_dir)
@@ -767,6 +1002,9 @@ def cleanup_retract_join_state(
     horizon = int(horizon)  # same coercion contract as the agg twin
     pk_dir = os.path.join(state_path, "pk_state")
     _record_replay_horizon(spark, state_path, horizon)
+    # fold the outstanding delta log first so every expired tombstone
+    # sits in the pk base the pruned rewrite below operates on
+    fold_retract_join_state(spark, state_path, compression, lease=False)
     if not _orc_files_exist(spark, pk_dir):
         return {"tombstones_dropped": 0, "buckets_rewritten": 0}
     st = spark.read.orc(pk_dir)
@@ -849,6 +1087,286 @@ def _pair_filter(bucket_col: str, pairs: list):
     return cond
 
 
+VIEW_SCHEMA = (
+    "l_pk long, jk long, l_val long, r_pk long, r_attr string, jb int"
+)
+
+
+def _rj_bucket_join(sides: DataFrame, how: str) -> DataFrame:
+    """The per-bucket join shape shared by the reader, the fold and
+    the per-batch aggregate diff: live L rows x live R rows within
+    the SAME ``jb`` bucket, selected into the view schema. ``sides``
+    holds both sides' live images with a ``jb`` column."""
+    lstate = sides.filter(F.col("side") == "L").select(
+        F.col("pk").alias("l_pk"),
+        "jk",
+        F.col("val").alias("l_val"),
+        "jb",
+    )
+    rstate = sides.filter(F.col("side") == "R").select(
+        F.col("pk").alias("r_pk"),
+        F.col("jk").alias("r_jk"),
+        F.col("attr").alias("r_attr"),
+        F.col("jb").alias("r_jb"),
+    )
+    # ``how="left"`` buys OUTER-join IVM — the textbook-hard case (a
+    # newly-arriving right partner must RETRACT the left row's
+    # null-extended image, a disappearing one must re-extend it) —
+    # for free: affected buckets are recomputed from both sides'
+    # current state, so null-extension flips fall out of the
+    # recompute instead of needing bookkeeping deltas.
+    return lstate.join(
+        rstate,
+        (lstate.jk == rstate.r_jk) & (lstate.jb == rstate.r_jb),
+        how=how,
+    ).select(
+        "l_pk",
+        lstate.jk.alias("jk"),
+        "l_val",
+        "r_pk",
+        "r_attr",
+        lstate.jb.alias("jb"),
+    )
+
+
+def _rj_order():
+    # built lazily: module import must not require a live SparkContext
+    return [F.col("seq").desc()]
+
+
+def _rj_resolve_images(
+    spark: SparkSession,
+    state_path: str,
+    pks: DataFrame,
+    n_key_partitions: int,
+    upto_batch: int | None = None,
+):
+    """Rows (all versions) of the given ``(side, pk)`` keys across
+    pk base ∪ pk log (optionally only log batches below
+    ``upto_batch``) — a read-only, partition-pruned lookup. Resolve
+    with :func:`_latest_per_key` afterwards. Returns None when no
+    state exists yet."""
+    base_dir = os.path.join(state_path, "pk_state")
+    log_dir = os.path.join(state_path, "pk_log")
+    cand = None
+    if _orc_files_exist(spark, base_dir):
+        kpairs = [
+            tuple(r)
+            for r in pks.select(
+                "side",
+                F.pmod(F.hash(F.col("pk")), F.lit(n_key_partitions))
+                .alias("kp"),
+            )
+            .distinct()
+            .collect()
+        ]
+        if kpairs:
+            cand = (
+                spark.read.orc(base_dir)
+                .filter(_pair_filter("kp", kpairs))
+                .join(pks, ["side", "pk"], "left_semi")
+            )
+    if _orc_files_exist(spark, log_dir):
+        lg = spark.read.orc(log_dir)
+        if upto_batch is not None:
+            lg = lg.filter(F.col("batch_id") < upto_batch)
+        lg = lg.drop("batch_id").join(pks, ["side", "pk"], "left_semi")
+        cand = lg if cand is None else cand.unionByName(lg)
+    return cand
+
+
+def _rj_layout(spark: SparkSession, state_path: str) -> dict:
+    layout = _read_layout(spark, state_path)
+    return {
+        "nkp": int(layout.get("nkp", 16)),
+        "njb": int(layout.get("njb", 16)),
+        "how": layout.get("how", "inner"),
+    }
+
+
+def read_retract_join_view(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Snapshot of the maintained join view of a
+    :func:`stream_retract_join_orc` state dir — MERGE-ON-READ, like
+    any Hudi/Paimon MOR table: the materialized ``view/`` base covers
+    every bucket as of the last FOLD; buckets affected by the
+    unfolded delta log are recomputed from resolved pk state. With an
+    empty log this is a plain read of ``view/``; right after a
+    bootstrap load it is a full join of the resolved log. Affected
+    buckets are found from the log rows' join keys PLUS the logged
+    pks' base images (the only record of a moved pk's OLD bucket)."""
+    lay = _rj_layout(spark, state_path)
+    njb, how = lay["njb"], lay["how"]
+    view_dir = os.path.join(state_path, "view")
+    log_dir = os.path.join(state_path, "pk_log")
+    have_view = _orc_files_exist(spark, view_dir)
+    if not _orc_files_exist(spark, log_dir):
+        if have_view:
+            return spark.read.orc(view_dir)
+        return spark.createDataFrame([], VIEW_SCHEMA)
+    jb_of = F.pmod(F.hash(F.col("jk")), F.lit(njb))
+    log = spark.read.orc(log_dir).drop("batch_id")
+    logpks = log.select("side", "pk").distinct()
+    cand = _rj_resolve_images(
+        spark, state_path, logpks, lay["nkp"]
+    )  # = base rows of logged pks ∪ all log rows
+    aff = sorted(
+        r.jb
+        for r in cand.select(jb_of.alias("jb")).distinct().collect()
+    )
+    resolved = (
+        _latest_per_key(cand, ["side", "pk"], _rj_order())
+        .filter(F.col("op") == "U")
+        .withColumn("jb", jb_of)
+        .select("side", "pk", "jk", "seq", "op", "val", "attr", "jb")
+    )
+    jk_dir = os.path.join(state_path, "jk_state")
+    if _orc_files_exist(spark, jk_dir):
+        kept = (
+            spark.read.orc(jk_dir)
+            .filter(F.col("jb").isin(aff))
+            .join(logpks, ["side", "pk"], "left_anti")
+        )
+        sides = kept.unionByName(resolved)
+    else:
+        sides = resolved
+    view_aff = _rj_bucket_join(sides, how)
+    if have_view:
+        return (
+            spark.read.orc(view_dir)
+            .filter(~F.col("jb").isin(aff))
+            .unionByName(view_aff)
+        )
+    return view_aff
+
+
+def fold_retract_join_state(
+    spark: SparkSession,
+    state_path: str,
+    compression: str = "zstd",
+    lease: bool = True,
+) -> dict:
+    """Fold a :func:`stream_retract_join_orc` delta log: update the
+    jk layer and materialized view for the log-affected join buckets,
+    fold the pk log into the pk base (latest-per-pk, changed buckets
+    only), then drop the log. WRITE ORDER IS THE CRASH CONTRACT —
+    jk/view first (computed from the still-intact base ∪ log), pk
+    base second, log delete last: after any prefix of the writes the
+    merge-on-read resolution (base ∪ log with latest-per-pk, jk/view
+    overridden per logged pk) still answers exactly, because the log
+    is only deleted once everything it said is durably folded.
+    Layout parameters come from the state dir's markers. Returns
+    fold statistics."""
+    if lease:
+        with state_lease(
+            spark, state_path, process_owner("maintenance:fold-retract")
+        ):
+            return fold_retract_join_state(
+                spark, state_path, compression, lease=False
+            )
+    log_dir = os.path.join(state_path, "pk_log")
+    if not _orc_files_exist(spark, log_dir):
+        return {"log_rows_folded": 0, "jk_buckets": 0, "pk_buckets": 0}
+    lay = _rj_layout(spark, state_path)
+    njb, how = lay["njb"], lay["how"]
+    base_dir = os.path.join(state_path, "pk_state")
+    jk_dir = os.path.join(state_path, "jk_state")
+    view_dir = os.path.join(state_path, "view")
+    jb_of = F.pmod(F.hash(F.col("jk")), F.lit(njb))
+
+    log = spark.read.orc(log_dir).drop("batch_id")
+    n_log = log.count()
+    logpks = log.select("side", "pk").distinct()
+    cand = _rj_resolve_images(spark, state_path, logpks, lay["nkp"])
+    cand = cand.localCheckpoint(eager=True)
+    try:
+        aff = sorted(
+            r.jb
+            for r in cand.select(jb_of.alias("jb")).distinct().collect()
+        )
+        resolved = (
+            _latest_per_key(cand, ["side", "pk"], _rj_order())
+            .filter(F.col("op") == "U")
+            .withColumn("jb", jb_of)
+            .select(
+                "side", "pk", "jk", "seq", "op", "val", "attr", "jb"
+            )
+        )
+        if _orc_files_exist(spark, jk_dir):
+            kept = (
+                spark.read.orc(jk_dir)
+                .filter(F.col("jb").isin(aff))
+                .join(logpks, ["side", "pk"], "left_anti")
+            )
+            sides = kept.unionByName(resolved)
+        else:
+            sides = resolved
+        sides = sides.localCheckpoint(eager=True)
+        try:
+            pairs = [(s, b) for s in ("L", "R") for b in aff]
+            _overwrite_buckets(
+                sides, jk_dir, ["side", "jb"], pairs, compression
+            )
+            view_aff = _rj_bucket_join(sides, how).localCheckpoint(
+                eager=True
+            )
+            try:
+                _overwrite_buckets(
+                    view_aff,
+                    view_dir,
+                    ["jb"],
+                    [(b,) for b in aff],
+                    compression,
+                )
+            finally:
+                release_local_checkpoint(view_aff)
+        finally:
+            release_local_checkpoint(sides)
+        # pk base fold: latest-per-pk over (changed buckets ∪ log)
+        changed = [
+            tuple(r)
+            for r in log.select(
+                "side",
+                F.pmod(F.hash(F.col("pk")), F.lit(lay["nkp"]))
+                .alias("kp"),
+            )
+            .distinct()
+            .collect()
+        ]
+        merged = _latest_per_key(cand, ["side", "pk"], _rj_order())
+        # cand already includes every base row of the logged pks, and
+        # unlogged pks' base rows are untouched — only logged pks'
+        # rows change, so the dynamic overwrite below must re-emit
+        # the UNLOGGED rows of the changed buckets too:
+        if _orc_files_exist(spark, base_dir):
+            untouched = (
+                spark.read.orc(base_dir)
+                .filter(_pair_filter("kp", changed))
+                .join(logpks, ["side", "pk"], "left_anti")
+            )
+            merged = merged.unionByName(untouched)
+        merged = merged.localCheckpoint(eager=True)
+        try:
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("side", "kp")
+                .orc(base_dir)
+            )
+        finally:
+            release_local_checkpoint(merged)
+    finally:
+        release_local_checkpoint(cand)
+    _hfs_rmtree(spark, log_dir)
+    return {
+        "log_rows_folded": n_log,
+        "jk_buckets": len(aff),
+        "pk_buckets": len(changed),
+    }
+
+
 def stream_retract_join_orc(
     changes: DataFrame,
     state_path: str,
@@ -862,6 +1380,7 @@ def stream_retract_join_orc(
     how: str = "inner",
     cleanup_every_n_batches: int | None = None,
     horizon_fn=None,
+    fold_ratio: float = 0.25,
 ) -> StreamingQuery:
     """RETRACTION-correct streaming JOIN over two CDC feeds — Flink's
     delta-join / incremental-view-maintenance pattern (dynamic table ⋈
@@ -880,71 +1399,61 @@ def stream_retract_join_orc(
     Input stream schema: ``side ('L'|'R'), pk, jk, seq, op,
     val (left payload), attr (right payload)``.
 
-    Two-layer state, exactly the Flink shape:
+    STATE IS AN LSM TRIPLE (round 9 — this removed the only
+    data-shape-dependent scale cliff, the full merge-on-write pass a
+    uniformly-random-key batch used to pay):
 
-    1. **pk layer** (one store partitioned ``(side, kp)``, ``kp =
-       hash(pk) % n_key_partitions``): latest-per-pk merge over the
-       touched buckets only (partition-pruned read, dynamic
-       overwrite), from
-       which the batch's RETRACTION stream is derived: for every pk in
-       the batch, a ``retract`` row carrying the pk's PRE-batch live
-       image (its OLD join key — the only place that information
-       exists) and an ``add`` row carrying its post-batch live image.
-    2. **jk layer** (one store partitioned ``(side, jb)``, ``jb =
-       hash(jk) % n_join_buckets``): apply the retraction stream —
-       remove every
-       mentioned pk from the buckets its retract/add rows name, insert
-       the add images — then re-join ONLY the touched ``jb`` buckets
-       of the two sides and overwrite those partitions of the
-       materialized view.
+    - ``pk_state/`` — pk BASE: latest-per-(side,pk) rows partitioned
+      ``(side, kp)``; rewritten only by FOLDS;
+    - ``pk_log/`` — the DELTA LOG: each batch appended under its
+      ``batch_id`` partition (dynamic overwrite → replay-idempotent);
+    - ``jk_state/`` + ``view/`` — the jk layer and materialized view,
+      both AS OF THE LAST FOLD; between folds the log's effect on
+      them is applied at read time (:func:`read_retract_join_view` —
+      merge-on-read, the Hudi/Paimon MOR shape).
 
-    With ``agg_group_col``/``agg_val_col`` set, the sink ALSO
-    maintains an aggregate over the view — additive per-group deltas
-    (agg of new bucket content − agg of old), marker-guarded like the
-    retract stream and landed before the view overwrite; readback is
-    :func:`read_retract_agg`. That completes the Flink pipeline
-    CDC ⋈ CDC → retract stream → aggregate without ever rescanning a
-    group.
+    Per batch (all reads partition-pruned and semi-joined; the ONLY
+    state write is the O(batch) log append):
 
-    COST MODEL (measured, tools/scale_probe_retract_join.py):
-    per-batch I/O = touched buckets × bucket size. Bucket count is
-    the knob and must be provisioned like any partitioned table's
-    layout — buckets sized to a constant byte target, so count grows
-    with state. A batch whose keys cluster in few buckets (the
-    production CDC shape: churn skews to recent/hot entities) then
-    costs O(batch's key-neighborhood) regardless of total state —
-    the probe holds wall-clock FLAT across a 20× state growth at
-    fixed touched-bucket count. The degenerate case is honest too: a
-    batch with ≥ bucket-count uniformly-random keys touches every
-    bucket and pays a full merge-on-write pass — the same
-    churn-vs-compaction-cadence trade every copy-on-write table
-    format makes (batch it, or provision more buckets). No group of
-    join-key partners is ever rescanned unless its bucket was
-    touched, and a batch that moves a pk between join keys touches
-    exactly its old and new buckets; the two-layer double-store is
-    the textbook IVM space-for-locality trade (the pk layer alone
-    cannot prune by jk).
+    1. resolve the batch pks' PRE- and POST-images over
+       base ∪ log[< batch] ∪ batch — from which the RETRACTION
+       STREAM (``deltas/batch_id=N``: pre-image → retract, post-image
+       → add) is derived, marker-guarded;
+    2. with ``agg_group_col`` set, land additive per-group aggregate
+       deltas: the view diff of the batch-AFFECTED join buckets,
+       computed from (jk layer ⊕ log overrides) old vs new — never a
+       group rescan, never a view rewrite (marker-guarded,
+       ``agg_deltas/batch_id=N``; readback :func:`read_retract_agg`);
+    3. append the batch to ``pk_log``;
+    4. FOLD when the log outgrows ``max(64 MB, fold_ratio × base)``
+       (:func:`fold_retract_join_state`): jk/view updated for the
+       log-affected buckets, pk base folded, log dropped — amortized
+       O(batch / fold_ratio) rows per batch, state-size-independent.
 
-    Tombstone retention mirrors :func:`stream_retract_agg_orc`: the
-    pk layer keeps ``op='D'`` rows to mask below-horizon replays;
-    age them out with :func:`cleanup_retract_join_state` once the
-    source's replay horizon passes, after which the sink also drops
+    COST MODEL (measured, ``tools/scale_probe_retract_join.py``):
+    clustered churn (the production CDC shape) reads only the key- and
+    join-buckets the batch touches; UNIFORMLY-RANDOM churn — the
+    round-8 degenerate case that used to pay a full
+    read+shuffle+rewrite per batch — now pays a map-side pruned scan
+    for the image lookups plus the O(batch) append, with the full
+    pass deferred to fold cadence. Per-batch wall stays ~flat across
+    a 20× state growth on BOTH key distributions.
+
+    Crash-replay: the image resolves read only ``batch_id < current``
+    log partitions and the base — neither is mutated before the log
+    append, so a replayed batch recomputes byte-identical deltas with
+    or without its marker; the log append and both delta writes are
+    idempotent per ``batch_id``; folds converge from any crash prefix
+    (the log is deleted last — see :func:`fold_retract_join_state`).
+    A full feed replay through a fresh checkpoint against populated
+    state also converges: every step is a pure function of
+    authoritative (base ∪ log) state.
+
+    Tombstone retention mirrors :func:`stream_retract_agg_orc`:
+    ``op='D'`` rows are kept (base or log) to mask below-horizon
+    replays; age them out with :func:`cleanup_retract_join_state`
+    (which folds first), after which the sink also drops
     below-horizon arrivals at ingest.
-
-    Crash-replay: the retraction stream must be computed against the
-    PRE-batch pk state, so it is persisted to a ``batch_id`` delta
-    partition and a marker committed BEFORE the pk-state overwrite;
-    every other step is an idempotent function of authoritative
-    state (latest-wins pk merge; jk-layer apply removes the
-    mentioned pks from the mentioned buckets and re-inserts their
-    CURRENT latest images — a fixpoint; view recompute is pure), so
-    a replayed batch — crash recovery on the same checkpoint, or
-    even a full feed replay through a fresh checkpoint against
-    populated state — converges to byte-identical state in every
-    crash window.
-    The registered ``stream_retract_join`` query feeds hash-scattered
-    out-of-order batches and must hash-match a one-shot batch join —
-    including resurrections (D then later U) and join-key moves.
 
     Lease + cadence: every micro-batch holds the ``state_path``
     single-writer lease (owner-keyed to the checkpoint — restart
@@ -953,6 +1462,9 @@ def stream_retract_join_orc(
     sink runs :func:`cleanup_retract_join_state` itself every Nth
     batch under that same lease."""
     lease_owner = f"sink:{checkpoint}"
+    jb_of = F.pmod(F.hash(F.col("jk")), F.lit(n_join_buckets))
+    live = F.col("op") == "U"
+    cache: dict = {}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -970,255 +1482,242 @@ def stream_retract_join_orc(
                     compression,
                     lease=False,  # already held by this batch
                 )
+                cache.pop("horizon", None)  # cleanup moved it
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        spark = batch_df.sparkSession
-        deltas_root = os.path.join(state_path, "deltas")
-        marker = os.path.join(state_path, "applied", f"batch_{batch_id}")
-        w = Window.partitionBy("side", "pk").orderBy(
-            F.col("seq").desc()
+    def _img_cols(df: DataFrame) -> DataFrame:
+        return df.select(
+            "side", "pk", "jk", "seq", "op", "val", "attr",
+            jb_of.alias("jb"),
         )
 
-        horizon = _read_replay_horizon(spark, state_path)
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base_dir = os.path.join(state_path, "pk_state")
+        log_dir = os.path.join(state_path, "pk_log")
+        jk_dir = os.path.join(state_path, "jk_state")
+        deltas_root = os.path.join(state_path, "deltas")
+
+        if "horizon" not in cache:
+            cache["horizon"] = _read_replay_horizon(spark, state_path)
+        horizon = cache["horizon"]
         if horizon is not None:
-            # same ingest guard as the retract-agg sink: rows older
-            # than the cleanup horizon are retired history whose
-            # tombstones may already be gone — admitting one could
-            # resurrect a cleaned-up pk. NULL-safe like the cleanup's
-            # keep-predicate: NULL-seq rows stay admitted
+            # same ingest guard as the retract-agg sink, NULL-safe
             batch_df = batch_df.filter(
                 F.coalesce(F.col("seq") >= F.lit(horizon), F.lit(True))
             )
+        if "layout" not in cache:
+            _record_layout(
+                spark,
+                state_path,
+                nkp=n_key_partitions,
+                njb=n_join_buckets,
+                how=how,
+            )
+            cache["layout"] = True
 
-        # --- pk layer: merge + derive the retraction stream ---
-        # One store for both sides, partitioned (side, kp): one
-        # pruned read, one merge, one write per batch. The merge and
-        # state overwrite run on EVERY invocation (idempotent
-        # latest-wins); the marker guards only the delta derivation,
-        # which must see the PRE-batch state.
         ch = batch_df.withColumn(
-            "kp",
-            F.pmod(F.hash(F.col("pk")), F.lit(n_key_partitions)),
-        )
-        pk_dir = os.path.join(state_path, "pk_state")
-        cur = None
-        if _orc_files_exist(spark, pk_dir):
-            kpairs = [
-                tuple(r)
-                for r in ch.select("side", "kp").distinct().collect()
-            ]
-            if kpairs:
-                cur = spark.read.orc(pk_dir).filter(
-                    _pair_filter("kp", kpairs)
-                )
-        allrows = ch if cur is None else cur.unionByName(ch)
-        merged = (
-            allrows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
+            "kp", F.pmod(F.hash(F.col("pk")), F.lit(n_key_partitions))
+        ).localCheckpoint(eager=True)
+        released = False
         try:
-            live = F.col("op") == "U"
-            if not _hfs_exists(spark, marker):
-                bpks = ch.select("side", "pk").distinct()
-                # pre-batch live image of every batch pk -> retract;
-                # post-batch live image -> add (the retract stream a
-                # downstream Flink-style consumer would subscribe to)
-                deltas = (
-                    merged.join(bpks, ["side", "pk"], "left_semi")
-                    .filter(live)
-                    .withColumn("kind", F.lit("add"))
-                )
-                if cur is not None:
-                    deltas = deltas.unionByName(
-                        cur.join(bpks, ["side", "pk"], "left_semi")
-                        .filter(live)
-                        .withColumn("kind", F.lit("retract"))
-                    )
-                (
-                    deltas.drop("kp")
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .option("compression", compression)
-                    .partitionBy("batch_id")
-                    .orc(deltas_root)
-                )
-                _hfs_mkdirs(spark, marker)
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("compression", compression)
-                .partitionBy("side", "kp")
-                .orc(pk_dir)
+            marker = os.path.join(
+                state_path, "applied", f"batch_{batch_id}"
             )
-
-            # --- jk layer: apply the batch's stored retraction
-            # stream. The stored rows supply WHICH (side, jb)
-            # buckets and (side, pk) keys were touched — including
-            # the old join key, which exists nowhere else after the
-            # pk overwrite — but the IMAGES inserted are the pks'
-            # CURRENT latest from ``merged``, restricted to touched
-            # buckets. That makes the apply a fixpoint of the
-            # authoritative state: replaying ANY batch (crash
-            # recovery, or a full feed replay through a fresh
-            # checkpoint) converges instead of resurrecting stale
-            # images or double-removing moved keys.
-            if not _orc_files_exist(spark, deltas_root):
-                return  # empty batch: nothing retracted or added
-            jb_of = F.pmod(F.hash(F.col("jk")), F.lit(n_join_buckets))
-            d = (
-                spark.read.orc(deltas_root)
-                .filter(F.col("batch_id") == batch_id)
-                .withColumn("jb", jb_of)
-            )
-            jk_dir = os.path.join(state_path, "jk_state")
-            pairs = [
-                tuple(r)
-                for r in d.select("side", "jb").distinct().collect()
-            ]
-            if not pairs:
-                return
-            mentioned = d.select("side", "pk").distinct()
-            adds = (
-                merged.join(mentioned, ["side", "pk"], "left_semi")
-                .filter(live)
-                .withColumn("jb", jb_of)
-                .filter(_pair_filter("jb", pairs))
-                .select(
-                    "side", "pk", "jk", "seq", "op", "val", "attr",
-                    "jb",
-                )
-            )
-            if _orc_files_exist(spark, jk_dir):
-                kept = (
-                    spark.read.orc(jk_dir)
-                    .filter(_pair_filter("jb", pairs))
-                    .join(mentioned, ["side", "pk"], "left_anti")
-                )
-                new_state = kept.unionByName(adds)
-            else:
-                new_state = adds
-            new_state = new_state.localCheckpoint(eager=True)
-            try:
-                _overwrite_buckets(
-                    new_state,
-                    jk_dir,
-                    ["side", "jb"],
-                    pairs,
-                    compression,
-                )
-            finally:
-                release_local_checkpoint(new_state)
-        finally:
-            release_local_checkpoint(merged)
-
-        # --- view recompute: both sides of every touched jb bucket ---
-        touched = sorted({b for _, b in pairs})
-        jstate = spark.read.orc(jk_dir).filter(
-            F.col("jb").isin(touched)
-        )
-        lstate = jstate.filter(F.col("side") == "L").select(
-            F.col("pk").alias("l_pk"),
-            "jk",
-            F.col("val").alias("l_val"),
-            "jb",
-        )
-        rstate = jstate.filter(F.col("side") == "R").select(
-            F.col("pk").alias("r_pk"),
-            F.col("jk").alias("r_jk"),
-            F.col("attr").alias("r_attr"),
-            F.col("jb").alias("r_jb"),
-        )
-        # ``how="left"`` buys OUTER-join IVM — the textbook-hard case
-        # (a newly-arriving right partner must RETRACT the left row's
-        # null-extended image, a disappearing one must re-extend it)
-        # — for free: the touched bucket is recomputed from both
-        # sides' current state, so null-extension flips fall out of
-        # the recompute instead of needing bookkeeping deltas.
-        view = lstate.join(
-            rstate,
-            (lstate.jk == rstate.r_jk) & (lstate.jb == rstate.r_jb),
-            how=how,
-        ).select(
-            "l_pk",
-            lstate.jk.alias("jk"),
-            "l_val",
-            "r_pk",
-            "r_attr",
-            lstate.jb.alias("jb"),
-        )
-        view_dir = os.path.join(state_path, "view")
-        # materialize once: the overwrite AND the present-partition
-        # probe in _overwrite_buckets (and the agg deltas, when
-        # enabled) would otherwise each re-run the bucket join
-        view = view.localCheckpoint(eager=True)
-
-        # --- optional maintained AGGREGATE over the view: per-group
-        # additive deltas = agg(new bucket content) − agg(old bucket
-        # content), bounded by the touched buckets — the full Flink
-        # dynamic-table pipeline (CDC ⋈ CDC → retract stream → agg)
-        # without ever rescanning a group. Deltas must see the
-        # PRE-overwrite view, so they land (marker-guarded, like the
-        # pk-layer retract stream) BEFORE the view overwrite; a
-        # replayed batch with the marker present skips straight to
-        # the idempotent overwrite.
-        if agg_group_col is not None:
             marker2 = os.path.join(
                 state_path, "agg_applied", f"batch_{batch_id}"
             )
-            if not _hfs_exists(spark, marker2):
-
-                def gd(df: DataFrame, sign: int) -> DataFrame:
-                    return df.select(
-                        F.col(agg_group_col).alias("grp"),
-                        (
-                            F.coalesce(F.col(agg_val_col), F.lit(0))
-                            * sign
-                        )
-                        .cast("long")
-                        .alias("d_sum"),
-                        F.lit(sign).cast("long").alias("d_count"),
-                    )
-
-                dparts = gd(view, 1)
-                if _orc_files_exist(spark, view_dir):
-                    dparts = dparts.unionByName(
-                        gd(
-                            spark.read.orc(view_dir).filter(
-                                F.col("jb").isin(touched)
-                            ),
-                            -1,
-                        )
-                    )
-                (
-                    dparts.groupBy("grp")
-                    .agg(
-                        F.sum("d_sum").alias("d_sum"),
-                        F.sum("d_count").alias("d_count"),
-                    )
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .option("compression", compression)
-                    .partitionBy("batch_id")
-                    .orc(os.path.join(state_path, "agg_deltas"))
-                )
-                _hfs_mkdirs(spark, marker2)
-
-        try:
-            _overwrite_buckets(
-                view,
-                view_dir,
-                ["jb"],
-                [(b,) for b in touched],
-                compression,
+            need_deltas = not _hfs_exists(spark, marker)
+            need_agg = agg_group_col is not None and not _hfs_exists(
+                spark, marker2
             )
+            if need_deltas or need_agg:
+                S = ch.select("side", "pk").distinct()
+                cand_S = _rj_resolve_images(
+                    spark, state_path, S, n_key_partitions,
+                    upto_batch=batch_id,
+                )
+                if cand_S is not None:
+                    cand_S = cand_S.localCheckpoint(eager=True)
+                pre_S = (
+                    _latest_per_key(cand_S, ["side", "pk"], _rj_order())
+                    if cand_S is not None
+                    else None
+                )
+                post_S = _latest_per_key(
+                    cand_S.unionByName(ch)
+                    if cand_S is not None
+                    else ch,
+                    ["side", "pk"],
+                    _rj_order(),
+                )
+                try:
+                    if need_deltas:
+                        deltas = (
+                            post_S.filter(live)
+                            .drop("kp")
+                            .withColumn("kind", F.lit("add"))
+                        )
+                        if pre_S is not None:
+                            deltas = deltas.unionByName(
+                                pre_S.filter(live)
+                                .drop("kp")
+                                .withColumn("kind", F.lit("retract"))
+                            )
+                        (
+                            deltas.withColumn(
+                                "batch_id", F.lit(batch_id)
+                            )
+                            .write.mode("overwrite")
+                            .option("partitionOverwriteMode", "dynamic")
+                            .option("compression", compression)
+                            .partitionBy("batch_id")
+                            .orc(deltas_root)
+                        )
+                        _hfs_mkdirs(spark, marker)
+                    if need_agg:
+                        self_aff = post_S.filter(live).select(
+                            jb_of.alias("jb")
+                        )
+                        if pre_S is not None:
+                            self_aff = self_aff.unionByName(
+                                pre_S.filter(live).select(
+                                    jb_of.alias("jb")
+                                )
+                            )
+                        aff = sorted(
+                            r.jb
+                            for r in self_aff.distinct().collect()
+                        )
+                        if aff:
+                            _agg_diff(
+                                spark, ch, pre_S, post_S, aff,
+                                batch_id, marker2,
+                            )
+                finally:
+                    if cand_S is not None:
+                        release_local_checkpoint(cand_S)
+            # the ONLY per-batch state write: the log append
+            (
+                ch.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy("batch_id")
+                .orc(log_dir)
+            )
+            release_local_checkpoint(ch)
+            released = True
         finally:
-            release_local_checkpoint(view)
+            if not released:
+                release_local_checkpoint(ch)
+        if _should_fold(spark, base_dir, log_dir, fold_ratio):
+            fold_retract_join_state(
+                spark, state_path, compression, lease=False
+            )
+
+    def _agg_diff(
+        spark: SparkSession,
+        ch: DataFrame,
+        pre_S: DataFrame | None,
+        post_S: DataFrame,
+        aff: list,
+        batch_id: int,
+        marker2: str,
+    ) -> None:
+        """Additive per-group aggregate deltas of batch ``batch_id``:
+        view diff of the affected join buckets, OLD = (jk layer ⊕
+        log[<batch] overrides), NEW = same ⊕ batch. Never rewrites
+        state; reads are bucket-pruned and semi-joined."""
+        log_dir = os.path.join(state_path, "pk_log")
+        jk_dir = os.path.join(state_path, "jk_state")
+        S = ch.select("side", "pk").distinct()
+        # log pks that can override the jk layer inside the affected
+        # buckets: any logged pk with a row whose jk lands there
+        anti_pks = S
+        imgs_P = None
+        if _orc_files_exist(spark, log_dir):
+            lg = (
+                spark.read.orc(log_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+            logpks = lg.select("side", "pk").distinct()
+            anti_pks = logpks.unionByName(S).distinct()
+            P = (
+                lg.filter(jb_of.isin(aff))
+                .select("side", "pk")
+                .distinct()
+                .join(S, ["side", "pk"], "left_anti")
+            )
+            cand_P = _rj_resolve_images(
+                spark, state_path, P, n_key_partitions,
+                upto_batch=batch_id,
+            )
+            if cand_P is not None:
+                imgs_P = (
+                    _latest_per_key(cand_P, ["side", "pk"], _rj_order())
+                    .filter(live)
+                    .filter(jb_of.isin(aff))
+                )
+        base_part = None
+        if _orc_files_exist(spark, jk_dir):
+            base_part = (
+                spark.read.orc(jk_dir)
+                .filter(F.col("jb").isin(aff))
+                .join(anti_pks, ["side", "pk"], "left_anti")
+            )
+
+        def _side(images) -> DataFrame | None:
+            parts = [
+                p for p in (base_part, imgs_P) if p is not None
+            ]
+            if images is not None:
+                parts.append(images)
+            if not parts:
+                return None
+            out = None
+            for p in parts:
+                p = _img_cols(p) if "jb" not in p.columns else p
+                out = p if out is None else out.unionByName(p)
+            return out.filter(F.col("jb").isin(aff))
+
+        old_imgs = (
+            pre_S.filter(live).filter(jb_of.isin(aff))
+            if pre_S is not None
+            else None
+        )
+        new_imgs = post_S.filter(live).filter(jb_of.isin(aff))
+        old_sides = _side(old_imgs)
+        new_sides = _side(new_imgs)
+
+        def gd(view_df: DataFrame, sign: int) -> DataFrame:
+            return view_df.select(
+                F.col(agg_group_col).alias("grp"),
+                (F.coalesce(F.col(agg_val_col), F.lit(0)) * sign)
+                .cast("long")
+                .alias("d_sum"),
+                F.lit(sign).cast("long").alias("d_count"),
+            )
+
+        dparts = gd(_rj_bucket_join(new_sides, how), 1)
+        if old_sides is not None:
+            dparts = dparts.unionByName(
+                gd(_rj_bucket_join(old_sides, how), -1)
+            )
+        (
+            dparts.groupBy("grp")
+            .agg(
+                F.sum("d_sum").alias("d_sum"),
+                F.sum("d_count").alias("d_count"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("batch_id")
+            .orc(os.path.join(state_path, "agg_deltas"))
+        )
+        _hfs_mkdirs(spark, marker2)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -158,11 +158,11 @@ def _retract_join_case(spark, tmp, tag):
         )
 
     def read():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.l_pk, r.jk, r.l_val, r.r_attr)
-            for r in spark.read.orc(
-                os.path.join(state, "view")
-            ).collect()
+            for r in read_retract_join_view(spark, state).collect()
         }
 
     def torn_maintenance():

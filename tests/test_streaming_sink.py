@@ -764,11 +764,11 @@ def test_stream_retract_join_moves_deletes_replay(spark, tmp_path):
                 time.sleep(1)
 
     def view():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.l_pk, r.jk, r.l_val, r.r_attr)
-            for r in spark.read.orc(
-                os.path.join(state, "view")
-            ).collect()
+            for r in read_retract_join_view(spark, state).collect()
         }
 
     L, R = "L", "R"
@@ -887,9 +887,11 @@ def test_stream_retract_join_agg_deltas_replay(spark, tmp_path):
         }
 
     def view_agg():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.r_attr, r.s, r.n)
-            for r in spark.read.orc(os.path.join(state, "view"))
+            for r in read_retract_join_view(spark, state)
             .groupBy("r_attr")
             .agg(
                 F.sum("l_val").alias("s"), F.count(F.lit(1)).alias("n")
@@ -993,11 +995,11 @@ def test_stream_retract_join_left_null_extension_flips(spark, tmp_path):
                 time.sleep(1)
 
     def view():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.l_pk, r.r_attr)
-            for r in spark.read.orc(
-                os.path.join(state, "view")
-            ).collect()
+            for r in read_retract_join_view(spark, state).collect()
         }
 
     def agg():
@@ -1135,22 +1137,21 @@ def test_stream_retract_join_tombstone_first_batch(spark, tmp_path):
                     raise
                 time.sleep(1)
 
-    # batch 1: nothing but delete tombstones for unseen keys
+    from flink_orc_sink_spark.streaming import read_retract_join_view
+
+    # batch 1: nothing but delete tombstones for unseen keys — the
+    # view snapshot must be empty (and nothing forces a view
+    # materialization: the MOR reader answers from base ⊕ log)
     feed([("L", 1, 1, 1, "D", 0, None), ("R", 2, 2, 1, "D", None, "x")])
     run()
-    assert not os.path.isdir(os.path.join(state, "view")) or not [
-        f
-        for _, _, fs in os.walk(os.path.join(state, "view"))
-        for f in fs
-        if f.endswith(".orc")
-    ]
+    assert read_retract_join_view(spark, state).count() == 0
 
     # batch 2: real rows join up
     feed([("L", 10, 5, 1, "U", 7, None), ("R", 5, 5, 1, "U", None, "s")])
     run()
     rows = {
         (r.l_pk, r.r_attr)
-        for r in spark.read.orc(os.path.join(state, "view")).collect()
+        for r in read_retract_join_view(spark, state).collect()
     }
     assert rows == {(10, "s")}
 
@@ -1337,7 +1338,9 @@ def test_stream_retract_agg_tombstone_cleanup(spark, tmp_path):
         }
 
     def state_rows():
-        return spark.read.orc(f"{state}/state").count()
+        from flink_orc_sink_spark.streaming import read_retract_state
+
+        return read_retract_state(spark, state).count()
 
     # 3 live keys, then delete k=2 (seq=2) and k=3 (seq=9)
     feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1), (3, "b", 30, "U", 1)])
@@ -1438,15 +1441,17 @@ def test_stream_retract_join_tombstone_cleanup(spark, tmp_path):
                 time.sleep(1)
 
     def view():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.l_pk, r.jk, r.l_val, r.r_attr)
-            for r in spark.read.orc(
-                os.path.join(state, "view")
-            ).collect()
+            for r in read_retract_join_view(spark, state).collect()
         }
 
     def pk_rows():
-        return spark.read.orc(os.path.join(state, "pk_state")).count()
+        from flink_orc_sink_spark.streaming import read_retract_pk_state
+
+        return read_retract_pk_state(spark, state).count()
 
     L, R = "L", "R"
     feed(
@@ -1700,11 +1705,11 @@ def test_stream_retract_join_random_feed_converges(spark, tmp_path):
         }
 
     def view():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.l_pk, r.jk, r.l_val, r.r_pk, r.r_attr)
-            for r in spark.read.orc(
-                os.path.join(state, "view")
-            ).collect()
+            for r in read_retract_join_view(spark, state).collect()
         }
 
     want = reference()
@@ -1779,7 +1784,9 @@ def test_retract_agg_cleanup_cadence_long_replay(spark, tmp_path):
         }
 
     def state_rows():
-        return spark.read.orc(f"{state}/state").count()
+        from flink_orc_sink_spark.streaming import read_retract_state
+
+        return read_retract_state(spark, state).count()
 
     # 3 permanent live keys
     feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1), (3, "b", 30, "U", 1)])
@@ -1865,15 +1872,17 @@ def test_retract_join_cleanup_cadence(spark, tmp_path):
                 time.sleep(1)
 
     def view():
+        from flink_orc_sink_spark.streaming import read_retract_join_view
+
         return {
             (r.l_pk, r.jk, r.l_val, r.r_attr)
-            for r in spark.read.orc(
-                os.path.join(state, "view")
-            ).collect()
+            for r in read_retract_join_view(spark, state).collect()
         }
 
     def pk_rows():
-        return spark.read.orc(os.path.join(state, "pk_state")).count()
+        from flink_orc_sink_spark.streaming import read_retract_pk_state
+
+        return read_retract_pk_state(spark, state).count()
 
     feed(
         [
@@ -1903,3 +1912,202 @@ def test_retract_join_cleanup_cadence(spark, tmp_path):
     assert pk_rows() == 3
     # lease never lingers after the drained stream
     assert not os.path.exists(os.path.join(state, "_lease"))
+
+
+def test_retract_agg_fold_preserves_resolution(spark, tmp_path):
+    """LSM fold (round 9): folding the delta log into the base must
+    change NOTHING observable — resolved state, aggregate readback —
+    and later batches must keep composing on top of the folded base.
+    Also runs the whole scenario again with the auto-fold trigger
+    forced on EVERY batch (FOLD_MIN_BYTES=0), which must land on the
+    identical aggregate."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        fold_retract_state,
+        read_retract_agg,
+        read_retract_state,
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    schema = "k long, grp string, v long, op string, seq long"
+
+    def scenario(tag, fold_every_batch):
+        import flink_orc_sink_spark.streaming.orc_sink as sink_mod
+
+        src = str(tmp_path / f"in_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+
+        def feed(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def run():
+            for attempt in range(10):
+                q = stream_retract_agg_orc(
+                    stream_from_files(spark, src, schema),
+                    state,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                    key_col="k",
+                    group_col="grp",
+                    val_col="v",
+                    order_cols=["seq"],
+                    trigger={"availableNow": True},
+                )
+                try:
+                    assert q.awaitTermination(120), "no drain"
+                    return
+                except Exception:
+                    if attempt == 9 or "concurrently using" not in str(
+                        q.exception()
+                    ):
+                        raise
+                    time.sleep(1)
+
+        def agg():
+            return {
+                (r.grp, r.sum_val, r.n_keys)
+                for r in read_retract_agg(spark, state).collect()
+            }
+
+        old_min = sink_mod.FOLD_MIN_BYTES
+        if fold_every_batch:
+            sink_mod.FOLD_MIN_BYTES = 0
+        try:
+            feed([(1, "a", 10, "U", 1), (2, "a", 20, "U", 1),
+                  (3, "b", 30, "U", 1)])
+            run()
+            if not fold_every_batch:
+                before = {
+                    tuple(r) for r in read_retract_state(
+                        spark, state
+                    ).drop("kp").collect()
+                }
+                stats = fold_retract_state(spark, state)
+                assert stats["log_rows_folded"] == 3, stats
+                assert not os.path.isdir(f"{state}/state_log")
+                after = {
+                    tuple(r) for r in read_retract_state(
+                        spark, state
+                    ).drop("kp").collect()
+                }
+                assert before == after
+                # idempotent: second fold is a no-op
+                assert fold_retract_state(spark, state)[
+                    "log_rows_folded"
+                ] == 0
+            assert agg() == {("a", 30, 2), ("b", 30, 1)}
+            # later batches compose on the folded base: move + delete
+            feed([(1, "b", 11, "U", 2), (2, "a", 0, "D", 2)])
+            run()
+            assert agg() == {("b", 41, 2)}
+        finally:
+            sink_mod.FOLD_MIN_BYTES = old_min
+        return agg()
+
+    assert scenario("manual", False) == scenario("auto", True)
+
+
+def test_retract_join_fold_preserves_view_and_agg(spark, tmp_path):
+    """Join-sink fold: jk layer + materialized view are brought up to
+    the log, the pk base is folded, the log dropped — and the MOR
+    reader, the aggregate readback and subsequent batches (including
+    a join-key move against the FOLDED base) are unchanged. The
+    every-batch auto-fold run must land on the identical view."""
+    import os
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        fold_retract_join_state,
+        read_retract_agg,
+        read_retract_join_view,
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def scenario(tag, fold_every_batch):
+        import flink_orc_sink_spark.streaming.orc_sink as sink_mod
+
+        src = str(tmp_path / f"in_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+
+        def feed(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def run():
+            for attempt in range(10):
+                q = stream_retract_join_orc(
+                    stream_from_files(spark, src, schema),
+                    state,
+                    checkpoint=str(tmp_path / f"ck_{tag}"),
+                    trigger={"availableNow": True},
+                    agg_group_col="r_attr",
+                    agg_val_col="l_val",
+                )
+                try:
+                    assert q.awaitTermination(120), "no drain"
+                    return
+                except Exception:
+                    if attempt == 9 or "concurrently using" not in str(
+                        q.exception()
+                    ):
+                        raise
+                    time.sleep(1)
+
+        def view():
+            return {
+                (r.l_pk, r.jk, r.l_val, r.r_attr)
+                for r in read_retract_join_view(spark, state).collect()
+            }
+
+        def agg():
+            return {
+                (r.grp, r.sum_val, r.n_keys)
+                for r in read_retract_agg(spark, state).collect()
+            }
+
+        old_min = sink_mod.FOLD_MIN_BYTES
+        if fold_every_batch:
+            sink_mod.FOLD_MIN_BYTES = 0
+        try:
+            feed([
+                ("L", 101, 1, 1, "U", 10, None),
+                ("L", 102, 2, 1, "U", 20, None),
+                ("R", 1, 1, 1, "U", None, "x"),
+                ("R", 2, 2, 1, "U", None, "y"),
+            ])
+            run()
+            want = {(101, 1, 10, "x"), (102, 2, 20, "y")}
+            assert view() == want
+            if not fold_every_batch:
+                stats = fold_retract_join_state(spark, state)
+                assert stats["log_rows_folded"] == 4, stats
+                assert not os.path.isdir(f"{state}/pk_log")
+                # post-fold the reader answers from the materialized
+                # view alone — and identically
+                assert view() == want
+                assert fold_retract_join_state(spark, state)[
+                    "log_rows_folded"
+                ] == 0
+            # a join-key MOVE against the folded base: the OLD bucket
+            # lives only in pk_state now — fold/reader must retract it
+            feed([("L", 101, 2, 2, "U", 11, None)])
+            run()
+            want2 = {(101, 2, 11, "y"), (102, 2, 20, "y")}
+            assert view() == want2
+            assert agg() == {("y", 31, 2)}
+        finally:
+            sink_mod.FOLD_MIN_BYTES = old_min
+        return view(), agg()
+
+    assert scenario("manual", False) == scenario("auto", True)
