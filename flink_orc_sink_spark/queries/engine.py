@@ -1599,8 +1599,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     shutil.rmtree(stage, ignore_errors=True)
+    from flink_orc_sink_spark.streaming import read_cdc_table
+
     return (
-        spark.read.orc(state)
+        read_cdc_table(spark, state)
         .filter(F.col("op") == "U")
         .select(
             "user_id",
@@ -1692,7 +1694,9 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     shutil.rmtree(stage, ignore_errors=True)
-    return spark.read.orc(os.path.join(state, "history")).select(
+    from flink_orc_sink_spark.streaming import read_scd2_history
+
+    return read_scd2_history(spark, state).select(
         "user_id",
         F.col("event_type").alias("status"),
         "version",

@@ -236,75 +236,72 @@ def stream_cdc_apply_orc(
     n_key_partitions: int = 16,
     trigger: dict | None = None,
     compression: str = "zstd",
+    fold_ratio: float = 0.25,
 ) -> StreamingQuery:
     """Streaming CDC MERGE into a keyed ORC state table — the
     ``foreachBatch`` upsert every warehouse runs on a change feed when
-    the sink has no native MERGE. Each micro-batch:
+    the sink has no native MERGE.
 
-    1. hashes keys into ``n_key_partitions`` buckets (``kp``),
-    2. reads ONLY the state partitions the batch touches (partition
-       pruning on ``kp`` — a batch touching 3 of 10 000 key buckets
-       reads 3),
-    3. keeps the latest row per key across state ∪ batch (strict
-       total order via ``order_cols`` — latest-wins is idempotent, so
-       a crash-replayed batch converges to the same table), and
-    4. rewrites only the touched partitions (dynamic partition
-       overwrite).
+    Since round 9 the table is the SAME LSM pair the retract sinks
+    use (this sink shares their fold and reader): ``state/`` — the
+    base, latest-per-key rows ``kp``-partitioned (``kp = hash(key) %
+    n_key_partitions``), rewritten only by folds — plus
+    ``state_log/`` — the delta log, each batch appended under its
+    ``batch_id`` partition (dynamic overwrite, so a crash-replayed
+    batch rewrites its own partition: idempotent). Per batch the sink
+    does ONE O(batch) append — no state read, no merge shuffle, no
+    bucket rewrite, on ANY key distribution. The log folds into the
+    base via :func:`fold_retract_state` when it outgrows
+    ``max(64 MB, fold_ratio × base)`` — amortized O(batch/fold_ratio)
+    rows per batch. Read the current table with
+    :func:`read_cdc_table` (latest-per-key over base ∪ log — the
+    merge-on-read resolve; an empty log is a plain base read).
 
-    State size is O(live keys), never O(stream length); per-batch I/O
-    is O(touched partitions). Deletes stay in the table as tombstone
-    rows (``op='D'``) so re-inserts win later batches; readers filter
-    them. Production engines get snapshot isolation from a table
-    format (Delta/Iceberg MERGE); here the merged frame is eagerly
-    localCheckpoint-ed before the overwrite so the read and the
-    rewrite of the same files never overlap.
+    State size is O(live keys + unfolded log), never O(stream
+    length). Deletes stay as tombstone rows (``op='D'``) so
+    re-inserts win later batches; readers filter them.
     Each micro-batch holds the ``state_path`` single-writer lease
-    (round 8): the merge's pruned read + dynamic overwrite is the same
+    (round 8): the fold's pruned read + dynamic overwrite is the same
     read-modify-write cycle the retract sinks protect, so an external
     writer on the state dir fails loudly instead of interleaving.
     """
-    order_desc = [F.col(c).desc() for c in order_cols]
     lease_owner = f"sink:{checkpoint}"
+    cache: dict = {}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         with state_lease(batch_df.sparkSession, state_path, lease_owner):
             _apply(batch_df, batch_id)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         spark = batch_df.sparkSession
-        ch = batch_df.withColumn(
-            "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
-        )
-        if _orc_files_exist(spark, state_path):
-            kps = [r.kp for r in ch.select("kp").distinct().collect()]
-            cur = spark.read.orc(state_path).filter(F.col("kp").isin(kps))
-            allrows = cur.unionByName(ch)
-        else:
-            allrows = ch
-        w = Window.partitionBy(key_col).orderBy(*order_desc)
-        merged = (
-            allrows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
-        try:
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("compression", compression)
-                .partitionBy("kp")
-                .orc(state_path)
+        base_dir = os.path.join(state_path, "state")
+        log_dir = os.path.join(state_path, "state_log")
+        if "layout" not in cache:
+            _record_layout(
+                spark,
+                state_path,
+                kc=key_col,
+                oc=",".join(order_cols),
+                nkp=n_key_partitions,
             )
-        finally:
-            # Checkpointed blocks otherwise linger until the JVM
-            # ContextCleaner notices — one leaked block per trigger
-            # is unbounded executor storage growth on a long-running
-            # stream. Release as soon as the overwrite lands (same
-            # hygiene as stream_quarantine_orc below).
-            release_local_checkpoint(merged)
+            cache["layout"] = True
+        (
+            batch_df.withColumn(
+                "kp",
+                F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions)),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("batch_id")
+            .orc(log_dir)
+        )
+        if _should_fold(spark, base_dir, log_dir, fold_ratio):
+            fold_retract_state(
+                spark, state_path, key_col, order_cols, compression,
+                lease=False,  # this batch already holds it
+            )
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -312,6 +309,13 @@ def stream_cdc_apply_orc(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def read_cdc_table(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current latest-per-key table of a :func:`stream_cdc_apply_orc`
+    state dir — merge-on-read over base ⊕ unfolded log, tombstones
+    (``op='D'``) included; filter them for the live view."""
+    return read_retract_state(spark, state_path)
 
 
 def stream_scd2_apply_orc(
@@ -325,6 +329,7 @@ def stream_scd2_apply_orc(
     n_key_partitions: int = 16,
     trigger: dict | None = None,
     compression: str = "zstd",
+    fold_ratio: float = 0.25,
 ) -> StreamingQuery:
     """Streaming SCD TYPE-2 dimension maintenance — the history-table
     twin of :func:`stream_cdc_apply_orc` (which keeps latest-per-key;
@@ -355,17 +360,27 @@ def stream_scd2_apply_orc(
     consecutive-repeat rows it discarded may become version starts
     once a late row lands between them.
 
-    100 TB shape: per-batch I/O is O(touched buckets), never
-    O(history); state is the change archive a warehouse already
-    keeps. The merged frame is localCheckpoint-ed before the
-    overwrite (read and rewrite of the same files never overlap) and
-    released as soon as both writes land.
+    Since round 9 the archive is an LSM pair like every other state
+    sink here: ``changes/`` — the full-row-distinct base, rewritten
+    only by folds — plus ``changes_log/`` — each batch appended under
+    its ``batch_id`` partition (idempotent under replay). Per batch
+    the sink does ONE O(batch) append on ANY key distribution; the
+    ``history/`` chain table is materialized at FOLD time
+    (:func:`fold_scd2_state`, triggered when the log outgrows
+    ``max(64 MB, fold_ratio × base)``), and
+    :func:`read_scd2_history` answers between folds by rebuilding
+    only the log-touched buckets' chains at read time (merge-on-read
+    — full-row DISTINCT over base ∪ log absorbs replays and the
+    crash window between a fold's base write and its log delete).
+
+    100 TB shape: per-batch cost is O(batch); fold cost is O(touched
+    buckets), amortized O(batch/fold_ratio); state is the change
+    archive a warehouse already keeps.
 
     Each micro-batch holds the ``state_path`` single-writer lease
     (round 8), like every other read-modify-write state sink."""
-    from flink_orc_sink_spark.operators.relational import scd2_history
-
     lease_owner = f"sink:{checkpoint}"
+    cache: dict = {}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         with state_lease(batch_df.sparkSession, state_path, lease_owner):
@@ -373,37 +388,35 @@ def stream_scd2_apply_orc(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ch = batch_df.withColumn(
-            "kp", F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions))
+        base_dir = os.path.join(state_path, "changes")
+        log_dir = os.path.join(state_path, "changes_log")
+        if "layout" not in cache:
+            _record_layout(
+                spark,
+                state_path,
+                kc=key_col,
+                ac=attr_col,
+                tc=ts_col,
+                oc=",".join(order_cols),
+                nkp=n_key_partitions,
+            )
+            cache["layout"] = True
+        (
+            batch_df.withColumn(
+                "kp",
+                F.pmod(F.hash(F.col(key_col)), F.lit(n_key_partitions)),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("batch_id")
+            .orc(log_dir)
         )
-        changes_path = os.path.join(state_path, "changes")
-        if _orc_files_exist(spark, changes_path):
-            kps = [r.kp for r in ch.select("kp").distinct().collect()]
-            cur = spark.read.orc(changes_path).filter(F.col("kp").isin(kps))
-            allrows = cur.unionByName(ch)
-        else:
-            allrows = ch
-        merged = allrows.distinct().localCheckpoint(eager=True)
-        try:
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("compression", compression)
-                .partitionBy("kp")
-                .orc(changes_path)
+        if _should_fold(spark, base_dir, log_dir, fold_ratio):
+            fold_scd2_state(
+                spark, state_path, compression, lease=False
             )
-            (
-                scd2_history(
-                    merged, [key_col], attr_col, ts_col, order_cols
-                )
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("compression", compression)
-                .partitionBy("kp")
-                .orc(os.path.join(state_path, "history"))
-            )
-        finally:
-            release_local_checkpoint(merged)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -411,6 +424,101 @@ def stream_scd2_apply_orc(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def fold_scd2_state(
+    spark: SparkSession,
+    state_path: str,
+    compression: str = "zstd",
+    lease: bool = True,
+) -> dict:
+    """Fold a :func:`stream_scd2_apply_orc` change log: full-row
+    DISTINCT merge of (touched base buckets ∪ log) into ``changes/``,
+    rebuild the ``history/`` SCD2 chains for exactly those buckets,
+    then delete the log. Every crash prefix converges: distinct
+    absorbs base/log duplicates, and the reader rebuilds log-touched
+    buckets from base ∪ log until the log is gone. Layout parameters
+    come from the state dir's markers."""
+    from flink_orc_sink_spark.operators.relational import scd2_history
+
+    if lease:
+        with state_lease(
+            spark, state_path, process_owner("maintenance:fold-scd2")
+        ):
+            return fold_scd2_state(
+                spark, state_path, compression, lease=False
+            )
+    base_dir = os.path.join(state_path, "changes")
+    log_dir = os.path.join(state_path, "changes_log")
+    if not _orc_files_exist(spark, log_dir):
+        return {"log_rows_folded": 0, "buckets_rewritten": 0}
+    layout = _read_layout(spark, state_path)
+    key_col, attr_col, ts_col = layout["kc"], layout["ac"], layout["tc"]
+    order_cols = layout["oc"].split(",")
+    log = spark.read.orc(log_dir).drop("batch_id")
+    n_log = log.count()
+    kps = [r.kp for r in log.select("kp").distinct().collect()]
+    allrows = log
+    if _orc_files_exist(spark, base_dir):
+        allrows = allrows.unionByName(
+            spark.read.orc(base_dir).filter(F.col("kp").isin(kps))
+        )
+    merged = allrows.distinct().localCheckpoint(eager=True)
+    try:
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("kp")
+            .orc(base_dir)
+        )
+        (
+            scd2_history(merged, [key_col], attr_col, ts_col, order_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy("kp")
+            .orc(os.path.join(state_path, "history"))
+        )
+    finally:
+        release_local_checkpoint(merged)
+    _hfs_rmtree(spark, log_dir)
+    return {"log_rows_folded": n_log, "buckets_rewritten": len(kps)}
+
+
+def read_scd2_history(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current SCD2 history of a :func:`stream_scd2_apply_orc` state
+    dir — merge-on-read: the materialized ``history/`` covers every
+    bucket as of the last fold; buckets touched by the unfolded
+    change log get their chains rebuilt from DISTINCT(base ∪ log) at
+    read time."""
+    from flink_orc_sink_spark.operators.relational import scd2_history
+
+    base_dir = os.path.join(state_path, "changes")
+    hist_dir = os.path.join(state_path, "history")
+    log_dir = os.path.join(state_path, "changes_log")
+    if not _orc_files_exist(spark, log_dir):
+        return spark.read.orc(hist_dir)
+    layout = _read_layout(spark, state_path)
+    key_col, attr_col, ts_col = layout["kc"], layout["ac"], layout["tc"]
+    order_cols = layout["oc"].split(",")
+    log = spark.read.orc(log_dir).drop("batch_id")
+    kps = [r.kp for r in log.select("kp").distinct().collect()]
+    allrows = log
+    if _orc_files_exist(spark, base_dir):
+        allrows = allrows.unionByName(
+            spark.read.orc(base_dir).filter(F.col("kp").isin(kps))
+        )
+    fresh = scd2_history(
+        allrows.distinct(), [key_col], attr_col, ts_col, order_cols
+    )
+    if _orc_files_exist(spark, hist_dir):
+        return (
+            spark.read.orc(hist_dir)
+            .filter(~F.col("kp").isin(kps))
+            .unionByName(fresh)
+        )
+    return fresh
 
 
 def _record_layout(spark: SparkSession, state_path: str, **kv) -> None:

@@ -210,9 +210,11 @@ def _cdc_case(spark, tmp, tag):
         )
 
     def read():
+        from flink_orc_sink_spark.streaming import read_cdc_table
+
         return {
             (r.k, r.seq, r.v)
-            for r in spark.read.orc(state)
+            for r in read_cdc_table(spark, state)
             .filter(F.col("op") == "U")
             .collect()
         }
@@ -249,11 +251,11 @@ def _scd2_case(spark, tmp, tag):
         )
 
     def read():
+        from flink_orc_sink_spark.streaming import read_scd2_history
+
         return {
             (r.k, r.attr, r.version, r.effective_from, r.effective_to)
-            for r in spark.read.orc(
-                os.path.join(state, "history")
-            ).collect()
+            for r in read_scd2_history(spark, state).collect()
         }
 
     return schema, batches, start, read, ck, None, None

@@ -205,9 +205,13 @@ def test_stream_cdc_apply_incremental_and_restart(spark, tmp_path):
         q.awaitTermination(120)
 
     def live():
+        from flink_orc_sink_spark.streaming import read_cdc_table
+
         return {
             (r.k, r.seq, r.v)
-            for r in spark.read.orc(state).filter(F.col("op") == "U").collect()
+            for r in read_cdc_table(spark, state)
+            .filter(F.col("op") == "U")
+            .collect()
         }
 
     feed([(1, 1, "U", 10), (2, 1, "U", 20), (3, 1, "U", 30)])
@@ -222,12 +226,18 @@ def test_stream_cdc_apply_incremental_and_restart(spark, tmp_path):
     run()  # restart on drained checkpoint: no-op
     assert live() == {(1, 2, 11), (3, 1, 30), (4, 1, 40)}
 
-    # phase 3: re-insert k=2 after its tombstone — upsert wins, and
-    # ONLY k=2's key-bucket partition is rewritten (per-batch I/O is
-    # O(touched partitions): untouched bucket dirs keep their mtime)
+    # phase 3: re-insert k=2 after its tombstone — upsert wins. The
+    # round-9 LSM I/O contract: a micro-batch only APPENDS its log
+    # partition (no base bucket is ever rewritten per batch), and a
+    # FOLD rewrites exactly the buckets the log touches.
     import glob
     import os
     import time
+
+    from flink_orc_sink_spark.streaming import fold_retract_state
+
+    fold_retract_state(spark, state)  # materialize the base
+    assert not os.path.isdir(f"{state}/state_log")
 
     def bucket_mtimes():
         return {
@@ -235,17 +245,25 @@ def test_stream_cdc_apply_incremental_and_restart(spark, tmp_path):
                 (os.path.getmtime(f) for f in glob.glob(d + "/*")),
                 default=0,
             )
-            for d in glob.glob(state + "/kp=*")
+            for d in glob.glob(state + "/state/kp=*")
         }
 
     before = bucket_mtimes()
+    assert before, "fold produced no base buckets"
     time.sleep(1.1)
     feed([(2, 3, "U", 22)])
     run()
     assert live() == {(1, 2, 11), (2, 3, 22), (3, 1, 30), (4, 1, 40)}
     after = bucket_mtimes()
     touched = {d for d in before if after[d] != before[d]}
-    assert len(touched) == 1, f"expected 1 rewritten bucket, got {touched}"
+    assert touched == set(), f"batch rewrote base buckets: {touched}"
+    # ... and the fold rewrites ONLY k=2's bucket
+    stats = fold_retract_state(spark, state)
+    assert stats["buckets_rewritten"] == 1, stats
+    after2 = bucket_mtimes()
+    touched2 = {d for d in before if after2[d] != before[d]}
+    assert len(touched2) == 1, f"expected 1 folded bucket, got {touched2}"
+    assert live() == {(1, 2, 11), (2, 3, 22), (3, 1, 30), (4, 1, 40)}
 
 
 def test_stream_cdc_apply_no_storage_leak(spark, tmp_path):
@@ -296,9 +314,13 @@ def test_stream_cdc_apply_no_storage_leak(spark, tmp_path):
     # and the merge itself still converged to latest-per-key
     from pyspark.sql import functions as F
 
+    from flink_orc_sink_spark.streaming import read_cdc_table
+
     rows = {
         (r.k, r.v)
-        for r in spark.read.orc(state).filter(F.col("op") == "U").collect()
+        for r in read_cdc_table(spark, state)
+        .filter(F.col("op") == "U")
+        .collect()
     }
     assert rows == {(k, 200 + k) for k in range(5)}
 
@@ -589,11 +611,11 @@ def test_stream_scd2_late_row_splits_interval(spark, tmp_path):
         q.awaitTermination(120)
 
     def history():
-        import os
+        from flink_orc_sink_spark.streaming import read_scd2_history
 
         return {
             (r.k, r.attr, r.version, r.effective_from, r.effective_to)
-            for r in spark.read.orc(os.path.join(state, "history")).collect()
+            for r in read_scd2_history(spark, state).collect()
         }
 
     # k=1: A@10, A@30 (consecutive repeat -> ONE interval)
