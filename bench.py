@@ -245,10 +245,17 @@ def main() -> None:
     # stream_retract_join_agg 34.7 s cold vs 18.5 s warm, identical
     # code). All streaming warm-ups run on the smallest scale and
     # must never fail the bench.
+    # ... and the Python-DataSource runtime: the first DSv2 query of a
+    # session pays ~9 s of python-datasource worker spawn + plan
+    # registration that is one-time, not query cost (measured 12.5 s
+    # cold vs 3.3 s warm on stream_pyds_partitioned, identical code);
+    # without this it lands on whichever pyds headline query runs
+    # first.
     for warm_q in (
         "stream_running_totals",
         "stream_retract_agg",
         "stream_retract_join_agg",
+        "pyds_source_agg",
     ):
         try:
             queries[warm_q](spark, warm_dir).count()

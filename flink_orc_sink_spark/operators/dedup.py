@@ -1175,10 +1175,14 @@ def append_to_minhash_index(
     ):
         (
             band_rows(sigs)
-            # range-partition on (band, bkey): band dirs preserved via
-            # partitionBy while write parallelism scales past the
-            # 16-band cap a repartition("band") would impose
-            .repartitionByRange("band", "bkey")
+            # HASH-repartition on (band, bkey): band dirs preserved
+            # via partitionBy and parallelism scales past the 16-band
+            # cap a repartition("band") would impose — same layout
+            # guarantees as the build's repartitionByRange but WITHOUT
+            # its per-call range-sampling job, which at one append per
+            # micro-batch is pure fixed cost (batch-sized appends have
+            # no skew for range bounds to fix)
+            .repartition("band", "bkey")
             .sortWithinPartitions("band", "bkey")
             .write.mode("append")
             .partitionBy("band")
@@ -1361,7 +1365,9 @@ def append_to_gram_index(
             occ.select("gh")
             .distinct()
             .withColumn("tag", F.lit(tag).cast("long"))
-            .repartitionByRange(4, "gh")
+            # hash, not range: a batch-sized append doesn't need range
+            # bounds (and their extra sampling job per micro-batch)
+            .repartition(4, "gh")
             .sortWithinPartitions("gh")
             .write.mode("append")
             .parquet(f"{index_path}/grams")

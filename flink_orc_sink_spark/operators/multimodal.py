@@ -1056,12 +1056,14 @@ def append_to_ahash_index(
     ):
         (
             _ahash_band_rows(hashes, id_col, hash_col, n_bands)
-            # range-partition on (band, key): band grouping is
+            # hash-partition on (band, key): band grouping is
             # preserved (partitionBy still routes rows to band
             # directories) while write parallelism scales with the
-            # cluster instead of being capped at n_bands tasks — each
-            # task writes one sorted file per band range it holds
-            .repartitionByRange("band", "key")
+            # cluster instead of being capped at n_bands tasks; hash
+            # instead of range spares the per-micro-batch
+            # range-sampling job (batch-sized appends have no skew
+            # for range bounds to fix)
+            .repartition("band", "key")
             .sortWithinPartitions("band", "key")
             .write.mode("append")
             .partitionBy("band")

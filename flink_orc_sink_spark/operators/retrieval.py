@@ -182,10 +182,12 @@ def append_to_bm25_index(
             _postings(df, id_col, text_col)
             .withColumn("bucket", _bucket(F.col("token")))
             .withColumn("tag", F.lit(tag).cast("long"))
-            # same contiguous-bucket writer layout as the build, so
-            # steady ingest adds O(batch-parallelism) files per
-            # append, not O(tasks × buckets)
-            .repartitionByRange("bucket", "token")
+            # same bucket-dir writer layout as the build, so steady
+            # ingest adds O(batch-parallelism) files per append, not
+            # O(tasks × buckets); hash instead of range spares the
+            # per-micro-batch range-sampling job (batch-sized appends
+            # have no skew for range bounds to fix)
+            .repartition("bucket", "token")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{index_path}/postings")

@@ -374,7 +374,7 @@ def build_ivf_index(
     sample_size: int = 20_000,
     seed: int = 42,
     centroids: np.ndarray | None = None,
-) -> None:
+) -> np.ndarray:
     """Materialize an IVF index on disk: the corpus written as parquet
     PARTITIONED BY cell (one directory per inverted list) plus the
     centroid matrix at ``<path>/centroids``.
@@ -387,6 +387,10 @@ def build_ivf_index(
     trade every IVF system makes). Pass ``centroids`` to pin a known
     coarse quantizer instead of training one (e.g. when rebuilding
     for comparison against an incrementally-appended index).
+
+    Returns the centroid matrix, so a caller about to issue many
+    probes/appends (a streaming ingest loop) can thread it through
+    instead of re-reading ``<path>/centroids`` per call.
     """
     import os
 
@@ -415,6 +419,24 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
+    return np.asarray(centroids, dtype=np.float64)
+
+
+def load_ivf_centroids(spark, index_path: str) -> np.ndarray:
+    """Read the coarse-quantizer matrix from ``<index_path>/centroids``
+    (cell-ordered). Centroids are IMMUTABLE between rebuilds — appends
+    and forgets never move them — so a caller issuing many probes or
+    appends against one index (a streaming foreachBatch loop) should
+    load once and pass the array through, instead of paying a parquet
+    scan + collect per micro-batch."""
+    import os
+
+    cent_pdf = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .orderBy("cell")
+        .toPandas()
+    )
+    return np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
 
 
 def _ivf_probe_scored(
@@ -424,6 +446,7 @@ def _ivf_probe_scored(
     query_id: str,
     query_vec: str,
     nprobe: int,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Shared probe machinery of :func:`ivf_search` and
     :func:`ivf_threshold_matches`: (qid, cid, cos_sim) for every
@@ -435,12 +458,8 @@ def _ivf_probe_scored(
     """
     import os
 
-    cent_pdf = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .orderBy("cell")
-        .toPandas()
-    )
-    centroids = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, index_path)
     _, probe_cells = make_cell_udfs(centroids, nprobe)
     q = queries.select(
         F.col(query_id).alias("qid"),
@@ -490,11 +509,13 @@ def ivf_search(
     query_vec: str,
     k: int = 5,
     nprobe: int = 8,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-``k`` against a :func:`build_ivf_index` index: the shared
     probe + the same per-group top-k as the inline path."""
     scored = _ivf_probe_scored(
-        spark, queries, index_path, query_id, query_vec, nprobe
+        spark, queries, index_path, query_id, query_vec, nprobe,
+        centroids=centroids,
     )
     from flink_orc_sink_spark.operators.relational import topk_per_group
 
@@ -515,6 +536,7 @@ def ivf_threshold_matches(
     query_vec: str,
     threshold: float,
     nprobe: int = 8,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """ALL matches with ``cos_sim ≥ threshold`` against the index —
     no top-k cap. The dedup-ingest shape: near-dup semantics are
@@ -523,7 +545,8 @@ def ivf_threshold_matches(
     remaining approximation is cell-straddling, bounded by
     ``nprobe``)."""
     return _ivf_probe_scored(
-        spark, queries, index_path, query_id, query_vec, nprobe
+        spark, queries, index_path, query_id, query_vec, nprobe,
+        centroids=centroids,
     ).filter(F.col("cos_sim") >= threshold)
 
 
@@ -1391,6 +1414,7 @@ def append_to_ivf_index(
     index_path: str,
     owner: str | None = None,
     lease_wait_sec: float = 0.0,
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Incremental-ingest half of the IVF lifecycle: assign a new
     batch of vectors to the EXISTING coarse quantizer (centroids read
@@ -1402,16 +1426,14 @@ def append_to_ivf_index(
     system. ``owner`` lets a foreachBatch caller pass its
     checkpoint-derived name (instant orphan reclaim after a
     crash-restart); ``lease_wait_sec`` opts into bounded waiting
-    behind a concurrent appender."""
+    behind a concurrent appender; ``centroids`` skips the per-call
+    quantizer read for loop callers (:func:`load_ivf_centroids` —
+    centroids never move between rebuilds, so the cache is exact)."""
     import os
 
     spark = new_vectors.sparkSession
-    cent_pdf = (
-        spark.read.parquet(os.path.join(index_path, "centroids"))
-        .orderBy("cell")
-        .toPandas()
-    )
-    centroids = np.asarray(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, index_path)
     assign_cell, _ = make_cell_udfs(centroids, nprobe=1)
     from flink_orc_sink_spark.lease import process_owner, state_lease
 

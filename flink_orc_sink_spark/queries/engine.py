@@ -3327,7 +3327,10 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rest of the corpus and then the clone range arrive as the
     # stream, one file per micro-batch
     boot = e.filter(F.col("vec_id") < half)
-    build_ivf_index(boot, "vec_id", "embedding", idx, nlist=32)
+    # centroids are immutable between rebuilds (appends assign to the
+    # EXISTING quantizer), so load-once here replaces two parquet-scan
+    # + collect jobs per micro-batch below
+    centroids = build_ivf_index(boot, "vec_id", "embedding", idx, nlist=32)
     (
         embedding_neardup_pairs(boot, "vec_id", "embedding", 0.9)
         .withColumn("batch_id", F.lit(-1))
@@ -3354,7 +3357,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # with >k true neighbors must not silently lose matches
             cross = ivf_threshold_matches(
                 spark, batch_df, idx, "vec_id", "embedding",
-                threshold=0.9, nprobe=8,
+                threshold=0.9, nprobe=8, centroids=centroids,
             ).select(
                 F.least("qid", "cid").alias("id_a"),
                 F.greatest("qid", "cid").alias("id_b"),
@@ -3372,7 +3375,7 @@ def stream_emb_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.exists(marker):
                 append_to_ivf_index(
                     batch_df, "vec_id", "embedding", idx,
-                    owner=owner_cell[0],
+                    owner=owner_cell[0], centroids=centroids,
                 )
                 os.makedirs(marker, exist_ok=True)
         finally:
