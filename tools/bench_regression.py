@@ -8,7 +8,7 @@ since r9 carries the same ``calibration_first_sec``/``_last_sec``
 keys; older lines' 2-element ``calib`` array is also accepted). When
 only the headline line is available the gate runs on per-FAMILY sums,
 not per-query. It compares against the pinned baseline
-(``BENCH_PIN_r08.json`` by default — the round-8 clean exclusive run
+(``BENCH_PIN_r09.json`` by default — the round-9 clean exclusive run
 WITH embedded calibration; override with argv[2] or
 $SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
 — or the total — is more than ``THRESHOLD``× slower than the
@@ -39,6 +39,11 @@ WAIVED_BY_BASELINE = {
     # BENCH_PIN_r08.json measures the current implementations on an
     # idle host with calibration embedded: no waivers.
     "BENCH_PIN_r08.json": {},
+    # BENCH_PIN_r09.json: the round-9 clean run after the LSM
+    # delta-log rework of the retract/CDC/SCD2 sinks and the
+    # per-micro-batch fixed-cost cuts (stream family 119.6 -> 102.3 s,
+    # total 248.6 -> 218.8 s at comparable calibration): no waivers.
+    "BENCH_PIN_r09.json": {},
 }
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
@@ -106,7 +111,7 @@ def main() -> int:
         sys.argv[2]
         if len(sys.argv) > 2
         else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
-        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r08.json")
+        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r09.json")
     )
     base = load_baseline(base_path)
     waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
