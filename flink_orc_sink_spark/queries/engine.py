@@ -108,11 +108,15 @@ def _run_feed_stream(
 
     ``owner_cell``: pass a one-element list and the harness fills
     ``owner_cell[0]`` with the CHECKPOINT-DERIVED lease owner before
-    the first trigger. ``on_batch`` forwards it to ``append_to_*`` so
-    a crash-restarted stream (same checkpoint) reclaims its own
-    orphan lease instantly instead of blocking a full TTL behind a
-    dead per-process owner — the same owner rule the stateful sinks
-    use (``lease.py`` rule 2)."""
+    the first trigger, demonstrating the owner rule the stateful
+    sinks use (``lease.py`` rule 2): a PRODUCTION stream with a
+    stable checkpoint reclaims its own orphan lease instantly after
+    a crash-restart. In THESE bounded demo harnesses the checkpoint
+    is a fresh tempdir per invocation (and the state dir is rebuilt
+    from scratch), so the reclaim path isn't what protects reruns
+    here — the rebuild is; the owner plumbing exists so the
+    registered queries exercise the same call shape production code
+    should use."""
     with tempfile.TemporaryDirectory(
         prefix="stream_feed_ckpt_"
     ) as ckpt, stream_partitions(spark):

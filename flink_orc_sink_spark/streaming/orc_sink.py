@@ -277,6 +277,23 @@ def stream_cdc_apply_orc(
         base_dir = os.path.join(state_path, "state")
         log_dir = os.path.join(state_path, "state_log")
         if "layout" not in cache:
+            # pre-round-9 CDC state kept its kp=* dirs directly under
+            # state_path; this sink now reads/writes state/ +
+            # state_log/ only. Silently ignoring the old rows would be
+            # data loss (keys not re-delivered vanish, re-delivered
+            # keys lose latest-wins against their pre-upgrade seq), so
+            # refuse loudly with the migration step instead.
+            if any(
+                n.startswith("kp=")
+                for n in _hfs_list_names(spark, state_path)
+            ):
+                raise ValueError(
+                    f"pre-round-9 CDC state layout at {state_path}: "
+                    f"kp=* partitions sit at the state root, which "
+                    f"this version no longer reads. Migrate by moving "
+                    f"them under {base_dir}/ (one rename) before "
+                    f"restarting the sink"
+                )
             _record_layout(
                 spark,
                 state_path,
@@ -426,6 +443,26 @@ def stream_scd2_apply_orc(
     return writer.start()
 
 
+def _scd2_log_merge(spark: SparkSession, state_path: str):
+    """Shared base∪log resolution of an unfolded SCD2 change log —
+    the byte-equivalence contract between :func:`read_scd2_history`
+    and :func:`fold_scd2_state`: both must rebuild chains from the
+    SAME ``(kps, merged)`` or a fold would materialize history the
+    reader didn't answer. Returns ``(layout, log, kps, merged)``;
+    ``merged`` is lazy (callers checkpoint it if they reuse it)."""
+    base_dir = os.path.join(state_path, "changes")
+    log_dir = os.path.join(state_path, "changes_log")
+    layout = _read_layout(spark, state_path)
+    log = spark.read.orc(log_dir).drop("batch_id")
+    kps = [r.kp for r in log.select("kp").distinct().collect()]
+    allrows = log
+    if _orc_files_exist(spark, base_dir):
+        allrows = allrows.unionByName(
+            spark.read.orc(base_dir).filter(F.col("kp").isin(kps))
+        )
+    return layout, log, kps, allrows.distinct()
+
+
 def fold_scd2_state(
     spark: SparkSession,
     state_path: str,
@@ -452,18 +489,11 @@ def fold_scd2_state(
     log_dir = os.path.join(state_path, "changes_log")
     if not _orc_files_exist(spark, log_dir):
         return {"log_rows_folded": 0, "buckets_rewritten": 0}
-    layout = _read_layout(spark, state_path)
+    layout, log, kps, merged = _scd2_log_merge(spark, state_path)
     key_col, attr_col, ts_col = layout["kc"], layout["ac"], layout["tc"]
     order_cols = layout["oc"].split(",")
-    log = spark.read.orc(log_dir).drop("batch_id")
     n_log = log.count()
-    kps = [r.kp for r in log.select("kp").distinct().collect()]
-    allrows = log
-    if _orc_files_exist(spark, base_dir):
-        allrows = allrows.unionByName(
-            spark.read.orc(base_dir).filter(F.col("kp").isin(kps))
-        )
-    merged = allrows.distinct().localCheckpoint(eager=True)
+    merged = merged.localCheckpoint(eager=True)
     try:
         (
             merged.write.mode("overwrite")
@@ -494,24 +524,14 @@ def read_scd2_history(spark: SparkSession, state_path: str) -> DataFrame:
     read time."""
     from flink_orc_sink_spark.operators.relational import scd2_history
 
-    base_dir = os.path.join(state_path, "changes")
     hist_dir = os.path.join(state_path, "history")
     log_dir = os.path.join(state_path, "changes_log")
     if not _orc_files_exist(spark, log_dir):
         return spark.read.orc(hist_dir)
-    layout = _read_layout(spark, state_path)
+    layout, _log, kps, merged = _scd2_log_merge(spark, state_path)
     key_col, attr_col, ts_col = layout["kc"], layout["ac"], layout["tc"]
     order_cols = layout["oc"].split(",")
-    log = spark.read.orc(log_dir).drop("batch_id")
-    kps = [r.kp for r in log.select("kp").distinct().collect()]
-    allrows = log
-    if _orc_files_exist(spark, base_dir):
-        allrows = allrows.unionByName(
-            spark.read.orc(base_dir).filter(F.col("kp").isin(kps))
-        )
-    fresh = scd2_history(
-        allrows.distinct(), [key_col], attr_col, ts_col, order_cols
-    )
+    fresh = scd2_history(merged, [key_col], attr_col, ts_col, order_cols)
     if _orc_files_exist(spark, hist_dir):
         return (
             spark.read.orc(hist_dir)
@@ -526,8 +546,25 @@ def _record_layout(spark: SparkSession, state_path: str, **kv) -> None:
     marker DIRECTORY NAMES (``layout/<k>=<v>``) — the same atomic
     ``mkdirs`` encoding as the replay horizon. Written once on the
     first batch; maintenance ops (fold, cleanup) read them back so an
-    external cleanup never needs the sink's constructor arguments."""
+    external cleanup never needs the sink's constructor arguments.
+
+    REFUSES a conflicting re-record: the layout params decide how the
+    base buckets were HASHED, so a sink restarted with different
+    constructor args (e.g. ``n_key_partitions`` 16 → 32) against
+    existing state would prune image lookups with the wrong modulus —
+    phantom absent pre-images, wrong deltas, no error anywhere. A
+    second marker for the same key with a different value must fail
+    loudly instead of letting ``_read_layout`` keep an arbitrary one."""
+    existing = _read_layout(spark, state_path)
     for k, v in kv.items():
+        if k in existing and existing[k] != str(v):
+            raise ValueError(
+                f"retract state layout conflict at {state_path}: "
+                f"{k}={existing[k]} recorded, {k}={v} requested — the "
+                f"state was built with different layout parameters; "
+                f"restart the sink with the recorded values or fold "
+                f"into a fresh state dir"
+            )
         _hfs_mkdirs(
             spark, os.path.join(state_path, "layout", f"{k}={v}")
         )
@@ -792,15 +829,18 @@ def stream_retract_agg_orc(
                     compression,
                     lease=False,  # already held by this batch
                 )
-                cache.pop("horizon", None)  # cleanup moved it
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base_dir = os.path.join(state_path, "state")
         log_dir = os.path.join(state_path, "state_log")
-        if "horizon" not in cache:
-            cache["horizon"] = _read_replay_horizon(spark, state_path)
-        horizon = cache["horizon"]
+        # re-read EVERY batch (one listStatus, no Spark job): an
+        # external cleanup_retract_state between triggers moves the
+        # horizon, and the docstring contract is that the sink
+        # enforces the recorded horizon on every subsequent batch —
+        # a cached value would admit below-horizon replays that can
+        # resurrect cleaned-up keys.
+        horizon = _read_replay_horizon(spark, state_path)
         if horizon is not None:
             # rows older than the cleanup horizon can only be replays
             # of already-retired history; admitting one could win the
@@ -856,49 +896,53 @@ def stream_retract_agg_orc(
                     # consumed by BOTH the pre- and post-image resolve:
                     # materialize the (small, semi-joined) lookup once
                     cand = cand.localCheckpoint(eager=True)
-                cur = (
-                    _latest_per_key(cand, [key_col], order_desc)
-                    if cand is not None
-                    else None
-                )
-                merged = _latest_per_key(
-                    cand.unionByName(ch) if cand is not None else ch,
-                    [key_col],
-                    order_desc,
-                )
-
-                def contrib(df: DataFrame, sign: int) -> DataFrame:
-                    live = F.col("op") == "U"
-                    return df.select(
-                        F.col(group_col).alias("grp"),
-                        F.when(live, F.col(val_col) * sign)
-                        .otherwise(F.lit(0))
-                        .cast("long")
-                        .alias("d_sum"),
-                        F.when(live, F.lit(sign))
-                        .otherwise(F.lit(0))
-                        .cast("long")
-                        .alias("d_count"),
+                try:
+                    cur = (
+                        _latest_per_key(cand, [key_col], order_desc)
+                        if cand is not None
+                        else None
+                    )
+                    merged = _latest_per_key(
+                        cand.unionByName(ch) if cand is not None else ch,
+                        [key_col],
+                        order_desc,
                     )
 
-                deltas = contrib(merged, 1)
-                if cur is not None:
-                    deltas = deltas.unionByName(contrib(cur, -1))
-                (
-                    deltas.groupBy("grp")
-                    .agg(
-                        F.sum("d_sum").alias("d_sum"),
-                        F.sum("d_count").alias("d_count"),
+                    def contrib(df: DataFrame, sign: int) -> DataFrame:
+                        live = F.col("op") == "U"
+                        return df.select(
+                            F.col(group_col).alias("grp"),
+                            F.when(live, F.col(val_col) * sign)
+                            .otherwise(F.lit(0))
+                            .cast("long")
+                            .alias("d_sum"),
+                            F.when(live, F.lit(sign))
+                            .otherwise(F.lit(0))
+                            .cast("long")
+                            .alias("d_count"),
+                        )
+
+                    deltas = contrib(merged, 1)
+                    if cur is not None:
+                        deltas = deltas.unionByName(contrib(cur, -1))
+                    (
+                        deltas.groupBy("grp")
+                        .agg(
+                            F.sum("d_sum").alias("d_sum"),
+                            F.sum("d_count").alias("d_count"),
+                        )
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .option("compression", compression)
+                        .partitionBy("batch_id")
+                        .orc(os.path.join(state_path, "agg_deltas"))
                     )
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .option("compression", compression)
-                    .partitionBy("batch_id")
-                    .orc(os.path.join(state_path, "agg_deltas"))
-                )
-                if cand is not None:
-                    release_local_checkpoint(cand)
+                finally:
+                    # release on the failure path too — a retrying
+                    # stream must not leak one block set per attempt
+                    if cand is not None:
+                        release_local_checkpoint(cand)
                 _hfs_mkdirs(spark, marker)
             # the ONLY per-batch state write: append to the delta log
             # (idempotent — a replay rewrites its own partition)
@@ -1292,33 +1336,29 @@ def _rj_layout(spark: SparkSession, state_path: str) -> dict:
     }
 
 
-def read_retract_join_view(
-    spark: SparkSession, state_path: str
-) -> DataFrame:
-    """Snapshot of the maintained join view of a
-    :func:`stream_retract_join_orc` state dir — MERGE-ON-READ, like
-    any Hudi/Paimon MOR table: the materialized ``view/`` base covers
-    every bucket as of the last FOLD; buckets affected by the
-    unfolded delta log are recomputed from resolved pk state. With an
-    empty log this is a plain read of ``view/``; right after a
-    bootstrap load it is a full join of the resolved log. Affected
-    buckets are found from the log rows' join keys PLUS the logged
-    pks' base images (the only record of a moved pk's OLD bucket)."""
-    lay = _rj_layout(spark, state_path)
-    njb, how = lay["njb"], lay["how"]
-    view_dir = os.path.join(state_path, "view")
-    log_dir = os.path.join(state_path, "pk_log")
-    have_view = _orc_files_exist(spark, view_dir)
-    if not _orc_files_exist(spark, log_dir):
-        if have_view:
-            return spark.read.orc(view_dir)
-        return spark.createDataFrame([], VIEW_SCHEMA)
-    jb_of = F.pmod(F.hash(F.col("jk")), F.lit(njb))
-    log = spark.read.orc(log_dir).drop("batch_id")
+def _rj_log_effect(
+    spark: SparkSession,
+    state_path: str,
+    lay: dict,
+    checkpoint_cand: bool = False,
+):
+    """Shared resolution of an unfolded delta log's effect on the jk
+    layer — the byte-equivalence contract between the MOR reader
+    (:func:`read_retract_join_view`) and :func:`fold_retract_join_state`:
+    both must answer from the SAME ``(aff, sides)`` or a fold would
+    materialize a view the reader didn't answer. Returns
+    ``(log, logpks, cand, aff, sides)``; with ``checkpoint_cand`` the
+    caller owns releasing ``cand``."""
+    jb_of = F.pmod(F.hash(F.col("jk")), F.lit(lay["njb"]))
+    log = spark.read.orc(os.path.join(state_path, "pk_log")).drop(
+        "batch_id"
+    )
     logpks = log.select("side", "pk").distinct()
     cand = _rj_resolve_images(
         spark, state_path, logpks, lay["nkp"]
     )  # = base rows of logged pks ∪ all log rows
+    if checkpoint_cand:
+        cand = cand.localCheckpoint(eager=True)
     aff = sorted(
         r.jb
         for r in cand.select(jb_of.alias("jb")).distinct().collect()
@@ -1339,6 +1379,33 @@ def read_retract_join_view(
         sides = kept.unionByName(resolved)
     else:
         sides = resolved
+    return log, logpks, cand, aff, sides
+
+
+def read_retract_join_view(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Snapshot of the maintained join view of a
+    :func:`stream_retract_join_orc` state dir — MERGE-ON-READ, like
+    any Hudi/Paimon MOR table: the materialized ``view/`` base covers
+    every bucket as of the last FOLD; buckets affected by the
+    unfolded delta log are recomputed from resolved pk state. With an
+    empty log this is a plain read of ``view/``; right after a
+    bootstrap load it is a full join of the resolved log. Affected
+    buckets are found from the log rows' join keys PLUS the logged
+    pks' base images (the only record of a moved pk's OLD bucket)."""
+    lay = _rj_layout(spark, state_path)
+    how = lay["how"]
+    view_dir = os.path.join(state_path, "view")
+    log_dir = os.path.join(state_path, "pk_log")
+    have_view = _orc_files_exist(spark, view_dir)
+    if not _orc_files_exist(spark, log_dir):
+        if have_view:
+            return spark.read.orc(view_dir)
+        return spark.createDataFrame([], VIEW_SCHEMA)
+    _log, _logpks, _cand, aff, sides = _rj_log_effect(
+        spark, state_path, lay
+    )
     view_aff = _rj_bucket_join(sides, how)
     if have_view:
         return (
@@ -1377,39 +1444,16 @@ def fold_retract_join_state(
     if not _orc_files_exist(spark, log_dir):
         return {"log_rows_folded": 0, "jk_buckets": 0, "pk_buckets": 0}
     lay = _rj_layout(spark, state_path)
-    njb, how = lay["njb"], lay["how"]
+    how = lay["how"]
     base_dir = os.path.join(state_path, "pk_state")
     jk_dir = os.path.join(state_path, "jk_state")
     view_dir = os.path.join(state_path, "view")
-    jb_of = F.pmod(F.hash(F.col("jk")), F.lit(njb))
 
-    log = spark.read.orc(log_dir).drop("batch_id")
+    log, logpks, cand, aff, sides = _rj_log_effect(
+        spark, state_path, lay, checkpoint_cand=True
+    )
     n_log = log.count()
-    logpks = log.select("side", "pk").distinct()
-    cand = _rj_resolve_images(spark, state_path, logpks, lay["nkp"])
-    cand = cand.localCheckpoint(eager=True)
     try:
-        aff = sorted(
-            r.jb
-            for r in cand.select(jb_of.alias("jb")).distinct().collect()
-        )
-        resolved = (
-            _latest_per_key(cand, ["side", "pk"], _rj_order())
-            .filter(F.col("op") == "U")
-            .withColumn("jb", jb_of)
-            .select(
-                "side", "pk", "jk", "seq", "op", "val", "attr", "jb"
-            )
-        )
-        if _orc_files_exist(spark, jk_dir):
-            kept = (
-                spark.read.orc(jk_dir)
-                .filter(F.col("jb").isin(aff))
-                .join(logpks, ["side", "pk"], "left_anti")
-            )
-            sides = kept.unionByName(resolved)
-        else:
-            sides = resolved
         sides = sides.localCheckpoint(eager=True)
         try:
             pairs = [(s, b) for s in ("L", "R") for b in aff]
@@ -1590,7 +1634,6 @@ def stream_retract_join_orc(
                     compression,
                     lease=False,  # already held by this batch
                 )
-                cache.pop("horizon", None)  # cleanup moved it
 
     def _img_cols(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1605,9 +1648,13 @@ def stream_retract_join_orc(
         jk_dir = os.path.join(state_path, "jk_state")
         deltas_root = os.path.join(state_path, "deltas")
 
-        if "horizon" not in cache:
-            cache["horizon"] = _read_replay_horizon(spark, state_path)
-        horizon = cache["horizon"]
+        # re-read EVERY batch (one listStatus, no Spark job): an
+        # external cleanup_retract_state between triggers moves the
+        # horizon, and the docstring contract is that the sink
+        # enforces the recorded horizon on every subsequent batch —
+        # a cached value would admit below-horizon replays that can
+        # resurrect cleaned-up keys.
+        horizon = _read_replay_horizon(spark, state_path)
         if horizon is not None:
             # same ingest guard as the retract-agg sink, NULL-safe
             batch_df = batch_df.filter(
@@ -1626,7 +1673,6 @@ def stream_retract_join_orc(
         ch = batch_df.withColumn(
             "kp", F.pmod(F.hash(F.col("pk")), F.lit(n_key_partitions))
         ).localCheckpoint(eager=True)
-        released = False
         try:
             marker = os.path.join(
                 state_path, "applied", f"batch_{batch_id}"
@@ -1713,11 +1759,11 @@ def stream_retract_join_orc(
                 .partitionBy("batch_id")
                 .orc(log_dir)
             )
-            release_local_checkpoint(ch)
-            released = True
         finally:
-            if not released:
-                release_local_checkpoint(ch)
+            # released before the fold below — the fold reads only
+            # on-disk state, so holding the batch blocks through it
+            # would be pure executor-storage pressure
+            release_local_checkpoint(ch)
         if _should_fold(spark, base_dir, log_dir, fold_ratio):
             fold_retract_join_state(
                 spark, state_path, compression, lease=False
@@ -1751,12 +1797,24 @@ def stream_retract_join_orc(
             )
             logpks = lg.select("side", "pk").distinct()
             anti_pks = logpks.unionByName(S).distinct()
-            P = (
-                lg.filter(jb_of.isin(aff))
-                .select("side", "pk")
-                .distinct()
-                .join(S, ["side", "pk"], "left_anti")
-            )
+            # pks that can contribute to the affected buckets and were
+            # anti-joined out of the jk layer: a logged pk's RESOLVED
+            # image is either a log row (covered by log rows whose jb
+            # lands in aff) or still its base row — when every log row
+            # for it is OLDER, e.g. a late out-of-order arrival — so
+            # the re-add set must also cover base rows in aff whose pk
+            # is logged. Pruning by log rows alone dropped the live
+            # image of a folded pk whose only unfolded log rows hash
+            # to other buckets, silently skewing the aggregate.
+            in_aff = lg.filter(jb_of.isin(aff)).select("side", "pk")
+            if _orc_files_exist(spark, jk_dir):
+                in_aff = in_aff.unionByName(
+                    spark.read.orc(jk_dir)
+                    .filter(F.col("jb").isin(aff))
+                    .join(logpks, ["side", "pk"], "left_semi")
+                    .select("side", "pk")
+                )
+            P = in_aff.distinct().join(S, ["side", "pk"], "left_anti")
             cand_P = _rj_resolve_images(
                 spark, state_path, P, n_key_partitions,
                 upto_batch=batch_id,

@@ -2133,3 +2133,188 @@ def test_retract_join_fold_preserves_view_and_agg(spark, tmp_path):
         return view(), agg()
 
     assert scenario("manual", False) == scenario("auto", True)
+
+
+def test_stream_retract_join_agg_late_row_other_bucket_after_fold(
+    spark, tmp_path
+):
+    """Regression (round-9 review): after a FOLD, a late out-of-order
+    log row for pk=1 whose jk hashes to a DIFFERENT join bucket must
+    not make pk=1's live base image invisible to _agg_diff's
+    affected-bucket pruning. The old prune set (log rows in aff only)
+    dropped the pk from both the old and new computed sides of its
+    real bucket, silently omitting its contribution to the aggregate
+    deltas of every later batch touching that bucket."""
+    import time
+
+    from flink_orc_sink_spark.streaming import (
+        fold_retract_join_state,
+        read_retract_agg,
+        read_retract_join_view,
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    # pick two jk values that land in DIFFERENT join buckets under
+    # the sink's default n_join_buckets=16
+    cand = spark.createDataFrame(
+        [(v,) for v in (5, 9, 7, 11, 13)], "jk long"
+    ).select("jk", F.pmod(F.hash("jk"), F.lit(16)).alias("jb")).collect()
+    jk_main = cand[0].jk
+    jk_other = next(r.jk for r in cand[1:] if r.jb != cand[0].jb)
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger={"availableNow": True},
+                agg_group_col="r_attr",
+                agg_val_col="l_val",
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def agg():
+        return {
+            (r.grp, r.sum_val, r.n_keys)
+            for r in read_retract_agg(spark, state).collect()
+        }
+
+    def view_agg():
+        return {
+            (r.r_attr, r.s, r.n)
+            for r in read_retract_join_view(spark, state)
+            .groupBy("r_attr")
+            .agg(F.sum("l_val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    feed(
+        [
+            ("L", 1, jk_main, 100, "U", 10, None),
+            ("R", 2, jk_main, 1, "U", None, "g"),
+        ]
+    )
+    run()
+    assert agg() == {("g", 10, 1)}
+    # fold: pk=1's latest image now lives ONLY in the jk/pk base
+    fold_retract_join_state(spark, state)
+    # late arrival for pk=1, OLDER seq, jk in a DIFFERENT bucket —
+    # appended to the log, loses latest-per-key, changes nothing
+    feed([("L", 1, jk_other, 50, "U", 999, None)])
+    run()
+    assert agg() == {("g", 10, 1)}
+    assert agg() == view_agg()
+    # a new R row joins in the ORIGINAL bucket: pk=1 is logged (so
+    # anti-joined out of the jk layer) but its only log row hashes
+    # elsewhere — the re-add set must still resolve its base image
+    feed([("R", 3, jk_main, 1, "U", None, "g")])
+    run()
+    assert agg() == {("g", 20, 2)}
+    assert agg() == view_agg()
+
+
+def test_retract_layout_conflict_refused(spark, tmp_path):
+    """Restarting a retract sink with different layout parameters
+    against existing state must fail loudly (the params decide how
+    the base buckets were hashed — a silent mismatch corrupts every
+    pruned image lookup)."""
+    from flink_orc_sink_spark.streaming import (
+        stream_from_files,
+        stream_retract_agg_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, grp string, v long, seq long, op string"
+    spark.createDataFrame(
+        [(1, "a", 5, 1, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_retract_agg_orc(
+        stream_from_files(spark, src, schema),
+        state,
+        checkpoint=str(tmp_path / "c1"),
+        key_col="k",
+        group_col="grp",
+        val_col="v",
+        order_cols=["seq"],
+        n_key_partitions=16,
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(120)
+    spark.createDataFrame(
+        [(2, "a", 7, 2, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_retract_agg_orc(
+        stream_from_files(spark, src, schema),
+        state,
+        checkpoint=str(tmp_path / "c2"),
+        key_col="k",
+        group_col="grp",
+        val_col="v",
+        order_cols=["seq"],
+        n_key_partitions=32,  # conflicts with the recorded nkp=16
+        trigger={"availableNow": True},
+    )
+    try:
+        q.awaitTermination(120)
+        exc = q.exception()
+    except Exception as e:  # surfaced through awaitTermination
+        exc = e
+    assert exc is not None and "layout conflict" in str(exc)
+
+
+def test_cdc_pre_r9_layout_refused(spark, tmp_path):
+    """A CDC state dir in the pre-round-9 layout (kp=* partitions at
+    the state root) must be refused loudly, not silently ignored —
+    reading past it would be data loss."""
+    import os
+
+    from flink_orc_sink_spark.streaming import (
+        stream_cdc_apply_orc,
+        stream_from_files,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "kp=0"))
+    schema = "k long, v long, seq long, op string"
+    spark.createDataFrame(
+        [(1, 5, 1, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_cdc_apply_orc(
+        stream_from_files(spark, src, schema),
+        state,
+        checkpoint=str(tmp_path / "c"),
+        key_col="k",
+        order_cols=["seq"],
+        trigger={"availableNow": True},
+    )
+    try:
+        q.awaitTermination(120)
+        exc = q.exception()
+    except Exception as e:  # surfaced through awaitTermination
+        exc = e
+    assert exc is not None and "pre-round-9" in str(exc)
