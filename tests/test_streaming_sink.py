@@ -2318,3 +2318,234 @@ def test_cdc_pre_r9_layout_refused(spark, tmp_path):
     except Exception as e:  # surfaced through awaitTermination
         exc = e
     assert exc is not None and "pre-round-9" in str(exc)
+
+
+def test_fold_retract_join_crash_prefixes_converge(spark, tmp_path):
+    """The fold's write order (jk -> view -> pk base -> log delete) IS
+    its crash contract: after ANY prefix of the writes, the
+    merge-on-read reader must still answer exactly, and a clean
+    re-fold must converge. Drive every crash window by fault
+    injection instead of trusting the docstring."""
+    import time
+
+    import pytest
+
+    import flink_orc_sink_spark.streaming.orc_sink as sink_mod
+    from flink_orc_sink_spark.streaming import (
+        fold_retract_join_state,
+        read_retract_join_view,
+        stream_from_files,
+        stream_retract_join_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = (
+        "side string, pk long, jk long, seq long, op string,"
+        " val long, attr string"
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_retract_join_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def view():
+        return {
+            (r.l_pk, r.jk, r.l_val, r.r_attr)
+            for r in read_retract_join_view(spark, state).collect()
+        }
+
+    # two batches -> non-empty pk_log, including a join-key move
+    feed(
+        [
+            ("L", 101, 1, 1, "U", 10, None),
+            ("L", 102, 2, 1, "U", 20, None),
+            ("R", 1, 1, 1, "U", None, "x"),
+            ("R", 2, 2, 1, "U", None, "y"),
+        ]
+    )
+    feed([("L", 101, 2, 2, "U", 11, None)])
+    run()
+    want = {(101, 2, 11, "y"), (102, 2, 20, "y")}
+    assert view() == want
+
+    # W1: crash before the VIEW write (jk layer already rewritten)
+    orig_ob = sink_mod._overwrite_buckets
+    calls = {"n": 0}
+
+    def boom_ob(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash before view write")
+        return orig_ob(*a, **k)
+
+    sink_mod._overwrite_buckets = boom_ob
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            fold_retract_join_state(spark, state)
+    finally:
+        sink_mod._overwrite_buckets = orig_ob
+    assert view() == want, "reader diverged after jk-write crash"
+
+    # W2: crash after the view write, before the pk-base write (the
+    # fold's 2nd _latest_per_key call starts the pk base resolve;
+    # the 1st is the jk-side resolve inside _rj_log_effect)
+    orig_lpk = sink_mod._latest_per_key
+    calls = {"n": 0}
+
+    def boom_lpk(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash before base write")
+        return orig_lpk(*a, **k)
+
+    sink_mod._latest_per_key = boom_lpk
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            fold_retract_join_state(spark, state)
+    finally:
+        sink_mod._latest_per_key = orig_lpk
+    assert view() == want, "reader diverged after view-write crash"
+
+    # W3: every write landed, crash before the log delete
+    orig_rm = sink_mod._hfs_rmtree
+
+    def boom_rm(spark_, path):
+        if str(path).rstrip("/").endswith("pk_log"):
+            raise RuntimeError("injected crash before log delete")
+        return orig_rm(spark_, path)
+
+    sink_mod._hfs_rmtree = boom_rm
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            fold_retract_join_state(spark, state)
+    finally:
+        sink_mod._hfs_rmtree = orig_rm
+    assert view() == want, "reader diverged after base-write crash"
+
+    # clean re-fold converges; the log is gone; view answers alone
+    stats = fold_retract_join_state(spark, state)
+    assert stats["log_rows_folded"] > 0
+    assert view() == want
+    assert fold_retract_join_state(spark, state)["log_rows_folded"] == 0
+    assert view() == want
+
+
+def test_fold_scd2_crash_prefixes_converge(spark, tmp_path):
+    """Same contract for the SCD2 fold (changes -> history -> log
+    delete): every crash prefix leaves the merge-on-read history
+    exact, and a clean re-fold converges."""
+    import time
+
+    import pytest
+
+    import flink_orc_sink_spark.operators.relational as rel_mod
+    import flink_orc_sink_spark.streaming.orc_sink as sink_mod
+    from flink_orc_sink_spark.streaming import (
+        fold_scd2_state,
+        read_scd2_history,
+        stream_from_files,
+        stream_scd2_apply_orc,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, attr string, ts long, seq long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_scd2_apply_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ckpt"),
+                key_col="k",
+                attr_col="attr",
+                ts_col="ts",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def hist():
+        return {
+            tuple(r)
+            for r in read_scd2_history(spark, state)
+            .select("k", "attr", "effective_from", "effective_to")
+            .collect()
+        }
+
+    feed([(1, "a", 10, 1), (2, "p", 10, 1)])
+    feed([(1, "b", 20, 2)])
+    run()
+    want = hist()
+    assert want, "empty history"
+
+    # W1: crash after the changes/ write, before the history rebuild
+    orig_sh = rel_mod.scd2_history
+
+    def boom_sh(*a, **k):
+        raise RuntimeError("injected crash before history write")
+
+    rel_mod.scd2_history = boom_sh
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            fold_scd2_state(spark, state)
+    finally:
+        rel_mod.scd2_history = orig_sh
+    assert hist() == want, "reader diverged after changes-write crash"
+
+    # W2: everything written, crash before the log delete
+    orig_rm = sink_mod._hfs_rmtree
+
+    def boom_rm(spark_, path):
+        if str(path).rstrip("/").endswith("changes_log"):
+            raise RuntimeError("injected crash before log delete")
+        return orig_rm(spark_, path)
+
+    sink_mod._hfs_rmtree = boom_rm
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            fold_scd2_state(spark, state)
+    finally:
+        sink_mod._hfs_rmtree = orig_rm
+    assert hist() == want, "reader diverged after history-write crash"
+
+    stats = fold_scd2_state(spark, state)
+    assert stats["log_rows_folded"] > 0
+    assert hist() == want
+    assert fold_scd2_state(spark, state)["log_rows_folded"] == 0
+    assert hist() == want
