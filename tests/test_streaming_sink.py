@@ -2549,3 +2549,87 @@ def test_fold_scd2_crash_prefixes_converge(spark, tmp_path):
     assert hist() == want
     assert fold_scd2_state(spark, state)["log_rows_folded"] == 0
     assert hist() == want
+
+
+def test_fold_retract_state_crash_before_log_delete_converges(
+    spark, tmp_path
+):
+    """The plain base fold's crash window (base written, log not yet
+    deleted) leaves every log row duplicated in the base —
+    latest-per-key must absorb the duplicates so the reader answers
+    exactly and a re-fold converges."""
+    import time
+
+    import pytest
+
+    import flink_orc_sink_spark.streaming.orc_sink as sink_mod
+    from flink_orc_sink_spark.streaming import (
+        fold_retract_state,
+        read_retract_state,
+        stream_cdc_apply_orc,
+        stream_from_files,
+    )
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "k long, v long, seq long, op string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        for attempt in range(10):
+            q = stream_cdc_apply_orc(
+                stream_from_files(spark, src, schema),
+                state,
+                checkpoint=str(tmp_path / "ckpt"),
+                key_col="k",
+                order_cols=["seq"],
+                trigger={"availableNow": True},
+            )
+            try:
+                assert q.awaitTermination(120), "stream did not drain"
+                return
+            except Exception:
+                if (
+                    attempt == 9
+                    or "concurrently using" not in str(q.exception())
+                ):
+                    raise
+                time.sleep(1)
+
+    def table():
+        return {
+            (r.k, r.v, r.seq, r.op)
+            for r in read_retract_state(spark, state).collect()
+        }
+
+    feed([(1, 10, 1, "U"), (2, 20, 1, "U")])
+    feed([(1, 11, 2, "U"), (3, 30, 1, "U"), (2, None, 2, "D")])
+    run()
+    want = table()
+    assert want == {(1, 11, 2, "U"), (3, 30, 1, "U"), (2, None, 2, "D")}
+
+    orig_rm = sink_mod._hfs_rmtree
+
+    def boom_rm(spark_, path):
+        if str(path).rstrip("/").endswith("state_log"):
+            raise RuntimeError("injected crash before log delete")
+        return orig_rm(spark_, path)
+
+    sink_mod._hfs_rmtree = boom_rm
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            fold_retract_state(spark, state)
+    finally:
+        sink_mod._hfs_rmtree = orig_rm
+    # base now holds the folded rows AND the log still exists: the
+    # merge-on-read resolve must absorb the duplicates
+    assert table() == want, "reader diverged in the crash window"
+    stats = fold_retract_state(spark, state)
+    assert stats["log_rows_folded"] > 0
+    assert table() == want
+    assert fold_retract_state(spark, state)["log_rows_folded"] == 0
+    assert table() == want
