@@ -187,15 +187,29 @@ HEADLINE = [
 ]
 
 
-# Calibration probe: a FIXED, data-independent, CPU-bound job (hash
-# reduction over a generated range — pure whole-stage codegen, no I/O,
-# no shuffle materialization) run immediately before and after the
-# headline loop. Its wall time depends only on host CPU availability,
-# so a contended driver run (round-6/7 adjudication pattern: external
-# load made 2-4x "regressions" the judge had to re-run by hand) is
-# visible IN THE ARTIFACT: tools/bench_regression.py compares these
-# values against the pin's and normalizes/flags when they drift.
+# Calibration probes: FIXED, data-independent jobs run immediately
+# before and after the headline loop. Their wall times depend only on
+# host health along three distinct paths — so a contended or sick
+# driver run (round-6/7 adjudication pattern: external load made 2-4x
+# "regressions" the judge had to re-run by hand; round-9 pattern:
+# Python-worker/file-I/O degradation the JVM-only probe was blind to)
+# is visible IN THE ARTIFACT, per path: tools/bench_regression.py
+# compares these values against the pin's and normalizes each query
+# by the probe matching its execution path.
+#
+#   jvm    — hash reduction over a generated range: pure whole-stage
+#            codegen, no I/O, no Python worker, no shuffle
+#            materialization. CPU availability only.
+#   python — fixed mapInPandas job: Python worker spawn/reuse + Arrow
+#            serialization, the path the JVM probe cannot see (the
+#            r9 driver run read calib 1.00x while emb/multimodal/pyds
+#            inflated 4-6x).
+#   io     — fixed ORC write + read-back on local disk: page cache /
+#            filesystem health, the path orc_*/stream-state queries
+#            pay and the CPU probe cannot see.
 CALIB_ROWS = 1_500_000_000
+PY_CALIB_ROWS = 8_000_000
+IO_CALIB_ROWS = 3_000_000
 
 
 def calibration_sec(spark) -> float:
@@ -210,23 +224,244 @@ def calibration_sec(spark) -> float:
     return round(_t.time() - t0, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def calibration_python_sec(spark) -> float:
+    """Fixed Arrow-batched Python-worker job (mapInPandas hash-sum):
+    measures worker spawn/reuse + Arrow transfer health. 32 input
+    partitions so the probe exercises the same worker-pool fan-out
+    the pandas-UDF headline queries do."""
+    import time as _t
 
-    from flink_orc_sink_spark.queries import all_queries
-    from flink_orc_sink_spark.session import get_spark
+    import pandas as pd
 
-    spark = get_spark("bench")
-    from flink_orc_sink_spark.queries.llm import BENCH_ONLY
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
 
-    queries = {**all_queries(), **BENCH_ONLY}
+    t0 = _t.time()
+    spark.range(0, PY_CALIB_ROWS, 1, 32).mapInPandas(
+        batches, "s long"
+    ).selectExpr("sum(s) as t").collect()
+    return round(_t.time() - t0, 3)
 
-    # Warm the JVM/session on the smallest scale so per-query numbers
-    # measure the query, not one-time codegen/session init. The second
-    # warm-up primes the Python UDF daemon/worker pool — the first
-    # pandas-UDF stage of a session otherwise pays worker spin-up
-    # (measured: 12.9 s cold vs 2.8 s warm on docs_minhash_pairs).
+
+def calibration_io_sec(spark) -> float:
+    """Fixed ORC write + read-back probe on the same filesystem the
+    orc_*/stream-state queries use (tempdir): measures file-I/O and
+    page-cache health. Dir is removed afterwards so repeated probes
+    never accumulate."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    d = tempfile.mkdtemp(prefix="bench_io_probe_")
+    try:
+        t0 = _t.time()
+        (
+            spark.range(0, IO_CALIB_ROWS, 1, 16)
+            .selectExpr(
+                "id",
+                "xxhash64(id) as h",
+                "cast(id % 1000 as string) as s",
+            )
+            .write.mode("overwrite")
+            .orc(d)
+        )
+        n = spark.read.orc(d).count()
+        sec = round(_t.time() - t0, 3)
+        if n != IO_CALIB_ROWS:
+            raise RuntimeError(f"io probe row mismatch: {n}")
+        return sec
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def run_probes(spark) -> dict[str, float]:
+    """One pass of all three calibration probes."""
+    return {
+        "jvm": calibration_sec(spark),
+        "python": calibration_python_sec(spark),
+        "io": calibration_io_sec(spark),
+    }
+
+
+# ---------------------------------------------------------------- #
+# Per-query telemetry: Spark job counts, JVM GC time, JVM file I/O, #
+# Python-worker spawns and Python-worker CPU. Lets the regression   #
+# gate separate "plan changed" (job counts moved vs pin) from "host #
+# degraded" (job counts flat, walls inflated, probes drifted) —     #
+# round-9 verdict task 1b.                                          #
+# ---------------------------------------------------------------- #
+
+
+def _spark_job_counter(spark) -> int:
+    """Monotonic count of Spark jobs submitted this session (covers
+    every thread, including streaming micro-batches — unlike
+    job-group tracking). -1 when the internal accessor is missing."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+    except Exception:
+        return -1
+
+
+def _gc_ms(spark) -> int:
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:
+        return -1
+
+
+def _jvm_pid(spark) -> int:
+    try:
+        return int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    except Exception:
+        return -1
+
+
+def _proc_io_bytes(pid: int) -> tuple[int, int]:
+    """(read_bytes, write_bytes) actually hitting the block layer for
+    ``pid`` — page-cache hits don't count, which is exactly right for
+    detecting cold-cache/IO-starved hosts."""
+    try:
+        rd = wr = 0
+        with open(f"/proc/{pid}/io") as f:
+            for line in f:
+                if line.startswith("read_bytes:"):
+                    rd = int(line.split()[1])
+                elif line.startswith("write_bytes:"):
+                    wr = int(line.split()[1])
+        return rd, wr
+    except OSError:
+        return -1, -1
+
+
+def _py_workers(jvm_pid: int = -1) -> dict[int, int]:
+    """{pid: cpu_ticks} for live pyspark daemon/worker processes
+    belonging to THIS session's JVM (ancestor filter on ``jvm_pid``,
+    so a concurrent Spark session on the host doesn't pollute the
+    numbers; -1 disables the filter). CPU is utime+stime in clock
+    ticks (100/s)."""
+    # (pid -> (ppid, cpu)) for every pyspark daemon/worker on the host
+    procs: dict[int, tuple[int, int]] = {}
+    try:
+        entries = os.listdir("/proc")
+    except OSError:
+        return {}
+    for p in entries:
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read()
+            if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                continue
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # post-comm fields: [state, ppid, ...]; utime/stime are
+            # 1-based stat fields 14/15 → indexes 11/12 here
+            procs[int(p)] = (
+                int(parts[1]),
+                int(parts[11]) + int(parts[12]),
+            )
+        except (OSError, IndexError, ValueError):
+            continue
+    if jvm_pid < 0:
+        return {pid: cpu for pid, (_, cpu) in procs.items()}
+    # daemons are direct children of the JVM; workers are forked from
+    # daemons — walk the parent links until they leave the scanned set
+    ours: set[int] = set()
+    for pid, (ppid, _) in procs.items():
+        chain = []
+        cur, cur_ppid = pid, ppid
+        while True:
+            if cur_ppid == jvm_pid or cur_ppid in ours:
+                ours.add(cur)
+                ours.update(chain)
+                break
+            chain.append(cur)
+            if cur_ppid not in procs:
+                break
+            cur = cur_ppid
+            cur_ppid = procs[cur_ppid][0]
+    return {pid: procs[pid][1] for pid in ours}
+
+
+class Telemetry:
+    """Snapshots host/session counters around each query."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.jvm_pid = _jvm_pid(spark)
+        self.seen_worker_pids: set[int] = set(_py_workers(self.jvm_pid))
+
+    def snap(self) -> dict:
+        rd, wr = _proc_io_bytes(self.jvm_pid)
+        return {
+            "jobs": _spark_job_counter(self.spark),
+            "gc_ms": _gc_ms(self.spark),
+            "rd": rd,
+            "wr": wr,
+            "pyw": _py_workers(self.jvm_pid),
+        }
+
+    def delta(self, before: dict, after: dict) -> dict:
+        pyw0, pyw1 = before["pyw"], after["pyw"]
+        new_pids = set(pyw1) - self.seen_worker_pids
+        self.seen_worker_pids |= set(pyw1)
+        # CPU across workers alive at both snapshots + full CPU of new
+        # ones; workers that died mid-query lose their tail — fine for
+        # a "was Python involved and how hard" classifier signal
+        py_ticks = sum(
+            pyw1[p] - pyw0.get(p, 0) for p in pyw1
+        )
+        return {
+            "jobs": (
+                after["jobs"] - before["jobs"]
+                if after["jobs"] >= 0 and before["jobs"] >= 0
+                else -1
+            ),
+            "gc_ms": (
+                after["gc_ms"] - before["gc_ms"]
+                if after["gc_ms"] >= 0 and before["gc_ms"] >= 0
+                else -1
+            ),
+            "jvm_rd_mb": (
+                round((after["rd"] - before["rd"]) / 1e6, 1)
+                if after["rd"] >= 0 and before["rd"] >= 0
+                else -1
+            ),
+            "jvm_wr_mb": (
+                round((after["wr"] - before["wr"]) / 1e6, 1)
+                if after["wr"] >= 0 and before["wr"] >= 0
+                else -1
+            ),
+            "py_spawns": len(new_pids),
+            "py_cpu_ms": py_ticks * 10,
+        }
+
+
+def _family(name: str) -> str:
+    return "tpch" if name[0] == "q" and name[1].isdigit() else name.split("_")[0]
+
+
+def warm_session(spark, queries, sf_dir: str) -> None:
+    """Warm the JVM/session on the smallest scale so per-query numbers
+    measure the query, not one-time codegen/session init. The second
+    warm-up primes the Python UDF daemon/worker pool — the first
+    pandas-UDF stage of a session otherwise pays worker spin-up
+    (measured: 12.9 s cold vs 2.8 s warm on docs_minhash_pairs).
+
+    NOTE these warm-ups move REAL per-session fixed costs out of the
+    per-query numbers — deliberate (a production session pays them
+    once, not per query), but it means a host where warm state decays
+    mid-run (worker churn under memory pressure — the r9 driver
+    pattern) re-pays them inside query walls. That is what the
+    python/io calibration probes + per-query py_spawns telemetry now
+    detect, instead of the warm-up silently hiding the pathology.
+    """
     queries["q1_pricing_summary"](spark, sf_dir).count()
     # Prefer the smallest available scale for the UDF-daemon warm-up;
     # fall back to the bench dir itself on hosts without /root/testdata.
@@ -237,8 +472,6 @@ def main() -> None:
     # ... and the streaming runtime: the first streaming query of a
     # session pays ~5 s of state-store/session init (RocksDB provider,
     # streaming-source codegen) that is one-time cost, not query cost.
-    # Warm it on the smallest scale so the stream_* headline numbers
-    # measure steady-state micro-batch work.
     # ... and the retract-IVM family: its first invocation of a session
     # pays foreachBatch + ORC-state + localCheckpoint codegen/Arrow
     # setup that is one-time, not query cost (round-6 adjudication:
@@ -261,17 +494,55 @@ def main() -> None:
             queries[warm_q](spark, warm_dir).count()
         except Exception:
             pass
+    calibration_sec(spark)  # codegen warm-up for the probes
+    calibration_python_sec(spark)
+    calibration_io_sec(spark)
 
-    calibration_sec(spark)  # codegen warm-up for the probe itself
-    calib_first = calibration_sec(spark)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # "family": stop + rebuild the SparkSession (and re-warm) between
+    # headline families — the r9-verdict experiment isolating whether
+    # a single 129-query session mismeasures late families via
+    # accumulated session debris. Comparison recorded in BASELINE.md.
+    restart_mode = os.environ.get("SPARK_GRAFT_BENCH_RESTART", "")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from flink_orc_sink_spark.queries import all_queries
+    from flink_orc_sink_spark.session import get_spark
+
+    spark = get_spark("bench")
+    from flink_orc_sink_spark.queries.llm import BENCH_ONLY
+
+    queries = {**all_queries(), **BENCH_ONLY}
+
+    warm_session(spark, queries, sf_dir)
+    probes_first = run_probes(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
+    telemetry: dict[str, dict] = {}
+    tel = Telemetry(spark)
+    prev_family = None
     for name in HEADLINE:
+        if (
+            restart_mode == "family"
+            and prev_family is not None
+            and _family(name) != prev_family
+        ):
+            spark.stop()
+            spark = get_spark("bench")
+            warm_session(spark, queries, sf_dir)
+            tel = Telemetry(spark)
+        prev_family = _family(name)
         fn = queries[name]
+        before = tel.snap()
         t0 = time.time()
         fn(spark, sf_dir).count()
-        per_query[name] = round(time.time() - t0, 3)
+        wall = round(time.time() - t0, 3)
+        after = tel.snap()
+        per_query[name] = wall
+        telemetry[name] = {"sec": wall, **tel.delta(before, after)}
         # Measure each query, not the session debris of the previous
         # ones: memory-sink tables and cached blocks accumulate across
         # the 40+ headline queries and show up as GC noise in later
@@ -281,7 +552,8 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
 
-    calib_last = calibration_sec(spark)
+    probes_last = run_probes(spark)
+    calib_first, calib_last = probes_first["jvm"], probes_last["jvm"]
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -289,8 +561,12 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "telemetry": telemetry,
+        "probes_first": probes_first,
+        "probes_last": probes_last,
         "calibration_first_sec": calib_first,
         "calibration_last_sec": calib_last,
+        "restart_mode": restart_mode or "single-session",
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -319,6 +595,11 @@ def main() -> None:
         # needs BENCH_DETAIL.json)
         "calibration_first_sec": calib_first,
         "calibration_last_sec": calib_last,
+        # per-path probe pairs (jvm/python/io before+after): the
+        # one-line summary of host health along each execution path
+        "probes": {
+            k: [probes_first[k], probes_last[k]] for k in probes_first
+        },
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf_val,
     }

@@ -1175,14 +1175,15 @@ def append_to_minhash_index(
     ):
         (
             band_rows(sigs)
-            # HASH-repartition on (band, bkey): band dirs preserved
-            # via partitionBy and parallelism scales past the 16-band
-            # cap a repartition("band") would impose — same layout
-            # guarantees as the build's repartitionByRange but WITHOUT
-            # its per-call range-sampling job, which at one append per
-            # micro-batch is pure fixed cost (batch-sized appends have
-            # no skew for range bounds to fix)
-            .repartition("band", "bkey")
+            # repartition on the PARTITION COLUMN ALONE: every band's
+            # rows land in one task, so partitionBy writes one file
+            # per band per append (≤ n_bands files) — hashing on
+            # (band, bkey) would interleave each band across all
+            # shuffle tasks and write up to tasks×bands files per
+            # append, compounding small files over steady ingest. The
+            # n_bands parallelism cap is irrelevant for a batch-sized
+            # append, and there is no range-sampling job either.
+            .repartition("band")
             .sortWithinPartitions("band", "bkey")
             .write.mode("append")
             .partitionBy("band")
@@ -1365,9 +1366,13 @@ def append_to_gram_index(
             occ.select("gh")
             .distinct()
             .withColumn("tag", F.lit(tag).cast("long"))
-            # hash, not range: a batch-sized append doesn't need range
-            # bounds (and their extra sampling job per micro-batch)
-            .repartition(4, "gh")
+            # RANGE-partition (matching the build layout, which the
+            # probe relies on): each appended file then covers a
+            # narrow gh range, so parquet min/max row-group pruning
+            # on probe-side gh filters keeps working as appended
+            # segments accumulate. The sampling job runs on the
+            # already-distinct batch-sized gh frame — cheap.
+            .repartitionByRange(4, "gh")
             .sortWithinPartitions("gh")
             .write.mode("append")
             .parquet(f"{index_path}/grams")

@@ -1056,14 +1056,15 @@ def append_to_ahash_index(
     ):
         (
             _ahash_band_rows(hashes, id_col, hash_col, n_bands)
-            # hash-partition on (band, key): band grouping is
-            # preserved (partitionBy still routes rows to band
-            # directories) while write parallelism scales with the
-            # cluster instead of being capped at n_bands tasks; hash
-            # instead of range spares the per-micro-batch
-            # range-sampling job (batch-sized appends have no skew
-            # for range bounds to fix)
-            .repartition("band", "key")
+            # repartition on the PARTITION COLUMN ALONE: every band's
+            # rows land in one task, so partitionBy writes one file
+            # per band per append (≤ n_bands files) — hashing on
+            # (band, key) would interleave each band across all
+            # shuffle tasks and write up to tasks×bands files per
+            # append, compounding small files over steady ingest. The
+            # n_bands parallelism cap is irrelevant for a batch-sized
+            # append, and there is no range-sampling job either.
+            .repartition("band")
             .sortWithinPartitions("band", "key")
             .write.mode("append")
             .partitionBy("band")

@@ -182,12 +182,15 @@ def append_to_bm25_index(
             _postings(df, id_col, text_col)
             .withColumn("bucket", _bucket(F.col("token")))
             .withColumn("tag", F.lit(tag).cast("long"))
-            # same bucket-dir writer layout as the build, so steady
-            # ingest adds O(batch-parallelism) files per append, not
-            # O(tasks × buckets); hash instead of range spares the
-            # per-micro-batch range-sampling job (batch-sized appends
-            # have no skew for range bounds to fix)
-            .repartition("bucket", "token")
+            # repartition on the PARTITION COLUMN ALONE: every
+            # bucket's rows land in one task, so partitionBy writes
+            # one file per bucket per append (≤ n_buckets files) —
+            # hash on (bucket, token) would interleave each bucket
+            # across all shuffle tasks and write up to tasks×buckets
+            # files per append, compounding small files over steady
+            # ingest. Parallelism capped at n_buckets is irrelevant
+            # for a batch-sized append; no range-sampling job either.
+            .repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{index_path}/postings")

@@ -46,67 +46,76 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       all 50 slots went to the entries with the OLDEST
 #       last-driver-green round (24 last green in r2, then the
 #       alphabetical head of the 41 last green in r3).
-#   r9 (this round, round-8 verdict #2): freshness frontier moves on —
-#       the 15-entry r3-stale remainder, then the alphabetical head
-#       (35) of the 50 entries last green in r4, computed from
-#       CORRECTNESS_r01..r08 exactly as the r8 verdict did. Registry
-#       frozen at 263.
+#   r9: freshness frontier moved on — the 15-entry r3-stale
+#       remainder, then the alphabetical head (35) of the 50 entries
+#       last green in r4, computed from CORRECTNESS_r01..r08 exactly
+#       as the r8 verdict did. Registry frozen at 263.
+#   r10 (this round, round-9 verdict #3): CHANGED-SINCE-VERIFIED
+#       first — every query whose implementation was reworked after
+#       its last driver-green run: the LSM delta-log stateful sinks
+#       (retract agg/join family r9 rework, last green r5; CDC/SCD2
+#       r5/r6; orc_incremental_agg), the index-ingest/probe families
+#       whose appenders were repartitioned in r9 and fixed to
+#       partition-column-only in r10, and the r10 distributed-bloom
+#       contamination query. Remaining 28 slots: freshness rotation
+#       over the r4-stale cohort (from CORRECTNESS_r01..r09).
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
-    # --- 15-entry remainder last driver-green in r3 ---
-    "part_association_rules",
-    "part_brand_elasticity",
-    "part_fuzzy_name_pairs",
-    "part_pareto_frontier",
-    "profile_corr_matrix",
-    "profile_entropy",
-    "profile_ols_regression",
-    "pyds_source_agg",
-    "sales_share_of_region",
-    "sales_yoy_growth",
-    "stream_chained_windows",
-    "stream_interval_join_full",
-    "stream_pyds_source",
-    "stream_sessionize_dynamic",
-    "stream_topk_per_window",
-    # --- 35 slots from the r4-stale cohort (alphabetical) ---
-    "agg_mode_per_group",
-    "docs_balance_sources",
-    "docs_bm25_topk",
-    "docs_bpe_pair_counts",
+    # --- changed since last driver verification (22) ---
+    "stream_retract_agg",
+    "stream_retract_join",
+    "stream_retract_join_left",
+    "stream_retract_join_agg",
+    "stream_cdc_apply",
+    "stream_scd2_apply",
+    "orc_incremental_agg",
+    "stream_minhash_index_ingest",
+    "stream_emb_index_ingest",
+    "stream_media_index_ingest",
+    "stream_gram_index_ingest",
+    "stream_bm25_index_ingest",
+    "stream_index_forget_ingest",
+    "docs_incremental_dedup",
     "docs_index_probe_dedup",
-    "docs_lm_quality_buckets",
-    "docs_negative_samples",
-    "docs_paragraph_dedup",
-    "docs_rrf_hybrid",
-    "docs_source_divergence",
-    "docs_temperature_mix",
-    "docs_tfidf_top_terms",
-    "docs_token_budget_select",
-    "docs_top_tokens_sketch",
-    "docs_weighted_sample",
-    "emb_int8_topk",
-    "emb_knn_label_accuracy",
-    "emb_neardup_pairs",
-    "events_anomaly_mad",
-    "events_cohort_revenue",
-    "events_daily_gapfill",
-    "events_decay_wma_daily",
-    "events_hll_union_rollup",
-    "events_theta_audience_overlap",
-    "events_windowed_funnel",
-    "graph_pagerank_events",
-    "graph_triangle_count",
-    "join_not_in_nulls",
-    "multimodal_audio_features",
-    "multimodal_crossformat_neardup",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample_stats",
-    "multimodal_gif_stats",
-    "multimodal_jpeg_stats",
-    "multimodal_phash_neardup",
+    "docs_index_cut_dedup",
+    "docs_bm25_index_topk",
+    "docs_bm25_index_forget",
+    "docs_index_forget_dedup",
+    "emb_index_forget_matches",
+    "multimodal_index_forget",
+    "docs_contamination_bloom",
+    # --- 28 slots from the r4-stale cohort (alphabetical) ---
+    "multimodal_resize_stats",
+    "orc_bloom_pruned_read",
+    "orc_bucketed_join",
+    "orc_compact_roundtrip",
+    "orc_partition_upsert",
+    "orc_time_travel",
+    "parts_hierarchy_rollup",
+    "q14_promo_effect",
+    "stream_interval_join",
+    "stream_interval_join_left",
+    "stream_pyds_partitioned",
+    "stream_quarantine",
+    "window_percent_rank",
+    # r5-stale continuation (alphabetical head)
+    "docs_classifier_train",
+    "docs_contamination_spans",
+    "docs_cut_dup_spans",
+    "docs_dup_ngram_spans",
+    "docs_export_shards",
+    "docs_pii_tokenize",
+    "dq_audit_orders",
+    "emb_ivf_recall_eval",
+    "emb_ivfpq_recall_eval",
+    "emb_lsh_ann_topk",
+    "emb_lsh_neardup_pairs",
+    "emb_lsh_recall_eval",
+    "emb_pq_recall_eval",
+    "events_bitmap_distinct_rollup",
+    "events_cdc_apply",
 )
 
 

@@ -1359,26 +1359,38 @@ def _rj_log_effect(
     )  # = base rows of logged pks ∪ all log rows
     if checkpoint_cand:
         cand = cand.localCheckpoint(eager=True)
-    aff = sorted(
-        r.jb
-        for r in cand.select(jb_of.alias("jb")).distinct().collect()
-    )
-    resolved = (
-        _latest_per_key(cand, ["side", "pk"], _rj_order())
-        .filter(F.col("op") == "U")
-        .withColumn("jb", jb_of)
-        .select("side", "pk", "jk", "seq", "op", "val", "attr", "jb")
-    )
-    jk_dir = os.path.join(state_path, "jk_state")
-    if _orc_files_exist(spark, jk_dir):
-        kept = (
-            spark.read.orc(jk_dir)
-            .filter(F.col("jb").isin(aff))
-            .join(logpks, ["side", "pk"], "left_anti")
+    try:
+        aff = sorted(
+            r.jb
+            for r in cand.select(jb_of.alias("jb")).distinct().collect()
         )
-        sides = kept.unionByName(resolved)
-    else:
-        sides = resolved
+        resolved = (
+            _latest_per_key(cand, ["side", "pk"], _rj_order())
+            .filter(F.col("op") == "U")
+            .withColumn("jb", jb_of)
+            .select("side", "pk", "jk", "seq", "op", "val", "attr", "jb")
+        )
+        jk_dir = os.path.join(state_path, "jk_state")
+        if _orc_files_exist(spark, jk_dir):
+            kept = (
+                spark.read.orc(jk_dir)
+                .filter(F.col("jb").isin(aff))
+                .join(logpks, ["side", "pk"], "left_anti")
+            )
+            sides = kept.unionByName(resolved)
+        else:
+            sides = resolved
+    except BaseException:
+        # the caller's release-on-failure finally only starts after
+        # this helper RETURNS — if the aff collect (a Spark job) or
+        # plan construction dies here, the eager checkpoint blocks
+        # would leak for the session's lifetime. Release and re-raise.
+        if checkpoint_cand:
+            try:
+                cand.unpersist()
+            except Exception:
+                pass
+        raise
     return log, logpks, cand, aff, sides
 
 

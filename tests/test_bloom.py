@@ -42,3 +42,33 @@ def test_deterministic_across_builds():
     assert bl.build_bloom(keys, n_bits, n_hashes) == bl.build_bloom(
         keys, n_bits, n_hashes
     )
+
+
+def test_distributed_build_bit_identical(spark):
+    """build_bloom_distributed must produce the EXACT bytes of the
+    driver-side build_bloom over the same hash set — the contract
+    that lets might_contain stay unchanged (round-9 verdict #5)."""
+    rng = np.random.default_rng(23)
+    keys = rng.integers(-(2**62), 2**62, size=4000, dtype=np.int64)
+    n_bits, n_hashes = bl.sizing_words(len(keys), fpp=0.01)
+    want = bl.build_bloom(keys.astype(np.uint64), n_bits, n_hashes)
+    df = spark.createDataFrame(
+        [(int(k),) for k in keys], "h long"
+    ).repartition(8)
+    got = bl.build_bloom_distributed(df, "h", n_bits, n_hashes)
+    assert got == want
+
+
+def test_distributed_build_empty(spark):
+    n_bits, n_hashes = bl.sizing_words(0, fpp=0.01)
+    df = spark.createDataFrame([], "h long")
+    got = bl.build_bloom_distributed(df, "h", n_bits, n_hashes)
+    assert got == bytes(n_bits // 8)
+    probe = pd.Series(np.arange(50, dtype=np.int64))
+    assert not bl.might_contain(got, n_bits, n_hashes, probe).any()
+
+
+def test_sizing_words_alignment():
+    for n in (0, 1, 7, 100, 99999):
+        n_bits, _ = bl.sizing_words(n)
+        assert n_bits % 64 == 0

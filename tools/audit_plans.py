@@ -140,6 +140,67 @@ def _audit_checkpoint_hygiene(pkg_root: str) -> list[str]:
     return findings
 
 
+# Functions allowed to call the in-memory ``build_bloom`` directly:
+# call sites that already run ON EXECUTORS over bounded per-group key
+# sets (so nothing is collected to the driver).
+ALLOW_LOCAL_BLOOM_BUILD = {
+    # per-FILE bitsets inside a groupBy(file).applyInPandas — each
+    # build sees one file's distinct keys, on an executor
+    "build_bloom_index",
+}
+
+
+def _audit_driver_bloom_build(pkg_root: str) -> list[str]:
+    """Static sweep (round-9 verdict #5): query/operator code must
+    build bloom filters with ``build_bloom_distributed`` (per-partition
+    partials + JVM bit_or merge, driver at O(bloom bits)) — a call to
+    the driver-side ``build_bloom`` outside ``functions/bloom.py``
+    means someone collected the full key-hash set to the driver again,
+    which is O(eval hashes) driver memory at scale (executor-side
+    per-group builders are allow-listed)."""
+    import ast
+
+    findings: list[str] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            if path.endswith(os.path.join("functions", "bloom.py")):
+                continue
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            allowed_ranges = [
+                (fn.lineno, fn.end_lineno)
+                for fn in ast.walk(tree)
+                if isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and fn.name in ALLOW_LOCAL_BLOOM_BUILD
+            ]
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                callee = (
+                    node.func.attr
+                    if isinstance(node.func, ast.Attribute)
+                    else node.func.id
+                    if isinstance(node.func, ast.Name)
+                    else None
+                )
+                if callee != "build_bloom":
+                    continue
+                if any(a <= node.lineno <= b for a, b in allowed_ranges):
+                    continue
+                rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                findings.append(
+                    f"{rel}:{node.lineno}: driver-side build_bloom"
+                    " (collects all key hashes) — use"
+                    " build_bloom_distributed"
+                )
+    return findings
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -152,6 +213,7 @@ def main() -> int:
         "flink_orc_sink_spark",
     )
     findings: list[str] = _audit_checkpoint_hygiene(pkg_root)
+    findings += _audit_driver_bloom_build(pkg_root)
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, sf_dir)

@@ -58,6 +58,70 @@ MIN_DELTA_SEC = 0.75
 # hand-adjudicating phantom regressions (round-6/7 pattern).
 CALIB_DRIFT = 1.3
 
+# Static fallback path classification by family, used only when the
+# BASELINE artifact carries no per-query telemetry (pre-r10 pins).
+# With telemetry present, the path is derived from measured
+# Python-worker CPU and JVM block-I/O instead (see _query_path).
+FAMILY_PATH = {
+    "multimodal": "python",
+    "pyds": "python",
+    "emb": "python",
+    "stream": "io",
+    "orc": "io",
+}
+
+
+def _family(name: str) -> str:
+    return (
+        "tpch"
+        if name[0] == "q" and len(name) > 1 and name[1].isdigit()
+        else name.split("_")[0]
+    )
+
+
+def _probe_means(d: dict) -> dict[str, float]:
+    """{path: mean probe sec} from either artifact form — the detail
+    file's probes_first/probes_last dicts or the headline line's
+    probes {path: [first, last]}. The legacy JVM-only calibration keys
+    feed the 'jvm' entry when no probes block exists."""
+    out: dict[str, float] = {}
+    pf, pl = d.get("probes_first"), d.get("probes_last")
+    if isinstance(pf, dict) and isinstance(pl, dict):
+        for k in pf:
+            if k in pl and pf[k] > 0 and pl[k] > 0:
+                out[k] = (pf[k] + pl[k]) / 2
+    elif isinstance(d.get("probes"), dict):
+        for k, pair in d["probes"].items():
+            vals = [v for v in pair if isinstance(v, (int, float)) and v > 0]
+            if vals:
+                out[k] = sum(vals) / len(vals)
+    if "jvm" not in out:
+        legacy = _calib_mean(d)
+        if legacy:
+            out["jvm"] = legacy
+    return out
+
+
+def _query_path(name: str, base_tel: dict | None) -> str:
+    """Which probe normalizes this query: measured classification from
+    the pin's telemetry when available (Python-worker CPU ≥ 20% of
+    wall or any worker spawn → python; JVM block-I/O ≥ 20 MB or
+    ≥ 10 MB/s → io), else the family fallback, else jvm."""
+    if base_tel:
+        wall_ms = max(base_tel.get("sec", 0.0), 0.001) * 1000
+        py_ms = base_tel.get("py_cpu_ms", 0) or 0
+        if py_ms >= max(200, 0.2 * wall_ms) or (
+            base_tel.get("py_spawns", 0) or 0
+        ) > 0:
+            return "python"
+        mb = max(base_tel.get("jvm_rd_mb", 0) or 0, 0) + max(
+            base_tel.get("jvm_wr_mb", 0) or 0, 0
+        )
+        if mb >= 20 or mb / (wall_ms / 1000) >= 10:
+            return "io"
+        return "jvm"
+    return FAMILY_PATH.get(_family(name), "jvm")
+
 
 def _calib_mean(d: dict) -> float | None:
     vals = [
@@ -116,46 +180,62 @@ def main() -> int:
     base = load_baseline(base_path)
     waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
 
-    # --- contention detection: the in-artifact calibration probe ---
-    # bench.py runs a fixed CPU-bound job before and after the headline
-    # loop; its wall time moves with host contention, not with repo
-    # code. When the fresh run's calibration drifts past the pin's,
-    # scale every fresh time back by the drift before gating —
-    # regressions must survive normalization to count.
-    scale = 1.0
-    fresh_cal, base_cal = _calib_mean(fresh), _calib_mean(base)
-    if fresh_cal and base_cal:
-        cf, cl = _calib_pair(fresh)
-        if cf and cl and max(cf, cl) / min(cf, cl) > CALIB_DRIFT:
-            print(
-                f"CONTENTION WARNING: calibration moved mid-run "
-                f"({cf:.2f}s -> {cl:.2f}s) — normalization is "
-                f"approximate; re-run on an idle host to confirm"
-            )
-        drift = fresh_cal / base_cal
+    # --- contention detection: the in-artifact calibration probes ---
+    # bench.py runs three fixed probes (jvm CPU, python worker/Arrow,
+    # ORC file-I/O) before and after the headline loop; their wall
+    # times move with host health along each path, not with repo code.
+    # When a fresh probe drifts past the pin's, queries ON THAT PATH
+    # are scaled back by the drift before gating — regressions must
+    # survive normalization to count. The r9 failure mode (JVM probe
+    # clean at 1.00x while Python-worker families inflated 4-6x) is
+    # exactly what per-path probes make visible and per-path
+    # normalization absorbs.
+    fresh_probes, base_probes = _probe_means(fresh), _probe_means(base)
+    path_scale: dict[str, float] = {}
+    for p in sorted(set(fresh_probes) & set(base_probes)):
+        drift = fresh_probes[p] / base_probes[p]
         if drift > CALIB_DRIFT:
-            scale = 1.0 / drift
+            path_scale[p] = 1.0 / drift
             print(
-                f"CONTENTION DETECTED: calibration {fresh_cal:.2f}s vs "
-                f"pinned {base_cal:.2f}s ({drift:.2f}x) — normalizing "
-                f"fresh times by {scale:.3f}"
+                f"CONTENTION DETECTED [{p}]: probe {fresh_probes[p]:.2f}s "
+                f"vs pinned {base_probes[p]:.2f}s ({drift:.2f}x) — "
+                f"normalizing {p}-path queries by {1 / drift:.3f}"
             )
         elif drift < 1.0 / CALIB_DRIFT:
-            # fresh host is FASTER than the pin's conditions (e.g. the
-            # pin itself was contended): gate on raw numbers, but say so
             print(
-                f"note: calibration {fresh_cal:.2f}s vs pinned "
-                f"{base_cal:.2f}s ({drift:.2f}x) — pin looks contended"
+                f"note: probe [{p}] {fresh_probes[p]:.2f}s vs pinned "
+                f"{base_probes[p]:.2f}s ({drift:.2f}x) — pin looks "
+                f"contended on this path"
             )
-    elif fresh_cal and not base_cal:
+    if fresh_probes and not base_probes:
         print(
-            f"note: fresh calibration {fresh_cal:.2f}s; baseline "
-            f"{os.path.basename(base_path)} has none (pre-r8 pin) — "
-            f"no normalization"
+            f"note: fresh probes {fresh_probes}; baseline "
+            f"{os.path.basename(base_path)} has none — no normalization"
+        )
+    # mid-run drift warning on any probe pair available in the fresh run
+    cf, cl = _calib_pair(fresh)
+    if cf and cl and max(cf, cl) / min(cf, cl) > CALIB_DRIFT:
+        print(
+            f"CONTENTION WARNING: jvm calibration moved mid-run "
+            f"({cf:.2f}s -> {cl:.2f}s) — normalization is "
+            f"approximate; re-run on an idle host to confirm"
         )
 
+    # legacy fallback: queries whose path has no probe pair use the
+    # jvm drift (the pre-r10 behavior)
+    default_scale = path_scale.get("jvm", 1.0)
+
+    fresh_tel = fresh.get("telemetry") or {}
+    base_tel = base.get("telemetry") or {}
+
     failures: list[str] = []
-    fq = {n: s * scale for n, s in fresh["queries"].items()}
+    scaled_by: dict[str, float] = {}
+    fq: dict[str, float] = {}
+    for n, s in fresh["queries"].items():
+        p = _query_path(n, base_tel.get(n))
+        sc = path_scale.get(p, default_scale)
+        scaled_by[n] = sc
+        fq[n] = s * sc
     bq = base["queries"]
     for name, sec in sorted(fq.items()):
         if name not in bq:
@@ -173,7 +253,22 @@ def main() -> int:
             else:
                 status = "FAIL"
                 failures.append(name)
-        print(f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s ({ratio:.2f}x)")
+        # plan-shape check: identical Spark job counts vs the pin
+        # mean the plan didn't change — a wall regression with flat
+        # jobs and a drifted path probe is host, not code
+        note = ""
+        ft, bt = fresh_tel.get(name), base_tel.get(name)
+        if ft and bt and ft.get("jobs", -1) >= 0 and bt.get("jobs", -1) >= 0:
+            if ft["jobs"] != bt["jobs"]:
+                note = f" [jobs {bt['jobs']}->{ft['jobs']}]"
+            elif status == "FAIL":
+                note = f" [jobs flat at {ft['jobs']}]"
+        if scaled_by.get(name, 1.0) != 1.0:
+            note += f" [norm x{scaled_by[name]:.3f}]"
+        print(
+            f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s "
+            f"({ratio:.2f}x){note}"
+        )
 
     overlap_total_fresh = sum(s for n, s in fq.items() if n in bq)
     overlap_total_base = sum(bq[n] for n in fq if n in bq)

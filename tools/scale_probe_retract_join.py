@@ -317,6 +317,141 @@ def main() -> None:
             flush=True,
         )
 
+    # --- MOR read-amplification bound (round-9 verdict #6) ---
+    # The merge-on-read reader pays base + unfolded log; the fold
+    # policy is size-ratio-driven, so the worst-case unfolded-log
+    # size between folds must be ASSERTED, not assumed — a
+    # pathological churn pattern that somehow dodged the trigger
+    # would regress every read silently. Drive a steady uniform
+    # churn (the degenerate pattern) through the retract-join sink
+    # with the byte floor lowered so the RATIO term governs at probe
+    # scale; after EVERY batch the pk log must satisfy
+    #     log_bytes <= max(floor, fold_ratio*base_bytes) + 2*batch_bytes
+    # (the sink appends the batch first and checks after, so the log
+    # can exceed the threshold by at most one batch; 2x covers ORC
+    # size variance between batches), and at least one ratio-driven
+    # fold must actually fire for the run to prove anything.
+    from flink_orc_sink_spark.streaming import orc_sink as _osink
+    from flink_orc_sink_spark.streaming.orc_sink import _hfs_dir_size
+
+    print("MOR read-amplification bound (unfolded pk_log vs policy):")
+    floor_saved = _osink.FOLD_MIN_BYTES
+    _osink.FOLD_MIN_BYTES = 64 * 1024
+    fold_ratio = 0.25
+    n_state = 50_000
+    nb = 16
+    base = tempfile.mkdtemp(prefix="probe_mor_amp_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    try:
+        def lrow2(df, pk, jk, seq, op, val):
+            return df.select(
+                F.lit("L").alias("side"),
+                pk.cast("long").alias("pk"),
+                jk.cast("long").alias("jk"),
+                seq.cast("long").alias("seq"),
+                op.alias("op"),
+                val.cast("long").alias("val"),
+                F.lit(None).cast("string").alias("attr"),
+            )
+
+        ids = spark.range(n_state)
+        cur_jk = F.pmod(F.hash("id"), F.lit(n_jk)).cast("long")
+        left0 = lrow2(
+            ids, F.col("id"), cur_jk, F.lit(1), F.lit("U"),
+            F.col("id") % 1000,
+        )
+        right0 = spark.range(n_jk).select(
+            F.lit("R").alias("side"),
+            F.col("id").cast("long").alias("pk"),
+            F.col("id").cast("long").alias("jk"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(None).cast("long").alias("val"),
+            F.concat(
+                F.lit("seg"), (F.col("id") % 5).cast("string")
+            ).alias("attr"),
+        )
+        left0.unionByName(right0).coalesce(4).write.mode(
+            "append"
+        ).parquet(src)
+
+        def run_amp():
+            q = stream_retract_join_orc(
+                stream_from_files(
+                    spark,
+                    src,
+                    "side string, pk long, jk long, seq long,"
+                    " op string, val long, attr string",
+                ),
+                state,
+                checkpoint=os.path.join(base, "ckpt"),
+                trigger={"availableNow": True},
+                n_key_partitions=nb,
+                n_join_buckets=nb,
+                agg_group_col="r_attr",
+                agg_val_col="l_val",
+                fold_ratio=fold_ratio,
+            )
+            assert q.awaitTermination(900), "stream did not drain"
+
+        run_amp()  # bootstrap (folds the initial load)
+        log_dir = os.path.join(state, "pk_log")
+        base_dir = os.path.join(state, "pk_state")
+        batch_rows_amp = 2_000
+        # batch log bytes, measured from a one-batch append
+        prev_log = _hfs_dir_size(spark, log_dir)
+        n_folds = 0
+        max_amp = 0.0
+        batch_bytes = None
+        for i in range(14):
+            churn = lrow2(
+                spark.range(batch_rows_amp).select(
+                    (F.pmod(F.hash("id", F.lit(i)), F.lit(n_state)))
+                    .alias("id")
+                ),
+                F.col("id"),
+                cur_jk,
+                F.lit(i + 2),
+                F.lit("U"),
+                F.col("id") % 1000 + i,
+            )
+            churn.coalesce(1).write.mode("append").parquet(src)
+            run_amp()
+            log_b = _hfs_dir_size(spark, log_dir)
+            base_b = _hfs_dir_size(spark, base_dir)
+            if batch_bytes is None:
+                # first post-bootstrap batch: the log holds exactly
+                # one batch (bootstrap fold emptied it)
+                batch_bytes = max(log_b, 1)
+            if log_b < prev_log:
+                n_folds += 1
+            prev_log = log_b
+            bound = (
+                max(_osink.FOLD_MIN_BYTES, fold_ratio * base_b)
+                + 2 * batch_bytes
+            )
+            amp = (base_b + log_b) / max(base_b, 1)
+            max_amp = max(max_amp, amp)
+            assert log_b <= bound, (
+                f"unfolded log {log_b:,} B exceeds policy bound "
+                f"{bound:,.0f} B at batch {i} (base {base_b:,} B) — "
+                f"fold trigger regressed"
+            )
+        assert n_folds >= 1, (
+            "no ratio-driven fold fired in 14 churn batches — probe "
+            "not exercising the bound (lower the floor or add batches)"
+        )
+        print(
+            f"  state={n_state:,} rows  batches=14  folds={n_folds}  "
+            f"max read-amp=(base+log)/base={max_amp:.2f}x  "
+            f"bound=max(floor, {fold_ratio}*base)+2*batch: HELD",
+            flush=True,
+        )
+    finally:
+        _osink.FOLD_MIN_BYTES = floor_saved
+        shutil.rmtree(base, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
