@@ -1173,17 +1173,29 @@ def append_to_minhash_index(
         owner or process_owner("ingest:append"),
         wait_sec=lease_wait_sec,
     ):
+        # SALTED-hash repartition: (band, xxhash(bkey) % k) with
+        # k = ceil(parallelism / bands) gives full write parallelism
+        # while bounding an append to ≤ bands × k ≈ O(parallelism)
+        # files — NOT O(tasks × bands) like a plain (band, bkey) hash
+        # (which interleaves every band across all tasks, compounding
+        # small files over steady ingest) and NOT the bands-task
+        # write a band-only repartition pays. No range-sampling job
+        # either — repartitionByRange re-evaluates the upstream plan
+        # (the shingle/minhash pass) once more to sample bounds,
+        # measured 2-3× worse on stream ingest at sf0.1.
+        brows = band_rows(sigs)
+        n_bands_eff = MINHASH_BANDS  # band_rows' fixed band layout
+        salt_k = max(
+            1,
+            -(-df.sparkSession.sparkContext.defaultParallelism
+              // n_bands_eff),
+        )
         (
-            band_rows(sigs)
-            # repartition on the PARTITION COLUMN ALONE: every band's
-            # rows land in one task, so partitionBy writes one file
-            # per band per append (≤ n_bands files) — hashing on
-            # (band, bkey) would interleave each band across all
-            # shuffle tasks and write up to tasks×bands files per
-            # append, compounding small files over steady ingest. The
-            # n_bands parallelism cap is irrelevant for a batch-sized
-            # append, and there is no range-sampling job either.
-            .repartition("band")
+            brows.withColumn(
+                "_salt", F.pmod(F.xxhash64("bkey"), F.lit(salt_k))
+            )
+            .repartition(n_bands_eff * salt_k, "band", "_salt")
+            .drop("_salt")
             .sortWithinPartitions("band", "bkey")
             .write.mode("append")
             .partitionBy("band")
@@ -1241,8 +1253,11 @@ def build_gram_index(
     index without ever re-reading corpus text.
 
     The index is the corpus's DISTINCT token-``n``-gram hash set
-    (``grams/``: one int64 column, range-partitioned and sorted by
-    ``gh``). Presence is the whole contract — an incoming occurrence
+    (``grams/``: one int64 column; the BUILD writes range-partitioned
+    files, APPENDS are hash-partitioned — every file is sorted by
+    ``gh`` either way, so probe filters prune at parquet row-group
+    level inside any file they must open). Presence is the whole
+    contract — an incoming occurrence
     whose gram exists anywhere in the corpus is by definition not the
     first occurrence, so keep-first excision needs no counts and no
     positions, and duplicate/replayed appends are idempotent by
@@ -1366,13 +1381,18 @@ def append_to_gram_index(
             occ.select("gh")
             .distinct()
             .withColumn("tag", F.lit(tag).cast("long"))
-            # RANGE-partition (matching the build layout, which the
-            # probe relies on): each appended file then covers a
-            # narrow gh range, so parquet min/max row-group pruning
-            # on probe-side gh filters keeps working as appended
-            # segments accumulate. The sampling job runs on the
-            # already-distinct batch-sized gh frame — cheap.
-            .repartitionByRange(4, "gh")
+            # hash, not range: repartitionByRange would re-evaluate
+            # the upstream distinct once more per micro-batch for its
+            # bounds-sampling job (measured +2.6 s on
+            # stream_gram_index_ingest at sf0.1). Appended segments
+            # therefore span the full gh range at the FILE level —
+            # but each file is SORTED by gh (sortWithinPartitions
+            # below), so probe-side gh filters still prune at the
+            # parquet ROW-GROUP level inside admitted files; only
+            # file opens (4 per append) are unpruned, and the
+            # copy-on-write compaction pass restores the build's
+            # range layout when segment count matters.
+            .repartition(4, "gh")
             .sortWithinPartitions("gh")
             .write.mode("append")
             .parquet(f"{index_path}/grams")

@@ -178,18 +178,19 @@ def append_to_bm25_index(
         owner or process_owner("ingest:append"),
         wait_sec=lease_wait_sec,
     ):
+        # Bucket-only hash repartition: with 64 buckets the write
+        # already gets ≥ cluster-parallelism tasks AND an append is
+        # bounded to ≤ 64 files — hashing on (bucket, token) instead
+        # would interleave every bucket across all shuffle tasks and
+        # write up to tasks×buckets (~512) files per append,
+        # compounding small files over steady ingest (round-9 advice).
+        # No range-sampling job either: repartitionByRange
+        # re-evaluates the upstream postings plan once more to sample
+        # bounds — measured strictly worse on streaming ingest.
         (
             _postings(df, id_col, text_col)
             .withColumn("bucket", _bucket(F.col("token")))
             .withColumn("tag", F.lit(tag).cast("long"))
-            # repartition on the PARTITION COLUMN ALONE: every
-            # bucket's rows land in one task, so partitionBy writes
-            # one file per bucket per append (≤ n_buckets files) —
-            # hash on (bucket, token) would interleave each bucket
-            # across all shuffle tasks and write up to tasks×buckets
-            # files per append, compounding small files over steady
-            # ingest. Parallelism capped at n_buckets is irrelevant
-            # for a batch-sized append; no range-sampling job either.
             .repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")

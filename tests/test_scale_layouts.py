@@ -294,3 +294,45 @@ def test_bloom_probe_runs_on_executors(spark, sf_dir, tmp_path):
     assert "ArrowEvalPython" in plan, plan[:4000]
     assert "Filter" in plan, plan[:4000]
     assert 1 <= admitted.count() <= 3
+
+
+def test_index_append_file_count_bounded(spark, sf_dir, tmp_path):
+    """One appended micro-batch must add O(cluster parallelism) data
+    files to a persisted index, NOT O(tasks x bands) — the round-9
+    advice: a plain (band, key) hash repartition interleaves every
+    band across all shuffle tasks, so steady ingest compounds small
+    files. The salted-hash appenders bound an append to
+    <= bands x ceil(parallelism / bands) files (minhash/ahash) or
+    <= n_buckets files (bm25)."""
+    import os
+
+    from flink_orc_sink_spark.operators.dedup import (
+        MINHASH_BANDS,
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+    from flink_orc_sink_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(docs.limit(50), "doc_id", "text", idx)
+
+    def data_files(root):
+        out = set()
+        for dirpath, _d, files in os.walk(root):
+            out |= {
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            }
+        return out
+
+    bands_dir = os.path.join(idx, "bands")
+    before = data_files(bands_dir)
+    batch = docs.filter("doc_id % 7 = 3").limit(40)
+    append_to_minhash_index(batch, "doc_id", "text", idx)
+    added = data_files(bands_dir) - before
+    par = spark.sparkContext.defaultParallelism
+    k = max(1, -(-par // MINHASH_BANDS))
+    bound = MINHASH_BANDS * k
+    assert 0 < len(added) <= bound, (len(added), bound)
