@@ -8,9 +8,9 @@ since r9 carries the same ``calibration_first_sec``/``_last_sec``
 keys; older lines' 2-element ``calib`` array is also accepted). When
 only the headline line is available the gate runs on per-FAMILY sums,
 not per-query. It compares against the pinned baseline
-(``BENCH_PIN_r09.json`` by default — the round-9 clean exclusive run
-WITH embedded calibration; override with argv[2] or
-$SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
+(``BENCH_PIN_r10.json`` by default — the round-10 clean exclusive run
+with all three calibration probes and per-query telemetry; override
+with argv[2] or $SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping query
 — or the total — is more than ``THRESHOLD``× slower than the
 baseline. Queries absent from the baseline are reported but never
 fail the gate (new coverage is not a regression).
@@ -44,6 +44,12 @@ WAIVED_BY_BASELINE = {
     # per-micro-batch fixed-cost cuts (stream family 119.6 -> 102.3 s,
     # total 248.6 -> 218.8 s at comparable calibration): no waivers.
     "BENCH_PIN_r09.json": {},
+    # BENCH_PIN_r10.json: the round-10 clean exclusive run at HEAD —
+    # first pin with all three calibration probes AND full per-query
+    # telemetry (job counts / GC / block-I/O / worker CPU), measuring
+    # the salted-hash index appenders and the distributed
+    # contamination-bloom build: no waivers.
+    "BENCH_PIN_r10.json": {},
 }
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
@@ -175,7 +181,7 @@ def main() -> int:
         sys.argv[2]
         if len(sys.argv) > 2
         else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
-        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r09.json")
+        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r10.json")
     )
     base = load_baseline(base_path)
     waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
