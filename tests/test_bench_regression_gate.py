@@ -1,0 +1,138 @@
+"""Unit tests for tools/bench_regression.py — the per-path
+normalization logic added in round 10 (round-9 verdict #1): queries
+are classified to the jvm/python/io execution path from the PIN's
+measured telemetry and normalized by the matching probe's drift, so
+a host whose Python-worker or file-I/O path degraded (the r9 driver
+failure mode, invisible to the JVM-only calibration) adjudicates
+itself instead of flagging phantom regressions — while a genuine
+plan regression (job counts moved, no probe drift on its path)
+still fails the gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+GATE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "bench_regression.py",
+)
+
+
+def _tel(sec, jobs, py_cpu=0, spawns=0, rd=0.0, wr=0.0):
+    return {
+        "sec": sec,
+        "jobs": jobs,
+        "gc_ms": 10,
+        "jvm_rd_mb": rd,
+        "jvm_wr_mb": wr,
+        "py_spawns": spawns,
+        "py_cpu_ms": py_cpu,
+    }
+
+
+def _base():
+    return {
+        "queries": {
+            "q1_pricing_summary": 1.0,
+            "multimodal_decode_stats": 1.0,
+            "orc_roundtrip_events": 1.0,
+            "docs_token_stats": 1.0,
+        },
+        "telemetry": {
+            "q1_pricing_summary": _tel(1.0, 2),
+            "multimodal_decode_stats": _tel(1.0, 3, py_cpu=900, spawns=2),
+            "orc_roundtrip_events": _tel(1.0, 4, rd=30.0, wr=40.0),
+            "docs_token_stats": _tel(1.0, 2),
+        },
+        "probes_first": {"jvm": 1.0, "python": 1.0, "io": 1.0},
+        "probes_last": {"jvm": 1.0, "python": 1.0, "io": 1.0},
+    }
+
+
+def _run(fresh, base, tmp_path):
+    fp = tmp_path / "fresh.json"
+    bp = tmp_path / "base.json"
+    fp.write_text(json.dumps(fresh))
+    bp.write_text(json.dumps(base))
+    r = subprocess.run(
+        [sys.executable, GATE, str(fp), str(bp)],
+        capture_output=True,
+        text=True,
+    )
+    return r.returncode, r.stdout
+
+
+def test_path_degradation_normalizes_not_fails(tmp_path):
+    """python probe 5x + io probe 2x drifted: queries ON those paths
+    inflate accordingly but must normalize to ok; the pure-JVM query
+    that genuinely regressed 3x (jvm probe flat) must still FAIL."""
+    fresh = _base()
+    fresh["queries"] = {
+        "q1_pricing_summary": 1.1,
+        "multimodal_decode_stats": 5.0,  # 5x wall, python path
+        "orc_roundtrip_events": 2.0,  # 2x wall, io path
+        "docs_token_stats": 3.0,  # 3x wall, jvm path -> genuine
+    }
+    fresh["telemetry"] = {
+        "q1_pricing_summary": _tel(1.1, 2),
+        "multimodal_decode_stats": _tel(5.0, 3, py_cpu=4000, spawns=8),
+        "orc_roundtrip_events": _tel(2.0, 4, rd=60.0, wr=80.0),
+        "docs_token_stats": _tel(3.0, 5),
+    }
+    fresh["probes_first"] = {"jvm": 1.0, "python": 5.0, "io": 2.0}
+    fresh["probes_last"] = {"jvm": 1.05, "python": 5.2, "io": 2.1}
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "FAIL docs_token_stats" in out
+    assert "ok   multimodal_decode_stats" in out
+    assert "ok   orc_roundtrip_events" in out
+    assert "CONTENTION DETECTED [python]" in out
+    assert "CONTENTION DETECTED [io]" in out
+    # the genuine regression carries its job-count evidence
+    assert "[jobs 2->5]" in out
+
+
+def test_flat_probes_flag_real_regressions(tmp_path):
+    """No probe drift: a 2x python-path regression is code, not host,
+    and must FAIL — normalization never applies without drift."""
+    fresh = _base()
+    fresh["queries"] = dict(
+        _base()["queries"], multimodal_decode_stats=2.2
+    )
+    fresh["telemetry"] = dict(
+        _base()["telemetry"],
+        multimodal_decode_stats=_tel(2.2, 3, py_cpu=2000, spawns=2),
+    )
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "FAIL multimodal_decode_stats" in out
+    assert "[jobs flat at 3]" in out
+
+
+def test_clean_run_passes(tmp_path):
+    rc, out = _run(_base(), _base(), tmp_path)
+    assert rc == 0
+    assert "bench regression gate: clean" in out
+
+
+def test_legacy_pin_without_probes_still_gates(tmp_path):
+    """A pre-r10 pin (jvm calibration only, no telemetry) must still
+    gate on raw numbers with the legacy jvm normalization."""
+    base = {
+        "queries": {"q1_pricing_summary": 1.0, "docs_token_stats": 1.0},
+        "calibration_first_sec": 1.0,
+        "calibration_last_sec": 1.0,
+    }
+    fresh = _base()
+    fresh["queries"] = {
+        "q1_pricing_summary": 1.0,
+        "docs_token_stats": 2.5,
+    }
+    rc, out = _run(fresh, base, tmp_path)
+    assert rc == 1
+    assert "FAIL docs_token_stats" in out
