@@ -276,11 +276,19 @@ def calibration_io_sec(spark) -> float:
 
 
 def run_probes(spark) -> dict[str, float]:
-    """One pass of all three calibration probes."""
+    """One pass of all three calibration probes. Each probe is
+    measured as the MIN of two consecutive runs — the python probe in
+    particular shows 1.5-2× sample-to-sample scatter (32-worker
+    dispatch jitter), and the min is the standard least-contended
+    estimator for a fixed workload; without it, first-vs-last drift
+    conflates probe noise with genuine path degradation."""
     return {
-        "jvm": calibration_sec(spark),
-        "python": calibration_python_sec(spark),
-        "io": calibration_io_sec(spark),
+        "jvm": min(calibration_sec(spark), calibration_sec(spark)),
+        "python": min(
+            calibration_python_sec(spark),
+            calibration_python_sec(spark),
+        ),
+        "io": min(calibration_io_sec(spark), calibration_io_sec(spark)),
     }
 
 
