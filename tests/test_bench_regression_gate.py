@@ -136,3 +136,21 @@ def test_legacy_pin_without_probes_still_gates(tmp_path):
     rc, out = _run(fresh, base, tmp_path)
     assert rc == 1
     assert "FAIL docs_token_stats" in out
+
+
+def test_host_degradation_summary_line(tmp_path):
+    """All failures jobs-flat + a drifted probe pair => the gate
+    prints the HOST-DEGRADATION adjudication line (still exit 1)."""
+    fresh = _base()
+    # jvm probe drifted 2x; docs_token_stats inflates 3x with flat
+    # jobs -> normalization (x0.5) leaves 1.5x+0.5s which still fails
+    fresh["queries"] = dict(_base()["queries"], docs_token_stats=4.0)
+    fresh["telemetry"] = dict(
+        _base()["telemetry"], docs_token_stats=_tel(4.0, 2)
+    )
+    fresh["probes_first"] = {"jvm": 2.0, "python": 1.0, "io": 1.0}
+    fresh["probes_last"] = {"jvm": 2.1, "python": 1.0, "io": 1.0}
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "HOST-DEGRADATION SUSPECTED" in out
+    assert "[jobs flat at 2]" in out
