@@ -112,7 +112,14 @@ def _query_path(name: str, base_tel: dict | None) -> str:
     """Which probe normalizes this query: measured classification from
     the pin's telemetry when available (Python-worker CPU ≥ 20% of
     wall or any worker spawn → python; JVM block-I/O ≥ 20 MB or
-    ≥ 10 MB/s → io), else the family fallback, else jvm."""
+    ≥ 10 MB/s → io), else the family fallback, else jvm. Queries on
+    the state-backed runtimes (stream_*/orc_*) whose telemetry shows
+    neither Python nor heavy bytes still classify io: their state
+    snapshots + checkpoint fsyncs are small in BYTES but their
+    run-to-run jitter tracks filesystem health (measured: jobs-flat
+    walls 4.9-8.5 s on stream_interval_join while the io probe
+    drifted), and page-cache hits hide their reads from /proc io."""
+    fam_prior = FAMILY_PATH.get(_family(name), "jvm")
     if base_tel:
         wall_ms = max(base_tel.get("sec", 0.0), 0.001) * 1000
         py_ms = base_tel.get("py_cpu_ms", 0) or 0
@@ -125,8 +132,10 @@ def _query_path(name: str, base_tel: dict | None) -> str:
         )
         if mb >= 20 or mb / (wall_ms / 1000) >= 10:
             return "io"
-        return "jvm"
-    return FAMILY_PATH.get(_family(name), "jvm")
+        # telemetry says neither python- nor byte-heavy: keep the io
+        # family prior (state-backed runtime), otherwise jvm
+        return "io" if fam_prior == "io" else "jvm"
+    return fam_prior
 
 
 def _calib_mean(d: dict) -> float | None:
