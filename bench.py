@@ -452,7 +452,11 @@ class Telemetry:
 
 
 def _family(name: str) -> str:
-    return "tpch" if name[0] == "q" and name[1].isdigit() else name.split("_")[0]
+    return (
+        "tpch"
+        if name[0] == "q" and len(name) > 1 and name[1].isdigit()
+        else name.split("_")[0]
+    )
 
 
 def warm_session(spark, queries, sf_dir: str) -> None:
@@ -588,7 +592,7 @@ def main() -> None:
     # overflowed it and the official artifact lost its parsed form).
     families: dict[str, float] = {}
     for name, sec in per_query.items():
-        fam = "tpch" if name[0] == "q" and name[1].isdigit() else name.split("_")[0]
+        fam = _family(name)
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
     out = {
         "metric": "headline_wall_sec",

@@ -2778,12 +2778,19 @@ def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_orc_sink_spark.functions import bloom as bl
 
     d = table(spark, sf_dir, "documents")
+    # persisted: this plan (shingle explode + distinct shuffle) is
+    # consumed THREE times — the sizing count, the distributed bloom
+    # build, and the exact confirm join in the returned frame — and
+    # eval sets are bounded by definition, so caching beats three
+    # full re-evaluations. The returned DataFrame references it
+    # (terminal shape): the caller/session owns the release.
     eval_sh = (
         dd.shingle_postings(
             d.filter(F.col("source") == "src0"), "doc_id", "text", k=8
         )
         .select("s")
         .distinct()
+        .persist()
     )
     n_keys = eval_sh.count()
     n_bits, n_hashes = bl.sizing_words(n_keys, fpp=0.01)

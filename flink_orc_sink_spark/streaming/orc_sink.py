@@ -1385,9 +1385,11 @@ def _rj_log_effect(
         # this helper RETURNS — if the aff collect (a Spark job) or
         # plan construction dies here, the eager checkpoint blocks
         # would leak for the session's lifetime. Release and re-raise.
+        # (Dataset.unpersist() silently NO-OPS on checkpoint blocks —
+        # session.py:235 — so only the helper actually frees them.)
         if checkpoint_cand:
             try:
-                cand.unpersist()
+                release_local_checkpoint(cand)
             except Exception:
                 pass
         raise
@@ -1464,8 +1466,11 @@ def fold_retract_join_state(
     log, logpks, cand, aff, sides = _rj_log_effect(
         spark, state_path, lay, checkpoint_cand=True
     )
-    n_log = log.count()
     try:
+        # inside the try: this count is a full Spark job (reads
+        # pk_log) — if it fails outside the release window, cand's
+        # eager checkpoint blocks leak for the session lifetime
+        n_log = log.count()
         sides = sides.localCheckpoint(eager=True)
         try:
             pairs = [(s, b) for s in ("L", "R") for b in aff]

@@ -154,3 +154,35 @@ def test_host_degradation_summary_line(tmp_path):
     assert rc == 1
     assert "HOST-DEGRADATION SUSPECTED" in out
     assert "[jobs flat at 2]" in out
+
+
+def test_healthy_path_never_borrows_jvm_drift(tmp_path):
+    """A python-path query whose OWN probe pair measured no drift must
+    NOT be normalized by a drifted jvm probe — that would mask a
+    genuine regression on a path the probes proved healthy (round-10
+    review finding)."""
+    fresh = _base()
+    fresh["queries"] = dict(
+        _base()["queries"], multimodal_decode_stats=2.0
+    )
+    fresh["telemetry"] = dict(
+        _base()["telemetry"],
+        multimodal_decode_stats=_tel(2.0, 5, py_cpu=1800, spawns=2),
+    )
+    # jvm drifted 2x; python probe flat
+    fresh["probes_first"] = {"jvm": 2.0, "python": 1.0, "io": 1.0}
+    fresh["probes_last"] = {"jvm": 2.0, "python": 1.05, "io": 1.0}
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "FAIL multimodal_decode_stats" in out
+    assert "[jobs 3->5]" in out
+
+
+def test_midrun_drift_warns_on_nonjvm_paths(tmp_path):
+    """The python probe moving mid-run must print a contention
+    warning — the r9 failure mode is invisible to the jvm pair."""
+    fresh = _base()
+    fresh["probes_first"] = {"jvm": 1.0, "python": 1.0, "io": 1.0}
+    fresh["probes_last"] = {"jvm": 1.0, "python": 4.0, "io": 1.0}
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert "CONTENTION WARNING: [python]" in out

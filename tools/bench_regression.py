@@ -227,18 +227,35 @@ def main() -> int:
             f"note: fresh probes {fresh_probes}; baseline "
             f"{os.path.basename(base_path)} has none — no normalization"
         )
-    # mid-run drift warning on any probe pair available in the fresh run
-    cf, cl = _calib_pair(fresh)
-    if cf and cl and max(cf, cl) / min(cf, cl) > CALIB_DRIFT:
-        print(
-            f"CONTENTION WARNING: jvm calibration moved mid-run "
-            f"({cf:.2f}s -> {cl:.2f}s) — normalization is "
-            f"approximate; re-run on an idle host to confirm"
-        )
+    # mid-run drift warning on EVERY probe pair in the fresh run —
+    # the r9 failure mode degrades python/io specifically, so a
+    # jvm-only check would miss exactly the paths that matter
+    fpf, fpl = fresh.get("probes_first"), fresh.get("probes_last")
+    if isinstance(fpf, dict) and isinstance(fpl, dict):
+        for p in sorted(set(fpf) & set(fpl)):
+            a, b = fpf[p], fpl[p]
+            if a and b and max(a, b) / min(a, b) > CALIB_DRIFT:
+                print(
+                    f"CONTENTION WARNING: [{p}] probe moved mid-run "
+                    f"({a:.2f}s -> {b:.2f}s) — normalization is "
+                    f"approximate; re-run on an idle host to confirm"
+                )
+    else:
+        cf, cl = _calib_pair(fresh)
+        if cf and cl and max(cf, cl) / min(cf, cl) > CALIB_DRIFT:
+            print(
+                f"CONTENTION WARNING: jvm calibration moved mid-run "
+                f"({cf:.2f}s -> {cl:.2f}s) — normalization is "
+                f"approximate; re-run on an idle host to confirm"
+            )
 
-    # legacy fallback: queries whose path has no probe pair use the
-    # jvm drift (the pre-r10 behavior)
+    # legacy fallback: ONLY queries whose path has no probe pair in
+    # both artifacts use the jvm drift (the pre-r10 behavior). A path
+    # whose own probe pair exists and measured NO drift must scale
+    # 1.0 — falling back to the jvm drift there would normalize (and
+    # mask) a genuine regression on a path the probes proved healthy.
     default_scale = path_scale.get("jvm", 1.0)
+    measured_paths = set(fresh_probes) & set(base_probes)
 
     fresh_tel = fresh.get("telemetry") or {}
     base_tel = base.get("telemetry") or {}
@@ -248,7 +265,10 @@ def main() -> int:
     fq: dict[str, float] = {}
     for n, s in fresh["queries"].items():
         p = _query_path(n, base_tel.get(n))
-        sc = path_scale.get(p, default_scale)
+        if p in measured_paths:
+            sc = path_scale.get(p, 1.0)
+        else:
+            sc = default_scale
         scaled_by[n] = sc
         fq[n] = s * sc
     bq = base["queries"]
