@@ -496,11 +496,17 @@ def warm_session(spark, queries, sf_dir: str) -> None:
     # cold vs 3.3 s warm on stream_pyds_partitioned, identical code);
     # without this it lands on whichever pyds headline query runs
     # first.
+    # ... and the index-forget lifecycle: its first invocation pays
+    # ~35 s of one-time plan codegen across the build/probe/forget/
+    # compact shapes (measured 51.5 → 25.7 → 16.4 s across three
+    # same-session runs at sf0.1, Spark job count constant at 54);
+    # warming it on sf0.001 compiles the same plans in ~3 s.
     for warm_q in (
         "stream_running_totals",
         "stream_retract_agg",
         "stream_retract_join_agg",
         "pyds_source_agg",
+        "stream_index_forget_ingest",
     ):
         try:
             queries[warm_q](spark, warm_dir).count()
