@@ -507,6 +507,12 @@ def warm_session(spark, queries, sf_dir: str) -> None:
         "stream_retract_join_agg",
         "pyds_source_agg",
         "stream_index_forget_ingest",
+        # NOT warmed: stream_emb_index_ingest / stream_media_index_
+        # ingest — their sf0.001 warm costs ~180 s (IVF k-means build
+        # and the fixed 200-PNG decode corpus are scale-independent)
+        # for only 3-5 s of headline savings; the forget warm above
+        # is the opposite trade (~15 s warm for ~35 s of one-time
+        # codegen otherwise landing in the measured number).
     ):
         try:
             queries[warm_q](spark, warm_dir).count()
