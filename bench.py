@@ -44,7 +44,15 @@ HEADLINE = [
     "docs_simhash_pairs",
     "docs_winnow_fingerprints",
     "docs_dup_ngram_spans",
-    "stream_index_forget_ingest",
+    # the forget lifecycle, timed per phase (round-10 verdict #6): the
+    # registered stream_index_forget_ingest keeps the value oracle;
+    # these four bench-only entries attribute its ~26 s blob to
+    # build / ingest / forget / probe. Order matters — they chain
+    # through one index dir and one streaming checkpoint.
+    "stream_fidx_build",
+    "stream_fidx_ingest",
+    "stream_fidx_forget",
+    "stream_fidx_probe",
     "docs_token_stats",
     "docs_pii_scrub",
     "docs_lm_score",
@@ -273,6 +281,54 @@ def calibration_io_sec(spark) -> float:
         return sec
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def mini_probe(spark) -> dict[str, float]:
+    """ONE cheap sample of all three paths (~0.5 s total) — run at
+    every family boundary so a flagged query carries a host-health
+    sample from its own neighborhood (round-10 verdict #2: a 9.5x
+    jobs-flat stall on events_hourly_anomaly was invisible to the
+    start/end probe pairs 300 s away). Sized ~10x smaller than the
+    full probes and sampled ONCE (no min-of-two): these are locality
+    witnesses, not calibration — the gate compares each sample to the
+    run's own median, so absolute scale cancels."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    import pandas as pd
+
+    out: dict[str, float] = {}
+    t0 = _t.time()
+    spark.range(0, CALIB_ROWS // 15, 1, 32).selectExpr(
+        "sum(pmod(xxhash64(id), 1000000)) as h"
+    ).collect()
+    out["jvm"] = round(_t.time() - t0, 3)
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
+
+    t0 = _t.time()
+    spark.range(0, PY_CALIB_ROWS // 16, 1, 32).mapInPandas(
+        batches, "s long"
+    ).selectExpr("sum(s) as t").collect()
+    out["python"] = round(_t.time() - t0, 3)
+
+    d = tempfile.mkdtemp(prefix="bench_io_mini_")
+    try:
+        t0 = _t.time()
+        (
+            spark.range(0, IO_CALIB_ROWS // 20, 1, 8)
+            .selectExpr("id", "xxhash64(id) as h")
+            .write.mode("overwrite")
+            .orc(d)
+        )
+        spark.read.orc(d).count()
+        out["io"] = round(_t.time() - t0, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def run_probes(spark) -> dict[str, float]:
@@ -521,6 +577,7 @@ def warm_session(spark, queries, sf_dir: str) -> None:
     calibration_sec(spark)  # codegen warm-up for the probes
     calibration_python_sec(spark)
     calibration_io_sec(spark)
+    mini_probe(spark)  # ... and for the family-boundary samples
 
 
 def main() -> None:
@@ -536,9 +593,10 @@ def main() -> None:
     from flink_orc_sink_spark.session import get_spark
 
     spark = get_spark("bench")
+    from flink_orc_sink_spark.queries.engine import BENCH_ONLY as ENGINE_BENCH
     from flink_orc_sink_spark.queries.llm import BENCH_ONLY
 
-    queries = {**all_queries(), **BENCH_ONLY}
+    queries = {**all_queries(), **BENCH_ONLY, **ENGINE_BENCH}
 
     warm_session(spark, queries, sf_dir)
     probes_first = run_probes(spark)
@@ -546,8 +604,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
     telemetry: dict[str, dict] = {}
+    family_probes: list[dict] = []
     tel = Telemetry(spark)
     prev_family = None
+    loop_t0 = time.time()
     for name in HEADLINE:
         if (
             restart_mode == "family"
@@ -558,6 +618,23 @@ def main() -> None:
             spark = get_spark("bench")
             warm_session(spark, queries, sf_dir)
             tel = Telemetry(spark)
+        # family-boundary host-health sample (round-10 verdict #2),
+        # rate-limited to one per ~20 s of run time: 66 boundaries at
+        # ~0.6 s each would cost 15% of the run, while a 20 s cadence
+        # (~3% overhead) still puts a sample inside every flagged
+        # query's neighborhood — the gate matches by timestamp, not by
+        # family identity.
+        now = time.time() - loop_t0
+        if _family(name) != prev_family and (
+            not family_probes or now - family_probes[-1]["t"] >= 20
+        ):
+            family_probes.append(
+                {
+                    "family": _family(name),
+                    "t": round(now, 1),
+                    **mini_probe(spark),
+                }
+            )
         prev_family = _family(name)
         fn = queries[name]
         before = tel.snap()
@@ -566,7 +643,11 @@ def main() -> None:
         wall = round(time.time() - t0, 3)
         after = tel.snap()
         per_query[name] = wall
-        telemetry[name] = {"sec": wall, **tel.delta(before, after)}
+        telemetry[name] = {
+            "sec": wall,
+            "t0": round(t0 - loop_t0, 1),
+            **tel.delta(before, after),
+        }
         # Measure each query, not the session debris of the previous
         # ones: memory-sink tables and cached blocks accumulate across
         # the 40+ headline queries and show up as GC noise in later
@@ -588,6 +669,7 @@ def main() -> None:
         "telemetry": telemetry,
         "probes_first": probes_first,
         "probes_last": probes_last,
+        "family_probes": family_probes,
         "calibration_first_sec": calib_first,
         "calibration_last_sec": calib_last,
         "restart_mode": restart_mode or "single-session",

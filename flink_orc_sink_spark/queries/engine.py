@@ -98,6 +98,7 @@ def _run_feed_stream(
     on_batch,
     what: str,
     owner_cell: list | None = None,
+    ckpt: str | None = None,
 ) -> None:
     """The shared harness of every index-ingest stream: one
     ``availableNow`` ``foreachBatch`` pass over a parquet feed
@@ -116,18 +117,29 @@ def _run_feed_stream(
     from scratch), so the reclaim path isn't what protects reruns
     here — the rebuild is; the owner plumbing exists so the
     registered queries exercise the same call shape production code
-    should use."""
-    with tempfile.TemporaryDirectory(
-        prefix="stream_feed_ckpt_"
-    ) as ckpt, stream_partitions(spark):
+    should use.
+
+    ``ckpt``: an explicit, PERSISTENT checkpoint dir — pass it to
+    resume the same stream across calls (the bench-only phase split of
+    the forget lifecycle drains its add and control batches in
+    separate timed calls over one source WAL). Default stays a fresh
+    tempdir per invocation."""
+    import contextlib
+
+    if ckpt is None:
+        ckpt_cm = tempfile.TemporaryDirectory(prefix="stream_feed_ckpt_")
+    else:
+        os.makedirs(ckpt, exist_ok=True)
+        ckpt_cm = contextlib.nullcontext(ckpt)
+    with ckpt_cm as ckpt_dir, stream_partitions(spark):
         if owner_cell is not None:
-            owner_cell[0] = f"sink:{ckpt}"
+            owner_cell[0] = f"sink:{ckpt_dir}"
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(feed)
             .writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
+            .option("checkpointLocation", ckpt_dir)
             .trigger(availableNow=True)
             .start()
         )
@@ -3657,6 +3669,166 @@ def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_probe_index(
         spark, new, "doc_id", "text", idx, threshold=0.7
     )
+
+
+# --- Bench-only phase split of the forget lifecycle (round-10 verdict
+# #6): ``stream_index_forget_ingest`` times four distinct phases as
+# one ~26 s blob — the single largest headline entry, which cost a
+# round of warm-up archaeology to attribute. The phases below get
+# their own regression-gated numbers; the registered lifecycle query
+# keeps the value oracle (correctness unchanged). Phases CHAIN through
+# one persistent base dir and ONE streaming checkpoint: the source WAL
+# carries the file cursor across the timed calls, so the forget phase
+# drains exactly the control batch — the same per-trigger cost a
+# production stream pays for a takedown, not a replay of the adds.
+
+
+def _bench_fidx_paths(sf_dir: str) -> tuple[str, str, str, str]:
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fidx_bench_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return (
+        base,
+        os.path.join(base, "feed"),
+        os.path.join(base, "idx"),
+        os.path.join(base, "ckpt"),
+    )
+
+
+def _fidx_on_batch(spark: SparkSession, idx: str, owner_cell: list):
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 2×
+        try:
+            _apply_index_commands(
+                spark, idx, batch_df, batch_id, owner=owner_cell[0]
+            )
+        finally:
+            release_local_checkpoint(batch_df)
+
+    return on_batch
+
+
+def bench_fidx_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the bootstrap phase alone — one-time banded-LSH
+    index build over the %3==0 boot corpus (the amortized cost a
+    production index pays once, not per takedown)."""
+    import shutil
+
+    from flink_orc_sink_spark.operators.dedup import build_minhash_index
+
+    base, _feed, idx, _ckpt = _bench_fidx_paths(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    boot = d.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == 0)
+    )
+    build_minhash_index(boot, "doc_id", "text", idx)
+    return spark.range(1)
+
+
+def bench_fidx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: steady-state ingest — the two add micro-batches
+    drained through the checkpointed feed stream (per-trigger cost is
+    batch-sized; this is the number that must stay flat as the index
+    grows)."""
+    _base, feed, idx, ckpt = _bench_fidx_paths(sf_dir)
+    if not os.path.isdir(idx):
+        raise RuntimeError("stream_fidx_build must run before ingest")
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 != 0)
+    )
+    for i in (1, 2):
+        (
+            corpus.filter(F.col("doc_id") % 3 == i)
+            .select(F.lit("add").alias("op"), "doc_id", "text")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+    owner_cell = [None]
+    _run_feed_stream(
+        spark,
+        feed,
+        "op string, doc_id long, text string",
+        _fidx_on_batch(spark, idx, owner_cell),
+        "fidx ingest phase",
+        owner_cell=owner_cell,
+        ckpt=ckpt,
+    )
+    return spark.range(1)
+
+
+def bench_fidx_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the takedown trigger — del tombstones for
+    boot∩(%7==3) plus the re-add of their odd half, ONE control batch
+    resumed from the same checkpoint (the WAL cursor skips the already
+    -committed add files, so this times exactly the O(deleted)
+    tombstone append + the readmit)."""
+    _base, feed, idx, ckpt = _bench_fidx_paths(sf_dir)
+    if not os.path.isdir(ckpt):
+        raise RuntimeError("stream_fidx_ingest must run before forget")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    forget = d.filter(
+        (F.col("doc_id") % 10 != 0)
+        & (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") % 7 == 3)
+    )
+    (
+        forget.select(
+            F.lit("del").alias("op"),
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+        )
+        .unionByName(
+            forget.filter(F.col("doc_id") % 2 == 1).select(
+                F.lit("add").alias("op"), "doc_id", "text"
+            )
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(feed)
+    )
+    owner_cell = [None]
+    _run_feed_stream(
+        spark,
+        feed,
+        "op string, doc_id long, text string",
+        _fidx_on_batch(spark, idx, owner_cell),
+        "fidx forget phase",
+        owner_cell=owner_cell,
+        ckpt=ckpt,
+    )
+    return spark.range(1)
+
+
+def bench_fidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the merge-on-read probe of the maintained index —
+    the steady-state query cost (tombstone anti-join included)."""
+    from flink_orc_sink_spark.operators.dedup import minhash_probe_index
+
+    _base, _feed, idx, _ckpt = _bench_fidx_paths(sf_dir)
+    if not os.path.isdir(idx):
+        raise RuntimeError("stream_fidx_build must run before the probe")
+    new = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return minhash_probe_index(
+        spark, new, "doc_id", "text", idx, threshold=0.7
+    )
+
+
+BENCH_ONLY = {
+    "stream_fidx_build": bench_fidx_build,
+    "stream_fidx_ingest": bench_fidx_ingest,
+    "stream_fidx_forget": bench_fidx_forget,
+    "stream_fidx_probe": bench_fidx_probe,
+}
 
 
 def stream_backfill_live_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:

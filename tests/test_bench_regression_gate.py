@@ -178,6 +178,106 @@ def test_healthy_path_never_borrows_jvm_drift(tmp_path):
     assert "[jobs 3->5]" in out
 
 
+def test_r10_driver_artifact_adjudicates_host(tmp_path):
+    """Replay the LITERAL committed round-10 driver bench artifact
+    (BENCH_DETAIL_r10.json, the 349.5 s run whose 20 flagged queries
+    were all jobs-flat) against BENCH_PIN_r10.json: with min-of-pair
+    base probes (the pin's python pair is 0.55/2.28 s — in-session
+    aging that mean-of-pair let mask the fresh run's real drift) the
+    gate must detect the python+io drift, normalize, and print the
+    HOST-DEGRADATION adjudication line (round-10 verdict #1)."""
+    root = os.path.dirname(os.path.dirname(GATE))
+    fresh_p = os.path.join(root, "BENCH_DETAIL_r10.json")
+    base_p = os.path.join(root, "BENCH_PIN_r10.json")
+    r = subprocess.run(
+        [sys.executable, GATE, fresh_p, base_p],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 1
+    assert "HOST-DEGRADATION SUSPECTED" in r.stdout
+    assert "CONTENTION DETECTED [python]" in r.stdout
+    assert "CONTENTION DETECTED [io]" in r.stdout
+    # every surviving failure carries its jobs-flat evidence
+    for line in r.stdout.splitlines():
+        if line.startswith("FAIL "):
+            assert "jobs flat" in line
+
+
+def test_adjudication_fires_without_probe_drift(tmp_path):
+    """All failures jobs-flat but NO probe pair crossed the threshold
+    (a transient stall between point samples): the adjudication line
+    must still fire, stating the probes were inconclusive."""
+    fresh = _base()
+    fresh["queries"] = dict(_base()["queries"], docs_token_stats=4.0)
+    fresh["telemetry"] = dict(
+        _base()["telemetry"], docs_token_stats=_tel(4.0, 2)
+    )
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "HOST-DEGRADATION SUSPECTED" in out
+    assert "probes inconclusive" in out
+
+
+def test_masked_by_normalization_warns(tmp_path):
+    """A raw >THRESHOLD regression absorbed by a drifted probe's
+    normalization must print a masked-by-normalization warning
+    (round-10 advice #1) — the ok verdict alone would hide what the
+    scaling ate."""
+    fresh = _base()
+    # python probe drifts 2.5x; the python-path query inflates 2.0x
+    # raw -> normalized 0.8x = ok, but the raw ratio exceeded 1.5x
+    fresh["queries"] = dict(
+        _base()["queries"], multimodal_decode_stats=2.0
+    )
+    fresh["telemetry"] = dict(
+        _base()["telemetry"],
+        multimodal_decode_stats=_tel(2.0, 3, py_cpu=1800, spawns=2),
+    )
+    fresh["probes_first"] = {"jvm": 1.0, "python": 2.5, "io": 1.0}
+    fresh["probes_last"] = {"jvm": 1.0, "python": 2.5, "io": 1.0}
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 0
+    assert "masked-by-normalization: multimodal_decode_stats" in out
+    assert "host suspected, not proven" in out
+
+
+def test_base_probes_use_min_of_pair(tmp_path):
+    """An aged pin probe pair (healthy start, inflated end — the r10
+    pin's python 0.55/2.28 s shape) must contribute its MIN to the
+    base: a fresh run at 2x the pin's healthy sample is drift even
+    though it sits below the pin's aged mean."""
+    base = _base()
+    base["probes_first"] = {"jvm": 1.0, "python": 0.5, "io": 1.0}
+    base["probes_last"] = {"jvm": 1.0, "python": 2.3, "io": 1.0}
+    fresh = _base()
+    # fresh python probe steady at 1.0 — 2x the pin's min, well below
+    # the pin's 1.4 mean that the old gate used as the base
+    rc, out = _run(fresh, base, tmp_path)
+    assert "CONTENTION DETECTED [python]" in out
+
+
+def test_near_probe_cited_on_failures(tmp_path):
+    """When the fresh artifact carries family-boundary mini-probes,
+    a flagged query's line must cite the nearest sample (round-10
+    verdict #2) and call out a local host stall when that sample is
+    an outlier vs the run median."""
+    fresh = _base()
+    fresh["queries"] = dict(_base()["queries"], docs_token_stats=4.0)
+    fresh["telemetry"] = dict(
+        _base()["telemetry"], docs_token_stats=dict(_tel(4.0, 2), t0=100.0)
+    )
+    fresh["family_probes"] = [
+        {"family": "q1", "t": 10.0, "jvm": 0.1, "python": 0.2, "io": 0.1},
+        {"family": "docs", "t": 98.0, "jvm": 0.5, "python": 0.2, "io": 0.1},
+        {"family": "orc", "t": 200.0, "jvm": 0.1, "python": 0.2, "io": 0.1},
+    ]
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "[near-probe jvm 0.50s @t=98s" in out
+    assert "local host stall" in out
+
+
 def test_midrun_drift_warns_on_nonjvm_paths(tmp_path):
     """The python probe moving mid-run must print a contention
     warning — the r9 failure mode is invisible to the jvm pair."""

@@ -85,26 +85,35 @@ def _family(name: str) -> str:
     )
 
 
-def _probe_means(d: dict) -> dict[str, float]:
-    """{path: mean probe sec} from either artifact form — the detail
+def _probe_means(d: dict, agg: str = "mean") -> dict[str, float]:
+    """{path: probe sec} from either artifact form — the detail
     file's probes_first/probes_last dicts or the headline line's
     probes {path: [first, last]}. The legacy JVM-only calibration keys
-    feed the 'jvm' entry when no probes block exists."""
+    feed the 'jvm' entry when no probes block exists.
+
+    ``agg`` is "mean" for the FRESH run (both samples describe the run
+    being judged) and "min" for the BASELINE (round-10 verdict #1: the
+    pin's end-of-run probe carries documented in-session aging — its
+    python pair was 0.55/2.28 s — and averaging it into the base
+    inflates the denominator so real fresh-run drift never crosses the
+    threshold; the pin's min is its start-of-run health)."""
     out: dict[str, float] = {}
+    pick = min if agg == "min" else (lambda *v: sum(v) / len(v))
     pf, pl = d.get("probes_first"), d.get("probes_last")
     if isinstance(pf, dict) and isinstance(pl, dict):
         for k in pf:
             if k in pl and pf[k] > 0 and pl[k] > 0:
-                out[k] = (pf[k] + pl[k]) / 2
+                out[k] = pick(pf[k], pl[k])
     elif isinstance(d.get("probes"), dict):
         for k, pair in d["probes"].items():
             vals = [v for v in pair if isinstance(v, (int, float)) and v > 0]
             if vals:
-                out[k] = sum(vals) / len(vals)
+                out[k] = pick(*vals)
     if "jvm" not in out:
-        legacy = _calib_mean(d)
-        if legacy:
-            out["jvm"] = legacy
+        legacy = _calib_pair(d)
+        vals = [v for v in legacy if isinstance(v, (int, float)) and v > 0]
+        if vals:
+            out["jvm"] = pick(*vals)
     return out
 
 
@@ -138,18 +147,33 @@ def _query_path(name: str, base_tel: dict | None) -> str:
     return fam_prior
 
 
-def _calib_mean(d: dict) -> float | None:
-    vals = [
-        d[k]
-        for k in ("calibration_first_sec", "calibration_last_sec")
-        if isinstance(d.get(k), (int, float)) and d[k] > 0
-    ]
-    if not vals and isinstance(d.get("calib"), list):
-        # pre-r9 headline lines carried only a 2-element "calib" array
-        vals = [
-            v for v in d["calib"] if isinstance(v, (int, float)) and v > 0
-        ]
-    return sum(vals) / len(vals) if vals else None
+def _near_probe_note(path: str, t0, fam_probes: list) -> str:
+    """Cite the family-boundary mini-probe sample nearest to a flagged
+    query (round-10 verdict #2): a transient host stall mid-run (the
+    13 s events_hourly_anomaly with flat jobs) is localized by a probe
+    from its own neighborhood instead of start/end pairs 300 s away.
+    Compares the nearest sample to the run-median of that path's
+    mini-probes — >1.3x above median means the flagged query ran in a
+    locally degraded window."""
+    if t0 is None or not fam_probes:
+        return ""
+    vals = sorted(
+        s[path] for s in fam_probes if isinstance(s.get(path), (int, float))
+    )
+    if not vals:
+        return ""
+    median = vals[len(vals) // 2]
+    near = min(
+        (s for s in fam_probes if isinstance(s.get(path), (int, float))),
+        key=lambda s: abs(s.get("t", 0.0) - t0),
+    )
+    note = (
+        f" [near-probe {path} {near[path]:.2f}s @t={near.get('t', 0):.0f}s"
+        f" vs run-median {median:.2f}s"
+    )
+    if median > 0 and near[path] / median > CALIB_DRIFT:
+        note += " — local host stall"
+    return note + "]"
 
 
 def _calib_pair(d: dict) -> tuple[float | None, float | None]:
@@ -205,7 +229,8 @@ def main() -> int:
     # clean at 1.00x while Python-worker families inflated 4-6x) is
     # exactly what per-path probes make visible and per-path
     # normalization absorbs.
-    fresh_probes, base_probes = _probe_means(fresh), _probe_means(base)
+    fresh_probes = _probe_means(fresh, "mean")
+    base_probes = _probe_means(base, "min")
     path_scale: dict[str, float] = {}
     for p in sorted(set(fresh_probes) & set(base_probes)):
         drift = fresh_probes[p] / base_probes[p]
@@ -259,12 +284,15 @@ def main() -> int:
 
     fresh_tel = fresh.get("telemetry") or {}
     base_tel = base.get("telemetry") or {}
+    fam_probes = fresh.get("family_probes") or []
 
     failures: list[str] = []
     scaled_by: dict[str, float] = {}
+    qpath: dict[str, str] = {}
     fq: dict[str, float] = {}
     for n, s in fresh["queries"].items():
         p = _query_path(n, base_tel.get(n))
+        qpath[n] = p
         if p in measured_paths:
             sc = path_scale.get(p, 1.0)
         else:
@@ -276,6 +304,7 @@ def main() -> int:
         if name not in bq:
             print(f"new  {name}: {sec:.3f}s (no baseline)")
             continue
+        raw = fresh["queries"][name]
         ratio = sec / bq[name] if bq[name] > 0 else float("inf")
         status = "ok  "
         if (
@@ -300,10 +329,31 @@ def main() -> int:
                 note = f" [jobs flat at {ft['jobs']}]"
         if scaled_by.get(name, 1.0) != 1.0:
             note += f" [norm x{scaled_by[name]:.3f}]"
+        if status == "FAIL":
+            note += _near_probe_note(
+                qpath[name], (ft or {}).get("t0"), fam_probes
+            )
         print(
             f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s "
             f"({ratio:.2f}x){note}"
         )
+        # A drifted-probe normalization that absorbed a would-be FAIL
+        # must not be silent (round-10 advice): the judge sees what
+        # the scaling ate and can re-run that query on a healthy host.
+        raw_ratio = raw / bq[name] if bq[name] > 0 else float("inf")
+        if (
+            status == "ok  "
+            and scaled_by.get(name, 1.0) != 1.0
+            and raw_ratio > THRESHOLD
+            and bq[name] >= MIN_BASE_SEC
+            and raw - bq[name] >= MIN_DELTA_SEC
+        ):
+            print(
+                f"     masked-by-normalization: {name} raw "
+                f"{raw:.3f}s ({raw_ratio:.2f}x) scaled to ok by the "
+                f"drifted [{qpath[name]}] probe — host suspected, not "
+                f"proven; re-run on an idle host to confirm"
+            )
 
     overlap_total_fresh = sum(s for n, s in fq.items() if n in bq)
     overlap_total_base = sum(bq[n] for n in fq if n in bq)
@@ -340,11 +390,22 @@ def main() -> int:
             for p in set(fresh_probes) & set(base_probes)
             if fresh_probes[p] / base_probes[p] > CALIB_DRIFT
         )
-        if q_fail and len(jobs_flat) == len(q_fail) and drifted:
+        if q_fail and len(jobs_flat) == len(q_fail):
+            # Fire on 100% jobs-flat even when no probe pair crossed
+            # the threshold (round-10 verdict #1: point-sample probes
+            # can miss a transient mid-run stall entirely — the
+            # jobs-flat evidence stands on its own; say which case).
+            probe_clause = (
+                f"probe path(s) {drifted} drifted >{CALIB_DRIFT}x"
+                if drifted
+                else "probes inconclusive (no pair crossed "
+                f"{CALIB_DRIFT}x — a transient stall between samples "
+                "would not register)"
+            )
             print(
                 f"HOST-DEGRADATION SUSPECTED: all {len(q_fail)} "
                 f"failing queries have job counts identical to the pin "
-                f"and probe path(s) {drifted} drifted >{CALIB_DRIFT}x "
+                f"and {probe_clause} "
                 f"— re-run on a healthy host before treating as a code "
                 f"regression"
             )
