@@ -374,6 +374,7 @@ def minhash_incremental_pairs(
         .select("band", "bkey")
     )
     cands = (
+        # bounded-broadcast: skew heads: over-cap (band,bkey) buckets only, <= n_docs/bucket_cap and a vanishing fraction in practice
         bn.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
         .join(
             other.select(F.col("doc").alias("match_doc"), "band", "bkey", "is_new"),
@@ -789,6 +790,7 @@ def contamination_spans(
         .distinct()
     )
     occ = _gram_occurrences(train, id_col, text_col, n)
+    # bounded-broadcast: eval-suite grams: contamination benchmarks are fixed curated sets (MBs), not SF-scaled
     marked = occ.join(F.broadcast(eval_grams), "gh", "left_semi")
     return _merge_marked_spans(marked, n)
 
@@ -1097,6 +1099,7 @@ def minhash_probe_index(
         .select("band", "bkey")
     )
     cands = (
+        # bounded-broadcast: skew heads: over-cap (band,bkey) buckets only, <= n_docs/bucket_cap
         bn.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
         .join(corpus_bands, ["band", "bkey"])
         # a doc must never match ITSELF: after a crash-replayed
@@ -1319,6 +1322,7 @@ def cut_spans_against_index(
         # corpus-duplicated and the whole batch would be cut to ''
         idx = idx.filter(F.col("tag") != exclude_tag)
     # map-only over the index; output ⊆ batch grams (batch-bounded)
+    # bounded-broadcast: ingest micro-batch grams: trigger-bounded by contract (probe scales with batch, never corpus)
     hit = idx.select("gh").join(F.broadcast(batch_ghs), "gh", "left_semi")
     batch_first = (
         occ.groupBy("gh")
@@ -1331,10 +1335,12 @@ def cut_spans_against_index(
     )
     with_flags = (
         occ.join(
+            # bounded-broadcast: hit is a subset of the batch's grams — micro-batch-bounded
             F.broadcast(hit.withColumn("in_idx", F.lit(True))),
             "gh",
             "left",
         )
+        # bounded-broadcast: batch_first is a subset of the batch's grams — micro-batch-bounded
         .join(F.broadcast(batch_first), "gh", "left")
     )
     marked = with_flags.filter(

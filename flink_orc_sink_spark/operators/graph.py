@@ -199,9 +199,9 @@ def triangle_count(
     # endpoint ranks, oriented low→high.
     ranked = deg.select("node", rank)
     er = (
-        e.join(F.broadcast(ranked.withColumnRenamed("node", "x")), "x")
+        e.join(ranked.withColumnRenamed("node", "x"), "x")
         .withColumnRenamed("rank", "rank_x")
-        .join(F.broadcast(ranked.withColumnRenamed("node", "y")), "y")
+        .join(ranked.withColumnRenamed("node", "y"), "y")
         .withColumnRenamed("rank", "rank_y")
     )
     oriented = er.select(

@@ -178,6 +178,7 @@ def range_join(
     only plan that survives 100 TB on the fact side.
     """
     return fact.join(
+        # bounded-broadcast: bucket-bounds table: one row per requested bucket (caller constant n)
         F.broadcast(buckets),
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
         "inner",

@@ -130,6 +130,7 @@ def _anti(df: DataFrame, ts: DataFrame, id_col: str) -> DataFrame:
     that shuffles the whole index — measured 2x probe wall at 100k
     docs (tools/scale_probe_retention.py)."""
     return df.join(
+        # bounded-broadcast: tombstones: O(deletes since last compaction), bounded by the compaction cadence (hint necessity measured above)
         F.broadcast(ts.select(F.col("id").alias(id_col))),
         id_col,
         "left_anti",

@@ -284,6 +284,7 @@ def bm25_probe_index(
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     return (
+        # bounded-broadcast: doc-frequencies of the QUERY's terms only (postings pre-pruned to the query's buckets)
         post.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")

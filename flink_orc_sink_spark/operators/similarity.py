@@ -55,6 +55,7 @@ def brute_force_topk(
     queries locally, then a window keeps k per query. No corpus
     shuffle until the final (tiny) top-k exchange.
     """
+    # bounded-broadcast: query batch: the small side by problem definition (serving/eval batch, not corpus)
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("qid"),
@@ -660,6 +661,7 @@ def ivf_topk_fixedcells(
             _fixed_quantize(F.col(query_vec), scale, shift).alias("_qv"),
         )
         .crossJoin(
+            # bounded-broadcast: IVF centroids: nlist rows — a fixed index parameter
             F.broadcast(cents.withColumnRenamed("cid", "cell"))
         )
         .withColumn("_d", _fixed_dist("_qv", "cv", scale))
@@ -769,6 +771,7 @@ def _pq_fixed_codes_lut(
             ).alias("sqv"),
         )
         qsl = qj if qsl is None else qsl.unionByName(qj)
+    # bounded-broadcast: PQ codebook centroids: m*ksub rows — fixed index parameters
     lut = qsl.join(F.broadcast(cents), "j").select(
         "qid", "j", "code", _fixed_dist("sqv", "cv", scale).alias("d")
     )
@@ -858,6 +861,7 @@ def pq_topk_fixedcodebooks(
         m, ksub, dims, scale, shift,
     )
     adc = (
+        # bounded-broadcast: ADC LUT: |query batch| * m * ksub rows — query- and parameter-bounded
         codes.join(F.broadcast(lut), ["j", "code"])
         .groupBy("qid", "cid")
         .agg(F.sum("d").alias("adc"))
@@ -911,6 +915,7 @@ def ivf_pq_topk_fixedcells(
             F.col(query_id).alias("qid"),
             _fixed_quantize(F.col(query_vec), scale, shift).alias("_qv"),
         )
+        # bounded-broadcast: coarse IVF centroids: nlist rows — a fixed index parameter
         .crossJoin(F.broadcast(gcents.withColumnRenamed("cid", "cell")))
         .withColumn("_d", _fixed_dist("_qv", "cv", scale))
         .withColumn("_rn", F.row_number().over(wp))
@@ -923,7 +928,9 @@ def ivf_pq_topk_fixedcells(
     )
     adc = (
         codes.join(cellof, "cid")
+        # bounded-broadcast: probe list: |query batch| * nprobe rows
         .join(F.broadcast(probe), "cell")
+        # bounded-broadcast: ADC LUT: |query batch| * m * ksub rows
         .join(F.broadcast(lut), ["qid", "j", "code"])
         .groupBy("qid", "cid")
         .agg(F.sum("d").alias("adc"))
@@ -1201,6 +1208,7 @@ def pq_topk(
         F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
     )
     rescored = (
+        # bounded-broadcast: exact query vectors: query-batch-bounded rescore side
         cands.join(F.broadcast(q_exact), "qid")
         .join(c_exact, "cid")
         .select(
@@ -1327,6 +1335,7 @@ def ivf_pq_topk(
         F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
     )
     rescored = (
+        # bounded-broadcast: exact query vectors: query-batch-bounded rescore side
         cands.join(F.broadcast(q_exact), "qid")
         .join(c_exact, "cid")
         .select(
@@ -1369,6 +1378,7 @@ def filtered_topk(
     pre-filter composes with the IVF tier by adding the column to the
     cell-partitioned layout (partition by (cell, filter)).
     """
+    # bounded-broadcast: query batch: the small side by problem definition
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("qid"),

@@ -407,16 +407,19 @@ LEFT JOIN p ON v.user_id = p.user_id
 def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-active date, counted
     per day-offset of later activity. Two keyed aggregations plus one
-    join on user_id — the cohort table is users-sized (small next to
-    events), so Spark broadcasts it and the event stream is touched
-    once."""
+    join on user_id. The cohort table is O(distinct users) — small
+    next to events but UNBOUNDED at scale (10⁸-10⁹ users), so no
+    forced broadcast (round-10 verdict #3): AQE converts the join to
+    broadcast at runtime when the measured size allows and keeps a
+    shuffle join when it doesn't — both sides are already hashed on
+    user_id, so the fallback is one co-partitioned shuffle."""
     e = table(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_date")
     )
     activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     return (
-        activity.join(F.broadcast(first), "user_id")
+        activity.join(first, "user_id")
         .groupBy(
             # TIMESTAMP on both sides — the repo's date-output
             # convention (DATE arrives as datetime64 from DuckDB).
@@ -523,8 +526,12 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-rate anomaly detection: hours where a user's
     event count is ≥2 sample standard deviations from that user's
     mean hourly rate. Two cheap shuffles (hour×user count, then
-    per-user moments); the per-user stats table is tiny and
-    broadcast back onto the hourly counts.
+    per-user moments); the per-user stats table joins back onto the
+    hourly counts with NO forced broadcast (round-10 verdict #3 —
+    O(distinct users) is unbounded at 100×): both sides arrive
+    already hash-partitioned on user_id from their own aggregations,
+    so the join reuses that partitioning, and AQE still picks
+    broadcast at runtime when stats measures small.
 
     Determinism contract: mean/variance are derived from exact
     integer sums (n, Σn, Σn²) with the identical double-op order on
@@ -539,7 +546,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("s"),
         F.sum(F.col("n") * F.col("n")).alias("ss"),
     )
-    j = hourly.join(F.broadcast(stats), "user_id")
+    j = hourly.join(stats, "user_id")
     mean = F.col("s").cast("double") / F.col("cnt")
     var = (
         F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("cnt")
@@ -985,6 +992,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = hourly.groupBy("event_type").agg(
         F.percentile("cnt", F.lit(0.5)).alias("med")
     )
+    # bounded-broadcast: per-event-type medians: the event-type enum is a fixed product domain (a handful of rows)
     dev = hourly.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("cnt") - F.col("med"))
     )
@@ -992,6 +1000,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("absdev", F.lit(0.5)).alias("mad")
     )
     return (
+        # bounded-broadcast: per-event-type MADs: same fixed enum domain
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
@@ -1632,6 +1641,7 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("day_delta").over(woff), F.lit(0)).alias("offset"),
     )
     swept = deltas.withColumn("within", F.sum("delta").over(wday)).join(
+        # bounded-broadcast: per-day carry offsets: calendar-day domain (a few k rows per decade)
         F.broadcast(offsets), "day"
     )
     return swept.groupBy("day").agg(
@@ -1914,6 +1924,7 @@ def events_user_similarity_topk(
         F.col("n").alias("qn"),
     )
     dots = (
+        # bounded-broadcast: query cohort: the fixed user_id<5 probe set x calendar days
         daily.join(F.broadcast(q), "day")
         .filter(F.col("user_id") != F.col("qid"))
         .groupBy("qid", F.col("user_id").alias("cid"))
@@ -1921,9 +1932,15 @@ def events_user_similarity_topk(
     )
     scored = (
         dots.join(
+            # bounded-broadcast: query-cohort norms — FILTERED to the
+            # fixed user_id<5 probe set before the hint, so the
+            # broadcast ships O(|cohort|) rows, never O(users) (the
+            # join on qid made the unfiltered version value-equal but
+            # shipped every user's norm at 100x scale)
             F.broadcast(
-                norms.select(F.col("user_id").alias("qid"),
-                             F.col("nn").alias("qnn"))
+                norms.filter(F.col("user_id") < 5)
+                .select(F.col("user_id").alias("qid"),
+                        F.col("nn").alias("qnn"))
             ),
             "qid",
         )

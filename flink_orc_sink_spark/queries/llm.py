@@ -1526,6 +1526,7 @@ def _recall_found(e: DataFrame, topk: DataFrame, n: int = 50) -> DataFrame:
             (F.col("vec_id") + 1_000_000).alias("qid"),
             F.col("vec_id").alias("expected_cid"),
         )
+        # bounded-broadcast: per-query eval hits: one row per probe query (fixed eval workload)
         .join(F.broadcast(found), "qid", "left")
         .select(
             "qid",
@@ -1705,6 +1706,7 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+    # bounded-broadcast: fixed 10-vector query batch
     queries = F.broadcast(
         qdf.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("qid"), F.col("q").alias("qv")
@@ -2270,15 +2272,18 @@ def docs_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup removal. MinHash pairs → connected components → keep only
     each cluster's keeper (min doc id) plus all untouched docs, via an
     anti-join of documents against cluster non-keepers. Scale: the
-    anti-join key set (non-keepers) is tiny relative to the corpus —
-    Spark broadcasts it; the corpus itself is never shuffled."""
+    non-keeper set is O(dup count) — a large corpus FRACTION on
+    dup-heavy web data, so no forced broadcast (round-10 verdict #3):
+    AQE broadcasts the anti-join side when its measured size allows
+    and falls back to a shuffled anti-join when the dup set is big —
+    the only formulation that survives a 50%-duplicate crawl."""
     d = table(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7, k=3)
     losers = dd.neardup_clusters(pairs).filter(
         F.col("doc") != F.col("cluster_keeper")
     )
     return d.join(
-        F.broadcast(losers), d.doc_id == losers.doc, "left_anti"
+        losers, d.doc_id == losers.doc, "left_anti"
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -2304,7 +2309,9 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, corpus, "doc_id", "text", threshold=0.7
     )
     dup_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
-    return new.join(F.broadcast(dup_ids), "doc_id", "left_anti").select(
+    # dup_ids is batch-bounded, but no forced broadcast — AQE decides
+    # from the measured size (same rule as docs_neardup_survivors)
+    return new.join(dup_ids, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 
@@ -2723,6 +2730,7 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") != "src0"), "doc_id", "text", k=8
     )
     return (
+        # bounded-broadcast: eval-suite shingles: contamination benchmarks are fixed curated sets (MBs), not SF-scaled
         train.join(F.broadcast(eval_sh), "s")
         .groupBy("doc")
         .agg(F.count("*").alias("n_shared_shingles"))
@@ -2809,6 +2817,7 @@ def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = train.filter(in_bloom(F.xxhash64("s")))
     return (
+        # bounded-broadcast: eval-suite shingles: fixed curated benchmark set
         candidates.join(F.broadcast(eval_sh), "s")
         .groupBy("doc")
         .agg(F.count("*").alias("n_shared_shingles"))
@@ -2908,8 +2917,13 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
         F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
     )
     term_score = idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / denom
+    # dfreq is bounded by the QUERY's term count here (tf is filtered
+    # to BM25_TERMS before the groupBy), but a reusable scorer must
+    # not force-broadcast a doc-frequency table — over an unfiltered
+    # vocabulary it is vocab-sized (round-10 verdict #3). AQE
+    # broadcasts it at runtime from its measured (tiny) size.
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -3150,7 +3164,7 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bi") + 1).cast("double") / (F.col("n_w1") + F.col("v"))
     )
     return (
-        big.join(F.broadcast(bistats), "pair")
+        big.join(bistats, "pair")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -3433,11 +3447,13 @@ def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = buckets.alias("b1")
     b2 = buckets.alias("b2")
     cum = (
+        # bounded-broadcast: length-histogram buckets: n_chars DIV 100 — bounded by the max doc length
         b1.join(F.broadcast(b2), F.col("b2.bucket") >= F.col("b1.bucket"))
         .groupBy(F.col("b1.bucket").alias("bucket"))
         .agg(F.sum("b2.tok").alias("cum_tok"))
     )
     selected = cum.filter(F.col("cum_tok") <= 20000).select("bucket")
+    # bounded-broadcast: selected: subset of the bounded length-bucket domain
     return d.join(F.broadcast(selected), "bucket", "left_semi").select(
         "doc_id", "bucket", "n_tok"
     )
@@ -3790,7 +3806,7 @@ def _lm_scores(d: DataFrame) -> DataFrame:
     vocab = freq.crossJoin(F.broadcast(tot))
     nll = -F.log(F.col("n").cast("double") / F.col("tot"))
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens_scored"),
@@ -3839,7 +3855,7 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score_ppm",
@@ -4319,6 +4335,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ratio_ppm"),
     )
     return (
+        # bounded-broadcast: DSIR hash buckets: FIXED 4096 rows at any corpus scale (see docstring)
         tok.join(F.broadcast(buckets), "h")
         .groupBy("doc_id")
         .agg(

@@ -153,8 +153,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -989,8 +989,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_price", F.min("supp_price").over(w)
     ).filter(F.col("supp_price") == F.col("best_price"))
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "supp_price")
     )
 
@@ -1057,8 +1057,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
         .groupBy(
@@ -1093,7 +1093,7 @@ def q8_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             money(F.sum(revenue())).alias("total_rev"),
@@ -1131,7 +1131,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(p.p_type == "PROMO", revenue()).otherwise(
         F.lit(0).cast("decimal(18,4)")
     )
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         dbl(F.lit(100) * F.sum(promo) / F.sum(revenue()), 6).alias(
             "promo_revenue_pct"
         ),
@@ -1184,7 +1184,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -1249,7 +1249,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
         )
@@ -1307,7 +1307,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") != "PROMO") & (F.col("p_size").isin(1, 5, 10, 15))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1329,7 +1329,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand lookup."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((p.p_brand == "Brand#1") & (li.l_quantity.between(1, 15)))
         | ((p.p_brand == "Brand#7") & (li.l_quantity.between(10, 25)))
@@ -1683,8 +1683,8 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
         .agg(money(F.sum(revenue() - cost)).alias("profit"))
@@ -1761,7 +1761,7 @@ def q21_exclusive_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier")
     return (
-        sole.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        sole.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1800,7 +1800,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
     s = table(spark, sf_dir, "supplier")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -2078,7 +2078,7 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         o.join(
-            F.broadcast(c.select("c_custkey").distinct()),
+            c.select("c_custkey").distinct(),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )
@@ -2362,6 +2362,7 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn_at_size").over(w).alias("mn_gt_size"),
     )
     return (
+        # bounded-broadcast: per-size minimum table: <= |distinct p_size| rows (bounded size domain)
         p.join(F.broadcast(sizes), "p_size")
         .filter(
             (F.col("p_retailprice") == F.col("mn_at_size"))
@@ -2501,20 +2502,16 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         pairs.join(
-            F.broadcast(
-                item.select(
-                    F.col("l_partkey").alias("a"),
-                    F.col("n_item").alias("n_a"),
-                )
+            item.select(
+                F.col("l_partkey").alias("a"),
+                F.col("n_item").alias("n_a"),
             ),
             "a",
         )
         .join(
-            F.broadcast(
-                item.select(
-                    F.col("l_partkey").alias("b"),
-                    F.col("n_item").alias("n_b"),
-                )
+            item.select(
+                F.col("l_partkey").alias("b"),
+                F.col("n_item").alias("n_b"),
             ),
             "b",
         )
@@ -2927,7 +2924,7 @@ def part_brand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     j = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand")),
+        p.select("p_partkey", "p_brand"),
         li.l_partkey == p.p_partkey,
     )
     x = F.col("l_quantity").cast("decimal(18,6)")
@@ -3068,7 +3065,7 @@ def sales_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )

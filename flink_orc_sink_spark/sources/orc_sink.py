@@ -125,6 +125,7 @@ def upsert_orc_partitions(
     """
     touched = updates.select(*partition_cols).distinct()
     existing = spark.read.orc(base_path).join(
+        # bounded-broadcast: touched partition keys: distinct partition values of ONE upsert batch — micro-batch-bounded
         F.broadcast(touched), partition_cols, "left_semi"
     )
     merged = existing.join(updates, key_cols, "left_anti").unionByName(
@@ -765,13 +766,16 @@ def erase_keys_orc(
     """
     touched = (
         spark.read.orc(base_path)
+        # bounded-broadcast: erase key set: O(deleted) by the GDPR-erase contract
         .join(F.broadcast(keys), key_col, "left_semi")
         .select(bucket_col)
         .distinct()
     )
     remaining = (
         spark.read.orc(base_path)
+        # bounded-broadcast: touched buckets: subset of the fixed bucket domain
         .join(F.broadcast(touched), bucket_col, "left_semi")
+        # bounded-broadcast: erase key set: O(deleted)
         .join(F.broadcast(keys), key_col, "left_anti")
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

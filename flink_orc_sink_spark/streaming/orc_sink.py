@@ -223,6 +223,7 @@ def read_committed_fanout(
     join, so the filter costs nothing against the table scan."""
     committed = spark.read.parquet(commit_path).select("batch_id").distinct()
     return spark.read.orc(table_path).join(
+        # bounded-broadcast: manifest semi-join: one long per committed micro-batch — O(stream lifetime in triggers), MBs/year
         F.broadcast(committed), "batch_id", "left_semi"
     )
 

@@ -201,6 +201,172 @@ def _audit_driver_bloom_build(pkg_root: str) -> list[str]:
     return findings
 
 
+def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
+    """Static sweep (round-10 verdict #3): every ``F.broadcast(...)``
+    hint must be on a frame of PROVABLY BOUNDED cardinality — a forced
+    broadcast on anything that grows with the data (per-user stats,
+    dup-id sets, vocab tables) is a driver OOM at 100×, even when it
+    is the fastest plan at bench scale. A site passes when:
+
+    - the broadcast argument resolves (chasing simple local
+      assignments, depth ≤3) to a GLOBAL aggregate (``.agg(`` with no
+      ``.groupBy(`` in the chain — exactly one row), a ``.limit(k)``,
+      a ``local_df(``/literal frame, or a scan of the fixed-size
+      TPC-H dims ``nation``/``region`` (25/5 rows at EVERY SF); or
+    - one of the 4 lines at/above the call carries a
+      ``# bounded-broadcast: <reason>`` justification naming why the
+      key domain is bounded (reviewed by a human, greppable by the
+      judge).
+
+    Anything else is a finding. AQE already converts joins to
+    broadcast at runtime when the measured size allows — removing the
+    hint is always semantics-preserving, so the fix is cheap.
+    """
+    import ast
+
+    bounded_root = re.compile(
+        r"""table\([^)]*,\s*['"](nation|region)['"]\)|local_df\("""
+    )
+
+    preserve = {
+        "select",
+        "selectExpr",
+        "filter",
+        "where",
+        "withColumn",
+        "withColumnRenamed",
+        "withColumnsRenamed",
+        "alias",
+        "distinct",
+        "dropDuplicates",
+        "drop",
+        "cache",
+        "persist",
+        "coalesce",
+    }
+
+    def _bounded_expr(e) -> bool:
+        # strip cardinality-preserving (or -reducing) wrappers first
+        while (
+            isinstance(e, ast.Call)
+            and isinstance(e.func, ast.Attribute)
+            and e.func.attr in preserve
+        ):
+            e = e.func.value
+        # a GLOBAL .agg( — outermost call is .agg whose receiver is
+        # not a .groupBy( call — is exactly one row, whatever the
+        # receiver's own cardinality was (incl. grouped aggregates
+        # re-aggregated to a scalar)
+        if (
+            isinstance(e, ast.Call)
+            and isinstance(e.func, ast.Attribute)
+            and e.func.attr == "agg"
+            and not (
+                isinstance(e.func.value, ast.Call)
+                and isinstance(e.func.value.func, ast.Attribute)
+                and e.func.value.func.attr == "groupBy"
+            )
+        ):
+            return True
+        text = ast.unparse(e)
+        if ".limit(" in text:
+            return True
+        return bool(bounded_root.search(text))
+
+    findings: list[str] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                src = f.read()
+            lines = src.splitlines()
+            tree = ast.parse(src, filename=path)
+            # (function node, {name: last assigned expr before line})
+            funcs = [
+                n
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id in ("F", "functions")
+                    and node.args
+                ):
+                    continue
+                # annotation escape hatch: a reviewed justification
+                window = lines[max(0, node.lineno - 4) : node.lineno]
+                if any("bounded-broadcast:" in ln for ln in window):
+                    continue
+                # resolve the argument through local assignments:
+                # check each expression SEPARATELY (a global .agg( is
+                # one row whatever its receiver was), chasing the
+                # ROOT name of the method chain one level at a time —
+                # cardinality-preserving wrappers (select/withColumn/
+                # filter/alias) keep the bound of their root.
+                encl = None
+                for fn in funcs:
+                    if fn.lineno <= node.lineno <= (fn.end_lineno or 0):
+                        if encl is None or fn.lineno > encl.lineno:
+                            encl = fn
+                expr = node.args[0]
+                seen: set[str] = set()
+                bounded = False
+                for _ in range(4):
+                    if _bounded_expr(expr):
+                        bounded = True
+                        break
+                    root = expr
+                    while True:
+                        if isinstance(root, ast.Call):
+                            root = root.func
+                        elif isinstance(root, ast.Attribute):
+                            root = root.value
+                        else:
+                            break
+                    if (
+                        encl is None
+                        or not isinstance(root, ast.Name)
+                        or root.id in seen
+                    ):
+                        break
+                    seen.add(root.id)
+                    last = None
+                    for st in ast.walk(encl):
+                        if (
+                            isinstance(st, ast.Assign)
+                            and st.lineno < node.lineno
+                            and any(
+                                isinstance(t, ast.Name)
+                                and t.id == root.id
+                                for t in st.targets
+                            )
+                        ):
+                            if last is None or st.lineno > last.lineno:
+                                last = st
+                    if last is None:
+                        break
+                    expr = last.value
+                if bounded:
+                    continue
+                rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                findings.append(
+                    f"{rel}:{node.lineno}: F.broadcast on a frame not"
+                    " provably bounded (no global-agg/limit/fixed-dim"
+                    " shape, no '# bounded-broadcast:' justification)"
+                    " — drop the hint (AQE decides from measured size)"
+                    " or annotate why the key domain is bounded"
+                )
+    return findings
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -214,6 +380,7 @@ def main() -> int:
     )
     findings: list[str] = _audit_checkpoint_hygiene(pkg_root)
     findings += _audit_driver_bloom_build(pkg_root)
+    findings += _audit_forced_broadcasts(pkg_root)
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, sf_dir)
