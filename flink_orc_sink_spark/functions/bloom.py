@@ -107,9 +107,18 @@ def build_bloom_distributed(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf[hash_col].isna().any():
+                # match build_bloom, which raises on None inputs — a
+                # silent na_value=0 would insert the phantom key 0
+                # and the 'bit-identical' contract would not hold on
+                # null-bearing columns (round-10 advice)
+                raise ValueError(
+                    f"build_bloom_distributed: null hash in {hash_col!r}"
+                    " — drop or coalesce nulls before building"
+                )
             h = (
                 pdf[hash_col]
-                .to_numpy(dtype=np.int64, na_value=0)
+                .to_numpy(dtype=np.int64)
                 .astype(np.uint64)
             )
             pos = _positions(h, n_bits, n_hashes).reshape(-1)

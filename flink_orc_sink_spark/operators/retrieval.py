@@ -178,20 +178,23 @@ def append_to_bm25_index(
         owner or process_owner("ingest:append"),
         wait_sec=lease_wait_sec,
     ):
-        # Bucket-only hash repartition: with 64 buckets the write
-        # already gets ≥ cluster-parallelism tasks AND an append is
-        # bounded to ≤ 64 files — hashing on (bucket, token) instead
-        # would interleave every bucket across all shuffle tasks and
-        # write up to tasks×buckets (~512) files per append,
-        # compounding small files over steady ingest (round-9 advice).
-        # No range-sampling job either: repartitionByRange
-        # re-evaluates the upstream postings plan once more to sample
-        # bounds — measured strictly worse on streaming ingest.
+        # Bucket-only hash repartition into exactly N_TERM_BUCKETS
+        # partitions: an append is bounded to ≤ 64 files, and
+        # non-empty write tasks are ≤ 64 (hash collisions make it
+        # ~55 in expectation at the default partition count — sizing
+        # the shuffle to the bucket domain drops the empty tasks).
+        # Hashing on (bucket, token) instead would interleave every
+        # bucket across all shuffle tasks and write up to
+        # tasks×buckets (~512) files per append, compounding small
+        # files over steady ingest (round-9 advice). No range-sampling
+        # job either: repartitionByRange re-evaluates the upstream
+        # postings plan once more to sample bounds — measured strictly
+        # worse on streaming ingest.
         (
             _postings(df, id_col, text_col)
             .withColumn("bucket", _bucket(F.col("token")))
             .withColumn("tag", F.lit(tag).cast("long"))
-            .repartition("bucket")
+            .repartition(N_TERM_BUCKETS, "bucket")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{index_path}/postings")

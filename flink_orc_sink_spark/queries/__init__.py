@@ -50,7 +50,7 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       remainder, then the alphabetical head (35) of the 50 entries
 #       last green in r4, computed from CORRECTNESS_r01..r08 exactly
 #       as the r8 verdict did. Registry frozen at 263.
-#   r10 (this round, round-9 verdict #3): CHANGED-SINCE-VERIFIED
+#   r10 (round-9 verdict #3): CHANGED-SINCE-VERIFIED
 #       first — every query whose implementation was reworked after
 #       its last driver-green run: the LSM delta-log stateful sinks
 #       (retract agg/join family r9 rework, last green r5; CDC/SCD2
@@ -59,67 +59,91 @@ _MODULE_ORDER = (engine, llm, events, relational)
 #       partition-column-only in r10, and the r10 distributed-bloom
 #       contamination query. Remaining 28 slots: freshness rotation
 #       over the r4-stale cohort (from CORRECTNESS_r01..r09).
+#   r11 (this round): same discipline. CHANGED first — the round-11
+#       broadcast-hint removals (round-10 verdict #3: TPC-H dim
+#       hints, per-user cohort/stats tables, dup-id sets, vocab/df
+#       tables, triangle-count ranks), the BM25 appender's
+#       bucket-count repartition, the contamination-bloom
+#       persist-release + null-strict distributed builder, and the
+#       forget-lifecycle harness's checkpoint parameter. Remaining
+#       19 slots: the stalest cohort — ALL 18 queries last
+#       driver-green in r5, then the r6 alphabetical head (computed
+#       from CORRECTNESS_r01..r10; round-10 verdict #5).
 # Everything past the cap is covered by the committed full-registry
 # gate log (CHECKLOG.md, generated+count-asserted by
 # tools/check_correctness.py --checklog).
 _PRIORITY = (
-    # --- changed since last driver verification (22) ---
-    "stream_retract_agg",
-    "stream_retract_join",
-    "stream_retract_join_left",
-    "stream_retract_join_agg",
-    "stream_cdc_apply",
-    "stream_scd2_apply",
-    "orc_incremental_agg",
-    "stream_minhash_index_ingest",
-    "stream_emb_index_ingest",
-    "stream_media_index_ingest",
-    "stream_gram_index_ingest",
+    # --- changed this round (31) ---
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_promo_share",
+    "q9_profit_by_nation",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_heavy_shippers",
+    "q21_exclusive_returns",
+    "dq_audit_orders",
+    "part_association_rules",
+    "part_brand_elasticity",
+    "sales_share_of_region",
+    "docs_bm25_topk",
+    "docs_rrf_hybrid",
+    "docs_lm_score",
+    "docs_lm_quality_buckets",
+    "docs_bigram_lm_score",
+    "docs_tfidf_top_terms",
+    "docs_neardup_survivors",
+    "docs_incremental_dedup",
+    "docs_contamination_bloom",
+    "events_daily_retention",
+    "events_hourly_anomaly",
+    "events_user_similarity_topk",
+    "graph_triangle_count",
     "stream_bm25_index_ingest",
     "stream_index_forget_ingest",
-    "docs_incremental_dedup",
-    "docs_index_probe_dedup",
-    "docs_index_cut_dedup",
-    "docs_bm25_index_topk",
-    "docs_bm25_index_forget",
-    "docs_index_forget_dedup",
-    "emb_index_forget_matches",
-    "multimodal_index_forget",
-    "docs_contamination_bloom",
-    # --- 28 slots from the r4-stale cohort (alphabetical) ---
-    "multimodal_resize_stats",
-    "orc_bloom_pruned_read",
-    "orc_bucketed_join",
-    "orc_compact_roundtrip",
-    "orc_partition_upsert",
-    "orc_time_travel",
-    "parts_hierarchy_rollup",
-    "q14_promo_effect",
-    "stream_interval_join",
-    "stream_interval_join_left",
-    "stream_pyds_partitioned",
-    "stream_quarantine",
-    "window_percent_rank",
-    # r5-stale continuation (alphabetical head)
-    "docs_classifier_train",
-    "docs_contamination_spans",
-    "docs_cut_dup_spans",
-    "docs_dup_ngram_spans",
-    "docs_export_shards",
-    "docs_pii_tokenize",
-    "dq_audit_orders",
-    "emb_ivf_recall_eval",
-    "emb_ivfpq_recall_eval",
-    "emb_lsh_ann_topk",
-    "emb_lsh_neardup_pairs",
-    "emb_lsh_recall_eval",
-    "emb_pq_recall_eval",
-    "events_bitmap_distinct_rollup",
-    "events_cdc_apply",
+    # --- 19 slots: stalest cohort (all 18 last green in r5, then
+    # the r6 alphabetical head) ---
+    "events_conversion_lag",
+    "events_markov_transitions",
+    "events_scd2_status",
+    "join_skewed_hot_key",
+    "join_skewed_salted",
+    "multimodal_binaryfile_ingest",
+    "orc_roundtrip_events",
+    "orc_roundtrip_typeedge",
+    "orc_schema_evolution",
+    "orc_snapshot_diff",
+    "pyds_sink_roundtrip",
+    "stream_backfill_live_handoff",
+    "stream_dedup_ttl",
+    "stream_fanout_atomic",
+    "stream_pyds_sink",
+    "stream_sessionize_10m",
+    "stream_temporal_enrich",
+    "stream_tumbling_hourly",
+    "agg_exact_percentiles",
 )
 
 
 def _ordered(get):
+    # A typo in the hand-rotated 50-entry window must fail loudly —
+    # _ordered() skipping an unknown name would silently demote that
+    # query out of the driver-verified window (round-10 advice).
+    registered = set()
+    for mod in _MODULE_ORDER:
+        registered |= mod.QUERIES.keys()
+    unknown = [n for n in _PRIORITY if n not in registered]
+    if unknown:
+        raise ValueError(f"_PRIORITY names not in any registry: {unknown}")
+    if len(set(_PRIORITY)) != len(_PRIORITY):
+        dupes = sorted(
+            n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1
+        )
+        raise ValueError(f"_PRIORITY has duplicates: {dupes}")
     out = {}
     for name in _PRIORITY:
         for mod in _MODULE_ORDER:

@@ -2786,12 +2786,14 @@ def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_orc_sink_spark.functions import bloom as bl
 
     d = table(spark, sf_dir, "documents")
-    # persisted: this plan (shingle explode + distinct shuffle) is
-    # consumed THREE times — the sizing count, the distributed bloom
-    # build, and the exact confirm join in the returned frame — and
-    # eval sets are bounded by definition, so caching beats three
-    # full re-evaluations. The returned DataFrame references it
-    # (terminal shape): the caller/session owns the release.
+    # persisted across the two EAGER uses below — the sizing count
+    # and the distributed bloom build both materialize this plan
+    # (shingle explode + distinct shuffle) — then released before
+    # returning: unlike a checkpoint, a persist() cache is
+    # re-evaluable, so the returned confirm join simply recomputes
+    # the (bounded, eval-sized) plan once, and a long-lived session
+    # that never clearCache()s between queries no longer accumulates
+    # one cached shingle set per invocation (round-10 advice).
     eval_sh = (
         dd.shingle_postings(
             d.filter(F.col("source") == "src0"), "doc_id", "text", k=8
@@ -2800,13 +2802,19 @@ def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    n_keys = eval_sh.count()
-    n_bits, n_hashes = bl.sizing_words(n_keys, fpp=0.01)
-    bc = spark.sparkContext.broadcast(
-        bl.build_bloom_distributed(
-            eval_sh.select(F.xxhash64("s").alias("h")), "h", n_bits, n_hashes
+    try:
+        n_keys = eval_sh.count()
+        n_bits, n_hashes = bl.sizing_words(n_keys, fpp=0.01)
+        bc = spark.sparkContext.broadcast(
+            bl.build_bloom_distributed(
+                eval_sh.select(F.xxhash64("s").alias("h")),
+                "h",
+                n_bits,
+                n_hashes,
+            )
         )
-    )
+    finally:
+        eval_sh.unpersist(blocking=False)
 
     @pandas_udf("boolean")
     def in_bloom(h):

@@ -72,3 +72,17 @@ def test_sizing_words_alignment():
     for n in (0, 1, 7, 100, 99999):
         n_bits, _ = bl.sizing_words(n)
         assert n_bits % 64 == 0
+
+
+def test_distributed_build_rejects_nulls(spark):
+    """A null hash must RAISE, matching the driver-side build_bloom —
+    silently mapping nulls to 0 would insert a phantom key and break
+    the bit-identical contract on null-bearing columns (round-10
+    advice)."""
+    import pytest
+
+    n_bits, n_hashes = bl.sizing_words(4, fpp=0.01)
+    df = spark.createDataFrame([(1,), (None,), (3,)], "h long")
+    with pytest.raises(Exception) as ei:
+        bl.build_bloom_distributed(df, "h", n_bits, n_hashes)
+    assert "null hash" in str(ei.value)
