@@ -301,8 +301,18 @@ def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
                     and node.args
                 ):
                     continue
-                # annotation escape hatch: a reviewed justification
+                # annotation escape hatch: a reviewed justification on
+                # the call line, within the 3 lines above it, or
+                # anywhere in the contiguous comment block immediately
+                # above the call (multi-line justifications)
+                i = node.lineno - 2  # 0-based line above the call
                 window = lines[max(0, node.lineno - 4) : node.lineno]
+                while i >= 0 and (
+                    not lines[i].strip()
+                    or lines[i].lstrip().startswith("#")
+                ):
+                    window.append(lines[i])
+                    i -= 1
                 if any("bounded-broadcast:" in ln for ln in window):
                     continue
                 # resolve the argument through local assignments:

@@ -48,7 +48,10 @@ WAIVED_BY_BASELINE = {
     # first pin with all three calibration probes AND full per-query
     # telemetry (job counts / GC / block-I/O / worker CPU), measuring
     # the salted-hash index appenders and the distributed
-    # contamination-bloom build: no waivers.
+    # contamination-bloom build: no waivers. (Round 11 replaced its
+    # stream_index_forget_ingest headline entry with the four
+    # stream_fidx_* phase entries — those appear as 'new', and the
+    # retired lifecycle entry simply stops being compared.)
     "BENCH_PIN_r10.json": {},
 }
 # Ignore regressions on queries faster than this in the baseline:
