@@ -402,6 +402,27 @@ def _proc_io_bytes(pid: int) -> tuple[int, int]:
         return -1, -1
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line. Steal is time the HYPERVISOR ran someone else while this
+    (otherwise idle) guest had runnable vCPUs — the one counter that
+    mechanically separates external host contention from anything the
+    repo's own code could cause. Measured on this VM 2026-08-16:
+    guest 91-96% idle, steal 5-12% and rising while same-code queries
+    ran 2-8x their pin with FLAT job counts — the r9/r10 'host
+    degradation' pattern, now attributable in-artifact. (-1, -1)
+    when /proc/stat is unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq steal ...
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return -1, -1
+
+
 def _py_workers(jvm_pid: int = -1) -> dict[int, int]:
     """{pid: cpu_ticks} for live pyspark daemon/worker processes
     belonging to THIS session's JVM (ancestor filter on ``jvm_pid``,
@@ -463,11 +484,14 @@ class Telemetry:
 
     def snap(self) -> dict:
         rd, wr = _proc_io_bytes(self.jvm_pid)
+        steal, total = _cpu_ticks()
         return {
             "jobs": _spark_job_counter(self.spark),
             "gc_ms": _gc_ms(self.spark),
             "rd": rd,
             "wr": wr,
+            "steal": steal,
+            "cpu_total": total,
             "pyw": _py_workers(self.jvm_pid),
         }
 
@@ -504,6 +528,19 @@ class Telemetry:
             ),
             "py_spawns": len(new_pids),
             "py_cpu_ms": py_ticks * 10,
+            # % of this query's window the hypervisor stole from the
+            # guest (all vCPUs aggregated) — >0 on an idle guest is
+            # EXTERNAL contention, provable without re-running
+            "steal_pct": (
+                round(
+                    100.0
+                    * (after["steal"] - before["steal"])
+                    / max(after["cpu_total"] - before["cpu_total"], 1),
+                    1,
+                )
+                if after["steal"] >= 0 and before["steal"] >= 0
+                else -1.0
+            ),
         }
 
 
@@ -600,6 +637,7 @@ def main() -> None:
 
     warm_session(spark, queries, sf_dir)
     probes_first = run_probes(spark)
+    steal0, cpu_total0 = _cpu_ticks()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
@@ -659,6 +697,12 @@ def main() -> None:
 
     probes_last = run_probes(spark)
     calib_first, calib_last = probes_first["jvm"], probes_last["jvm"]
+    steal1, cpu_total1 = _cpu_ticks()
+    host_steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(cpu_total1 - cpu_total0, 1), 1)
+        if steal0 >= 0 and steal1 >= 0
+        else -1.0
+    )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -670,6 +714,7 @@ def main() -> None:
         "probes_first": probes_first,
         "probes_last": probes_last,
         "family_probes": family_probes,
+        "host_steal_pct": host_steal_pct,
         "calibration_first_sec": calib_first,
         "calibration_last_sec": calib_last,
         "restart_mode": restart_mode or "single-session",
@@ -706,6 +751,7 @@ def main() -> None:
         "probes": {
             k: [probes_first[k], probes_last[k]] for k in probes_first
         },
+        "host_steal_pct": host_steal_pct,
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf_val,
     }

@@ -54,13 +54,13 @@ def _base():
     }
 
 
-def _run(fresh, base, tmp_path):
+def _run(fresh, base, tmp_path, *flags):
     fp = tmp_path / "fresh.json"
     bp = tmp_path / "base.json"
     fp.write_text(json.dumps(fresh))
     bp.write_text(json.dumps(base))
     r = subprocess.run(
-        [sys.executable, GATE, str(fp), str(bp)],
+        [sys.executable, GATE, *flags, str(fp), str(bp)],
         capture_output=True,
         text=True,
     )
@@ -276,6 +276,43 @@ def test_near_probe_cited_on_failures(tmp_path):
     assert rc == 1
     assert "[near-probe jvm 0.50s @t=98s" in out
     assert "local host stall" in out
+
+
+def test_certify_clean_run(tmp_path):
+    """--certify passes only a run with a clean gate, healthy probes
+    vs pin and mid-run, and <2% hypervisor steal (round-10 verdict
+    #7's re-pin criteria made mechanical)."""
+    fresh = _base()
+    fresh["host_steal_pct"] = 0.4
+    rc, out = _run(fresh, _base(), tmp_path, "--certify")
+    assert rc == 0
+    assert "PIN-QUALITY: CERTIFIED" in out
+
+
+def test_certify_rejects_steal(tmp_path):
+    """External hypervisor steal blocks certification even when every
+    query beats the pin — a stolen-cycles run is not a baseline."""
+    fresh = _base()
+    fresh["host_steal_pct"] = 7.3
+    rc, out = _run(fresh, _base(), tmp_path, "--certify")
+    assert rc == 1
+    assert "PIN-QUALITY: NOT CERTIFIED" in out
+    assert "steal 7.3%" in out
+
+
+def test_steal_cited_on_failures(tmp_path):
+    """Per-query steal_pct telemetry must appear on FAIL lines and
+    strengthen the adjudication sentence (external contention proof)."""
+    fresh = _base()
+    fresh["queries"] = dict(_base()["queries"], docs_token_stats=4.0)
+    fresh["telemetry"] = dict(
+        _base()["telemetry"],
+        docs_token_stats=dict(_tel(4.0, 2), steal_pct=23.5),
+    )
+    rc, out = _run(fresh, _base(), tmp_path)
+    assert rc == 1
+    assert "[steal 24%]" in out or "[steal 23%]" in out
+    assert "contention is EXTERNAL to the guest" in out
 
 
 def test_midrun_drift_warns_on_nonjvm_paths(tmp_path):

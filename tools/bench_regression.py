@@ -197,8 +197,16 @@ def load_baseline(path: str) -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) > 1:
-        with open(sys.argv[1]) as f:
+    # --certify: also judge whether this run QUALIFIES AS A NEW PIN
+    # (round-10 verdict #7 made re-pin criteria explicit; this makes
+    # them mechanical): exit 0 under --certify only when the gate is
+    # clean AND no probe drifted vs the pin AND no probe moved
+    # mid-run AND hypervisor steal stayed <2% — i.e. a run another
+    # round can be judged against without adjudication.
+    argv = [a for a in sys.argv[1:] if a != "--certify"]
+    certify = "--certify" in sys.argv[1:]
+    if argv:
+        with open(argv[0]) as f:
             fresh = json.load(f)
     else:
         fresh = json.loads(sys.stdin.read().strip().splitlines()[-1])
@@ -214,8 +222,8 @@ def main() -> int:
                 fresh = json.load(f)
 
     base_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        argv[1]
+        if len(argv) > 1
         else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
         or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r10.json")
     )
@@ -234,11 +242,21 @@ def main() -> int:
     # normalization absorbs.
     fresh_probes = _probe_means(fresh, "mean")
     base_probes = _probe_means(base, "min")
+    unhealthy: list[str] = []
+    host_steal = fresh.get("host_steal_pct")
+    if isinstance(host_steal, (int, float)) and host_steal >= 2.0:
+        print(
+            f"note: hypervisor steal {host_steal:.1f}% across the run —"
+            " the physical host ran others while this guest had"
+            " runnable vCPUs (external contention, not repo code)"
+        )
+        unhealthy.append(f"hypervisor steal {host_steal:.1f}%")
     path_scale: dict[str, float] = {}
     for p in sorted(set(fresh_probes) & set(base_probes)):
         drift = fresh_probes[p] / base_probes[p]
         if drift > CALIB_DRIFT:
             path_scale[p] = 1.0 / drift
+            unhealthy.append(f"{p} probe drifted {drift:.2f}x vs pin")
             print(
                 f"CONTENTION DETECTED [{p}]: probe {fresh_probes[p]:.2f}s "
                 f"vs pinned {base_probes[p]:.2f}s ({drift:.2f}x) — "
@@ -263,6 +281,7 @@ def main() -> int:
         for p in sorted(set(fpf) & set(fpl)):
             a, b = fpf[p], fpl[p]
             if a and b and max(a, b) / min(a, b) > CALIB_DRIFT:
+                unhealthy.append(f"{p} probe moved mid-run")
                 print(
                     f"CONTENTION WARNING: [{p}] probe moved mid-run "
                     f"({a:.2f}s -> {b:.2f}s) — normalization is "
@@ -336,6 +355,12 @@ def main() -> int:
             note += _near_probe_note(
                 qpath[name], (ft or {}).get("t0"), fam_probes
             )
+            steal = (ft or {}).get("steal_pct", -1.0)
+            if isinstance(steal, (int, float)) and steal >= 1.0:
+                # hypervisor steal during THIS query's window: the
+                # guest-external contention proof (an idle guest with
+                # steal >0 was descheduled by the physical host)
+                note += f" [steal {steal:.0f}%]"
         print(
             f"{status} {name}: {sec:.3f}s vs {bq[name]:.3f}s "
             f"({ratio:.2f}x){note}"
@@ -405,6 +430,20 @@ def main() -> int:
                 f"{CALIB_DRIFT}x — a transient stall between samples "
                 "would not register)"
             )
+            steals = sorted(
+                fresh_tel[f]["steal_pct"]
+                for f in q_fail
+                if isinstance(
+                    fresh_tel.get(f, {}).get("steal_pct"), (int, float)
+                )
+                and fresh_tel[f]["steal_pct"] >= 0
+            )
+            if steals and steals[len(steals) // 2] >= 2.0:
+                probe_clause += (
+                    f"; hypervisor steal median {steals[len(steals)//2]:.0f}%"
+                    f" (max {steals[-1]:.0f}%) during the failing"
+                    " queries — contention is EXTERNAL to the guest"
+                )
             print(
                 f"HOST-DEGRADATION SUSPECTED: all {len(q_fail)} "
                 f"failing queries have job counts identical to the pin "
@@ -413,7 +452,22 @@ def main() -> int:
                 f"regression"
             )
         print(f"REGRESSION: {failures}")
+        if certify:
+            print(
+                "PIN-QUALITY: NOT CERTIFIED — gate failures: "
+                + "; ".join(unhealthy + [f"{len(failures)} FAIL(s)"])
+            )
         return 1
+    if certify:
+        if unhealthy:
+            print(
+                "PIN-QUALITY: NOT CERTIFIED — " + "; ".join(unhealthy)
+            )
+            return 1
+        print(
+            "PIN-QUALITY: CERTIFIED — gate clean, no probe drift vs"
+            " pin, no mid-run probe movement, hypervisor steal <2%"
+        )
     print("bench regression gate: clean")
     return 0
 
