@@ -15,9 +15,24 @@ with argv[2] or $SPARK_GRAFT_BENCH_BASELINE). Fails (exit 1) if any overlapping 
 baseline. Queries absent from the baseline are reported but never
 fail the gate (new coverage is not a regression).
 
+Host-vs-code adjudication (round 11): baseline probes use the MIN of
+their before/after pair (an aged pin probe must not mask fresh-run
+drift); per-query normalization by the matching path probe's drift;
+a raw >threshold regression absorbed by normalization prints a
+masked-by-normalization warning; FAIL lines cite the nearest
+family-boundary mini-probe sample and the query's own hypervisor
+steal%; and when 100% of failures kept their pin job counts the
+HOST-DEGRADATION line fires (naming drifted probes, or saying the
+probes were inconclusive, plus the failing queries' median steal).
+
+``--certify`` additionally judges pin quality: exit 0 only when the
+gate is clean AND no probe drifted vs the pin AND none moved mid-run
+AND hypervisor steal stayed <2% — the mechanical re-pin criteria
+(round-10 verdict #7).
+
 Usage:
     python bench.py | tail -1 | python tools/bench_regression.py
-    python tools/bench_regression.py fresh.json [baseline.json]
+    python tools/bench_regression.py [--certify] fresh.json [baseline.json]
 """
 
 from __future__ import annotations
