@@ -37,3 +37,20 @@ def test_priority_duplicate_fails_loudly(monkeypatch):
 def test_every_oracle_names_a_registered_query():
     q = set(reg.all_queries())
     assert set(reg.all_oracles()) <= q
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must resolve in the registry or a
+    BENCH_ONLY map — a typo would kill the whole bench run at minute
+    four (same failure mode the _PRIORITY guard closes)."""
+    import bench
+    from flink_orc_sink_spark.queries import engine, llm
+
+    known = (
+        set(reg.all_queries())
+        | set(llm.BENCH_ONLY)
+        | set(engine.BENCH_ONLY)
+    )
+    missing = [n for n in bench.HEADLINE if n not in known]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
