@@ -220,19 +220,19 @@ PY_CALIB_ROWS = 8_000_000
 IO_CALIB_ROWS = 3_000_000
 
 
-def calibration_sec(spark) -> float:
+def calibration_sec(spark, rows: int = CALIB_ROWS, parts: int = 64) -> float:
     import time as _t
 
     t0 = _t.time()
     # pmod keeps the running sum < 2^63 under ANSI mode; the cost is
     # still dominated by the per-row xxhash64
-    spark.range(0, CALIB_ROWS, 1, 64).selectExpr(
+    spark.range(0, rows, 1, parts).selectExpr(
         "sum(pmod(xxhash64(id), 1000000)) as h"
     ).collect()
     return round(_t.time() - t0, 3)
 
 
-def calibration_python_sec(spark) -> float:
+def calibration_python_sec(spark, rows: int = PY_CALIB_ROWS) -> float:
     """Fixed Arrow-batched Python-worker job (mapInPandas hash-sum):
     measures worker spawn/reuse + Arrow transfer health. 32 input
     partitions so the probe exercises the same worker-pool fan-out
@@ -246,13 +246,15 @@ def calibration_python_sec(spark) -> float:
             yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
 
     t0 = _t.time()
-    spark.range(0, PY_CALIB_ROWS, 1, 32).mapInPandas(
+    spark.range(0, rows, 1, 32).mapInPandas(
         batches, "s long"
     ).selectExpr("sum(s) as t").collect()
     return round(_t.time() - t0, 3)
 
 
-def calibration_io_sec(spark) -> float:
+def calibration_io_sec(
+    spark, rows: int = IO_CALIB_ROWS, parts: int = 16
+) -> float:
     """Fixed ORC write + read-back probe on the same filesystem the
     orc_*/stream-state queries use (tempdir): measures file-I/O and
     page-cache health. Dir is removed afterwards so repeated probes
@@ -265,7 +267,7 @@ def calibration_io_sec(spark) -> float:
     try:
         t0 = _t.time()
         (
-            spark.range(0, IO_CALIB_ROWS, 1, 16)
+            spark.range(0, rows, 1, parts)
             .selectExpr(
                 "id",
                 "xxhash64(id) as h",
@@ -276,7 +278,7 @@ def calibration_io_sec(spark) -> float:
         )
         n = spark.read.orc(d).count()
         sec = round(_t.time() - t0, 3)
-        if n != IO_CALIB_ROWS:
+        if n != rows:
             raise RuntimeError(f"io probe row mismatch: {n}")
         return sec
     finally:
@@ -291,44 +293,15 @@ def mini_probe(spark) -> dict[str, float]:
     start/end probe pairs 300 s away). Sized ~10x smaller than the
     full probes and sampled ONCE (no min-of-two): these are locality
     witnesses, not calibration — the gate compares each sample to the
-    run's own median, so absolute scale cancels."""
-    import shutil
-    import tempfile
-    import time as _t
-
-    import pandas as pd
-
-    out: dict[str, float] = {}
-    t0 = _t.time()
-    spark.range(0, CALIB_ROWS // 15, 1, 32).selectExpr(
-        "sum(pmod(xxhash64(id), 1000000)) as h"
-    ).collect()
-    out["jvm"] = round(_t.time() - t0, 3)
-
-    def batches(it):
-        for pdf in it:
-            yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
-
-    t0 = _t.time()
-    spark.range(0, PY_CALIB_ROWS // 16, 1, 32).mapInPandas(
-        batches, "s long"
-    ).selectExpr("sum(s) as t").collect()
-    out["python"] = round(_t.time() - t0, 3)
-
-    d = tempfile.mkdtemp(prefix="bench_io_mini_")
-    try:
-        t0 = _t.time()
-        (
-            spark.range(0, IO_CALIB_ROWS // 20, 1, 8)
-            .selectExpr("id", "xxhash64(id) as h")
-            .write.mode("overwrite")
-            .orc(d)
-        )
-        spark.read.orc(d).count()
-        out["io"] = round(_t.time() - t0, 3)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return out
+    run's own median, so absolute scale cancels. Same probe BODIES as
+    the full calibration (parameterized row counts), so a sample
+    witnesses exactly the path it claims to (round-11 review
+    finding: a separately-maintained copy would silently diverge)."""
+    return {
+        "jvm": calibration_sec(spark, rows=CALIB_ROWS // 15, parts=32),
+        "python": calibration_python_sec(spark, rows=PY_CALIB_ROWS // 16),
+        "io": calibration_io_sec(spark, rows=IO_CALIB_ROWS // 20, parts=8),
+    }
 
 
 def run_probes(spark) -> dict[str, float]:
@@ -666,13 +639,21 @@ def main() -> None:
         if _family(name) != prev_family and (
             not family_probes or now - family_probes[-1]["t"] >= 20
         ):
-            family_probes.append(
-                {
-                    "family": _family(name),
-                    "t": round(now, 1),
-                    **mini_probe(spark),
-                }
-            )
+            # a failed probe sample must never abort a half-finished
+            # bench run (same rule as the warm-ups): skip the sample,
+            # keep the per-query results
+            try:
+                sample = mini_probe(spark)
+            except Exception:
+                sample = {}
+            if sample:
+                family_probes.append(
+                    {
+                        "family": _family(name),
+                        "t": round(now, 1),
+                        **sample,
+                    }
+                )
         prev_family = _family(name)
         fn = queries[name]
         before = tel.snap()

@@ -1918,7 +1918,12 @@ def events_user_similarity_topk(
     norms = daily.groupBy("user_id").agg(
         F.sum(F.col("n") * F.col("n")).alias("nn")
     )
-    q = daily.filter(F.col("user_id") < 5).select(
+    # ONE definition of the probe cohort — the q rows and the
+    # broadcast norm filter below must never diverge (a widened q
+    # with an unwidened norm filter would silently drop the new
+    # query users via the qnn inner join)
+    in_cohort = F.col("user_id") < 5
+    q = daily.filter(in_cohort).select(
         F.col("user_id").alias("qid"),
         "day",
         F.col("n").alias("qn"),
@@ -1938,7 +1943,7 @@ def events_user_similarity_topk(
             # join on qid made the unfiltered version value-equal but
             # shipped every user's norm at 100x scale)
             F.broadcast(
-                norms.filter(F.col("user_id") < 5)
+                norms.filter(in_cohort)
                 .select(F.col("user_id").alias("qid"),
                         F.col("nn").alias("qnn"))
             ),

@@ -245,27 +245,45 @@ def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
         "coalesce",
     }
 
-    def _bounded_expr(e) -> bool:
-        # strip cardinality-preserving (or -reducing) wrappers first
+    def _strip_preserve(e):
         while (
             isinstance(e, ast.Call)
             and isinstance(e.func, ast.Attribute)
             and e.func.attr in preserve
         ):
             e = e.func.value
+        return e
+
+    def _is_groupby(e, resolve) -> bool:
+        e = _strip_preserve(e)
+        if (
+            isinstance(e, ast.Call)
+            and isinstance(e.func, ast.Attribute)
+            and e.func.attr == "groupBy"
+        ):
+            return True
+        # the groupBy may be held in a variable (round-11 review
+        # finding: `g = df.groupBy(...); F.broadcast(g.agg(...))`
+        # must NOT pass as a global aggregate)
+        if isinstance(e, ast.Name):
+            resolved = resolve(e.id)
+            if resolved is not None:
+                return _is_groupby(resolved, resolve)
+        return False
+
+    def _bounded_expr(e, resolve) -> bool:
+        # strip cardinality-preserving (or -reducing) wrappers first
+        e = _strip_preserve(e)
         # a GLOBAL .agg( — outermost call is .agg whose receiver is
-        # not a .groupBy( call — is exactly one row, whatever the
-        # receiver's own cardinality was (incl. grouped aggregates
-        # re-aggregated to a scalar)
+        # not a .groupBy( (directly or through a local variable) —
+        # is exactly one row, whatever the receiver's own
+        # cardinality was (incl. grouped aggregates re-aggregated
+        # to a scalar)
         if (
             isinstance(e, ast.Call)
             and isinstance(e.func, ast.Attribute)
             and e.func.attr == "agg"
-            and not (
-                isinstance(e.func.value, ast.Call)
-                and isinstance(e.func.value.func, ast.Attribute)
-                and e.func.value.func.attr == "groupBy"
-            )
+            and not _is_groupby(e.func.value, resolve)
         ):
             return True
         text = ast.unparse(e)
@@ -326,11 +344,35 @@ def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
                     if fn.lineno <= node.lineno <= (fn.end_lineno or 0):
                         if encl is None or fn.lineno > encl.lineno:
                             encl = fn
+
+                resolving: set[str] = set()
+
+                def _resolve(nm: str):
+                    """Last assignment to ``nm`` in the enclosing
+                    function before the broadcast call (cycle-safe)."""
+                    if encl is None or nm in resolving:
+                        return None
+                    resolving.add(nm)
+                    last = None
+                    for st in ast.walk(encl):
+                        if (
+                            isinstance(st, ast.Assign)
+                            and st.lineno < node.lineno
+                            and any(
+                                isinstance(t, ast.Name) and t.id == nm
+                                for t in st.targets
+                            )
+                        ):
+                            if last is None or st.lineno > last.lineno:
+                                last = st
+                    return None if last is None else last.value
+
                 expr = node.args[0]
                 seen: set[str] = set()
                 bounded = False
                 for _ in range(4):
-                    if _bounded_expr(expr):
+                    resolving.clear()
+                    if _bounded_expr(expr, _resolve):
                         bounded = True
                         break
                     root = expr
@@ -341,29 +383,14 @@ def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
                             root = root.value
                         else:
                             break
-                    if (
-                        encl is None
-                        or not isinstance(root, ast.Name)
-                        or root.id in seen
-                    ):
+                    if not isinstance(root, ast.Name) or root.id in seen:
                         break
                     seen.add(root.id)
-                    last = None
-                    for st in ast.walk(encl):
-                        if (
-                            isinstance(st, ast.Assign)
-                            and st.lineno < node.lineno
-                            and any(
-                                isinstance(t, ast.Name)
-                                and t.id == root.id
-                                for t in st.targets
-                            )
-                        ):
-                            if last is None or st.lineno > last.lineno:
-                                last = st
-                    if last is None:
+                    resolving.clear()
+                    nxt = _resolve(root.id)
+                    if nxt is None:
                         break
-                    expr = last.value
+                    expr = nxt
                 if bounded:
                     continue
                 rel = os.path.relpath(path, os.path.dirname(pkg_root))

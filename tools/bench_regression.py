@@ -266,6 +266,20 @@ def main() -> int:
             " runnable vCPUs (external contention, not repo code)"
         )
         unhealthy.append(f"hypervisor steal {host_steal:.1f}%")
+    if certify:
+        # ABSENT evidence must block certification, not pass it: a
+        # run whose steal was never measured (bench.py's -1 sentinel
+        # on unreadable /proc/stat, or a pre-steal artifact) or whose
+        # probe pairs are missing from either artifact cannot claim
+        # 'steal <2%' / 'no probe drift' (round-11 review finding).
+        if not (isinstance(host_steal, (int, float)) and host_steal >= 0):
+            unhealthy.append("hypervisor steal not measured")
+        for what, probes in (("fresh", fresh_probes), ("pin", base_probes)):
+            missing = {"jvm", "python", "io"} - set(probes)
+            if missing:
+                unhealthy.append(
+                    f"{what} artifact missing probe(s) {sorted(missing)}"
+                )
     path_scale: dict[str, float] = {}
     for p in sorted(set(fresh_probes) & set(base_probes)):
         drift = fresh_probes[p] / base_probes[p]
@@ -327,13 +341,19 @@ def main() -> int:
     scaled_by: dict[str, float] = {}
     qpath: dict[str, str] = {}
     fq: dict[str, float] = {}
+    scale_src: dict[str, str] = {}
     for n, s in fresh["queries"].items():
         p = _query_path(n, base_tel.get(n))
         qpath[n] = p
         if p in measured_paths:
             sc = path_scale.get(p, 1.0)
+            scale_src[n] = p
         else:
             sc = default_scale
+            # the query's own path had no probe pair in both
+            # artifacts: the legacy jvm drift did the scaling, and
+            # any message must blame THAT, not the unmeasured path
+            scale_src[n] = "jvm (legacy fallback)"
         scaled_by[n] = sc
         fq[n] = s * sc
     bq = base["queries"]
@@ -394,8 +414,8 @@ def main() -> int:
             print(
                 f"     masked-by-normalization: {name} raw "
                 f"{raw:.3f}s ({raw_ratio:.2f}x) scaled to ok by the "
-                f"drifted [{qpath[name]}] probe — host suspected, not "
-                f"proven; re-run on an idle host to confirm"
+                f"drifted [{scale_src[name]}] probe — host suspected, "
+                f"not proven; re-run on an idle host to confirm"
             )
 
     overlap_total_fresh = sum(s for n, s in fq.items() if n in bq)

@@ -25,47 +25,61 @@ import time
 STEAL_HEALTHY_PCT = 1.5
 SAMPLE_SEC = 6
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+import bench  # noqa: E402  (bench.py's imports are stdlib-only)
 
-def _cpu_ticks() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
-    return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
-
-def steal_pct(seconds: int = SAMPLE_SEC) -> float:
-    s0, t0 = _cpu_ticks()
+def steal_pct(seconds: int = SAMPLE_SEC) -> float | None:
+    """% steal over ``seconds``; None where /proc/stat is unreadable
+    (bench._cpu_ticks returns its (-1, -1) sentinel — one guarded
+    implementation, not a second copy)."""
+    s0, t0 = bench._cpu_ticks()
     time.sleep(seconds)
-    s1, t1 = _cpu_ticks()
+    s1, t1 = bench._cpu_ticks()
+    if s0 < 0 or s1 < 0:
+        return None
     return 100.0 * (s1 - s0) / max(t1 - t0, 1)
 
 
 def main() -> int:
     pct = steal_pct()
+    if pct is None:
+        print(
+            "hypervisor steal unmeasurable (/proc/stat unreadable) —"
+            " treat as DEGRADED: a pin run could not certify anyway"
+            " (bench_regression --certify requires measured steal)"
+        )
+        return 1
     verdict = "healthy" if pct < STEAL_HEALTHY_PCT else "DEGRADED"
     print(f"hypervisor steal over {SAMPLE_SEC}s: {pct:.1f}% — {verdict}")
     if "--probes" in sys.argv[1:]:
-        sys.path.insert(
-            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        import bench
         from flink_orc_sink_spark.session import get_spark
 
         spark = get_spark("host-health")
         bench.calibration_sec(spark)  # codegen warm-up
         bench.calibration_python_sec(spark)
         bench.calibration_io_sec(spark)
+        s0, t0 = bench._cpu_ticks()  # sample the ACTUAL probe window
         probes = bench.run_probes(spark)
+        s1, t1 = bench._cpu_ticks()
         print(
             "probes (min-of-2, warm): "
             + ", ".join(f"{k}={v:.2f}s" for k, v in probes.items())
         )
-        pct2 = steal_pct()
-        print(
-            f"steal during probes: {pct2:.1f}% — compare probe values"
-            " against the pin's probes_first (BENCH_PIN_r10.json:"
-            " jvm 0.94, python 0.55, io 0.62)"
+        pct2 = (
+            100.0 * (s1 - s0) / max(t1 - t0, 1)
+            if s0 >= 0 and s1 >= 0
+            else None
         )
-        if pct2 >= STEAL_HEALTHY_PCT:
+        print(
+            f"steal during probes: "
+            f"{'unmeasurable' if pct2 is None else f'{pct2:.1f}%'}"
+            " — compare probe values against the pin's probes_first"
+            " (BENCH_PIN_r10.json: jvm 0.94, python 0.55, io 0.62)"
+        )
+        if pct2 is None or pct2 >= STEAL_HEALTHY_PCT:
             print("verdict: DEGRADED (steal under load)")
             return 1
     return 0 if pct < STEAL_HEALTHY_PCT else 1
