@@ -3684,10 +3684,19 @@ def stream_index_forget_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bench_fidx_paths(sf_dir: str) -> tuple[str, str, str, str]:
+    # per-process token (round-11 advice #3): the phases chain through
+    # one base dir WITHIN a run, but two concurrent runs on the same
+    # scale factor (bench + pytest, or two bench invocations) must not
+    # share an index/feed/checkpoint tree — the chained WAL cursors
+    # would corrupt each other mid-run. The PID scopes the tree to the
+    # driver process that runs all four phases; SPARK_GRAFT_RUN_TOKEN
+    # (set once by bench.py) lets a multi-process harness opt into one
+    # shared token explicitly.
+    token = os.environ.get("SPARK_GRAFT_RUN_TOKEN") or str(os.getpid())
     base = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_fidx_bench_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{token}",
     )
     return (
         base,

@@ -54,6 +54,13 @@ SYNTH = textwrap.dedent(
     def good_fixed_dim(spark, sf_dir):
         n = table(spark, sf_dir, "nation")
         return n.select("n_nationkey").crossJoin(F.broadcast(n))
+
+    def bad_nested_limit(df, small):
+        return df.join(F.broadcast(df.join(small.limit(5), "k")), "k")
+
+    def bad_nested_dim(spark, sf_dir, big):
+        j = big.join(table(spark, sf_dir, "nation"), "n_nationkey")
+        return big.join(F.broadcast(j), "n_nationkey")
     """
 )
 
@@ -71,7 +78,15 @@ def test_sweep_flags_unbounded_and_passes_bounded(tmp_path):
             if src_lines[i].startswith("def "):
                 flagged_fns.add(src_lines[i].split("(")[0][4:])
                 break
-    assert flagged_fns == {"bad_grouped_in_var", "bad_plain_grouped"}
+    # the nested-limit / nested-dim shapes (round-11 advice #2): a
+    # .limit or nation scan INSIDE a larger expression bounds only
+    # that operand, not the broadcast frame — both must flag
+    assert flagged_fns == {
+        "bad_grouped_in_var",
+        "bad_plain_grouped",
+        "bad_nested_limit",
+        "bad_nested_dim",
+    }
 
 
 def test_sweep_clean_on_package():

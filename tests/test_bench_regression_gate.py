@@ -138,6 +138,29 @@ def test_legacy_pin_without_probes_still_gates(tmp_path):
     assert "FAIL docs_token_stats" in out
 
 
+def test_single_sample_legacy_pin_does_not_crash(tmp_path):
+    """A baseline carrying only calibration_first_sec (or a probe pair
+    with one non-positive entry) reaches _probe_means('min') as a
+    single-element list; min(1.5) raised TypeError and crashed the
+    gate exactly on the older pins the fallback exists to support
+    (round-11 advice #1)."""
+    base = {
+        "queries": {"q1_pricing_summary": 1.0, "docs_token_stats": 1.0},
+        "calibration_first_sec": 1.0,
+        # one non-positive probe entry -> single-element vals list
+        "probes": {"io": [0.5, 0]},
+    }
+    fresh = _base()
+    fresh["queries"] = {
+        "q1_pricing_summary": 1.0,
+        "docs_token_stats": 2.5,
+    }
+    rc, out = _run(fresh, base, tmp_path)
+    assert rc == 1  # still gates — no TypeError crash
+    assert "FAIL docs_token_stats" in out
+    assert "Traceback" not in out
+
+
 def test_host_degradation_summary_line(tmp_path):
     """All failures jobs-flat + a drifted probe pair => the gate
     prints the HOST-DEGRADATION adjudication line (still exit 1)."""

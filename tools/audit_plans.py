@@ -224,10 +224,6 @@ def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
     """
     import ast
 
-    bounded_root = re.compile(
-        r"""table\([^)]*,\s*['"](nation|region)['"]\)|local_df\("""
-    )
-
     preserve = {
         "select",
         "selectExpr",
@@ -279,17 +275,38 @@ def _audit_forced_broadcasts(pkg_root: str) -> list[str]:
         # is exactly one row, whatever the receiver's own
         # cardinality was (incl. grouped aggregates re-aggregated
         # to a scalar)
-        if (
-            isinstance(e, ast.Call)
-            and isinstance(e.func, ast.Attribute)
-            and e.func.attr == "agg"
-            and not _is_groupby(e.func.value, resolve)
-        ):
-            return True
-        text = ast.unparse(e)
-        if ".limit(" in text:
-            return True
-        return bool(bounded_root.search(text))
+        if isinstance(e, ast.Call) and isinstance(e.func, ast.Attribute):
+            if e.func.attr == "agg" and not _is_groupby(
+                e.func.value, resolve
+            ):
+                return True
+            # .limit(k) bounds the result ONLY as the outermost call:
+            # a .limit nested inside a join argument —
+            # F.broadcast(big.join(small.limit(5), 'k')) — bounds the
+            # small side, not the join (round-11 advice #2; the old
+            # substring test passed that silently)
+            if e.func.attr == "limit":
+                return True
+        # fixed-dim scan / literal frame: the expression itself must BE
+        # the bounded call, not merely contain one nested somewhere (a
+        # nation scan inside a larger expression must not certify it)
+        if isinstance(e, ast.Call):
+            fn_name = (
+                e.func.id
+                if isinstance(e.func, ast.Name)
+                else e.func.attr
+                if isinstance(e.func, ast.Attribute)
+                else None
+            )
+            if fn_name == "local_df":
+                return True
+            if fn_name == "table" and any(
+                isinstance(a, ast.Constant)
+                and a.value in ("nation", "region")
+                for a in e.args
+            ):
+                return True
+        return False
 
     findings: list[str] = []
     for dirpath, _dirs, files in os.walk(pkg_root):

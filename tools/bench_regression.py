@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 THRESHOLD = 1.5
@@ -116,22 +117,26 @@ def _probe_means(d: dict, agg: str = "mean") -> dict[str, float]:
     inflates the denominator so real fresh-run drift never crosses the
     threshold; the pin's min is its start-of-run health)."""
     out: dict[str, float] = {}
-    pick = min if agg == "min" else (lambda *v: sum(v) / len(v))
+    # both aggregators take a LIST: a legacy baseline with only
+    # calibration_first_sec, or a probe pair with one non-positive
+    # entry, yields a single-element list, and min(1.5) would raise
+    # TypeError exactly on the older pins this fallback supports
+    pick = min if agg == "min" else (lambda v: sum(v) / len(v))
     pf, pl = d.get("probes_first"), d.get("probes_last")
     if isinstance(pf, dict) and isinstance(pl, dict):
         for k in pf:
             if k in pl and pf[k] > 0 and pl[k] > 0:
-                out[k] = pick(pf[k], pl[k])
+                out[k] = pick([pf[k], pl[k]])
     elif isinstance(d.get("probes"), dict):
         for k, pair in d["probes"].items():
             vals = [v for v in pair if isinstance(v, (int, float)) and v > 0]
             if vals:
-                out[k] = pick(*vals)
+                out[k] = pick(vals)
     if "jvm" not in out:
         legacy = _calib_pair(d)
         vals = [v for v in legacy if isinstance(v, (int, float)) and v > 0]
         if vals:
-            out["jvm"] = pick(*vals)
+            out["jvm"] = pick(vals)
     return out
 
 
@@ -180,7 +185,10 @@ def _near_probe_note(path: str, t0, fam_probes: list) -> str:
     )
     if not vals:
         return ""
-    median = vals[len(vals) // 2]
+    # statistics.median, not vals[len//2]: the upper-middle element of
+    # an even-length sample biases toward the slower probe and shifts
+    # the >1.3x "local host stall" callout near the threshold
+    median = statistics.median(vals)
     near = min(
         (s for s in fam_probes if isinstance(s.get(path), (int, float))),
         key=lambda s: abs(s.get("t", 0.0) - t0),
@@ -473,9 +481,10 @@ def main() -> int:
                 )
                 and fresh_tel[f]["steal_pct"] >= 0
             )
-            if steals and steals[len(steals) // 2] >= 2.0:
+            if steals and statistics.median(steals) >= 2.0:
                 probe_clause += (
-                    f"; hypervisor steal median {steals[len(steals)//2]:.0f}%"
+                    f"; hypervisor steal median"
+                    f" {statistics.median(steals):.0f}%"
                     f" (max {steals[-1]:.0f}%) during the failing"
                     " queries — contention is EXTERNAL to the guest"
                 )
