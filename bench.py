@@ -125,6 +125,10 @@ HEADLINE = [
     "docs_retrieval_eval",
     "events_scd2_pointlookup",
     "customer_abc_analysis",
+    # round-12: the scale-safe bucket-histogram twins of the two
+    # entity-domain global-window queries (round-11 verdict #3)
+    "customer_abc_approx",
+    "events_rfm_segments_approx",
     "events_best_split",
     "emb_kmeans_cluster",
     "stream_quarantine",

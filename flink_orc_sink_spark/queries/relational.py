@@ -2998,8 +2998,11 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one map-side-combined per-customer aggregate,
     then the running sum over the PER-CUSTOMER table (entity domain,
     orders of magnitude below the fact stream — same honest global
-    window as RFM, with the approx_percentile-threshold alternative
-    documented there). Output: per-class counts and revenue.
+    window as RFM). At 100 TB use the scale-safe twin
+    ``customer_abc_approx`` (registered, value-oracled): classes
+    resolved over the bounded digit-bucket histogram instead of an
+    O(entities) single-task sort. Output: per-class counts and
+    revenue.
     """
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -3045,6 +3048,96 @@ SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
   CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
 FROM ranked CROSS JOIN tot
 GROUP BY abc_class
+"""
+
+
+def customer_abc_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-SAFE TWIN of ``customer_abc_analysis`` (round-11 verdict
+    #3): the exact form's running revenue share sorts the PER-CUSTOMER
+    table on one task — O(entities) rows at 100×. This twin keeps the
+    map-side-combined per-customer aggregate but classifies at BUCKET
+    granularity:
+
+    1. revenue quantized to int64 hundredths-of-cents (exact decimal
+       × 10⁴), then mapped to the deterministic digit bucket
+       ``digits*100 + first-two-digits`` (string-derived — no float
+       near a boundary; ≤ ~1,900 buckets for int64, monotonic in
+       revenue);
+    2. per-bucket histogram (count + exact decimal revenue sum) — a
+       distributed aggregate with BOUNDED output;
+    3. the running revenue share runs over the bucket domain only,
+       class thresholds decided by integer cross-multiplication
+       (cum·100 vs total·80/95) exactly as the exact twin.
+
+    Approximation: a bucket straddling the 80%/95% boundary lands
+    whole on the C-side of it (the class of its last member), i.e.
+    class boundaries resolve at two-leading-digit revenue
+    granularity. Deterministic, so DuckDB value-checks it exactly.
+    No per-entity window, no broadcast of anything entity-sized."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    rev_q = (F.col("rev") * 10000).cast("long")
+    s = rev_q.cast("string")
+    b = per_cust.select(
+        "rev",
+        F.when(rev_q <= 0, F.lit(0))
+        .otherwise(
+            F.length(s).cast("long") * 100
+            + F.substring(s, 1, 2).cast("long")
+        )
+        .alias("mb"),
+    )
+    hist = b.groupBy("mb").agg(
+        F.count("*").alias("c"), F.sum("rev").alias("bucket_rev")
+    )
+    w = Window.orderBy(F.col("mb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_cust.agg(F.sum("rev").alias("total"))
+    ranked = hist.withColumn("cum", F.sum("bucket_rev").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.sum("c").alias("n_customers"),
+        money(F.sum("bucket_rev")).alias("class_revenue"),
+    )
+
+
+ABC_APPROX_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT rev,
+    CASE WHEN CAST(rev * 10000 AS BIGINT) <= 0 THEN 0
+         ELSE LENGTH(CAST(CAST(rev * 10000 AS BIGINT) AS VARCHAR)) * 100
+              + CAST(SUBSTR(CAST(CAST(rev * 10000 AS BIGINT) AS VARCHAR),
+                            1, 2) AS BIGINT)
+    END AS mb
+  FROM per_cust
+),
+h AS (SELECT mb, COUNT(*) AS c, SUM(rev) AS bucket_rev FROM b GROUP BY mb),
+tot AS (SELECT SUM(rev) AS total FROM per_cust),
+ranked AS (
+  SELECT mb, c, bucket_rev,
+    SUM(bucket_rev) OVER (ORDER BY mb DESC) AS cum
+  FROM h
+)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+  CAST(SUM(c) AS BIGINT) AS n_customers,
+  CAST(ROUND(SUM(bucket_rev), 2) AS DOUBLE) AS class_revenue
+FROM ranked CROSS JOIN tot
+GROUP BY 1
 """
 
 
@@ -3213,6 +3306,7 @@ QUERIES = {
     "orders_lead_time_sla": orders_lead_time_sla,
     "sales_share_of_region": sales_share_of_region,
     "customer_abc_analysis": customer_abc_analysis,
+    "customer_abc_approx": customer_abc_approx,
     "part_brand_elasticity": part_brand_elasticity,
     "part_fuzzy_name_pairs": part_fuzzy_name_pairs,
     "agg_equidepth_histogram": agg_equidepth_histogram,
@@ -3301,6 +3395,7 @@ ORACLES = {
     "orders_lead_time_sla": LEAD_TIME_SQL,
     "sales_share_of_region": SHARE_OF_REGION_SQL,
     "customer_abc_analysis": ABC_SQL,
+    "customer_abc_approx": ABC_APPROX_SQL,
     "part_brand_elasticity": BRAND_ELASTICITY_SQL,
     "part_fuzzy_name_pairs": FUZZY_PAIRS_SQL,
     "agg_equidepth_histogram": EQUIDEPTH_SQL,

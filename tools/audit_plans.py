@@ -46,9 +46,12 @@ ALLOW_GLOBAL_WINDOW = {
     # (≤ distinct sizes rows)
     "part_pareto_frontier",
     # quintile scoring over the PER-USER aggregate (1 row per user);
-    # docstring documents the approx_percentile-threshold form for
-    # when even that table is too big to sort on one task
+    # the scale-safe threshold-histogram form is RUNNING CODE:
+    # events_rfm_segments_approx (round-11 verdict #3)
     "events_rfm_segments",
+    # scale-safe RFM twin: its only global windows run over the
+    # bounded digit-bucket histograms (≤ ~1,900 rows by construction)
+    "events_rfm_segments_approx",
     # rank assignment over the top-100 LIST (TakeOrderedAndProject
     # feeds it — the window input is bounded by the limit)
     "docs_rrf_hybrid",
@@ -56,8 +59,12 @@ ALLOW_GLOBAL_WINDOW = {
     # domain (≤ |V| rows — the histogram, not the event stream)
     "events_best_split",
     # ABC classification: running revenue share over the PER-CUSTOMER
-    # aggregate (entity domain; approx-threshold alternative per RFM)
+    # aggregate (entity domain); the scale-safe bucket-histogram form
+    # is RUNNING CODE: customer_abc_approx (round-11 verdict #3)
     "customer_abc_analysis",
+    # scale-safe ABC twin: global window over the bounded digit-bucket
+    # histogram only (≤ ~1,900 rows by construction)
+    "customer_abc_approx",
 }
 
 
