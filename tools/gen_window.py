@@ -21,7 +21,15 @@ package to registry queries through a function-span index: a query is
 or — transitively — when any package function whose span intersects
 the diff is reachable from the query by name reference (the marker
 propagates from changed defs to every def that references them, to a
-fixed point). Module-level hunks outside any ``def`` mark the whole
+fixed point). Module-level hunks are attributed to the top-level
+STATEMENT they land in: a changed assignment marks its target name
+(propagating to every def that references it); a changed pair inside
+a top-level dict literal with string keys (the QUERIES/ORACLES
+registries) marks exactly the named query — so registering a new
+query does NOT mark its 60 module siblings (the r12 lesson: the two
+approx-twin registrations flagged 125 queries under the old
+whole-module rule, displacing the stale rotation entirely); changed
+imports or unattributable module-level hunks still mark the whole
 module. Over-inclusion is safe (it spends window slots re-verifying
 an unchanged query); silent omission is the failure mode this tool
 exists to prevent. ``queries/__init__.py`` itself is excluded — the
@@ -167,22 +175,100 @@ def changed_queries(base: str, registry_names: list[str]) -> list[str]:
         return False
 
     marked = {(d["file"], d["name"]) for d in defs if _touches(d)}
-    # module-level hunks (outside every def in that file) mark the
-    # whole module: constants/imports feed every def below them
+    # module-level hunks (outside every def in that file) are
+    # attributed to the top-level statement they intersect:
+    #   Assign/AnnAssign  -> mark the target NAME (propagates below
+    #                        to defs referencing it); for dict
+    #                        literals with string keys (the registry
+    #                        dicts) additionally mark exactly the
+    #                        keys whose pair spans moved
+    #   FunctionDef/Class -> covered by the def-span pass above
+    #   anything else     -> whole-module fallback (imports etc.)
     by_file: dict[str, list[dict]] = {}
     for d in defs:
         by_file.setdefault(d["file"], []).append(d)
+    changed_names: set[str] = {n for _f, n in marked}
+    direct_marks: set[str] = set()  # registry query names hit by key
+    # (file, query-key) -> identifier names its dict value references;
+    # lets a changed SQL constant mark the oracle entries built on it
+    pair_refs: list[tuple[str, set[str]]] = []
     for f, rs in ranges.items():
         fdefs = by_file.get(f, [])
+        path = os.path.join(REPO, f)
+        try:
+            with open(path) as fh:
+                tree = ast.parse(fh.read(), filename=path)
+        except (OSError, SyntaxError):
+            marked |= {(d["file"], d["name"]) for d in fdefs}
+            continue
+        top = list(tree.body)
+        for stmt in top:
+            if isinstance(stmt, (ast.Assign, ast.AnnAssign)):
+                val = stmt.value
+                if isinstance(val, ast.Dict):
+                    for k, v in zip(val.keys, val.values):
+                        if isinstance(k, ast.Constant) and isinstance(
+                            k.value, str
+                        ):
+                            pair_refs.append(
+                                (
+                                    k.value,
+                                    {
+                                        n.id
+                                        for n in ast.walk(v)
+                                        if isinstance(n, ast.Name)
+                                    },
+                                )
+                            )
         for lo, hi in rs:
-            inside = any(
+            if any(
                 d["span"][0] <= lo and hi <= d["span"][1] for d in fdefs
-            )
-            if not inside:
+            ):
+                continue  # inside a def: the span pass handled it
+            hits = [
+                s
+                for s in top
+                if s.lineno <= hi and (s.end_lineno or s.lineno) >= lo
+            ]
+            attributed = bool(hits)
+            for stmt in hits:
+                if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                     ast.ClassDef)):
+                    continue  # def-span pass covers these
+                if isinstance(stmt, (ast.Assign, ast.AnnAssign)):
+                    targets = (
+                        stmt.targets
+                        if isinstance(stmt, ast.Assign)
+                        else [stmt.target]
+                    )
+                    for t in targets:
+                        for n in ast.walk(t):
+                            if isinstance(n, ast.Name):
+                                changed_names.add(n.id)
+                    val = stmt.value
+                    if isinstance(val, ast.Dict):
+                        # precise per-key attribution inside registry
+                        # dicts: only pairs whose own span moved
+                        for k, v in zip(val.keys, val.values):
+                            klo = (k or v).lineno
+                            khi = v.end_lineno or v.lineno
+                            if (
+                                klo <= hi
+                                and khi >= lo
+                                and isinstance(k, ast.Constant)
+                                and isinstance(k.value, str)
+                            ):
+                                direct_marks.add(k.value)
+                elif isinstance(stmt, ast.Expr) and isinstance(
+                    stmt.value, ast.Constant
+                ):
+                    continue  # docstring-only hunk: no behavior
+                else:
+                    attributed = False  # imports/if/etc: conservative
+            if not attributed:
                 marked |= {(d["file"], d["name"]) for d in fdefs}
                 break
     # propagate changed -> callers by name reference, to fixed point
-    changed_names = {n for _f, n in marked}
     while True:
         grew = False
         for d in defs:
@@ -195,6 +281,12 @@ def changed_queries(base: str, registry_names: list[str]) -> list[str]:
                 grew = True
         if not grew:
             break
+    # a registry-dict value (oracle SQL, wrapped callable) built on a
+    # changed name marks its key even though the key's own pair span
+    # did not move
+    for qkey, refs in pair_refs:
+        if refs & changed_names:
+            direct_marks.add(qkey)
     # map to registry entries through the implementing callable
     import importlib
     import inspect
@@ -203,6 +295,9 @@ def changed_queries(base: str, registry_names: list[str]) -> list[str]:
     entry = importlib.import_module("__spark_entry__")
     out: list[str] = []
     for qname in registry_names:
+        if qname in direct_marks:
+            out.append(qname)
+            continue
         fn = entry.queries()[qname]
         fn = inspect.unwrap(fn)
         try:
