@@ -18,12 +18,34 @@ The headline set covers every operator family: scan-agg, multi-join,
 window, events (sessionize/as-of), dedup (minhash), similarity
 (brute-force cosine), and text stats — the queries a user of the
 reference-plus-north-star surface actually runs.
+
+Chunked pin runs (round-11 verdict #1): healthy host windows on this
+VM are shorter than the ~8-minute monolithic bench, so a certifiable
+pin must be ASSEMBLED from per-family chunks, each run inside its own
+verified window:
+
+    python bench.py --families tpch,window,agg --out BENCH_CHUNK_a.json
+    python tools/assemble_pin.py BENCH_CHUNK_*.json --out BENCH_PIN_rN.json
+
+``--families`` runs only the headline queries of those families (the
+HEADLINE order within the subset is preserved — chained queries like
+docs_index_build -> docs_index_probe share a family by construction).
+``--pin-intent`` adds the health discipline (round-11 verdict #5):
+a LOADED steal pre-flight refuses to start inside a degraded window
+(steal on this VM only appears under load — idle samples read 0.1%
+while the same host steals 5-12% from running vCPUs), and at every
+family boundary the steal measured over the JUST-FINISHED family
+aborts the run if the window degraded mid-chunk — the finished
+families still land in the artifact (exit 3), so a killed window
+costs one family, not the run.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -400,6 +422,45 @@ def _cpu_ticks() -> tuple[int, int]:
         return -1, -1
 
 
+def loaded_steal_pct(seconds: float = 5.0) -> float:
+    """Hypervisor steal% sampled while this process SATURATES the
+    guest's vCPUs with short-lived busy-loop children. On this VM the
+    hypervisor only deschedules the guest when it actually runs
+    (idle samples read ~0.1% in the same minute that under-load
+    samples read 5-12%), so an idle pre-flight would green-light a
+    window that degrades the moment the bench starts — the round-11
+    failure mode (two certified-at-idle windows died mid-run).
+    Returns -1.0 where /proc/stat is unreadable."""
+    n = min(os.cpu_count() or 8, 32)
+    body = (
+        "import time\n"
+        f"t=time.time()+{seconds + 1.0}\n"
+        "x=0\n"
+        "while time.time()<t: x+=1\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", body],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n)
+    ]
+    try:
+        time.sleep(0.5)  # let the burners reach their loops
+        s0, t0 = _cpu_ticks()
+        time.sleep(seconds)
+        s1, t1 = _cpu_ticks()
+    finally:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()
+    if s0 < 0 or s1 < 0:
+        return -1.0
+    return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
+
+
 def _py_workers(jvm_pid: int = -1) -> dict[int, int]:
     """{pid: cpu_ticks} for live pyspark daemon/worker processes
     belonging to THIS session's JVM (ancestor filter on ``jvm_pid``,
@@ -529,7 +590,7 @@ def _family(name: str) -> str:
     )
 
 
-def warm_session(spark, queries, sf_dir: str) -> None:
+def warm_session(spark, queries, sf_dir: str, families=None) -> None:
     """Warm the JVM/session on the smallest scale so per-query numbers
     measure the query, not one-time codegen/session init. The second
     warm-up primes the Python UDF daemon/worker pool — the first
@@ -571,19 +632,25 @@ def warm_session(spark, queries, sf_dir: str) -> None:
     # compact shapes (measured 51.5 → 25.7 → 16.4 s across three
     # same-session runs at sf0.1, Spark job count constant at 54);
     # warming it on sf0.001 compiles the same plans in ~3 s.
-    for warm_q in (
-        "stream_running_totals",
-        "stream_retract_agg",
-        "stream_retract_join_agg",
-        "pyds_source_agg",
-        "stream_index_forget_ingest",
+    # Chunked runs (--families) warm only the runtimes their families
+    # use — a tpch-only chunk must not burn its short healthy window
+    # on ~25 s of streaming/pyds warm-up it never measures.
+    warm_by_family = {
+        "stream_running_totals": {"stream"},
+        "stream_retract_agg": {"stream"},
+        "stream_retract_join_agg": {"stream"},
+        "pyds_source_agg": {"stream", "pyds"},
+        "stream_index_forget_ingest": {"stream"},
         # NOT warmed: stream_emb_index_ingest / stream_media_index_
         # ingest — their sf0.001 warm costs ~180 s (IVF k-means build
         # and the fixed 200-PNG decode corpus are scale-independent)
         # for only 3-5 s of headline savings; the forget warm above
         # is the opposite trade (~15 s warm for ~35 s of one-time
         # codegen otherwise landing in the measured number).
-    ):
+    }
+    for warm_q, needed_by in warm_by_family.items():
+        if families is not None and not (needed_by & families):
+            continue
         try:
             queries[warm_q](spark, warm_dir).count()
         except Exception:
@@ -594,7 +661,99 @@ def warm_session(spark, queries, sf_dir: str) -> None:
     mini_probe(spark)  # ... and for the family-boundary samples
 
 
-def main() -> None:
+# A chunk whose finished-family steal reaches this aborts a
+# --pin-intent run at the boundary (and the pre-flight refuses to
+# start above it): tools/bench_regression.py --certify and
+# tools/assemble_pin.py use the same 2% line.
+PIN_STEAL_MAX = 2.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--families",
+        default=os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", ""),
+        help="comma list: run only these headline families (chunked"
+        " pin run); default all",
+    )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="detail artifact path (default BENCH_DETAIL.json next to"
+        " bench.py); chunk runs should use BENCH_CHUNK_<x>.json",
+    )
+    ap.add_argument(
+        "--pin-intent",
+        action="store_true",
+        help="pin-quality discipline: loaded-steal pre-flight gate +"
+        " abort at a family boundary when the window degrades",
+    )
+    ap.add_argument(
+        "--wait-secs",
+        type=int,
+        default=0,
+        help="with --pin-intent: keep re-sampling for up to this many"
+        " seconds for a healthy window instead of refusing at once",
+    )
+    ap.add_argument(
+        "--list-families",
+        action="store_true",
+        help="print family -> headline-query counts and exit",
+    )
+    args = ap.parse_args()
+
+    if args.list_families:
+        fams: dict[str, int] = {}
+        for n in HEADLINE:
+            fams[_family(n)] = fams.get(_family(n), 0) + 1
+        for fam, cnt in sorted(fams.items()):
+            print(f"{fam}\t{cnt}")
+        return 0
+
+    want_families = (
+        {f.strip() for f in args.families.split(",") if f.strip()}
+        if args.families
+        else None
+    )
+    all_fams = {_family(n) for n in HEADLINE}
+    if want_families is not None:
+        unknown = want_families - all_fams
+        if unknown:
+            print(
+                f"unknown families {sorted(unknown)}; known:"
+                f" {sorted(all_fams)}",
+                file=sys.stderr,
+            )
+            return 2
+    headline = [
+        n
+        for n in HEADLINE
+        if want_families is None or _family(n) in want_families
+    ]
+
+    if args.pin_intent:
+        # refuse to burn a window the host has already degraded: the
+        # steal sample runs UNDER LOAD (idle steal reads ~0 on this
+        # VM even inside windows that steal 5-12% from running vCPUs)
+        deadline = time.time() + args.wait_secs
+        while True:
+            pct = loaded_steal_pct()
+            print(
+                f"pin-intent pre-flight: loaded steal {pct:.1f}%",
+                file=sys.stderr,
+            )
+            if 0 <= pct < PIN_STEAL_MAX:
+                break
+            if time.time() >= deadline:
+                print(
+                    "pin-intent: refusing to start — loaded steal"
+                    f" {pct:.1f}% >= {PIN_STEAL_MAX}% (degraded window;"
+                    " retry later or raise --wait-secs)",
+                    file=sys.stderr,
+                )
+                return 2
+            time.sleep(20)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # "family": stop + rebuild the SparkSession (and re-warm) between
     # headline families — the r9-verdict experiment isolating whether
@@ -612,7 +771,7 @@ def main() -> None:
 
     queries = {**all_queries(), **BENCH_ONLY, **ENGINE_BENCH}
 
-    warm_session(spark, queries, sf_dir)
+    warm_session(spark, queries, sf_dir, families=want_families)
     probes_first = run_probes(spark)
     steal0, cpu_total0 = _cpu_ticks()
 
@@ -623,7 +782,37 @@ def main() -> None:
     tel = Telemetry(spark)
     prev_family = None
     loop_t0 = time.time()
-    for name in HEADLINE:
+    aborted_family = None
+    fam_ticks = _cpu_ticks()  # steal over the family being measured
+    for name in headline:
+        if args.pin_intent and prev_family is not None and (
+            _family(name) != prev_family
+        ):
+            # the window degraded while the JUST-FINISHED family ran:
+            # its numbers cannot certify — drop them, keep the clean
+            # families, and let the next invocation resume from here
+            # (round-11 verdict #5: a killed window costs one family,
+            # not the run)
+            s1, t1 = _cpu_ticks()
+            fam_steal = (
+                100.0 * (s1 - fam_ticks[0]) / max(t1 - fam_ticks[1], 1)
+                if s1 >= 0 and fam_ticks[0] >= 0
+                else -1.0
+            )
+            if fam_steal >= PIN_STEAL_MAX:
+                aborted_family = prev_family
+                print(
+                    f"pin-intent: steal {fam_steal:.1f}% during family"
+                    f" '{prev_family}' — dropping its queries and"
+                    " aborting at the boundary",
+                    file=sys.stderr,
+                )
+                for q in list(per_query):
+                    if _family(q) == prev_family:
+                        del per_query[q]
+                        telemetry.pop(q, None)
+                break
+            fam_ticks = (s1, t1)
         if (
             restart_mode == "family"
             and prev_family is not None
@@ -631,7 +820,7 @@ def main() -> None:
         ):
             spark.stop()
             spark = get_spark("bench")
-            warm_session(spark, queries, sf_dir)
+            warm_session(spark, queries, sf_dir, families=want_families)
             tel = Telemetry(spark)
         # family-boundary host-health sample (round-10 verdict #2),
         # rate-limited to one per ~20 s of run time: 66 boundaries at
@@ -680,6 +869,26 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
 
+    if args.pin_intent and aborted_family is None and prev_family:
+        # the LAST family has no following boundary: same check
+        s1, t1 = _cpu_ticks()
+        fam_steal = (
+            100.0 * (s1 - fam_ticks[0]) / max(t1 - fam_ticks[1], 1)
+            if s1 >= 0 and fam_ticks[0] >= 0
+            else -1.0
+        )
+        if fam_steal >= PIN_STEAL_MAX:
+            aborted_family = prev_family
+            print(
+                f"pin-intent: steal {fam_steal:.1f}% during final"
+                f" family '{prev_family}' — dropping its queries",
+                file=sys.stderr,
+            )
+            for q in list(per_query):
+                if _family(q) == prev_family:
+                    del per_query[q]
+                    telemetry.pop(q, None)
+
     probes_last = run_probes(spark)
     calib_first, calib_last = probes_first["jvm"], probes_last["jvm"]
     steal1, cpu_total1 = _cpu_ticks()
@@ -705,7 +914,14 @@ def main() -> None:
         "restart_mode": restart_mode or "single-session",
         "sf": sf_val,
     }
-    detail_path = os.path.join(
+    if want_families is not None:
+        detail["families"] = sorted(want_families)
+        detail["headline_total"] = len(HEADLINE)
+    if args.pin_intent:
+        detail["pin_intent"] = True
+    if aborted_family is not None:
+        detail["aborted_family"] = aborted_family
+    detail_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
@@ -737,11 +953,12 @@ def main() -> None:
             k: [probes_first[k], probes_last[k]] for k in probes_first
         },
         "host_steal_pct": host_steal_pct,
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": os.path.basename(detail_path),
         "sf": sf_val,
     }
     print(json.dumps(out))
+    return 3 if aborted_family is not None else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -1,0 +1,216 @@
+"""Tests for the composite-pin assembly path (round-11 verdict #1):
+bench.py chunk selection invariants + tools/assemble_pin.py
+certification and merge logic. No SparkSession needed."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import assemble_pin  # noqa: E402
+import bench  # noqa: E402
+
+GOOD_PROBES = {"jvm": 1.0, "python": 0.6, "io": 0.7}
+REF = {"jvm": 1.0, "python": 0.6, "io": 0.7}
+
+
+def _chunk(queries, steal=0.5, pf=None, pl=None, **extra):
+    return {
+        "metric": "headline_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "telemetry": {q: {"sec": s, "jobs": 3} for q, s in queries.items()},
+        "probes_first": dict(pf or GOOD_PROBES),
+        "probes_last": dict(pl or GOOD_PROBES),
+        "host_steal_pct": steal,
+        "sf": 0.1,
+        **extra,
+    }
+
+
+# ---------------- certification ----------------
+
+
+def test_certify_clean_chunk_passes():
+    assert assemble_pin.certify_chunk(_chunk({"q1": 1.0}), REF) == []
+
+
+def test_certify_rejects_high_steal():
+    probs = assemble_pin.certify_chunk(_chunk({"q1": 1.0}, steal=2.4), REF)
+    assert any("steal 2.4%" in p for p in probs)
+
+
+def test_certify_rejects_unmeasured_steal():
+    probs = assemble_pin.certify_chunk(_chunk({"q1": 1.0}, steal=-1.0), REF)
+    assert any("not measured" in p for p in probs)
+
+
+def test_certify_rejects_midrun_probe_movement():
+    pl = dict(GOOD_PROBES, python=GOOD_PROBES["python"] * 2)
+    probs = assemble_pin.certify_chunk(_chunk({"q1": 1.0}, pl=pl), REF)
+    assert any("python probe moved mid-run" in p for p in probs)
+
+
+def test_certify_rejects_consistently_slow_window():
+    # both samples 2x the healthy floor: stable, but the window is
+    # degraded — certification must refuse (the six-failed-attempts
+    # host was exactly this when it wasn't spiking)
+    slow = {k: v * 2 for k, v in GOOD_PROBES.items()}
+    probs = assemble_pin.certify_chunk(
+        _chunk({"q1": 1.0}, pf=slow, pl=slow), REF
+    )
+    assert any("healthy floor" in p for p in probs)
+
+
+def test_certify_rejects_aborted_chunk():
+    probs = assemble_pin.certify_chunk(
+        _chunk({"q1": 1.0}, aborted_family="stream"), REF
+    )
+    assert any("aborted mid-run" in p for p in probs)
+
+
+def test_certify_rejects_missing_probe_path():
+    pf = {"jvm": 1.0, "python": 0.6}  # io missing
+    probs = assemble_pin.certify_chunk(
+        _chunk({"q1": 1.0}, pf=pf, pl=pf), REF
+    )
+    assert any("io probe pair missing" in p for p in probs)
+
+
+# ---------------- assembly (CLI) ----------------
+
+
+def _run_assemble(tmp_path, chunks, *extra_args):
+    ref = tmp_path / "ref_pin.json"
+    ref.write_text(
+        json.dumps(
+            {"probes_first": REF, "probes_last": REF, "queries": {}}
+        )
+    )
+    paths = []
+    for i, c in enumerate(chunks):
+        p = tmp_path / f"BENCH_CHUNK_{i}.json"
+        p.write_text(json.dumps(c))
+        paths.append(str(p))
+    out = tmp_path / "BENCH_PIN_test.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "assemble_pin.py"),
+            *paths,
+            "--ref-pin",
+            str(ref),
+            "--out",
+            str(out),
+            *extra_args,
+        ],
+        capture_output=True,
+        text=True,
+    )
+    return proc, out
+
+
+def _full_coverage_chunks():
+    """Split the real HEADLINE into two chunks along family lines."""
+    fams = sorted({bench._family(q) for q in bench.HEADLINE})
+    half = set(fams[: len(fams) // 2])
+    a = {q: 1.0 for q in bench.HEADLINE if bench._family(q) in half}
+    b = {q: 2.0 for q in bench.HEADLINE if bench._family(q) not in half}
+    return a, b
+
+
+def test_assemble_full_coverage_writes_pin(tmp_path):
+    a, b = _full_coverage_chunks()
+    pf_b = {"jvm": 0.9, "python": 0.7, "io": 0.6}
+    proc, out = _run_assemble(
+        tmp_path, [_chunk(a), _chunk(b, pf=pf_b, pl=pf_b)]
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    pin = json.loads(out.read_text())
+    assert set(pin["queries"]) == set(bench.HEADLINE)
+    assert pin["composite"] is True
+    assert len(pin["chunks"]) == 2
+    # element-wise min across chunks on each probe side
+    assert pin["probes_first"] == {"jvm": 0.9, "python": 0.6, "io": 0.6}
+    # worst certified window's steal
+    assert pin["host_steal_pct"] == 0.5
+    # gate-compatible: bench_regression can read it as a baseline
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_regression
+
+    probes = bench_regression._probe_means(pin, "min")
+    assert probes == {"jvm": 0.9, "python": 0.6, "io": 0.6}
+
+
+def test_assemble_refuses_incomplete_coverage(tmp_path):
+    a, _b = _full_coverage_chunks()
+    proc, out = _run_assemble(tmp_path, [_chunk(a)])
+    assert proc.returncode == 1
+    assert "coverage incomplete" in proc.stdout
+    assert not out.exists()
+
+
+def test_assemble_refuses_overlap(tmp_path):
+    a, b = _full_coverage_chunks()
+    dup = dict(b)
+    dup[next(iter(a))] = 9.9  # one query claimed by both chunks
+    proc, out = _run_assemble(tmp_path, [_chunk(a), _chunk(dup)])
+    assert proc.returncode == 1
+    assert "OVERLAP" in proc.stdout
+    assert not out.exists()
+
+
+def test_assemble_refuses_uncertified_chunk(tmp_path):
+    a, b = _full_coverage_chunks()
+    proc, out = _run_assemble(tmp_path, [_chunk(a), _chunk(b, steal=3.0)])
+    assert proc.returncode == 1
+    assert "certification problems" in proc.stdout
+    assert not out.exists()
+
+
+def test_status_mode_reports_missing_without_writing(tmp_path):
+    a, _b = _full_coverage_chunks()
+    proc, out = _run_assemble(tmp_path, [_chunk(a)], "--status")
+    assert proc.returncode == 1
+    assert "still missing" in proc.stdout
+    assert not out.exists()
+
+
+# ---------------- bench chunking invariants ----------------
+
+
+def test_order_dependent_headline_chains_share_a_family():
+    """Family chunking relies on chained headline entries (a probe
+    reading the index its build persisted) living in ONE family so a
+    chunk never splits them. Pin the known chains."""
+    chains = [
+        ["stream_fidx_build", "stream_fidx_ingest",
+         "stream_fidx_forget", "stream_fidx_probe"],
+        ["docs_index_build", "docs_index_probe"],
+        ["docs_bm25_index_build", "docs_bm25_index_probe"],
+    ]
+    for chain in chains:
+        fams = {bench._family(q) for q in chain}
+        assert len(fams) == 1, f"chain {chain} spans families {fams}"
+        idx = [bench.HEADLINE.index(q) for q in chain]
+        assert idx == sorted(idx), f"chain {chain} out of order"
+
+
+def test_family_selection_preserves_headline_order():
+    fams = {"docs", "stream"}
+    sub = [q for q in bench.HEADLINE if bench._family(q) in fams]
+    idx = [bench.HEADLINE.index(q) for q in sub]
+    assert idx == sorted(idx)
+
+
+def test_loaded_steal_sampler_returns_pct():
+    pct = bench.loaded_steal_pct(seconds=1.0)
+    assert isinstance(pct, float)
+    assert pct == -1.0 or 0.0 <= pct <= 100.0

@@ -1,0 +1,255 @@
+"""Assemble a certified bench pin from per-family chunk artifacts.
+
+Round-11 verdict #1: healthy host windows on this VM (<2% steal,
+probes within drift of the healthy floor) are SHORTER than the
+~8-minute monolithic bench — six full-run re-pin attempts failed
+certification on external evidence. The fix is structural: run the
+bench in per-family chunks (``bench.py --families ... --pin-intent
+--out BENCH_CHUNK_x.json``), each inside its own verified window, and
+assemble the pin from chunks that INDIVIDUALLY certify:
+
+  * hypervisor steal measured and < 2% across the chunk run;
+  * all three calibration probe pairs (jvm/python/io) present and
+    stable mid-run (max/min <= 1.3, bench_regression's CALIB_DRIFT);
+  * probes within 1.3x of the healthy reference floor (default: the
+    previous pin's min-of-pair probes), so a consistently-SLOW window
+    cannot certify just by being consistent;
+  * not aborted mid-run (``aborted_family`` absent).
+
+Coverage must be exact: the union of chunk queries == bench.HEADLINE,
+with no query in two chunks (re-run a family? pass only the certified
+attempt's file). The output artifact is gate-compatible (queries /
+telemetry / probes_first / probes_last / host_steal_pct) plus a
+``chunks`` provenance block recording each chunk's certification
+evidence — the per-family certified-window proof the round-11 verdict
+asked to see committed.
+
+Merged probes are the ELEMENT-WISE MIN across chunks on each side:
+the pin's probes represent the healthy floor the gate normalizes
+against (it already aggregates baseline pairs with min — round-10
+verdict #1), and each chunk proved its own window healthy, so the min
+is the least-contended certified measurement, not cherry-picking.
+host_steal_pct is the MAX across chunks (worst certified window).
+
+Usage:
+    python tools/assemble_pin.py BENCH_CHUNK_*.json --out BENCH_PIN_r11.json
+    python tools/assemble_pin.py --status BENCH_CHUNK_*.json   # coverage report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (HEADLINE, _family, PIN_STEAL_MAX)
+
+CALIB_DRIFT = 1.3  # same line as tools/bench_regression.py
+PROBE_PATHS = ("jvm", "python", "io")
+
+
+def certify_chunk(chunk: dict, ref_probes: dict[str, float]) -> list[str]:
+    """Reasons this chunk CANNOT certify (empty list = certified)."""
+    problems: list[str] = []
+    steal = chunk.get("host_steal_pct")
+    if not (isinstance(steal, (int, float)) and steal >= 0):
+        problems.append("hypervisor steal not measured")
+    elif steal >= bench.PIN_STEAL_MAX:
+        problems.append(f"hypervisor steal {steal:.1f}% >= 2%")
+    if chunk.get("aborted_family"):
+        problems.append(
+            f"aborted mid-run (family {chunk['aborted_family']!r} dropped)"
+        )
+    pf, pl = chunk.get("probes_first"), chunk.get("probes_last")
+    if not (isinstance(pf, dict) and isinstance(pl, dict)):
+        problems.append("probe pairs missing")
+        return problems
+    for p in PROBE_PATHS:
+        a, b = pf.get(p), pl.get(p)
+        if not (a and b and a > 0 and b > 0):
+            problems.append(f"{p} probe pair missing/non-positive")
+            continue
+        if max(a, b) / min(a, b) > CALIB_DRIFT:
+            problems.append(
+                f"{p} probe moved mid-run ({a:.2f}s -> {b:.2f}s)"
+            )
+        ref = ref_probes.get(p)
+        if ref and min(a, b) / ref > CALIB_DRIFT:
+            problems.append(
+                f"{p} probe {min(a, b):.2f}s is"
+                f" {min(a, b) / ref:.2f}x the healthy floor"
+                f" ({ref:.2f}s) — consistently-slow window"
+            )
+    return problems
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        raw = json.load(f)
+    return raw.get("parsed") or raw
+
+
+def _ref_probes(path: str) -> dict[str, float]:
+    """Healthy floor: the reference pin's min-of-pair probes (the
+    same aggregation the gate applies to baselines)."""
+    base = _load(path)
+    out: dict[str, float] = {}
+    pf, pl = base.get("probes_first"), base.get("probes_last")
+    if isinstance(pf, dict) and isinstance(pl, dict):
+        for p in PROBE_PATHS:
+            vals = [v for v in (pf.get(p), pl.get(p)) if v and v > 0]
+            if vals:
+                out[p] = min(vals)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("chunks", nargs="+", help="BENCH_CHUNK_*.json files")
+    ap.add_argument("--out", default=None, help="pin file to write")
+    ap.add_argument(
+        "--ref-pin",
+        default=os.path.join(REPO, "BENCH_PIN_r10.json"),
+        help="pin whose min-of-pair probes define the healthy floor",
+    )
+    ap.add_argument(
+        "--status",
+        action="store_true",
+        help="report per-chunk certification + remaining coverage,"
+        " don't write",
+    )
+    ap.add_argument(
+        "--allow-uncertified",
+        action="store_true",
+        help="assemble even with certification problems (for"
+        " inspection only; the problems are still recorded)",
+    )
+    args = ap.parse_args()
+
+    ref = _ref_probes(args.ref_pin)
+    merged_q: dict[str, float] = {}
+    merged_tel: dict[str, dict] = {}
+    chunk_meta: list[dict] = []
+    owner: dict[str, str] = {}
+    pf_min: dict[str, float] = {}
+    pl_min: dict[str, float] = {}
+    steal_max = -1.0
+    all_ok = True
+    sf_val = None
+
+    for path in args.chunks:
+        c = _load(path)
+        name = os.path.basename(path)
+        problems = certify_chunk(c, ref)
+        status = "CERTIFIED" if not problems else "NOT CERTIFIED"
+        fams = sorted({bench._family(q) for q in c.get("queries", {})})
+        print(
+            f"{name}: {status} — families {','.join(fams) or '-'},"
+            f" {len(c.get('queries', {}))} queries,"
+            f" steal {c.get('host_steal_pct', 'n/a')}%"
+        )
+        for p in problems:
+            print(f"    - {p}")
+        if problems:
+            all_ok = False
+        if sf_val is None:
+            sf_val = c.get("sf")
+        elif c.get("sf") != sf_val:
+            print(
+                f"    - scale mismatch: {c.get('sf')} vs {sf_val}"
+            )
+            all_ok = False
+        for q, sec in c.get("queries", {}).items():
+            if q in owner:
+                print(
+                    f"    - OVERLAP: {q} already provided by"
+                    f" {owner[q]} — pass one certified attempt per"
+                    " family"
+                )
+                all_ok = False
+                continue
+            owner[q] = name
+            merged_q[q] = sec
+            if q in (c.get("telemetry") or {}):
+                merged_tel[q] = c["telemetry"][q]
+        pf, pl = c.get("probes_first") or {}, c.get("probes_last") or {}
+        for p in PROBE_PATHS:
+            if pf.get(p, 0) and pf[p] > 0:
+                pf_min[p] = min(pf_min.get(p, pf[p]), pf[p])
+            if pl.get(p, 0) and pl[p] > 0:
+                pl_min[p] = min(pl_min.get(p, pl[p]), pl[p])
+        steal = c.get("host_steal_pct")
+        if isinstance(steal, (int, float)):
+            steal_max = max(steal_max, steal)
+        chunk_meta.append(
+            {
+                "file": name,
+                "families": fams,
+                "n_queries": len(c.get("queries", {})),
+                "host_steal_pct": c.get("host_steal_pct"),
+                "probes_first": c.get("probes_first"),
+                "probes_last": c.get("probes_last"),
+                "certified": not problems,
+                "problems": problems,
+            }
+        )
+
+    missing = [q for q in bench.HEADLINE if q not in merged_q]
+    extra = [q for q in merged_q if q not in bench.HEADLINE]
+    by_fam: dict[str, int] = {}
+    for q in missing:
+        by_fam[bench._family(q)] = by_fam.get(bench._family(q), 0) + 1
+    if missing:
+        print(
+            f"coverage: {len(merged_q)}/{len(bench.HEADLINE)} — still"
+            f" missing {dict(sorted(by_fam.items()))}"
+        )
+    else:
+        print(f"coverage: complete ({len(merged_q)} headline queries)")
+    if extra:
+        print(f"note: {len(extra)} non-headline queries ignored: {extra}")
+        for q in extra:
+            merged_q.pop(q)
+            merged_tel.pop(q, None)
+
+    if args.status:
+        return 0 if (all_ok and not missing) else 1
+    if missing:
+        print("NOT ASSEMBLED: coverage incomplete")
+        return 1
+    if not all_ok and not args.allow_uncertified:
+        print("NOT ASSEMBLED: certification problems above")
+        return 1
+
+    pin = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(merged_q.values()), 3),
+        "unit": "sec",
+        "queries": merged_q,
+        "telemetry": merged_tel,
+        "probes_first": pf_min,
+        "probes_last": pl_min,
+        "host_steal_pct": steal_max,
+        "calibration_first_sec": pf_min.get("jvm"),
+        "calibration_last_sec": pl_min.get("jvm"),
+        "sf": sf_val,
+        "composite": True,
+        "chunks": chunk_meta,
+    }
+    out = args.out or os.path.join(REPO, "BENCH_PIN_new.json")
+    with open(out, "w") as f:
+        json.dump(pin, f, indent=1, sort_keys=True)
+    print(
+        f"assembled {os.path.basename(out)}: {len(merged_q)} queries,"
+        f" total {pin['value']:.1f}s, probes floor {pf_min},"
+        f" worst chunk steal {steal_max:.1f}%"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,6 +69,10 @@ WAIVED_BY_BASELINE = {
     # stream_fidx_* phase entries — those appear as 'new', and the
     # retired lifecycle entry simply stops being compared.)
     "BENCH_PIN_r10.json": {},
+    # BENCH_PIN_r11.json: the composite pin assembled from per-family
+    # chunks each certified inside its own verified window
+    # (tools/assemble_pin.py; round-11 verdict #1): no waivers.
+    "BENCH_PIN_r11.json": {},
 }
 # Ignore regressions on queries faster than this in the baseline:
 # sub-300ms timings on a warm local[32] JVM are scheduler noise.
@@ -211,6 +215,26 @@ def _calib_pair(d: dict) -> tuple[float | None, float | None]:
     return cf, cl
 
 
+def _newest_pin() -> str:
+    """Default baseline: the highest-round BENCH_PIN_r*.json at the
+    repo root — a freshly assembled pin re-arms the gate without a
+    code edit (the stale default was round-11 verdict residual #2:
+    every round judged against an aged pin accumulates adjudication
+    debt)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pins = []
+    for p in glob.glob(os.path.join(root, "BENCH_PIN_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            pins.append((int(m.group(1)), p))
+    if not pins:
+        return os.path.join(root, "BENCH_PIN_r10.json")
+    return max(pins)[1]
+
+
 def load_baseline(path: str) -> dict:
     with open(path) as f:
         raw = json.load(f)
@@ -247,8 +271,7 @@ def main() -> int:
     base_path = (
         argv[1]
         if len(argv) > 1
-        else os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
-        or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_PIN_r10.json")
+        else os.environ.get("SPARK_GRAFT_BENCH_BASELINE") or _newest_pin()
     )
     base = load_baseline(base_path)
     waived = WAIVED_BY_BASELINE.get(os.path.basename(base_path), {})
