@@ -655,9 +655,26 @@ def warm_session(spark, queries, sf_dir: str, families=None) -> None:
             queries[warm_q](spark, warm_dir).count()
         except Exception:
             pass
-    calibration_sec(spark)  # codegen warm-up for the probes
-    calibration_python_sec(spark)
-    calibration_io_sec(spark)
+    # Probe warm-up runs UNTIL each path hits its healthy target (or
+    # the try budget): the Python-worker pool warms asymptotically,
+    # not in one pass — consecutive identical python probes measured
+    # 15.5 -> 8.7 -> 6.6 -> 1.1 s in one session (daemon fork + Arrow
+    # allocator init, paid once per worker across the 32-worker
+    # fan-out), and one warm pass left chunk runs whose families
+    # never exercise the full pool reading probes_first ~3.3 s — a
+    # pool artifact masquerading as host degradation. Targets are
+    # ~1.4x the documented healthy floor (BENCH_PIN_r10 probes_first:
+    # jvm 0.94, python 0.55, io 0.62); on a genuinely degraded host
+    # the loop exhausts its budget and the probes still read high —
+    # warm-up must never hide real contention, only pool state.
+    for warm_fn, target in (
+        (calibration_sec, 1.3),
+        (calibration_python_sec, 0.8),
+        (calibration_io_sec, 0.9),
+    ):
+        for _ in range(5):
+            if warm_fn(spark) <= target:
+                break
     mini_probe(spark)  # ... and for the family-boundary samples
 
 
