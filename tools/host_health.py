@@ -54,6 +54,19 @@ def main() -> int:
         return 1
     verdict = "healthy" if pct < STEAL_HEALTHY_PCT else "DEGRADED"
     print(f"hypervisor steal over {SAMPLE_SEC}s: {pct:.1f}% — {verdict}")
+    # The idle sample alone is BLIND on this VM: the hypervisor only
+    # deschedules the guest when it runs (measured 2026-08-16: idle
+    # 0.1% in the same minute the loaded sample read 6.8%), which is
+    # how two round-11 "certified-at-idle" windows died mid-bench.
+    # The loaded sample saturates the vCPUs with busy-loop children
+    # while sampling — the same pre-flight bench.py --pin-intent uses.
+    loaded = bench.loaded_steal_pct()
+    if loaded >= 0:
+        lverd = (
+            "healthy" if loaded < STEAL_HEALTHY_PCT else "DEGRADED"
+        )
+        print(f"hypervisor steal UNDER LOAD: {loaded:.1f}% — {lverd}")
+        pct = max(pct, loaded)
     if "--probes" in sys.argv[1:]:
         from flink_orc_sink_spark.session import get_spark
 
