@@ -69,6 +69,64 @@ def test_certify_rejects_consistently_slow_window():
     assert any("healthy floor" in p for p in probs)
 
 
+def _minis(vals):
+    """family_probes entries from (jvm, python, io) triples."""
+    return [
+        {"family": "x", "t": 20.0 * i, "jvm": j, "python": p, "io": o}
+        for i, (j, p, o) in enumerate(vals)
+    ]
+
+
+def test_certify_interior_minis_override_pair_movement():
+    """A ramp-poisoned first pair (or aging-poisoned last pair) must
+    NOT fail a chunk whose interior mini-probes show the measured
+    loop ran healthy — the r12 lesson: every early chunk attempt had
+    healthy minis throughout and still failed on pair movement."""
+    c = _chunk(
+        {"q1": 1.0},
+        pf={"jvm": 1.93, "python": 4.26, "io": 0.63},  # the ramp
+        pl=GOOD_PROBES,
+        family_probes=_minis([(0.41, 0.46, 0.29), (0.33, 0.50, 0.32)]),
+    )
+    assert assemble_pin.certify_chunk(c, REF) == []
+
+
+def test_certify_rejects_interior_transient_stall():
+    """One interior mini above 2x its floor = a transient stall hit
+    the measured loop; some query measured inflated — reject."""
+    c = _chunk(
+        {"q1": 1.0},
+        family_probes=_minis([(0.33, 0.46, 0.27), (0.78, 0.67, 0.88)]),
+    )
+    probs = assemble_pin.certify_chunk(c, REF)
+    assert any("transient stall" in p for p in probs)
+
+
+def test_certify_rejects_degraded_interior_median():
+    c = _chunk(
+        {"q1": 1.0},
+        family_probes=_minis(
+            [(0.55, 0.80, 0.45), (0.60, 0.85, 0.50), (0.58, 0.82, 0.48)]
+        ),
+    )
+    probs = assemble_pin.certify_chunk(c, REF)
+    assert any("loop ran degraded" in p for p in probs)
+
+
+def test_certify_pair_min_still_enforces_floor_with_minis():
+    """Healthy minis can't excuse a pair whose MIN never reached the
+    floor: both full samples 2x = consistently-slow window."""
+    slow = {k: v * 2 for k, v in GOOD_PROBES.items()}
+    c = _chunk(
+        {"q1": 1.0},
+        pf=slow,
+        pl=slow,
+        family_probes=_minis([(0.33, 0.46, 0.27), (0.33, 0.46, 0.27)]),
+    )
+    probs = assemble_pin.certify_chunk(c, REF)
+    assert any("healthy floor" in p for p in probs)
+
+
 def test_certify_rejects_aborted_chunk():
     probs = assemble_pin.certify_chunk(
         _chunk({"q1": 1.0}, aborted_family="stream"), REF

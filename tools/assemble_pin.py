@@ -9,11 +9,21 @@ bench in per-family chunks (``bench.py --families ... --pin-intent
 assemble the pin from chunks that INDIVIDUALLY certify:
 
   * hypervisor steal measured and < 2% across the chunk run;
-  * all three calibration probe pairs (jvm/python/io) present and
-    stable mid-run (max/min <= 1.3, bench_regression's CALIB_DRIFT);
-  * probes within 1.3x of the healthy reference floor (default: the
-    previous pin's min-of-pair probes), so a consistently-SLOW window
-    cannot certify just by being consistent;
+  * all three calibration probe pairs (jvm/python/io) present, with
+    the pair MIN within 1.3x of the healthy reference floor (default:
+    the previous pin's min-of-pair probes) — proof the host could run
+    that path at floor during this window, and a consistently-SLOW
+    window cannot certify just by being consistent;
+  * the MEASURED LOOP itself stable: the run's family-boundary
+    mini-probe samples (taken BETWEEN queries, where the measurement
+    actually happens) all within 2x of the mini floor with a median
+    within 1.4x. The full before/after pair alone cannot judge this —
+    its endpoints sit OUTSIDE the loop and are systematically
+    poisoned on this VM (a sustained-load ramp inflates the first
+    pair: jvm 1.93->0.96 with 0.2% steal while every interior mini
+    read healthy; in-session python-probe aging inflates the last
+    pair: the r10 pin itself reads 0.55->2.28). Chunks with fewer
+    than two mini samples fall back to pair movement <= 1.3x;
   * not aborted mid-run (``aborted_family`` absent).
 
 Coverage must be exact: the union of chunk queries == bench.HEADLINE,
@@ -50,10 +60,21 @@ import bench  # noqa: E402  (HEADLINE, _family, PIN_STEAL_MAX)
 
 CALIB_DRIFT = 1.3  # same line as tools/bench_regression.py
 PROBE_PATHS = ("jvm", "python", "io")
+# Healthy floors for the FAMILY-BOUNDARY mini-probes (bench.py
+# ``mini_probe``: same probe bodies at ~10-20x smaller row counts, so
+# they have their own scale). Medians of the interior samples across
+# the certified-healthy stretches measured on this VM 2026-08-16
+# (jvm 0.20-0.41, python 0.35-0.50, io 0.20-0.32 while steal read
+# 0.1-0.2% and the queries matched or beat their pins raw).
+MINI_FLOORS = {"jvm": 0.33, "python": 0.46, "io": 0.27}
+MINI_MAX_X = 2.0  # no interior sample above this multiple of floor
+MINI_MEDIAN_X = 1.4  # and the run's median must sit near the floor
 
 
 def certify_chunk(chunk: dict, ref_probes: dict[str, float]) -> list[str]:
     """Reasons this chunk CANNOT certify (empty list = certified)."""
+    import statistics
+
     problems: list[str] = []
     steal = chunk.get("host_steal_pct")
     if not (isinstance(steal, (int, float)) and steal >= 0):
@@ -68,21 +89,51 @@ def certify_chunk(chunk: dict, ref_probes: dict[str, float]) -> list[str]:
     if not (isinstance(pf, dict) and isinstance(pl, dict)):
         problems.append("probe pairs missing")
         return problems
+    minis = chunk.get("family_probes") or []
     for p in PROBE_PATHS:
         a, b = pf.get(p), pl.get(p)
         if not (a and b and a > 0 and b > 0):
             problems.append(f"{p} probe pair missing/non-positive")
             continue
-        if max(a, b) / min(a, b) > CALIB_DRIFT:
-            problems.append(
-                f"{p} probe moved mid-run ({a:.2f}s -> {b:.2f}s)"
-            )
+        # the pair MIN proves the host could run this path at floor
+        # sometime during the window
         ref = ref_probes.get(p)
         if ref and min(a, b) / ref > CALIB_DRIFT:
             problems.append(
                 f"{p} probe {min(a, b):.2f}s is"
                 f" {min(a, b) / ref:.2f}x the healthy floor"
                 f" ({ref:.2f}s) — consistently-slow window"
+            )
+        # interior stability: judged on the family-boundary minis
+        # (taken where the measurement happens); the pair endpoints
+        # sit outside the loop and carry the documented ramp/aging
+        # artifacts of this VM
+        samples = [
+            s[p]
+            for s in minis
+            if isinstance(s.get(p), (int, float)) and s[p] > 0
+        ]
+        mfloor = MINI_FLOORS.get(p)
+        if len(samples) >= 2 and mfloor:
+            worst = max(samples)
+            med = statistics.median(samples)
+            if worst > MINI_MAX_X * mfloor:
+                problems.append(
+                    f"{p} interior mini-probe hit {worst:.2f}s"
+                    f" ({worst / mfloor:.1f}x its {mfloor:.2f}s floor)"
+                    " — transient stall inside the measured loop"
+                )
+            if med > MINI_MEDIAN_X * mfloor:
+                problems.append(
+                    f"{p} interior mini-probe median {med:.2f}s"
+                    f" ({med / mfloor:.1f}x its {mfloor:.2f}s floor)"
+                    " — loop ran degraded"
+                )
+        elif max(a, b) / min(a, b) > CALIB_DRIFT:
+            # no interior evidence: fall back to pair movement
+            problems.append(
+                f"{p} probe moved mid-run ({a:.2f}s -> {b:.2f}s)"
+                " and no interior mini-probe samples to adjudicate"
             )
     return problems
 
