@@ -684,6 +684,65 @@ def warm_session(spark, queries, sf_dir: str, families=None) -> None:
 # tools/assemble_pin.py use the same 2% line.
 PIN_STEAL_MAX = 2.0
 
+# Headline entries that CHAIN through persisted side effects (a probe
+# reads the index its build wrote). A --families slice must keep each
+# chain whole — a split one measures a probe with no index under it.
+CHAINS = (
+    ("stream_fidx_build", "stream_fidx_ingest",
+     "stream_fidx_forget", "stream_fidx_probe"),
+    ("docs_index_build", "docs_index_probe"),
+    ("docs_bm25_index_build", "docs_bm25_index_probe"),
+)
+
+
+def select_headline(tokens: set[str] | None) -> list[str]:
+    """HEADLINE subset for --families tokens, order preserved.
+    A token is either a family name ("stream") or a contiguous slice
+    of a family's headline subsequence ("stream:0:13", python slice
+    semantics on the within-family index) — the stream family alone
+    is ~130 s measured, longer than most healthy windows on this VM.
+    Raises ValueError on unknown families or slices splitting a
+    chained sequence."""
+    if tokens is None:
+        return list(HEADLINE)
+    all_fams = {_family(n) for n in HEADLINE}
+    plain: set[str] = set()
+    slices: dict[str, list[tuple[int, int]]] = {}
+    for tok in tokens:
+        if ":" in tok:
+            fam, lo, hi = (tok.split(":") + [""])[:3]
+            if fam not in all_fams:
+                raise ValueError(f"unknown family {fam!r} in {tok!r}")
+            fam_n = sum(1 for n in HEADLINE if _family(n) == fam)
+            a = int(lo) if lo else 0
+            b = int(hi) if hi else fam_n
+            slices.setdefault(fam, []).append((a, b))
+        elif tok in all_fams:
+            plain.add(tok)
+        else:
+            raise ValueError(
+                f"unknown family {tok!r}; known: {sorted(all_fams)}"
+            )
+    within: dict[str, int] = {}
+    out = []
+    for n in HEADLINE:
+        fam = _family(n)
+        i = within.get(fam, 0)
+        within[fam] = i + 1
+        if fam in plain or any(
+            a <= i < b for a, b in slices.get(fam, [])
+        ):
+            out.append(n)
+    chosen = set(out)
+    for chain in CHAINS:
+        hit = [q for q in chain if q in chosen]
+        if hit and len(hit) != len(chain):
+            raise ValueError(
+                f"slice splits the chained sequence {chain}: only"
+                f" {hit} selected — widen the slice"
+            )
+    return out
+
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
@@ -727,26 +786,23 @@ def main() -> int:
             print(f"{fam}\t{cnt}")
         return 0
 
-    want_families = (
+    want_tokens = (
         {f.strip() for f in args.families.split(",") if f.strip()}
         if args.families
         else None
     )
-    all_fams = {_family(n) for n in HEADLINE}
-    if want_families is not None:
-        unknown = want_families - all_fams
-        if unknown:
-            print(
-                f"unknown families {sorted(unknown)}; known:"
-                f" {sorted(all_fams)}",
-                file=sys.stderr,
-            )
-            return 2
-    headline = [
-        n
-        for n in HEADLINE
-        if want_families is None or _family(n) in want_families
-    ]
+    try:
+        headline = select_headline(want_tokens)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    # warm-up scoping works on family names (slice bounds don't
+    # change which runtimes a family needs warm)
+    want_families = (
+        {t.split(":")[0] for t in want_tokens}
+        if want_tokens is not None
+        else None
+    )
 
     if args.pin_intent:
         # refuse to burn a window the host has already degraded: the
@@ -956,8 +1012,8 @@ def main() -> int:
         "restart_mode": restart_mode or "single-session",
         "sf": sf_val,
     }
-    if want_families is not None:
-        detail["families"] = sorted(want_families)
+    if want_tokens is not None:
+        detail["families"] = sorted(want_tokens)
         detail["headline_total"] = len(HEADLINE)
     if args.pin_intent:
         detail["pin_intent"] = True

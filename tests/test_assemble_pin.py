@@ -268,6 +268,35 @@ def test_family_selection_preserves_headline_order():
     assert idx == sorted(idx)
 
 
+def test_select_headline_family_slices_partition_cleanly():
+    """stream alone is ~130s measured — longer than most healthy
+    windows — so slices must partition it without loss or overlap."""
+    a = bench.select_headline({"stream:0:13"})
+    b = bench.select_headline({"stream:13:20"})
+    c = bench.select_headline({"stream:20:26", "pyds"})
+    want = {
+        q
+        for q in bench.HEADLINE
+        if bench._family(q) in ("stream", "pyds")
+    }
+    assert set(a) | set(b) | set(c) == want
+    assert not (set(a) & set(b) | set(b) & set(c) | set(a) & set(c))
+    # order preserved within each slice
+    for sub in (a, b, c):
+        idx = [bench.HEADLINE.index(q) for q in sub]
+        assert idx == sorted(idx)
+
+
+def test_select_headline_guards_chains_and_unknowns():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chained sequence"):
+        bench.select_headline({"stream:2:9"})  # splits the fidx chain
+    with _pytest.raises(ValueError, match="unknown family"):
+        bench.select_headline({"nosuch"})
+    assert bench.select_headline(None) == list(bench.HEADLINE)
+
+
 def test_loaded_steal_sampler_returns_pct():
     pct = bench.loaded_steal_pct(seconds=1.0)
     assert isinstance(pct, float)
