@@ -927,7 +927,10 @@ def main() -> int:
         # query's neighborhood — the gate matches by timestamp, not by
         # family identity.
         now = time.time() - loop_t0
-        if _family(name) != prev_family and (
+        # chunk runs sample on the time cadence alone: a single-family
+        # chunk has no boundaries, and certification needs >=2
+        # interior samples to judge loop stability (assemble_pin.py)
+        if (want_tokens is not None or _family(name) != prev_family) and (
             not family_probes or now - family_probes[-1]["t"] >= 20
         ):
             # a failed probe sample must never abort a half-finished
@@ -966,6 +969,22 @@ def main() -> int:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
+
+    if want_tokens is not None and not aborted_family:
+        # one closing interior sample so certification's stability
+        # judgment covers the tail of the measured loop too
+        try:
+            sample = mini_probe(spark)
+        except Exception:
+            sample = {}
+        if sample:
+            family_probes.append(
+                {
+                    "family": prev_family or "-",
+                    "t": round(time.time() - loop_t0, 1),
+                    **sample,
+                }
+            )
 
     if args.pin_intent and aborted_family is None and prev_family:
         # the LAST family has no following boundary: same check
