@@ -127,11 +127,21 @@ def test_certify_pair_min_still_enforces_floor_with_minis():
     assert any("healthy floor" in p for p in probs)
 
 
-def test_certify_rejects_aborted_chunk():
-    probs = assemble_pin.certify_chunk(
-        _chunk({"q1": 1.0}, aborted_family="stream"), REF
-    )
-    assert any("aborted mid-run" in p for p in probs)
+def test_certify_aborted_chunk_judged_on_survivor_steal():
+    """An aborted chunk's run-level steal includes the dropped
+    family's degradation; the SURVIVING queries are judged on their
+    own per-query steal stamps so partial coverage accumulates."""
+    c = _chunk({"q1": 1.0}, steal=2.5, aborted_family="stream")
+    c["telemetry"]["q1"]["steal_pct"] = 0.3
+    assert assemble_pin.certify_chunk(c, REF) == []
+    # a survivor that itself saw steal >= 2% rejects
+    c["telemetry"]["q1"]["steal_pct"] = 2.4
+    probs = assemble_pin.certify_chunk(c, REF)
+    assert any("surviving query saw steal" in p for p in probs)
+    # survivors without stamps cannot certify
+    del c["telemetry"]["q1"]["steal_pct"]
+    probs = assemble_pin.certify_chunk(c, REF)
+    assert any("lack steal stamps" in p for p in probs)
 
 
 def test_certify_rejects_missing_probe_path():
@@ -215,22 +225,51 @@ def test_assemble_refuses_incomplete_coverage(tmp_path):
     assert not out.exists()
 
 
-def test_assemble_refuses_overlap(tmp_path):
+def test_assemble_overlap_prefers_lower_steal_chunk(tmp_path):
+    """When certified chunks overlap (partial artifacts accumulate
+    across windows), the lower-run-steal chunk provides the shared
+    queries — deterministic, no per-query cherry-picking."""
     a, b = _full_coverage_chunks()
+    dup_q = next(iter(a))
     dup = dict(b)
-    dup[next(iter(a))] = 9.9  # one query claimed by both chunks
-    proc, out = _run_assemble(tmp_path, [_chunk(a), _chunk(dup)])
-    assert proc.returncode == 1
-    assert "OVERLAP" in proc.stdout
-    assert not out.exists()
+    dup[dup_q] = 9.9  # same query measured in the worse window
+    proc, out = _run_assemble(
+        tmp_path, [_chunk(a, steal=0.2), _chunk(dup, steal=1.5)]
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    pin = json.loads(out.read_text())
+    assert pin["queries"][dup_q] == 1.0  # from the 0.2%-steal chunk
 
 
-def test_assemble_refuses_uncertified_chunk(tmp_path):
+def test_assemble_skips_uncertified_chunk(tmp_path):
+    """An uncertified file contributes nothing: with it as the only
+    source of half the coverage, assembly refuses on coverage."""
     a, b = _full_coverage_chunks()
     proc, out = _run_assemble(tmp_path, [_chunk(a), _chunk(b, steal=3.0)])
     assert proc.returncode == 1
-    assert "certification problems" in proc.stdout
+    assert "coverage incomplete" in proc.stdout
     assert not out.exists()
+
+
+def test_assemble_accepts_certified_partial_plus_fill(tmp_path):
+    """A certified-partial (aborted) chunk plus a later fill chunk
+    assemble to full coverage."""
+    a, b = _full_coverage_chunks()
+    part_keys = list(b)[: len(b) // 2]
+    rest_keys = list(b)[len(b) // 2:]
+    partial = _chunk(
+        {q: b[q] for q in part_keys}, steal=2.5,
+        aborted_family="whatever",
+    )
+    for q in part_keys:
+        partial["telemetry"][q]["steal_pct"] = 0.4
+    fill = _chunk({q: b[q] for q in rest_keys}, steal=0.9)
+    proc, out = _run_assemble(
+        tmp_path, [_chunk(a), partial, fill]
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    pin = json.loads(out.read_text())
+    assert set(pin["queries"]) == set(bench.HEADLINE)
 
 
 def test_status_mode_reports_missing_without_writing(tmp_path):
@@ -266,6 +305,42 @@ def test_family_selection_preserves_headline_order():
     sub = [q for q in bench.HEADLINE if bench._family(q) in fams]
     idx = [bench.HEADLINE.index(q) for q in sub]
     assert idx == sorted(idx)
+
+
+def test_missing_tokens_round_trip_to_missing_set(tmp_path):
+    """--missing-tokens must emit bench --families tokens that select
+    EXACTLY the headline queries certified chunks don't provide."""
+    a, b = _full_coverage_chunks()
+    # drop a contiguous run and a whole family from coverage
+    fams = sorted({bench._family(q) for q in b})
+    drop_fam = fams[0]
+    kept = {q: s for q, s in b.items() if bench._family(q) != drop_fam}
+    ref = tmp_path / "ref.json"
+    ref.write_text(
+        json.dumps({"probes_first": REF, "probes_last": REF, "queries": {}})
+    )
+    paths = []
+    for i, c in enumerate([_chunk(a), _chunk(kept)]):
+        p = tmp_path / f"BENCH_CHUNK_{i}.json"
+        p.write_text(json.dumps(c))
+        paths.append(str(p))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "assemble_pin.py"),
+            *paths,
+            "--ref-pin",
+            str(ref),
+            "--missing-tokens",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 1  # still missing
+    toks = {t for t in proc.stdout.strip().split(",") if t}
+    sel = bench.select_headline(toks)
+    want = [q for q in bench.HEADLINE if bench._family(q) == drop_fam]
+    assert sel == want
 
 
 def test_select_headline_family_slices_partition_cleanly():

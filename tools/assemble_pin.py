@@ -79,12 +79,32 @@ def certify_chunk(chunk: dict, ref_probes: dict[str, float]) -> list[str]:
     steal = chunk.get("host_steal_pct")
     if not (isinstance(steal, (int, float)) and steal >= 0):
         problems.append("hypervisor steal not measured")
+    elif chunk.get("aborted_family"):
+        # An aborted chunk is NOT rejected wholesale: the degraded
+        # family's queries were already dropped at the boundary, and
+        # partial coverage accumulates across windows instead of
+        # being thrown away (the abort stays visible in provenance).
+        # But the RUN-LEVEL steal includes the dropped family's
+        # degradation, so the survivors are judged on their own
+        # per-query steal stamps instead.
+        tel = chunk.get("telemetry") or {}
+        steals = [
+            tel.get(q, {}).get("steal_pct", -1.0)
+            for q in chunk.get("queries", {})
+        ]
+        if any(
+            not isinstance(s, (int, float)) or s < 0 for s in steals
+        ):
+            problems.append(
+                "aborted chunk: surviving queries lack steal stamps"
+            )
+        elif steals and max(steals) >= bench.PIN_STEAL_MAX:
+            problems.append(
+                f"aborted chunk: surviving query saw steal"
+                f" {max(steals):.1f}% >= 2%"
+            )
     elif steal >= bench.PIN_STEAL_MAX:
         problems.append(f"hypervisor steal {steal:.1f}% >= 2%")
-    if chunk.get("aborted_family"):
-        problems.append(
-            f"aborted mid-run (family {chunk['aborted_family']!r} dropped)"
-        )
     pf, pl = chunk.get("probes_first"), chunk.get("probes_last")
     if not (isinstance(pf, dict) and isinstance(pl, dict)):
         problems.append("probe pairs missing")
@@ -179,7 +199,24 @@ def main() -> int:
         help="assemble even with certification problems (for"
         " inspection only; the problems are still recorded)",
     )
+    ap.add_argument(
+        "--missing-tokens",
+        action="store_true",
+        help="print ONLY a comma list of bench.py --families tokens"
+        " covering the queries certified chunks don't yet provide"
+        " (empty line = coverage complete) — the chunk hunter's"
+        " work-list interface",
+    )
     args = ap.parse_args()
+    if args.missing_tokens:
+        # per-chunk reporting goes to stderr so stdout is exactly
+        # the token list
+        global print
+        _stdout_print = print
+
+        def print(*a, **k):  # noqa: A001
+            k.setdefault("file", sys.stderr)
+            _stdout_print(*a, **k)
 
     ref = _ref_probes(args.ref_pin)
     merged_q: dict[str, float] = {}
@@ -192,21 +229,43 @@ def main() -> int:
     all_ok = True
     sf_val = None
 
+    loaded: list[tuple[str, dict, list[str]]] = []
     for path in args.chunks:
         c = _load(path)
         name = os.path.basename(path)
         problems = certify_chunk(c, ref)
+        loaded.append((name, c, problems))
+    # deterministic merge preference when certified chunks overlap
+    # (partial artifacts from aborted windows accumulate): lower
+    # run steal wins, then filename — auditable, no cherry-picking
+    # of per-query times
+    loaded.sort(
+        key=lambda t: (
+            t[1].get("host_steal_pct")
+            if isinstance(t[1].get("host_steal_pct"), (int, float))
+            and t[1]["host_steal_pct"] >= 0
+            else 99.0,
+            t[0],
+        )
+    )
+
+    for name, c, problems in loaded:
         status = "CERTIFIED" if not problems else "NOT CERTIFIED"
         fams = sorted({bench._family(q) for q in c.get("queries", {})})
+        aborted = c.get("aborted_family")
         print(
             f"{name}: {status} — families {','.join(fams) or '-'},"
             f" {len(c.get('queries', {}))} queries,"
             f" steal {c.get('host_steal_pct', 'n/a')}%"
+            + (f" (partial: {aborted} aborted)" if aborted else "")
         )
         for p in problems:
             print(f"    - {p}")
+        merge_this = not problems or args.allow_uncertified
         if problems:
             all_ok = False
+        if not merge_this:
+            continue
         if sf_val is None:
             sf_val = c.get("sf")
         elif c.get("sf") != sf_val:
@@ -214,34 +273,48 @@ def main() -> int:
                 f"    - scale mismatch: {c.get('sf')} vs {sf_val}"
             )
             all_ok = False
+        took = 0
         for q, sec in c.get("queries", {}).items():
             if q in owner:
-                print(
-                    f"    - OVERLAP: {q} already provided by"
-                    f" {owner[q]} — pass one certified attempt per"
-                    " family"
-                )
-                all_ok = False
-                continue
+                continue  # a better-steal chunk already provided it
             owner[q] = name
             merged_q[q] = sec
+            took += 1
             if q in (c.get("telemetry") or {}):
                 merged_tel[q] = c["telemetry"][q]
+        if took < len(c.get("queries", {})):
+            print(
+                f"    ({took}/{len(c['queries'])} taken — rest"
+                " provided by lower-steal chunks)"
+            )
         pf, pl = c.get("probes_first") or {}, c.get("probes_last") or {}
         for p in PROBE_PATHS:
             if pf.get(p, 0) and pf[p] > 0:
                 pf_min[p] = min(pf_min.get(p, pf[p]), pf[p])
             if pl.get(p, 0) and pl[p] > 0:
                 pl_min[p] = min(pl_min.get(p, pl[p]), pl[p])
-        steal = c.get("host_steal_pct")
-        if isinstance(steal, (int, float)):
-            steal_max = max(steal_max, steal)
+        if aborted:
+            # run-level steal includes the dropped family's window;
+            # the survivors' own stamps are the honest number
+            tel = c.get("telemetry") or {}
+            svals = [
+                tel.get(q, {}).get("steal_pct", -1.0)
+                for q in c.get("queries", {})
+            ]
+            svals = [s for s in svals if isinstance(s, (int, float))]
+            if svals:
+                steal_max = max(steal_max, max(svals))
+        else:
+            steal = c.get("host_steal_pct")
+            if isinstance(steal, (int, float)):
+                steal_max = max(steal_max, steal)
         chunk_meta.append(
             {
                 "file": name,
                 "families": fams,
-                "n_queries": len(c.get("queries", {})),
+                "n_queries": took,
                 "host_steal_pct": c.get("host_steal_pct"),
+                "aborted_family": aborted,
                 "probes_first": c.get("probes_first"),
                 "probes_last": c.get("probes_last"),
                 "certified": not problems,
@@ -267,14 +340,46 @@ def main() -> int:
             merged_q.pop(q)
             merged_tel.pop(q, None)
 
+    if args.missing_tokens:
+        # contiguous within-family index runs as fam / fam:a:b tokens
+        # (bench.select_headline's slice syntax); certified-chunk
+        # abort drops are family-atomic and slices can't split
+        # chains, so missingness is always token-expressible
+        within: dict[str, int] = {}
+        fam_missing: dict[str, list[int]] = {}
+        fam_total: dict[str, int] = {}
+        for q in bench.HEADLINE:
+            fam = bench._family(q)
+            i = within.get(fam, 0)
+            within[fam] = i + 1
+            fam_total[fam] = fam_total.get(fam, 0) + 1
+            if q not in merged_q:
+                fam_missing.setdefault(fam, []).append(i)
+        toks = []
+        for fam in sorted(fam_missing):
+            idxs = fam_missing[fam]
+            if len(idxs) == fam_total[fam]:
+                toks.append(fam)
+                continue
+            run_start = prev = idxs[0]
+            for i in idxs[1:] + [None]:
+                if i is not None and i == prev + 1:
+                    prev = i
+                    continue
+                toks.append(f"{fam}:{run_start}:{prev + 1}")
+                if i is not None:
+                    run_start = prev = i
+        sys.stdout.write(",".join(toks) + "\n")
+        return 0 if not missing else 1
+
     if args.status:
         return 0 if (all_ok and not missing) else 1
     if missing:
         print("NOT ASSEMBLED: coverage incomplete")
         return 1
-    if not all_ok and not args.allow_uncertified:
-        print("NOT ASSEMBLED: certification problems above")
-        return 1
+    # uncertified files were already excluded from the merge (unless
+    # --allow-uncertified); complete coverage from certified chunks
+    # is assemblable even when junk attempts were also listed
 
     pin = {
         "metric": "headline_wall_sec",
