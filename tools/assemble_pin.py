@@ -76,6 +76,8 @@ def certify_chunk(chunk: dict, ref_probes: dict[str, float]) -> list[str]:
     import statistics
 
     problems: list[str] = []
+    if not chunk.get("queries"):
+        problems.append("no surviving queries (nothing to certify)")
     steal = chunk.get("host_steal_pct")
     if not (isinstance(steal, (int, float)) and steal >= 0):
         problems.append("hypervisor steal not measured")
