@@ -297,20 +297,25 @@ def main() -> int:
             " runnable vCPUs (external contention, not repo code)"
         )
         unhealthy.append(f"hypervisor steal {host_steal:.1f}%")
+    pin_problems: list[str] = []
     if certify:
-        # ABSENT evidence must block certification, not pass it: a
-        # run whose steal was never measured (bench.py's -1 sentinel
-        # on unreadable /proc/stat, or a pre-steal artifact) or whose
-        # probe pairs are missing from either artifact cannot claim
-        # 'steal <2%' / 'no probe drift' (round-11 review finding).
-        if not (isinstance(host_steal, (int, float)) and host_steal >= 0):
-            unhealthy.append("hypervisor steal not measured")
-        for what, probes in (("fresh", fresh_probes), ("pin", base_probes)):
-            missing = {"jvm", "python", "io"} - set(probes)
-            if missing:
-                unhealthy.append(
-                    f"{what} artifact missing probe(s) {sorted(missing)}"
-                )
+        # Certification criteria are SHARED with the composite-chunk
+        # path (tools/assemble_pin.py::certify_chunk): steal measured
+        # and <2%, probe-pair MINs within drift of the baseline's
+        # floor, and loop stability judged on the interior
+        # family-boundary mini-probes (the pair endpoints carry this
+        # VM's documented ramp/aging artifacts; pair movement is the
+        # fallback only when fewer than two minis exist). A driver
+        # run that lands in a healthy window therefore certifies
+        # mechanically and can become the next pin as-is.
+        import assemble_pin
+
+        pin_problems = assemble_pin.certify_chunk(fresh, base_probes)
+        missing = {"jvm", "python", "io"} - set(base_probes)
+        if missing:
+            pin_problems.append(
+                f"pin artifact missing probe(s) {sorted(missing)}"
+            )
     path_scale: dict[str, float] = {}
     for p in sorted(set(fresh_probes) & set(base_probes)):
         drift = fresh_probes[p] / base_probes[p]
@@ -521,19 +526,20 @@ def main() -> int:
         print(f"REGRESSION: {failures}")
         if certify:
             print(
-                "PIN-QUALITY: NOT CERTIFIED — gate failures: "
-                + "; ".join(unhealthy + [f"{len(failures)} FAIL(s)"])
+                "PIN-QUALITY: NOT CERTIFIED — "
+                + "; ".join(pin_problems + [f"{len(failures)} FAIL(s)"])
             )
         return 1
     if certify:
-        if unhealthy:
+        if pin_problems:
             print(
-                "PIN-QUALITY: NOT CERTIFIED — " + "; ".join(unhealthy)
+                "PIN-QUALITY: NOT CERTIFIED — " + "; ".join(pin_problems)
             )
             return 1
         print(
-            "PIN-QUALITY: CERTIFIED — gate clean, no probe drift vs"
-            " pin, no mid-run probe movement, hypervisor steal <2%"
+            "PIN-QUALITY: CERTIFIED — gate clean, probe floor within"
+            " drift of the pin, measured loop stable (interior"
+            " mini-probes), hypervisor steal <2%"
         )
     print("bench regression gate: clean")
     return 0
