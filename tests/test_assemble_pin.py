@@ -225,20 +225,31 @@ def test_assemble_refuses_incomplete_coverage(tmp_path):
     assert not out.exists()
 
 
-def test_assemble_overlap_prefers_lower_steal_chunk(tmp_path):
+def test_assemble_overlap_takes_per_query_min(tmp_path):
     """When certified chunks overlap (partial artifacts accumulate
-    across windows), the lower-run-steal chunk provides the shared
-    queries — deterministic, no per-query cherry-picking."""
+    across windows), each query takes its MIN across the certified
+    samples — the least-contended estimator, uniform in both
+    directions (the first r11 assembly pinned a 10.35s idle-bounce
+    sample of stream_scd2_apply where a second certified window
+    measured 4.12s)."""
     a, b = _full_coverage_chunks()
     dup_q = next(iter(a))
     dup = dict(b)
-    dup[dup_q] = 9.9  # same query measured in the worse window
+    dup[dup_q] = 9.9  # same query, slower certified sample
     proc, out = _run_assemble(
         tmp_path, [_chunk(a, steal=0.2), _chunk(dup, steal=1.5)]
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     pin = json.loads(out.read_text())
-    assert pin["queries"][dup_q] == 1.0  # from the 0.2%-steal chunk
+    assert pin["queries"][dup_q] == 1.0  # the min sample
+    # ... and in the other direction: a faster later sample wins too
+    dup2 = dict(dup)
+    dup2[dup_q] = 0.4
+    proc, out = _run_assemble(
+        tmp_path, [_chunk(a, steal=0.2), _chunk(dup2, steal=1.5)]
+    )
+    assert proc.returncode == 0
+    assert json.loads(out.read_text())["queries"][dup_q] == 0.4
 
 
 def test_assemble_skips_uncertified_chunk(tmp_path):

@@ -26,9 +26,12 @@ assemble the pin from chunks that INDIVIDUALLY certify:
     than two mini samples fall back to pair movement <= 1.3x;
   * not aborted mid-run (``aborted_family`` absent).
 
-Coverage must be exact: the union of chunk queries == bench.HEADLINE,
-with no query in two chunks (re-run a family? pass only the certified
-attempt's file). The output artifact is gate-compatible (queries /
+Coverage must be exact: the union of certified chunk queries ==
+bench.HEADLINE. When certified chunks overlap (partial artifacts from
+aborted windows accumulate; a family may be re-captured), each query
+takes its MIN across the certified samples — the same
+least-contended estimator the probes (min-of-two) and the isolation
+protocol (min-of-runs) use, applied uniformly to every query. The output artifact is gate-compatible (queries /
 telemetry / probes_first / probes_last / host_steal_pct) plus a
 ``chunks`` provenance block recording each chunk's certification
 evidence — the per-family certified-window proof the round-11 verdict
@@ -237,19 +240,8 @@ def main() -> int:
         name = os.path.basename(path)
         problems = certify_chunk(c, ref)
         loaded.append((name, c, problems))
-    # deterministic merge preference when certified chunks overlap
-    # (partial artifacts from aborted windows accumulate): lower
-    # run steal wins, then filename — auditable, no cherry-picking
-    # of per-query times
-    loaded.sort(
-        key=lambda t: (
-            t[1].get("host_steal_pct")
-            if isinstance(t[1].get("host_steal_pct"), (int, float))
-            and t[1]["host_steal_pct"] >= 0
-            else 99.0,
-            t[0],
-        )
-    )
+    # stable processing order for deterministic output
+    loaded.sort(key=lambda t: t[0])
 
     for name, c, problems in loaded:
         status = "CERTIFIED" if not problems else "NOT CERTIFIED"
@@ -275,10 +267,19 @@ def main() -> int:
                 f"    - scale mismatch: {c.get('sf')} vs {sf_val}"
             )
             all_ok = False
+        # Overlapping CERTIFIED chunks take the per-query MIN — the
+        # same least-contended estimator the probes (min-of-two) and
+        # the isolation protocol (min-of-runs) use, applied uniformly
+        # to every query in both directions (never hand-picked).
+        # Each chunk is an independent certified sample of the same
+        # fixed workload; the min biases the pin LOW, i.e. the gate
+        # STRICT — conservative for a baseline (the first assembly
+        # pinned stream_scd2_apply's documented idle bounce at
+        # 10.35 s where a second certified window measured 4.12 s).
         took = 0
         for q, sec in c.get("queries", {}).items():
-            if q in owner:
-                continue  # a better-steal chunk already provided it
+            if q in owner and merged_q[q] <= sec:
+                continue
             owner[q] = name
             merged_q[q] = sec
             took += 1
@@ -286,8 +287,8 @@ def main() -> int:
                 merged_tel[q] = c["telemetry"][q]
         if took < len(c.get("queries", {})):
             print(
-                f"    ({took}/{len(c['queries'])} taken — rest"
-                " provided by lower-steal chunks)"
+                f"    ({took}/{len(c['queries'])} taken — rest had"
+                " lower-wall samples in other certified chunks)"
             )
         pf, pl = c.get("probes_first") or {}, c.get("probes_last") or {}
         for p in PROBE_PATHS:
