@@ -54,6 +54,15 @@ FLAGSHIPS = {
         "array_intersect evaluates inline in codegen — the quadratic "
         "wedge stream is never materialized or shuffled"
     ),
+    "events_rfm_segments_approx": (
+        "the scale-safe twin of the exact RFM ntile (round-11 verdict "
+        "#3): per-user aggregate map-side combined, metrics mapped to "
+        "bounded digit buckets, per-bucket histogram (distributed agg, "
+        "~hundreds of rows out), the ONLY unpartitioned window runs "
+        "over the bucket domain — never O(entities) rows on one task — "
+        "and the three tiny score tables broadcast back onto the "
+        "per-user stream"
+    ),
     "multimodal_jpeg_stats": (
         "plant → Huffman/IDCT decode → stats as ONE fused mapInPandas "
         "chain: zero exchanges anywhere — the codec tier scales purely "
