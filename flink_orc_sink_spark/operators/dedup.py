@@ -236,9 +236,22 @@ def minhash_signatures(
         raise ValueError("minhash signatures are fixed at k=3 shingles")
     from flink_orc_sink_spark.functions.text import tokens
 
-    return df.select(
-        F.col(id_col).alias("doc"),
-        _minhash_sig_udf()(tokens(text_col)).alias("sig"),
+    # The signature UDF is the pipeline's CPU-heavy pre-shuffle map
+    # stage, and its parallelism is the INPUT SPLIT count — a corpus
+    # that arrives as one small parquet file (every sf0.1 table is a
+    # single file) runs the whole tokenize+shingle+permute pass on one
+    # core of 32. Project to the two needed columns FIRST (an opaque
+    # UDF defeats column pruning past the exchange — guide §2.3), then
+    # spread an under-split input across the session's parallelism.
+    # At production split counts the guard is false and no shuffle is
+    # added.
+    proj = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < par:
+        proj = proj.repartition(par)
+    return proj.select(
+        "doc",
+        _minhash_sig_udf()(tokens("_t")).alias("sig"),
     )
 
 
@@ -699,11 +712,24 @@ def dup_ngram_spans(
 
 
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """``(doc, tk, ntok)`` under the package's canonical tokenizer."""
+    """``(doc, tk, ntok)`` under the package's canonical tokenizer.
+
+    The tokenize(+downstream gram fanout) is the gram family's
+    CPU-heavy pre-shuffle map stage; its parallelism is the input
+    split count, and a corpus arriving as one small parquet file
+    (every sf0.1 table is a single file, unsplittable below one row
+    group) runs it on one core. Project to the two needed columns,
+    then spread an under-split input across the session's parallelism
+    — at production split counts the guard is false and no shuffle is
+    added."""
     from flink_orc_sink_spark.functions.text import tokens
 
-    return df.select(
-        F.col(id_col).alias("doc"), tokens(text_col).alias("tk")
+    proj = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < par:
+        proj = proj.repartition(par)
+    return proj.select(
+        "doc", tokens("_t").alias("tk")
     ).withColumn("ntok", F.size("tk"))
 
 
@@ -1291,6 +1317,7 @@ def cut_spans_against_index(
     index_path: str,
     n: int = 8,
     exclude_tag: int | None = None,
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL keep-first span excision: cut a new batch's token
     positions covered by any ``n``-gram that (a) exists in the
@@ -1300,6 +1327,16 @@ def cut_spans_against_index(
     :func:`append_to_gram_index` reproduces exactly what
     :func:`cut_dup_spans` over corpus ∪ batch would have cut from the
     batch docs (value-oracled as ``docs_index_cut_dedup``).
+
+    ``occurrences``: optionally the PRE-MATERIALIZED gram stream of
+    ``new_docs`` (``_gram_occurrences(new_docs, id_col, text_col,
+    n)``, e.g. behind an eager ``localCheckpoint``). The probe plan
+    consumes the gram stream THREE times (the index-probe broadcast,
+    the within-batch duplicate aggregation, the flag join), so a
+    caller that also appends the same batch afterwards saves four
+    tokenize+posexplode passes per micro-batch by materializing it
+    once. Batch-bounded by the same contract as the probe itself;
+    the caller owns the checkpoint's release.
 
     100 TB shape: the batch's distinct gram hashes BROADCAST onto the
     index scan (map-only — the index is never shuffled and never
@@ -1312,7 +1349,11 @@ def cut_spans_against_index(
     shuffle-free semi join of the batch side only.
     """
     toks = _tokenized(new_docs, id_col, text_col)
-    occ = _gram_occurrences(new_docs, id_col, text_col, n)
+    occ = (
+        occurrences
+        if occurrences is not None
+        else _gram_occurrences(new_docs, id_col, text_col, n)
+    )
     batch_ghs = occ.select("gh").distinct()
     idx = spark.read.parquet(f"{index_path}/grams")
     if exclude_tag is not None:
@@ -1362,6 +1403,7 @@ def append_to_gram_index(
     tag: int = -1,
     owner: str | None = None,
     lease_wait_sec: float = 0.0,
+    occurrences: DataFrame | None = None,
 ) -> None:
     """Admit a probed batch's grams so later batches dedup against it
     too. Append the batch's distinct gram hashes in the same sorted
@@ -1373,10 +1415,17 @@ def append_to_gram_index(
     ``index_path`` single-writer lease (``lease.py``); ``owner`` lets
     a foreachBatch caller pass its checkpoint-derived name (instant
     orphan reclaim after a crash-restart) and ``lease_wait_sec``
-    opts into bounded waiting behind a concurrent appender."""
+    opts into bounded waiting behind a concurrent appender.
+    ``occurrences`` mirrors :func:`cut_spans_against_index`: a probe
+    caller that already materialized the batch's gram stream passes
+    it here and the append skips its own tokenize+posexplode pass."""
     from flink_orc_sink_spark.lease import process_owner, state_lease
 
-    occ = _gram_occurrences(df, id_col, text_col, n)
+    occ = (
+        occurrences
+        if occurrences is not None
+        else _gram_occurrences(df, id_col, text_col, n)
+    )
     with state_lease(
         df.sparkSession,
         index_path,

@@ -92,14 +92,25 @@ def term_buckets(terms: list[str]) -> list[int]:
     )
 
 
+def _spread(proj: DataFrame) -> DataFrame:
+    """Spread an under-split projection across the session's
+    parallelism: the tokenize+explode feeding the postings aggregation
+    is the CPU-heavy pre-shuffle map stage, and a corpus arriving as
+    one small parquet file (a single row group is unsplittable) runs
+    it on one core of 32. No-op at production split counts."""
+    par = proj.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < par:
+        return proj.repartition(par)
+    return proj
+
+
 def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(token, doc_id, tf, dl) rows for a batch — dl rides the
     groupBy key (functionally dependent on doc_id, so free) instead
     of joining a per-doc table back on."""
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
-        )
+        _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")))
+        .select("doc_id", tokens("_t").alias("tk"))
         .withColumn("dl", F.size("tk"))
         .select("doc_id", "dl", F.explode("tk").alias("token"))
         .groupBy("doc_id", "token", "dl")
@@ -109,11 +120,11 @@ def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _doclens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One (doc_id, dl) row per batch doc — EVERY doc, including
-    zero-token ones that contribute no postings."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(text_col)).alias("dl"),
-    )
+    zero-token ones that contribute no postings. Same input-spread as
+    :func:`_postings` — this is a second full tokenize pass."""
+    return _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ).select("doc_id", F.size(tokens("_t")).alias("dl"))
 
 
 def _write(df: DataFrame, path: str, mode: str, tag: int) -> None:

@@ -3167,7 +3167,22 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from flink_orc_sink_spark.operators.dedup import (
+            _gram_occurrences,
+        )
+
         batch_df = batch_df.localCheckpoint(eager=True)  # consumed 2x
+        # the batch's gram stream feeds FOUR plans (index probe,
+        # within-batch dup agg, flag join, index append): materialize
+        # the trigger-bounded fanout once instead of re-running
+        # tokenize+posexplode per consumer. Job count is ~flat (each
+        # broadcast keeps its own job; +1 checkpoint job per batch) —
+        # the saving is the three redundant batch-text fanout PASSES,
+        # which is CPU noise at sf0.1 but real work per trigger at
+        # production batch sizes.
+        occ = _gram_occurrences(
+            batch_df, "doc_id", "text", _DUP_NGRAM_N
+        ).localCheckpoint(eager=True)
         try:
             (
                 cut_spans_against_index(
@@ -3178,6 +3193,7 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx,
                     n=_DUP_NGRAM_N,
                     exclude_tag=batch_id,
+                    occurrences=occ,
                 )
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -3187,9 +3203,10 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             append_to_gram_index(
                 batch_df, "doc_id", "text", idx, n=_DUP_NGRAM_N,
-                tag=batch_id, owner=owner_cell[0],
+                tag=batch_id, owner=owner_cell[0], occurrences=occ,
             )
         finally:
+            release_local_checkpoint(occ)
             release_local_checkpoint(batch_df)
 
     owner_cell = [None]

@@ -63,6 +63,28 @@ def _row(i: int, n_users: int):
     return (i, i % n_users, TYPES[i % 5], (i * 37 + 11) % 10000)
 
 
+def _arrow_batch(start: int, end: int, n_users: int, base: int = 0):
+    """One Arrow RecordBatch for ids ``base + [start, end)`` — the
+    same pure arithmetic as :func:`_row`, vectorized. Yielding a
+    RecordBatch instead of per-row tuples keeps the generator out of
+    the pickle path entirely (Spark 4 Python DataSource readers
+    accept Arrow batches): measured on the 100k-row batch read, the
+    per-row generator spent its whole wall in tuple pickling."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.arange(base + start, base + end, dtype=np.int64)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids, type=pa.int64()),
+            pa.array(ids % n_users, type=pa.int64()),
+            pa.array(np.asarray(TYPES, dtype=object)[ids % 5]),
+            pa.array((ids * 37 + 11) % 10000, type=pa.int64()),
+        ],
+        names=["event_id", "user_id", "etype", "value_cents"],
+    )
+
+
 @dataclass
 class _Range(InputPartition):
     start: int
@@ -84,8 +106,9 @@ class _Reader(DataSourceReader):
         ]
 
     def read(self, partition: _Range):
-        for i in range(partition.start, partition.end):
-            yield _row(i, partition.n_users)
+        yield _arrow_batch(
+            partition.start, partition.end, partition.n_users
+        )
 
 
 @dataclass
@@ -166,9 +189,12 @@ class _StreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _PartRange):
-        base = partition.part * partition.stride
-        for k in range(partition.start, partition.end):
-            yield _row(base + k, partition.n_users)
+        yield _arrow_batch(
+            partition.start,
+            partition.end,
+            partition.n_users,
+            base=partition.part * partition.stride,
+        )
 
     def commit(self, end):
         self._fast_forward(end)

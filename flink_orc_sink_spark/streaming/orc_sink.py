@@ -1722,6 +1722,17 @@ def stream_retract_join_orc(
                     ["side", "pk"],
                     _rj_order(),
                 )
+                # the pre/post images are batch-pk-sized and consumed
+                # by up to FOUR downstream DAGs (the deltas write, the
+                # affected-bucket collect, and both sides of the
+                # aggregate diff): materialize each window ONCE instead
+                # of re-running the shuffle+sort subtree per consumer
+                # (measured on stream_retract_join_agg at sf0.1:
+                # 78 -> 68 Spark jobs, 21.3 -> 11.8 s same-session
+                # for the three-batch drain)
+                if pre_S is not None:
+                    pre_S = pre_S.localCheckpoint(eager=True)
+                post_S = post_S.localCheckpoint(eager=True)
                 try:
                     if need_deltas:
                         deltas = (
@@ -1768,6 +1779,9 @@ def stream_retract_join_orc(
                 finally:
                     if cand_S is not None:
                         release_local_checkpoint(cand_S)
+                    if pre_S is not None:
+                        release_local_checkpoint(pre_S)
+                    release_local_checkpoint(post_S)
             # the ONLY per-batch state write: the log append
             (
                 ch.withColumn("batch_id", F.lit(batch_id))
