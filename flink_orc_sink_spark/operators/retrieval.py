@@ -104,13 +104,23 @@ def _spread(proj: DataFrame) -> DataFrame:
     return proj
 
 
-def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _postings(
+    df: DataFrame, id_col: str, text_col: str, spread: bool = True
+) -> DataFrame:
     """(token, doc_id, tf, dl) rows for a batch — dl rides the
     groupBy key (functionally dependent on doc_id, so free) instead
-    of joining a per-doc table back on."""
+    of joining a per-doc table back on. ``spread=False`` skips the
+    under-split input spread: per-TRIGGER appends are batch-bounded,
+    so the extra exchange costs a Spark job per call and buys back
+    less tokenize time than it spends (measured +0.3 s on the 4-batch
+    streaming ingest at sf0.1); one-shot corpus builds keep it."""
+    proj = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    if spread:
+        proj = _spread(proj)
     return (
-        _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")))
-        .select("doc_id", tokens("_t").alias("tk"))
+        proj.select("doc_id", tokens("_t").alias("tk"))
         .withColumn("dl", F.size("tk"))
         .select("doc_id", "dl", F.explode("tk").alias("token"))
         .groupBy("doc_id", "token", "dl")
@@ -118,13 +128,18 @@ def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _doclens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doclens(
+    df: DataFrame, id_col: str, text_col: str, spread: bool = True
+) -> DataFrame:
     """One (doc_id, dl) row per batch doc — EVERY doc, including
-    zero-token ones that contribute no postings. Same input-spread as
-    :func:`_postings` — this is a second full tokenize pass."""
-    return _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    ).select("doc_id", F.size(tokens("_t")).alias("dl"))
+    zero-token ones that contribute no postings. Same input-spread
+    rule as :func:`_postings` — this is a second full tokenize pass."""
+    proj = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    if spread:
+        proj = _spread(proj)
+    return proj.select("doc_id", F.size(tokens("_t")).alias("dl"))
 
 
 def _write(df: DataFrame, path: str, mode: str, tag: int) -> None:
@@ -202,7 +217,7 @@ def append_to_bm25_index(
         # postings plan once more to sample bounds — measured strictly
         # worse on streaming ingest.
         (
-            _postings(df, id_col, text_col)
+            _postings(df, id_col, text_col, spread=False)
             .withColumn("bucket", _bucket(F.col("token")))
             .withColumn("tag", F.lit(tag).cast("long"))
             .repartition(N_TERM_BUCKETS, "bucket")
@@ -211,7 +226,7 @@ def append_to_bm25_index(
             .parquet(f"{index_path}/postings")
         )
         _write(
-            _doclens(df, id_col, text_col),
+            _doclens(df, id_col, text_col, spread=False),
             f"{index_path}/doclens",
             "append",
             tag,

@@ -31,8 +31,9 @@ FLAGSHIPS = {
         "one user-keyed exchange shared by lag + running-sum windows"
     ),
     "docs_minhash_pairs": (
-        "Arrow-batched signatures (no shuffle), one bucket-join "
-        "exchange, candidate-only verification"
+        "Arrow-batched signatures (spread across the session's "
+        "parallelism when the input arrives under-split — round 12), "
+        "one bucket-join exchange, candidate-only verification"
     ),
     "emb_cosine_topk": (
         "query side broadcast; corpus scored per partition; per-query "
