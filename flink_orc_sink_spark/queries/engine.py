@@ -3179,11 +3179,13 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast keeps its own job; +1 checkpoint job per batch) —
         # the saving is the three redundant batch-text fanout PASSES,
         # which is CPU noise at sf0.1 but real work per trigger at
-        # production batch sizes.
-        occ = _gram_occurrences(
-            batch_df, "doc_id", "text", _DUP_NGRAM_N
-        ).localCheckpoint(eager=True)
+        # production batch sizes. occ materializes INSIDE the try so a
+        # failure there still releases batch_df's blocks in the finally.
+        occ = None
         try:
+            occ = _gram_occurrences(
+                batch_df, "doc_id", "text", _DUP_NGRAM_N
+            ).localCheckpoint(eager=True)
             (
                 cut_spans_against_index(
                     spark,
@@ -3206,7 +3208,8 @@ def stream_gram_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tag=batch_id, owner=owner_cell[0], occurrences=occ,
             )
         finally:
-            release_local_checkpoint(occ)
+            if occ is not None:
+                release_local_checkpoint(occ)
             release_local_checkpoint(batch_df)
 
     owner_cell = [None]

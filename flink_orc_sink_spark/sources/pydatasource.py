@@ -63,26 +63,39 @@ def _row(i: int, n_users: int):
     return (i, i % n_users, TYPES[i % 5], (i * 37 + 11) % 10000)
 
 
-def _arrow_batch(start: int, end: int, n_users: int, base: int = 0):
-    """One Arrow RecordBatch for ids ``base + [start, end)`` — the
-    same pure arithmetic as :func:`_row`, vectorized. Yielding a
-    RecordBatch instead of per-row tuples keeps the generator out of
-    the pickle path entirely (Spark 4 Python DataSource readers
-    accept Arrow batches): measured on the 100k-row batch read, the
-    per-row generator spent its whole wall in tuple pickling."""
+# Rows per emitted RecordBatch: bounds a read task's resident memory
+# to one chunk (4 int64/object columns ≈ a few MB) regardless of how
+# large the requested id range is, while staying big enough that the
+# NumPy vectorization and Arrow framing amortize.
+ARROW_CHUNK_ROWS = 65_536
+
+
+def _arrow_batches(start: int, end: int, n_users: int, base: int = 0):
+    """Arrow RecordBatches for ids ``base + [start, end)`` — the same
+    pure arithmetic as :func:`_row`, vectorized. Yielding RecordBatches
+    instead of per-row tuples keeps the generator out of the pickle
+    path entirely (Spark 4 Python DataSource readers accept Arrow
+    batches): measured on the 100k-row batch read, the per-row
+    generator spent its whole wall in tuple pickling. The range is
+    emitted in ``ARROW_CHUNK_ROWS`` chunks so one task never
+    materializes an arbitrarily large partition in memory at once."""
     import numpy as np
     import pyarrow as pa
 
-    ids = np.arange(base + start, base + end, dtype=np.int64)
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(ids, type=pa.int64()),
-            pa.array(ids % n_users, type=pa.int64()),
-            pa.array(np.asarray(TYPES, dtype=object)[ids % 5]),
-            pa.array((ids * 37 + 11) % 10000, type=pa.int64()),
-        ],
-        names=["event_id", "user_id", "etype", "value_cents"],
-    )
+    types = np.asarray(TYPES, dtype=object)
+    for lo in range(start, end, ARROW_CHUNK_ROWS):
+        ids = np.arange(
+            base + lo, base + min(lo + ARROW_CHUNK_ROWS, end), dtype=np.int64
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(ids % n_users, type=pa.int64()),
+                pa.array(types[ids % 5]),
+                pa.array((ids * 37 + 11) % 10000, type=pa.int64()),
+            ],
+            names=["event_id", "user_id", "etype", "value_cents"],
+        )
 
 
 @dataclass
@@ -106,7 +119,7 @@ class _Reader(DataSourceReader):
         ]
 
     def read(self, partition: _Range):
-        yield _arrow_batch(
+        yield from _arrow_batches(
             partition.start, partition.end, partition.n_users
         )
 
@@ -189,7 +202,7 @@ class _StreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _PartRange):
-        yield _arrow_batch(
+        yield from _arrow_batches(
             partition.start,
             partition.end,
             partition.n_users,

@@ -1704,36 +1704,38 @@ def stream_retract_join_orc(
             )
             if need_deltas or need_agg:
                 S = ch.select("side", "pk").distinct()
-                cand_S = _rj_resolve_images(
-                    spark, state_path, S, n_key_partitions,
-                    upto_batch=batch_id,
-                )
-                if cand_S is not None:
-                    cand_S = cand_S.localCheckpoint(eager=True)
-                pre_S = (
-                    _latest_per_key(cand_S, ["side", "pk"], _rj_order())
-                    if cand_S is not None
-                    else None
-                )
-                post_S = _latest_per_key(
-                    cand_S.unionByName(ch)
-                    if cand_S is not None
-                    else ch,
-                    ["side", "pk"],
-                    _rj_order(),
-                )
-                # the pre/post images are batch-pk-sized and consumed
-                # by up to FOUR downstream DAGs (the deltas write, the
-                # affected-bucket collect, and both sides of the
-                # aggregate diff): materialize each window ONCE instead
-                # of re-running the shuffle+sort subtree per consumer
-                # (measured on stream_retract_join_agg at sf0.1:
-                # 78 -> 68 Spark jobs, 21.3 -> 11.8 s same-session
-                # for the three-batch drain)
-                if pre_S is not None:
-                    pre_S = pre_S.localCheckpoint(eager=True)
-                post_S = post_S.localCheckpoint(eager=True)
+                # every eager checkpoint in this block materializes
+                # INSIDE the try: a failure building any later image
+                # must still release the earlier ones in the finally,
+                # or a restarting stream leaks one block set per crash
+                cand_S = pre_S = post_S = None
                 try:
+                    cand_S = _rj_resolve_images(
+                        spark, state_path, S, n_key_partitions,
+                        upto_batch=batch_id,
+                    )
+                    if cand_S is not None:
+                        cand_S = cand_S.localCheckpoint(eager=True)
+                    # the pre/post images are batch-pk-sized and
+                    # consumed by up to FOUR downstream DAGs (the
+                    # deltas write, the affected-bucket collect, and
+                    # both sides of the aggregate diff): materialize
+                    # each window ONCE instead of re-running the
+                    # shuffle+sort subtree per consumer (measured on
+                    # stream_retract_join_agg at sf0.1: 78 -> 68 Spark
+                    # jobs, 21.3 -> 11.8 s same-session for the
+                    # three-batch drain)
+                    if cand_S is not None:
+                        pre_S = _latest_per_key(
+                            cand_S, ["side", "pk"], _rj_order()
+                        ).localCheckpoint(eager=True)
+                    post_S = _latest_per_key(
+                        cand_S.unionByName(ch)
+                        if cand_S is not None
+                        else ch,
+                        ["side", "pk"],
+                        _rj_order(),
+                    ).localCheckpoint(eager=True)
                     if need_deltas:
                         deltas = (
                             post_S.filter(live)
@@ -1777,11 +1779,9 @@ def stream_retract_join_orc(
                                 batch_id, marker2,
                             )
                 finally:
-                    if cand_S is not None:
-                        release_local_checkpoint(cand_S)
-                    if pre_S is not None:
-                        release_local_checkpoint(pre_S)
-                    release_local_checkpoint(post_S)
+                    for img in (cand_S, pre_S, post_S):
+                        if img is not None:
+                            release_local_checkpoint(img)
             # the ONLY per-batch state write: the log append
             (
                 ch.withColumn("batch_id", F.lit(batch_id))
