@@ -242,17 +242,55 @@ def minhash_signatures(
     # single file) runs the whole tokenize+shingle+permute pass on one
     # core of 32. Project to the two needed columns FIRST (an opaque
     # UDF defeats column pruning past the exchange — guide §2.3), then
-    # spread an under-split input across the session's parallelism.
-    # At production split counts the guard is false and no shuffle is
-    # added.
-    proj = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if proj.rdd.getNumPartitions() < par:
-        proj = proj.repartition(par)
+    # spread an under-split input to a task count derived from the
+    # input's size (round 13: a Python task has ~250 ms fixed worker
+    # overhead, so the r12 spread-to-parallelism overshot small
+    # inputs — see session.spread_for_py_udf). At production split
+    # counts the guard is false and no shuffle is added.
+    from flink_orc_sink_spark.session import spread_for_py_udf
+
+    proj = spread_for_py_udf(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    )
     return proj.select(
         "doc",
         _minhash_sig_udf()(tokens("_t")).alias("sig"),
     )
+
+
+def _sig_from_hs_udf():
+    """MinHash signature DERIVED from a doc's distinct shingle-hash
+    set (the ``hs`` column :func:`shingle_hash_sets` computes):
+    ``sig[i] = min((a_i*h + b_i) mod P)`` over the doc's DISTINCT
+    hashes equals the min over its raw shingle stream — min is
+    duplicate-insensitive and order-insensitive — so the signature is
+    BIT-IDENTICAL to :func:`_minhash_sig_udf`'s, without re-tokenizing
+    or re-md5-hashing the text. The md5 pass is the dedup family's
+    dominant Python CPU (measured 17-19 s of worker CPU on the index
+    build/ingest paths at sf0.1, HALF of it the second pass); deriving
+    the signature from ``hs`` is a pure affine NumPy pass over already
+    -computed hashes."""
+    a = np.array(MINHASH_A, dtype=np.uint64).reshape(-1, 1)
+    b = np.array(MINHASH_B, dtype=np.uint64).reshape(-1, 1)
+    p = np.uint64(MINHASH_P)
+
+    @F.pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h_ in hs:
+            h = np.asarray(h_, dtype=np.uint64).reshape(1, -1)
+            out.append(((a * h + b) % p).min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures_from_sets(sh: DataFrame) -> DataFrame:
+    """(doc, sig) derived from a (doc, hs) shingle-hash-set frame —
+    bit-identical to :func:`minhash_signatures` over the same docs
+    (see :func:`_sig_from_hs_udf`), at the cost of one cheap affine
+    pass instead of a full tokenize+md5 pass."""
+    return sh.select("doc", _sig_from_hs_udf()(F.col("hs")).alias("sig"))
 
 
 def banded_pairs(bands: DataFrame, bucket_cap: int = 1000) -> DataFrame:
@@ -331,7 +369,13 @@ def _pair_jaccard_udf(k: int):
     """Arrow-batched exact shingle-set Jaccard for candidate pairs —
     raw double ratio from Python (IEEE-identical to any engine's i/u);
     callers round Spark-side so rounding semantics match the
-    relational convention everywhere."""
+    relational convention everywhere.
+
+    Round-13 note: a per-doc-id memoization of the shingle sets was
+    tried and REVERTED — measured candidate multiplicity at sf0.1 is
+    ~1.07 pairs per doc (257 pairs / 479 docs), so the cache never
+    pays, and retaining every doc's frozenset doubled the verify
+    stage's worker CPU (45 → 97 s) instead of cutting it."""
 
     @F.pandas_udf("double")
     def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -426,6 +470,7 @@ def minhash_dedup_pairs(
     text_col: str,
     threshold: float = 0.7,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: candidates from banding, then
     exact-Jaccard verification of candidates only. Output:
@@ -437,10 +482,22 @@ def minhash_dedup_pairs(
     exact shingle-set Jaccard is computed per pair in an Arrow batch —
     cost O(candidates), never the corpus-sized inverted-index
     self-join that LSH exists to avoid.
+
+    ``shingles`` (round 13): optional pre-materialized ``(doc, hs)``
+    frame — when given, candidate signatures derive from it
+    (bit-identical, md5-free) instead of re-hashing the text; the
+    exact verification still reads token arrays (string-shingle
+    Jaccard is this family's registered semantics, distinct from the
+    probe's hash-set Jaccard).
     """
     from flink_orc_sink_spark.functions.text import tokens
 
-    cands = minhash_candidate_pairs(minhash_signatures(df, id_col, text_col, k))
+    sigs = (
+        minhash_signatures_from_sets(shingles)
+        if shingles is not None
+        else minhash_signatures(df, id_col, text_col, k)
+    )
+    cands = minhash_candidate_pairs(sigs)
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
 
     pair_jaccard = _pair_jaccard_udf(k)
@@ -1022,12 +1079,22 @@ def shingle_hash_sets(
 ) -> DataFrame:
     """(doc, hs) — each doc's distinct shingle hash32 values, sorted.
     Exact Jaccard between two docs is then pure JVM array arithmetic
-    (``array_intersect``/``array_union``), no text needed."""
-    from flink_orc_sink_spark.functions.text import tokens
+    (``array_intersect``/``array_union``), no text needed.
 
-    return df.select(
-        F.col(id_col).alias("doc"),
-        _shingle_hashes_udf(k)(tokens(text_col)).alias("hs"),
+    Same scale-adaptive under-split input spread as
+    :func:`minhash_signatures` (``session.spread_for_py_udf``): the
+    tokenize+md5 UDF is CPU-heavy map work, and a corpus arriving as
+    one parquet file would run it on one core. No-op at production
+    split counts."""
+    from flink_orc_sink_spark.functions.text import tokens
+    from flink_orc_sink_spark.session import spread_for_py_udf
+
+    proj = spread_for_py_udf(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    )
+    return proj.select(
+        "doc",
+        _shingle_hashes_udf(k)(tokens("_t")).alias("hs"),
     )
 
 
@@ -1052,10 +1119,26 @@ def build_minhash_index(
     Index bytes ≈ corpus token count × 8 B (hashes) + 16 band rows
     per doc — an order of magnitude below the text it indexes, and
     the only thing an incremental ingest ever reads.
+
+    ONE tokenize+md5 pass over the corpus (round 13): the shingle
+    table is written first, then the band rows derive their
+    signatures from the PERSISTED hashes
+    (:func:`minhash_signatures_from_sets` — bit-identical, md5-free).
+    The expensive pass used to run twice (once for sigs, once for
+    shingles); the materialization that makes it run once is the
+    shingles table itself — written anyway, so nothing index-sized
+    is held in executor storage at any corpus size. The read-back
+    scan is splittable parquet, so the derivation parallelizes
+    regardless of how under-split the source corpus arrived.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k)
     (
-        band_rows(sigs)
+        shingle_hash_sets(df, id_col, text_col, k)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/shingles")
+    )
+    sh = df.sparkSession.read.parquet(f"{index_path}/shingles")
+    (
+        band_rows(minhash_signatures_from_sets(sh))
         # range-partition on (band, bkey): band dirs preserved via
         # partitionBy while write parallelism scales past the 16-band
         # cap a repartition("band") would impose
@@ -1064,11 +1147,6 @@ def build_minhash_index(
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(f"{index_path}/bands")
-    )
-    (
-        shingle_hash_sets(df, id_col, text_col, k)
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/shingles")
     )
 
 
@@ -1081,6 +1159,7 @@ def minhash_probe_index(
     threshold: float = 0.7,
     k: int = 3,
     bucket_cap: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL ingest dedup against a PERSISTED index: near-dup
     matches ``(new_doc, match_doc, jaccard ≥ threshold)`` of a new
@@ -1099,10 +1178,24 @@ def minhash_probe_index(
 
     Nothing scales with corpus size except the (pre-bucketed,
     partition-laid-out) index probe itself.
+
+    ``shingles`` (round 13): a pre-materialized ``(doc, hs)`` frame
+    for the batch (``shingle_hash_sets(new_docs)``, eagerly
+    checkpointed by the caller). When given, BOTH the band keys and
+    the verification sets derive from it — one tokenize+md5 pass per
+    trigger instead of two. Streaming callers that probe AND append
+    the same batch share one frame across all consumers. When None,
+    the self-contained two-pass form runs (the returned plan must not
+    own checkpointed blocks, so this function never materializes
+    internally).
     """
     from flink_orc_sink_spark.operators.retention import subtract_tombstones
 
-    new_bands = band_rows(minhash_signatures(new_docs, id_col, text_col, k))
+    if shingles is not None:
+        new_sigs = minhash_signatures_from_sets(shingles)
+    else:
+        new_sigs = minhash_signatures(new_docs, id_col, text_col, k)
+    new_bands = band_rows(new_sigs)
     bn = new_bands.select(F.col("doc").alias("new_doc"), "band", "bkey")
     corpus_bands = subtract_tombstones(
         # forgotten docs drop out BEFORE the hot-bucket count, so a
@@ -1136,9 +1229,11 @@ def minhash_probe_index(
         .select("new_doc", "match_doc")
         .distinct()
     )
-    new_sh = shingle_hash_sets(new_docs, id_col, text_col, k).select(
-        F.col("doc").alias("new_doc"), F.col("hs").alias("ha")
-    )
+    new_sh = (
+        shingles
+        if shingles is not None
+        else shingle_hash_sets(new_docs, id_col, text_col, k)
+    ).select(F.col("doc").alias("new_doc"), F.col("hs").alias("ha"))
     corpus_sh = (
         spark.read.parquet(f"{index_path}/shingles")
         .select(F.col("doc").alias("match_doc"), F.col("hs").alias("hb"))
@@ -1172,6 +1267,7 @@ def append_to_minhash_index(
     k: int = 3,
     owner: str | None = None,
     lease_wait_sec: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> None:
     """The other half of the incremental-ingest lifecycle: after a new
     batch is probed (:func:`minhash_probe_index`) and its survivors
@@ -1180,6 +1276,14 @@ def append_to_minhash_index(
     append write into the same band-partitioned layout — the corpus
     is still never re-read, and the index stays the single source of
     dedup truth across ingests.
+
+    ``shingles`` (round 13): optional pre-materialized ``(doc, hs)``
+    frame for the batch, shared with the caller's probe. When None,
+    the append materializes it itself (eager localCheckpoint,
+    batch-sized by contract, released before returning): both the
+    band write and the shingle write consume ONE tokenize+md5 pass
+    instead of each running its own — the same shape as the gram
+    index's ``occurrences=`` (round 12).
 
     Runs under the ``index_path`` single-writer LEASE (``lease.py``):
     an append landing while ``compact_minhash_index``'s swap is
@@ -1194,53 +1298,62 @@ def append_to_minhash_index(
     bounded jittered waiting when another appender holds the lease
     (concurrent ingest jobs then serialize instead of crashing)."""
     from flink_orc_sink_spark.lease import process_owner, state_lease
+    from flink_orc_sink_spark.session import release_local_checkpoint
 
-    sigs = minhash_signatures(df, id_col, text_col, k)
-    with state_lease(
-        df.sparkSession,
-        index_path,
-        owner or process_owner("ingest:append"),
-        wait_sec=lease_wait_sec,
-    ):
-        # SALTED-hash repartition: (band, xxhash(bkey) % k) with
-        # k = ceil(parallelism / bands) gives full write parallelism
-        # while bounding an append to ≤ bands × k ≈ O(parallelism)
-        # files — NOT O(tasks × bands) like a plain (band, bkey) hash
-        # (which interleaves every band across all tasks, compounding
-        # small files over steady ingest) and NOT the bands-task
-        # write a band-only repartition pays. No range-sampling job
-        # either — repartitionByRange re-evaluates the upstream plan
-        # (the shingle/minhash pass) once more to sample bounds,
-        # measured 2-3× worse on stream ingest at sf0.1.
-        brows = band_rows(sigs)
-        n_bands_eff = MINHASH_BANDS  # band_rows' fixed band layout
-        salt_k = max(
-            1,
-            -(-df.sparkSession.sparkContext.defaultParallelism
-              // n_bands_eff),
-        )
-        (
-            brows.withColumn(
-                "_salt", F.pmod(F.xxhash64("bkey"), F.lit(salt_k))
+    sh = shingles
+    own_ck = sh is None
+    try:
+        if own_ck:
+            # batch-sized by the append contract; eager so a failure
+            # below still releases in the finally
+            sh = shingle_hash_sets(
+                df, id_col, text_col, k
+            ).localCheckpoint(eager=True)
+        with state_lease(
+            df.sparkSession,
+            index_path,
+            owner or process_owner("ingest:append"),
+            wait_sec=lease_wait_sec,
+        ):
+            # SALTED-hash repartition: (band, xxhash(bkey) % k) with
+            # k = ceil(parallelism / bands) gives full write parallelism
+            # while bounding an append to ≤ bands × k ≈ O(parallelism)
+            # files — NOT O(tasks × bands) like a plain (band, bkey) hash
+            # (which interleaves every band across all tasks, compounding
+            # small files over steady ingest) and NOT the bands-task
+            # write a band-only repartition pays. No range-sampling job
+            # either — repartitionByRange re-evaluates the upstream plan
+            # (the shingle/minhash pass) once more to sample bounds,
+            # measured 2-3× worse on stream ingest at sf0.1.
+            brows = band_rows(minhash_signatures_from_sets(sh))
+            n_bands_eff = MINHASH_BANDS  # band_rows' fixed band layout
+            salt_k = max(
+                1,
+                -(-df.sparkSession.sparkContext.defaultParallelism
+                  // n_bands_eff),
             )
-            .repartition(n_bands_eff * salt_k, "band", "_salt")
-            .drop("_salt")
-            .sortWithinPartitions("band", "bkey")
-            .write.mode("append")
-            .partitionBy("band")
-            .parquet(f"{index_path}/bands")
-        )
-        (
-            shingle_hash_sets(df, id_col, text_col, k)
-            .write.mode("append")
-            .parquet(f"{index_path}/shingles")
-        )
-        # re-ingesting a previously forgotten doc readmits it: a
-        # forget covers rows ingested before it, exactly as a
-        # rebuild-without-them would (no-op when nothing is tombstoned)
-        from flink_orc_sink_spark.operators.retention import readmit_ids
+            (
+                brows.withColumn(
+                    "_salt", F.pmod(F.xxhash64("bkey"), F.lit(salt_k))
+                )
+                .repartition(n_bands_eff * salt_k, "band", "_salt")
+                .drop("_salt")
+                .sortWithinPartitions("band", "bkey")
+                .write.mode("append")
+                .partitionBy("band")
+                .parquet(f"{index_path}/bands")
+            )
+            sh.write.mode("append").parquet(f"{index_path}/shingles")
+            # re-ingesting a previously forgotten doc readmits it: a
+            # forget covers rows ingested before it, exactly as a
+            # rebuild-without-them would (no-op when nothing is
+            # tombstoned)
+            from flink_orc_sink_spark.operators.retention import readmit_ids
 
-        readmit_ids(df.select(id_col), index_path, lease=False)
+            readmit_ids(df.select(id_col), index_path, lease=False)
+    finally:
+        if own_ck and sh is not None:
+            release_local_checkpoint(sh)
 
 
 def forget_from_minhash_index(doc_ids: DataFrame, index_path: str) -> None:

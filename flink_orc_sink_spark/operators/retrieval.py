@@ -274,7 +274,18 @@ def bm25_probe_index(
     stored-df staleness problem); the corpus globals aggregate the
     slim doclens table (see module docstring). The only shuffle is
     the per-doc score sum over MATCHING postings; top-k is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    Document frequency is a WINDOW count over the deduped postings
+    (round 13): the old ``groupBy(token) → broadcast-join back`` form
+    evaluated the whole pruned-scan + tombstone-anti-join + dedup
+    subtree a SECOND time just to build the df broadcast — one full
+    extra postings pass (and its own Spark job) per probe.
+    ``count(*) over (partition by token)`` on the already-deduped
+    rows is the same exact integer df, computed in-stream on the one
+    term-bounded frame."""
+    from pyspark.sql import Window
+
     post = subtract_tombstones(
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("bucket").isin(term_buckets(terms)))
@@ -302,7 +313,6 @@ def bm25_probe_index(
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
         .select("n_docs", "avgdl")
     )
-    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -313,8 +323,9 @@ def bm25_probe_index(
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     return (
-        # bounded-broadcast: doc-frequencies of the QUERY's terms only (postings pre-pruned to the query's buckets)
-        post.join(F.broadcast(dfreq), "token")
+        post.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

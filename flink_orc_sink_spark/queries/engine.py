@@ -3052,13 +3052,26 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from flink_orc_sink_spark.operators.dedup import shingle_hash_sets
+
         batch_df = batch_df.localCheckpoint(eager=True)  # consumed 3×
+        # ONE tokenize+md5 pass per trigger (round 13): the batch's
+        # shingle-hash sets feed the within-batch banding, the index
+        # probe (bands + verification), and the append — five
+        # signature/shingle passes used to re-hash the same batch text
+        # per trigger. Materialized inside the try so a failure still
+        # releases batch_df's blocks in the finally.
+        sh = None
         try:
+            sh = shingle_hash_sets(
+                batch_df, "doc_id", "text"
+            ).localCheckpoint(eager=True)
             within = minhash_dedup_pairs(
-                batch_df, "doc_id", "text", threshold=0.7
+                batch_df, "doc_id", "text", threshold=0.7, shingles=sh
             ).select("doc_a", "doc_b", "jaccard")
             cross = minhash_probe_index(
-                spark, batch_df, "doc_id", "text", idx, threshold=0.7
+                spark, batch_df, "doc_id", "text", idx, threshold=0.7,
+                shingles=sh,
             ).select(
                 F.least("new_doc", "match_doc").alias("doc_a"),
                 F.greatest("new_doc", "match_doc").alias("doc_b"),
@@ -3082,10 +3095,13 @@ def stream_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             marker = os.path.join(idx, "appended", f"batch_{batch_id}")
             if not os.path.exists(marker):
                 append_to_minhash_index(
-                    batch_df, "doc_id", "text", idx, owner=owner_cell[0]
+                    batch_df, "doc_id", "text", idx,
+                    owner=owner_cell[0], shingles=sh,
                 )
                 os.makedirs(marker, exist_ok=True)
         finally:
+            if sh is not None:
+                release_local_checkpoint(sh)
             release_local_checkpoint(batch_df)
 
     owner_cell = [None]

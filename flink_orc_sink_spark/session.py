@@ -228,6 +228,59 @@ def orc_data_files_exist(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def spread_for_py_udf(proj, target_stat_bytes: int = 64 * 1024):
+    """Spread an under-split projection feeding a CPU-heavy PYTHON
+    (Arrow) map stage — with a task count derived from the INPUT's
+    plan-statistics size, not the constant ``defaultParallelism``
+    (guide §2: scale-adaptive partitioning, never a local-mode
+    constant).
+
+    Why not always-to-parallelism: a Python task costs ~250 ms of
+    worker CPU in FIXED per-task overhead on Spark 4.1 (measured with
+    an identity pandas UDF: 32 tasks = 8.0 s worker CPU and 0.5-0.8 s
+    wall regardless of row count, vs 0.2 s CPU at 1 task), so
+    spreading a small input 32-wide pays 32 overheads to parallelize
+    a sub-second kernel. Measured on the sf0.1 MinHash signature
+    stage: 1 task = 1.05 s/eval, 4 = 0.65 s, 8 = 0.6 s,
+    32 = 0.8 s wall (9.8 s CPU). The bytes-derived count lands on the
+    flat part of that curve at every scale: ~4 tasks at sf0.1, the
+    full parallelism for anything over ~2 MB of plan-stat bytes per
+    32 cores. At production split counts the input arrives with
+    >= parallelism partitions and this is a no-op.
+
+    Only for PYTHON-boundary stages: JVM map stages (tokenize/
+    explode) have ~ms task overhead and keep their plain
+    to-parallelism spread; superlinear kernels (all-pairs cosine)
+    must NOT size by bytes — their cost is O(rows²), see
+    operators/similarity.py.
+
+    Callers pass file-scan or localCheckpoint-rooted projections:
+    ``.rdd`` on a plan with upstream shuffles would force query-stage
+    materialization under AQE (round-12 advice)."""
+    sc = proj.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        cur = proj.rdd.getNumPartitions()
+    except Exception:
+        return proj
+    if cur >= par:
+        return proj
+    try:
+        size = int(
+            proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = None
+    want = (
+        par
+        if size is None
+        else max(1, min(par, -(-size // target_stat_bytes)))
+    )
+    if cur >= want:
+        return proj
+    return proj.repartition(want)
+
+
 def release_local_checkpoint(df) -> None:
     """Free the executor-storage blocks held by a DataFrame returned
     from ``localCheckpoint``.
