@@ -418,29 +418,41 @@ def minhash_incremental_pairs(
     """
     from flink_orc_sink_spark.functions.text import tokens
 
+    # In-bucket candidate expansion after ONE groupBy (round 13, the
+    # same shape as :func:`banded_pairs` and for the same reason): the
+    # old bn/hot-broadcast/bucket-join form referenced the band frames
+    # from THREE plan branches, so the Arrow signature subtree (the
+    # family's expensive pass) evaluated ~5× per query. One union →
+    # one shuffle → per-bucket expansion evaluates it once, drops the
+    # hot-bucket broadcast AND the candidate equi-join, and keeps the
+    # identical candidate set: a bucket over ``bucket_cap`` TOTAL rows
+    # is dropped whole (same raw-count rule as the old ``hot``), a new
+    # doc pairs with every corpus doc in its bucket and with earlier
+    # (smaller-id) new docs only.
     new_bands = band_rows(minhash_signatures(new_docs, id_col, text_col, k))
-    bn = new_bands.select(F.col("doc").alias("new_doc"), "band", "bkey")
     bc = band_rows(minhash_signatures(corpus, id_col, text_col, k))
-    other = bc.withColumn("is_new", F.lit(False)).unionByName(
+    all_bands = bc.withColumn("is_new", F.lit(False)).unionByName(
         new_bands.withColumn("is_new", F.lit(True))
     )
-    hot = (
-        other.groupBy("band", "bkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > bucket_cap)
-        .select("band", "bkey")
+    grouped = (
+        all_bands.groupBy("band", "bkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc", "is_new"))
+            ).alias("ds")
+        )
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
     cands = (
-        # bounded-broadcast: skew heads: over-cap (band,bkey) buckets only, <= n_docs/bucket_cap and a vanishing fraction in practice
-        bn.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
-        .join(
-            other.select(F.col("doc").alias("match_doc"), "band", "bkey", "is_new"),
-            ["band", "bkey"],
+        grouped.select(F.explode("ds").alias("a"), "ds")
+        .filter(F.col("a.is_new"))
+        .select(
+            F.col("a.doc").alias("new_doc"), F.explode("ds").alias("b")
         )
         .filter(
-            (~F.col("is_new")) | (F.col("match_doc") < F.col("new_doc"))
+            (~F.col("b.is_new")) | (F.col("b.doc") < F.col("new_doc"))
         )
-        .select("new_doc", "match_doc")
+        .select("new_doc", F.col("b.doc").alias("match_doc"))
         .distinct()
     )
     all_docs = new_docs.select(

@@ -888,17 +888,34 @@ def ahash_neardup_pairs(
             f"(got max_hamming={max_hamming}, n_bands={n_bands}); "
             f"raise n_bands or lower max_hamming"
         )
+    # In-bucket pair expansion after ONE groupBy — the same shape as
+    # the MinHash ``banded_pairs`` (round 13): the old bands-with-bands
+    # self-join referenced the band frame from two plan branches, so
+    # the upstream decode+hash UDF evaluated TWICE per call (and the
+    # join shuffled both sides; this shuffles once). A media id
+    # appears at most once per (band, key) bucket, so the sorted
+    # in-bucket expansion yields exactly the mid < mid2 pairs the
+    # join produced.
     bands = _ahash_band_rows(hashes, id_col, hash_col, n_bands)
-    other = bands.select(
-        F.col("band"),
-        F.col("key"),
-        F.col("mid").alias("mid2"),
-        F.col("hh").alias("hh2"),
+    grouped = (
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("mid", "hh"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
     cand = (
-        bands.join(other, ["band", "key"])
-        .filter(F.col("mid") < F.col("mid2"))
-        .select("mid", "mid2", "hh", "hh2")
+        grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.mid").alias("mid"),
+            F.col("a.hh").alias("hh"),
+            F.col("b.mid").alias("mid2"),
+            F.col("b.hh").alias("hh2"),
+        )
         .distinct()
     )
     ham = F.bit_count(F.col("hh").bitwiseXOR(F.col("hh2")))

@@ -3476,8 +3476,11 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_ahash,
     )
 
-    base_ids = spark.range(0, 100, 1, 8).select(F.col("id").alias("media_id"))
-    clone_ids = spark.range(0, 100, 1, 8).select(
+    # 2 partitions per 100-image range (round 13): the planted encode
+    # kernel is ~ms per image, so the old 8-way ranges just paid the
+    # ~250 ms fixed Python-task overhead 16× per downstream UDF stage
+    base_ids = spark.range(0, 100, 1, 2).select(F.col("id").alias("media_id"))
+    clone_ids = spark.range(0, 100, 1, 2).select(
         (F.col("id") + 1000).alias("media_id")
     )
     # the planted-PNG corpus is consumed by ~5 downstream jobs (boot
@@ -3508,18 +3511,27 @@ def stream_media_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "results"),
     )
     # first half of the originals bootstraps the index; the rest of
-    # the originals and then the clone wave arrive as the stream
+    # the originals and then the clone wave arrive as the stream.
+    # The boot HASHES are checkpointed too (round 13): the index
+    # build's repartitionByRange samples its upstream once more and
+    # the within-boot banded self-join references the frame from two
+    # branches, so the un-materialized form re-ran the decode+hash
+    # UDF ~4× (measured 21 s worker CPU on this query, mostly fixed
+    # per-task overhead of those repeated Python stages)
     boot = image_ahash(
         blobs.filter(F.col("media_id") < 50), "media_id", "png"
-    )
-    build_ahash_index(boot, "media_id", "ahash", idx)
-    (
-        ahash_neardup_pairs(boot, max_hamming=3)
-        .withColumn("batch_id", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(results)
-    )
+    ).localCheckpoint(eager=True)
+    try:
+        build_ahash_index(boot, "media_id", "ahash", idx)
+        (
+            ahash_neardup_pairs(boot, max_hamming=3)
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(results)
+        )
+    finally:
+        release_local_checkpoint(boot)
     for rng in (
         (F.col("media_id") >= 50) & (F.col("media_id") < 1000),
         F.col("media_id") >= 1000,

@@ -10,9 +10,15 @@ queries to their oracles by the driver's own hash protocol.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
+
+# slow tier: re-runs queries under a foreign-timezone subprocess —
+# excluded from the default (driver) gate, see pytest.ini
+pytestmark = pytest.mark.slow
 
 SCRIPT = r"""
 import sys
@@ -26,6 +32,7 @@ assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
 import duckdb
 import __spark_entry__ as e
 from check_correctness import frame_hash
+
 qs, os_ = e.queries(), e.oracle_sql()
 sf = "/root/testdata/sf0.001"
 con = duckdb.connect()

@@ -29,6 +29,9 @@ import zlib
 import pytest
 from pyspark.sql import functions as F
 
+# slow tier: seeded crash-point matrices, ~3 min — excluded from the default (driver) gate, see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 def _drain(start_fn, timeout=180):
     for attempt in range(10):

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.operators.profile import profile_table
@@ -19,6 +20,7 @@ def _orc_files(path):
     ]
 
 
+@pytest.mark.slow  # minute-scale lifecycle — slow tier, see pytest.ini
 def test_compact_orc_reduces_files_preserves_rows(spark, tmp_path):
     out = str(tmp_path / "many_small")
     # simulate 20 micro-batch epochs of tiny files

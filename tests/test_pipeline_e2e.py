@@ -6,13 +6,19 @@ readback) on actual testdata."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.sources.catalog import table
 from flink_orc_sink_spark.streaming import (
+
     read_committed_orc,
     stream_write_orc,
 )
+
+# slow tier: end-to-end pipeline examples — excluded from the default (driver) gate, see pytest.ini
+pytestmark = pytest.mark.slow
 
 
 def test_events_to_orc_pipeline(spark, sf_dir, tmp_path):

@@ -10,12 +10,17 @@ disabled because executor scheduling jitter would trip it.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from flink_orc_sink_spark.operators.dedup import _py_shingles
 from flink_orc_sink_spark.operators.relational import asof_join, topk_per_group
 from pyspark.sql import functions as F
+
+# slow tier: hypothesis sweeps vs reference implementations — excluded from the default (driver) gate, see pytest.ini
+pytestmark = pytest.mark.slow
 
 # derandomize: CI replays the same example corpus every run — a gate
 # run can never flake on a fresh random draw (exploration happens when

@@ -12,6 +12,9 @@ import pytest
 
 import __spark_entry__ as entry
 
+# slow tier: 267-query sweep — value-checked by the CHECKLOG oracle replica — excluded from the default (driver) gate, see pytest.ini
+pytestmark = pytest.mark.slow
+
 QUERIES = entry.queries()
 ORACLES = entry.oracle_sql()
 

@@ -149,6 +149,7 @@ def test_recover_index_finishes_interrupted_swap(spark, minhash_world):
     assert _probe_pairs(spark, new, idx) == expect
 
 
+@pytest.mark.slow  # minute-scale lifecycle — slow tier, see pytest.ini
 def test_compact_heals_crashed_swap_then_applies_tombstones(
     spark, minhash_world
 ):
@@ -200,6 +201,7 @@ def test_forget_ids_is_o_deleted_append(spark, tmp_path):
     assert ts is not None and [r.id for r in ts.collect()] == [1]
 
 
+@pytest.mark.slow  # minute-scale lifecycle — slow tier, see pytest.ini
 def test_forget_everything_compact_keeps_index_alive(spark, minhash_world):
     """Tombstoning EVERY indexed doc and compacting must not brick the
     index: a zero-row partitioned rewrite has no readable footer, so
@@ -233,6 +235,7 @@ def test_forget_everything_compact_keeps_index_alive(spark, minhash_world):
     assert read_tombstones(spark, idx) is None
 
 
+@pytest.mark.slow  # minute-scale lifecycle — slow tier, see pytest.ini
 def test_reappend_readmits_forgotten_doc(spark, minhash_world):
     """GDPR re-consent: re-ingesting a forgotten id makes it live
     again (appends readmit their batch ids), and compaction must NOT
@@ -280,6 +283,7 @@ def test_explicit_readmit_ids(spark, minhash_world):
 # --- IVF ---------------------------------------------------------------
 
 
+@pytest.mark.slow  # minute-scale lifecycle — slow tier, see pytest.ini
 def test_ivf_forget_and_compact_equal_rebuild(spark, tmp_path):
     """Forgotten vectors neither match nor crowd a top-k; compaction
     preserves the cell layout and leaves centroids untouched; both

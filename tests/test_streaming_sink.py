@@ -9,6 +9,7 @@ committed rows are exactly the input set — no loss, no duplicates.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_orc_sink_spark.streaming import (
@@ -18,6 +19,9 @@ from flink_orc_sink_spark.streaming import (
     stream_from_files,
     stream_write_orc,
 )
+
+# slow tier: 35 crash/replay/convergence integration tests, ~520 s alone — excluded from the default (driver) gate, see pytest.ini
+pytestmark = pytest.mark.slow
 
 
 def _write_input(spark, path: str, ids: range) -> None:
