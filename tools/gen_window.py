@@ -321,21 +321,45 @@ def stale_fill(
 
 
 def build_window(
-    base: str, basis: int | None = None
+    base: str, basis: int | None = None, front: list[str] | None = None
 ) -> tuple[list[str], list[str]]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     changed = sorted(changed_queries(base, names))
+    if front:
+        missing = [n for n in front if n not in set(changed)]
+        if missing:
+            raise SystemExit(
+                f"--front names not in the changed set: {missing}"
+            )
     if len(changed) > WINDOW:
+        # Round 13: when two rounds of central-helper churn mark more
+        # queries than the window holds, keep the STALEST changed
+        # queries (oldest driver-green round, ties alphabetical) —
+        # the same estimator the fill uses — instead of the
+        # alphabetical head, which systematically starves late-
+        # alphabet families (pyds_*, stream_*) of driver re-
+        # verification. ``front`` (the verdict's explicitly named
+        # must-recheck queries, recorded in the round doc) leads the
+        # section regardless of staleness. Deterministic from the
+        # committed CORRECTNESS artifacts plus the recorded front
+        # list.
+        green = last_green_rounds(basis)
+        head = list(front or [])
+        rest = sorted(
+            (n for n in changed if n not in set(head)),
+            key=lambda n: (green.get(n, 0), n),
+        )
         print(
             f"warning: {len(changed)} changed queries exceed the "
-            f"{WINDOW}-slot window; alphabetical head kept, the rest "
-            "rely on the full-registry CHECKLOG gate",
+            f"{WINDOW}-slot window; {len(head)} fronted + stalest"
+            f" {WINDOW - len(head)} kept, the rest rely on the"
+            " full-registry CHECKLOG gate",
             file=sys.stderr,
         )
-        changed = changed[:WINDOW]
+        changed = sorted(head) + sorted(rest[: WINDOW - len(head)])
     fill = stale_fill(
         last_green_rounds(basis), names, set(changed), WINDOW - len(changed)
     )
@@ -354,6 +378,13 @@ def main() -> int:
         type=int,
         default=None,
         help="use CORRECTNESS artifacts only up to this round",
+    )
+    ap.add_argument(
+        "--front",
+        default=None,
+        help="comma-separated query names that must lead the changed"
+        " section (verdict-prescribed must-recheck list); only"
+        " meaningful when the changed set overflows the window",
     )
     ap.add_argument(
         "--check",
@@ -394,7 +425,10 @@ def main() -> int:
 
     if not args.base:
         ap.error("--base required unless --check")
-    changed, fill = build_window(args.base, args.rounds_up_to)
+    front = (
+        [n for n in args.front.split(",") if n] if args.front else None
+    )
+    changed, fill = build_window(args.base, args.rounds_up_to, front)
     print(f"# changed since {args.base} ({len(changed)}):")
     for n in changed:
         print(f'    "{n}",')
