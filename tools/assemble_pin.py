@@ -236,6 +236,14 @@ def main() -> int:
 
     loaded: list[tuple[str, dict, list[str]]] = []
     for path in args.chunks:
+        if args.missing_tokens and not os.path.exists(path):
+            # a fresh hunt starts with ZERO chunks: the shell passes
+            # the unexpanded glob literally, and crashing here made
+            # the hunter's empty-stdout check read "coverage
+            # complete" (round-13 fix) — skip so the full headline
+            # token list prints instead
+            print(f"{path}: no such chunk (skipped)")
+            continue
         c = _load(path)
         name = os.path.basename(path)
         problems = certify_chunk(c, ref)
